@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship Golden Join (SURVEY.md §3.3) at
+sf0.001.  ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 over the driver testdata; ``oracle_sql()`` holds the
+DuckDB twin for each.  Aggregates over doubles go through DECIMAL casts
+on both sides so results are bit-identical regardless of partition
+order (sum-of-doubles is order-sensitive; decimal sums are not).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from tiki_e_commerce_analytics_etl_spark.functions import (
+    clean_price,
+    clean_trends_score,
+    extract_category_id,
+    parse_discount_rate,
+    parse_sales_volume,
+)
+from tiki_e_commerce_analytics_etl_spark.io import read_table
+from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+from tiki_e_commerce_analytics_etl_spark.operators import merge as merge_ops
+from tiki_e_commerce_analytics_etl_spark.operators import quality as quality_ops
+from tiki_e_commerce_analytics_etl_spark.operators import reshape as reshape_ops
+from tiki_e_commerce_analytics_etl_spark.plans import testdata_mapping as tdm
+from tiki_e_commerce_analytics_etl_spark.plans.golden_join import golden_join
+
+
+def _dec(col: str) -> F.Column:
+    """Order-insensitive summable form of a 2-dp double column."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _ensure_confs(spark: SparkSession) -> SparkSession:
+    """The driver supplies its own SparkSession; pin the runtime confs
+    the engine's semantics depend on (all runtime-settable):
+    coerce-to-null casts, UTC date math, nanos-parquet reads."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_ensure_confs(spark), sf_dir)
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_golden_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J5 + F16-F18 — the reference's 5-way Golden Join
+    (analytics_dag.py:71-160) on the testdata mart mapping."""
+    inp = tdm.build_mart_inputs(spark, sf_dir)
+    return golden_join(
+        inp["fact"], inp["dim_products"], inp["dim_categories"],
+        inp["keyword_mapping"], inp["trends"], inp["fx"],
+    )
+
+
+def q_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7/A3/A4 — success-summary aggregate over the mart
+    (analytics_dag.py:230-239)."""
+    return quality_ops.summary(q_golden_join(spark, sf_dir))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-style wide aggregate (TPC-H Q1 shape): filter → groupBy →
+    sums/avgs/count with map-side partial aggregation."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+                * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — keep-latest-per-key window dedup (transform_tiki.py:582-587):
+    latest event per user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    return dedup_ops.keep_latest(ev, ["user_id"], "ts", tiebreakers=["event_id"])
+
+
+def q_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — group-max dedup/agg (transform_google_trends.py:130-154)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.max("value").alias("max_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_melt_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — wide→long unpivot (transform_google_trends.py:44-78):
+    lineitem measures melted to (measure, value) rows."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return reshape_ops.melt(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = orderBy().limit() (SURVEY.md §2.3) with deterministic
+    tiebreak; Spark plans this as TakeOrderedAndProject (no full sort)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .limit(20)
+    )
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — SELECT DISTINCT (trends_dag.py:317-322)."""
+    return read_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def q_agg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A6 — min/max/countDistinct/sum summary stats
+    (transform_google_trends.py:194-199)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_totalprice"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("finished_orders"),
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 — the README-declared analytic windows: lag(price) price
+    delta + 3-row rolling average per product over time."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    wf = w.rowsBetween(-2, 0)
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        "l_extendedprice",
+        F.lag("l_extendedprice").over(w).alias("prev_price"),
+        (F.col("l_extendedprice") - F.lag("l_extendedprice").over(w)).alias("price_delta"),
+        (F.sum(_dec("l_extendedprice")).over(wf).cast("double")
+         / F.count(F.lit(1)).over(wf)).alias("rolling_avg_3"),
+    )
+
+
+def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — unionByName(allowMissingColumns=True) concat
+    (transform_tiki.py:397-405): two projections with different columns."""
+    li = read_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    b = li.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    return reshape_ops.union_concat([a, b])
+
+
+def q_antijoin_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — MERGE's NOT-MATCHED arm as a left_anti join
+    (load_to_bq.py:288-298): customers with no orders."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return merge_ops.antijoin_new_rows(o, c.select("c_custkey", "c_name"), ["c_custkey"])
+
+
+def _merge_dim_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    part = read_table(spark, sf_dir, "part")
+    target = part.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_retailprice",
+        F.lit("2020-01-01").cast("date").alias("created_at"),
+    )
+    updates = part.filter(F.col("p_partkey") % 2 == 0).select(
+        "p_partkey",
+        "p_name",
+        F.lit("BrandX").alias("p_brand"),
+        (F.col("p_retailprice") * 1.1).alias("p_retailprice"),
+        F.lit("2021-06-01").cast("date").alias("created_at"),
+    )
+    inserts = part.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 100000).alias("p_partkey"),
+        "p_name",
+        F.lit("BrandNew").alias("p_brand"),
+        "p_retailprice",
+        F.lit("2021-06-01").cast("date").alias("created_at"),
+    )
+    return target, updates.unionByName(inserts)
+
+
+def q_merge_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — dim MERGE: matched rows take source attrs but keep target
+    created_at; unmatched source rows insert (load_to_bq.py:272-299)."""
+    target, source = _merge_dim_frames(spark, sf_dir)
+    return merge_ops.merge_upsert(target, source, ["p_partkey"], immutable=["created_at"])
+
+
+def _composite_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = read_table(spark, sf_dir, "events")
+    def scores(df: DataFrame, bump: int) -> DataFrame:
+        return (
+            df.groupBy(
+                F.col("ts").cast("date").alias("date"),
+                F.col("event_type").alias("keyword"),
+            )
+            .agg((F.round(F.max("value")).cast("long") + bump).alias("score"))
+        )
+    return scores(ev.filter(F.col("event_id") % 2 == 0), 0), scores(
+        ev.filter(F.col("event_id") % 3 == 0), 10
+    )
+
+
+def q_merge_upsert_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 — composite-key (date, keyword) upsert, source wins
+    (trends_dag.py:652-677)."""
+    target, source = _composite_frames(spark, sf_dir)
+    return merge_ops.merge_source_wins(target, source, ["date", "keyword"])
+
+
+def q_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — duplicate-pair diagnostic (transform_google_trends.py:133-136)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return dedup_ops.duplicate_pairs(li, ["l_partkey", "l_suppkey"])
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over documents: md5 of normalized text,
+    smallest doc_id survives (training-data pipeline op)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs, "text", "doc_id").select("doc_id", "content_hash")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: char/word/token counts per document
+    (training-data pipeline op)."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_words.alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+")).alias("n_alpha_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b")).alias("n_the"),
+    )
+
+
+def q_vn_parse_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 — the Vietnamese parsing grammar on the reference's own
+    golden corpus (reference tests/test_transform_logic.py); the oracle
+    carries the expected constants."""
+    rows = [
+        ("Đã bán 1.5k", "-41%", "https://tiki.vn/dien-thoai/c1789?page=2", "1.290.000 ₫"),
+        ("Đã bán 2,5k", "41%", "https://tiki.vn/tai-nghe/c8318", "1.000.000 VND"),
+        ("Đã bán 1.5 triệu", "-25", "https://tiki.vn/no-category", "25000"),
+        ("Đã bán 10.000", "N/A", None, "10.000"),
+        (None, None, "https://tiki.vn/x/c42", None),
+        ("No sales", "30", "", "free"),
+    ]
+    df = spark.createDataFrame(
+        rows, "qty_raw: string, disc_raw: string, url_raw: string, price_raw: string"
+    )
+    return df.select(
+        "qty_raw",
+        parse_sales_volume(F.col("qty_raw")).alias("sales_volume"),
+        parse_discount_rate(F.col("disc_raw")).alias("discount_rate"),
+        extract_category_id(F.col("url_raw")).alias("category_id"),
+        clean_price(F.col("price_raw")).alias("price"),
+    )
+
+
+def q_trends_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1+F13+A1 — the full trends transform on a wide frame pivoted
+    from events: melt → '<1' cleanup → casts → group-max
+    (transform_google_trends.py:13-201)."""
+    ev = read_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.col("ts").cast("date").alias("date"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.round(F.max("value")).cast("long").cast("string"))
+    )
+    from tiki_e_commerce_analytics_etl_spark.plans.trends import transform_trends
+
+    return transform_trends(wide.withColumn("isPartial", F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (Golden Join) on /root/testdata/sf0.001."""
+    return q_golden_join(_ensure_confs(spark), "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {name: _wrap(fn) for name, fn in _raw_queries().items()}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "golden_join": q_golden_join,
+        "quality_summary": q_quality_summary,
+        "pricing_summary": q_pricing_summary,
+        "dedup_latest": q_dedup_latest,
+        "group_max": q_group_max,
+        "melt_measures": q_melt_measures,
+        "topk_orders": q_topk_orders,
+        "distinct_segments": q_distinct_segments,
+        "agg_summary": q_agg_summary,
+        "window_lag": q_window_lag,
+        "union_slices": q_union_slices,
+        "antijoin_new_keys": q_antijoin_new_keys,
+        "merge_upsert_dim": q_merge_upsert_dim,
+        "merge_upsert_composite": q_merge_upsert_composite,
+        "duplicate_pairs": q_duplicate_pairs,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_stats": q_text_stats,
+        "vn_parse_literals": q_vn_parse_literals,
+        "trends_pipeline": q_trends_pipeline,
+    }
+
+
+_MERGE_DIM_CTES = """
+target AS (
+    SELECT p_partkey, p_name, p_brand, p_retailprice,
+           CAST('2020-01-01' AS DATE) AS created_at
+    FROM part
+),
+source AS (
+    SELECT p_partkey, p_name, 'BrandX' AS p_brand,
+           p_retailprice * 1.1 AS p_retailprice,
+           CAST('2021-06-01' AS DATE) AS created_at
+    FROM part WHERE p_partkey % 2 = 0
+    UNION ALL
+    SELECT p_partkey + 100000 AS p_partkey, p_name, 'BrandNew' AS p_brand,
+           p_retailprice,
+           CAST('2021-06-01' AS DATE) AS created_at
+    FROM part WHERE p_partkey % 7 = 0
+)
+"""
+
+_COMPOSITE_CTES = """
+target AS (
+    SELECT CAST(ts AS DATE) AS date, event_type AS keyword,
+           CAST(ROUND(MAX(value)) AS BIGINT) + 0 AS score
+    FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2
+),
+source AS (
+    SELECT CAST(ts AS DATE) AS date, event_type AS keyword,
+           CAST(ROUND(MAX(value)) AS BIGINT) + 10 AS score
+    FROM events WHERE event_id % 3 = 0 GROUP BY 1, 2
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "golden_join": tdm.GOLDEN_ORACLE_SQL,
+        "quality_summary": tdm.QUALITY_SUMMARY_ORACLE_SQL,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_latest": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "group_max": """
+            SELECT user_id, event_type, MAX(value) AS max_value, COUNT(*) AS n_events
+            FROM events GROUP BY user_id, event_type
+        """,
+        "melt_measures": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "agg_summary": """
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS min_date,
+                   CAST(MAX(o_orderdate) AS DATE) AS max_date,
+                   COUNT(DISTINCT o_custkey) AS unique_customers,
+                   COUNT(*) AS total_rows,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_totalprice,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS finished_orders
+            FROM orders
+        """,
+        "window_lag": """
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   CAST(l_shipdate AS DATE) AS ship_date,
+                   l_extendedprice,
+                   LAG(l_extendedprice) OVER w AS prev_price,
+                   l_extendedprice - LAG(l_extendedprice) OVER w AS price_delta,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_avg_3
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        """,
+        "union_slices": """
+            SELECT l_orderkey, l_partkey, l_quantity, CAST(NULL AS DOUBLE) AS l_extendedprice
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+            UNION ALL
+            SELECT l_orderkey, l_partkey, CAST(NULL AS DOUBLE), l_extendedprice
+            FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        """,
+        "antijoin_new_keys": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "merge_upsert_dim": f"""
+            WITH {_MERGE_DIM_CTES}
+            SELECT COALESCE(t.p_partkey, s.p_partkey) AS p_partkey,
+                   CASE WHEN s.p_partkey IS NOT NULL THEN s.p_name ELSE t.p_name END AS p_name,
+                   CASE WHEN s.p_partkey IS NOT NULL THEN s.p_brand ELSE t.p_brand END AS p_brand,
+                   CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice ELSE t.p_retailprice END AS p_retailprice,
+                   COALESCE(t.created_at, s.created_at) AS created_at
+            FROM target t FULL OUTER JOIN source s ON t.p_partkey = s.p_partkey
+        """,
+        "merge_upsert_composite": f"""
+            WITH {_COMPOSITE_CTES}
+            SELECT COALESCE(t.date, s.date) AS date,
+                   COALESCE(t.keyword, s.keyword) AS keyword,
+                   CASE WHEN s.date IS NOT NULL AND s.keyword IS NOT NULL THEN s.score ELSE t.score END AS score
+            FROM target t FULL OUTER JOIN source s
+              ON t.date = s.date AND t.keyword = s.keyword
+        """,
+        "duplicate_pairs": """
+            SELECT l_partkey, l_suppkey, COUNT(*) AS dup_count
+            FROM lineitem GROUP BY l_partkey, l_suppkey HAVING COUNT(*) > 1
+        """,
+        "dedup_exact_docs": """
+            SELECT doc_id, content_hash FROM (
+                SELECT doc_id,
+                       MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash
+                FROM documents
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id ASC) = 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_actual,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_words,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS n_alpha_tokens,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\\bthe\\b')) AS n_the
+            FROM documents
+        """,
+        "vn_parse_literals": """
+            SELECT * FROM (VALUES
+                ('Đã bán 1.5k', 1500, 41, 1789, 1290000),
+                ('Đã bán 2,5k', 2500, 41, 8318, 1000000),
+                ('Đã bán 1.5 triệu', 1500000, 25, NULL, 25000),
+                ('Đã bán 10.000', 10000, 0, NULL, 10000),
+                (NULL, 0, 0, 42, NULL),
+                ('No sales', 0, 30, NULL, NULL)
+            ) AS t(qty_raw, sales_volume, discount_rate, category_id, price)
+        """,
+        "trends_pipeline": """
+            WITH dates AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+            kws AS (SELECT * FROM (VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')) AS t(keyword)),
+            scores AS (
+                SELECT CAST(ts AS DATE) AS date, event_type AS keyword,
+                       CAST(ROUND(MAX(value)) AS BIGINT) AS score
+                FROM events GROUP BY 1, 2
+            )
+            SELECT d.date, k.keyword, COALESCE(s.score, 0) AS score, FALSE AS is_partial
+            FROM dates d
+            CROSS JOIN kws k
+            LEFT JOIN scores s ON s.date = d.date AND s.keyword = k.keyword
+        """,
+    }

@@ -1,0 +1,81 @@
+"""Benchmark runner: executes the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with a noop-format write (full
+computation, no sink cost).  A warmup query runs first so JVM/codegen
+startup isn't billed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tiki_e_commerce_analytics_etl_spark.session import configure  # noqa: E402
+
+HEADLINE = [
+    "golden_join",
+    "pricing_summary",
+    "dedup_latest",
+    "group_max",
+    "window_lag",
+    "melt_measures",
+    "merge_upsert_dim",
+    "merge_upsert_composite",
+    "dedup_exact_docs",
+    "text_stats",
+    "trends_pipeline",
+    "quality_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        configure(SparkSession.builder.appName("bench").master(f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # Warmup: small query to pay JVM/codegen startup once.
+    qs["distinct_segments"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Partitioned parquet IO + schema conformance.
+
+Scale notes:
+- Writes are Hive-partitioned by the date grain so Catalyst prunes
+  partitions on every incremental read (reference: partition-decorator
+  loads, load_to_bq.py:166-173; read-side ``WHERE date='{ds}'``,
+  analytics_dag.py:159).
+- ``overwrite_partitions`` relies on dynamic partition overwrite, the
+  Spark-native equivalent of the reference's idempotent
+  DELETE+INSERT / WRITE_TRUNCATE-partition pattern (K3/K7/K8).
+- ``conform_schema`` is the reference's ordered-schema enforcement
+  (add-missing-as-NULL + reorder + cast, transform_tiki.py:751-761)
+  as a single ``select`` — pure projection, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def conform_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project ``df`` onto ``schema``: missing columns become typed NULLs,
+    extra columns are dropped, order and types are enforced."""
+    cols = []
+    existing = {c.lower(): c for c in df.columns}
+    for field in schema.fields:
+        src = existing.get(field.name.lower())
+        if src is not None:
+            cols.append(F.col(src).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
+def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md layout).
+
+    The events table stores TIMESTAMP(NANOS), which Spark reads as long
+    nanos under ``nanosAsLong``; convert to a microsecond timestamp with
+    integer division (ns-since-epoch exceeds double's 2^53 exact range,
+    so float math would corrupt it).
+    """
+    df = spark.read.parquet(f"{base_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_partitioned(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Hive-layout parquet write; with ``partitionOverwriteMode=dynamic``
+    (set by session.configure) mode='overwrite' replaces only the
+    partitions present in ``df`` — the reference's partition-truncate
+    load (load_to_bq.py:185-188) without any decorator machinery."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    write_partitioned(df, path, partition_cols, mode="overwrite")

@@ -1,0 +1,101 @@
+"""MERGE / upsert operators (SURVEY.md §2.1 K4-K6, §2.6 J6).
+
+The reference's three MERGE patterns, re-expressed as full-outer-join
+plans over plain parquet (no ACID table format required):
+
+  K4  dim_products   — MATCHED → take source attrs, keep target
+                       created_at; NOT MATCHED → insert
+                       (load_to_bq.py:272-299)
+  K5  dim_categories — hybrid: manual target values win via
+                       COALESCE(target, source) on selected columns
+                       (load_to_bq.py:392-415)
+  K6  fact_google_trends — composite key (date, keyword); source wins
+                       (trends_dag.py:652-677)
+
+Scale notes: the join shuffles both sides on the merge key.  For a dim
+table this is small; for a 100 TB fact the upsert should be bounded by
+partition (merge only the affected date partitions — pass the
+incremental slice, not the full history).  Writing goes
+temp-path-then-swap via ``apply_merge`` to keep the read-modify-write
+idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    target_wins: list[str] | tuple[str, ...] = (),
+    immutable: list[str] | tuple[str, ...] = (),
+    update_timestamp_col: str | None = None,
+) -> DataFrame:
+    """Full-outer-join MERGE: one output row per key.
+
+    Column policy (per non-key column):
+      - in ``immutable``    → COALESCE(target, source)   [K4 created_at:
+        existing rows keep their original value; new rows take source's]
+      - in ``target_wins``  → COALESCE(target, source)   [K5 manual-wins
+        hybrid for category_name / standard_category]
+      - otherwise           → COALESCE(source, target)   [source wins —
+        the plain MATCHED→UPDATE arm]
+
+    ``update_timestamp_col``: on rows present in source, take source's
+    value unconditionally (the reference sets ``updated_at =
+    CURRENT_TIMESTAMP()`` in the UPDATE arm, load_to_bq.py:283).
+    """
+    # Qualified-name references ("t.c"/"s.c") rather than df[col] so
+    # target and source may share lineage (self-derived merges would
+    # otherwise trip Spark's ambiguous-self-join detection).
+    t = target.alias("t")
+    s = source.alias("s")
+    tc = lambda c: F.col(f"t.{c}")  # noqa: E731
+    sc = lambda c: F.col(f"s.{c}")  # noqa: E731
+    cond = None
+    for k in keys:
+        clause = tc(k).eqNullSafe(sc(k))
+        cond = clause if cond is None else (cond & clause)
+    joined = t.join(s, cond, "full_outer")
+
+    in_source = sc(keys[0]).isNotNull()
+    for k in keys[1:]:
+        in_source = in_source & sc(k).isNotNull()
+
+    protected = set(target_wins) | set(immutable)
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(tc(c), sc(c)).alias(c))
+        elif c == update_timestamp_col:
+            out_cols.append(F.when(in_source, sc(c)).otherwise(tc(c)).alias(c))
+        elif c in protected:
+            out_cols.append(F.coalesce(tc(c), sc(c)).alias(c))
+        elif c in source.columns:
+            out_cols.append(F.when(in_source, sc(c)).otherwise(tc(c)).alias(c))
+        else:
+            out_cols.append(tc(c).alias(c))
+    return joined.select(*out_cols)
+
+
+def merge_source_wins(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """K6 — composite-key upsert, source row replaces target row
+    entirely when the key matches (trends MERGE, trends_dag.py:652-677)."""
+    return merge_upsert(target, source, keys)
+
+
+def antijoin_new_rows(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """The WHEN NOT MATCHED INSERT arm alone (load_to_bq.py:288-298) —
+    source rows whose key is absent from target."""
+    return source.join(target.select(*keys), keys, "left_anti")
+
+
+def apply_merge(spark, merged: DataFrame, final_path: str, tmp_path: str) -> None:
+    """Materialize a merge result with the temp-write-then-swap dance so
+    the target is never read and overwritten in the same job (the
+    MERGE-without-ACID hazard, SURVEY.md §7.3)."""
+    merged.write.mode("overwrite").parquet(tmp_path)
+    spark.read.parquet(tmp_path).write.mode("overwrite").parquet(final_path)

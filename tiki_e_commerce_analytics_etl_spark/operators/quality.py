@@ -1,0 +1,73 @@
+"""Data-quality checks as a first-class operator (SURVEY.md §2.12).
+
+The reference runs six SQL ASSERTs + a summary SELECT against the mart
+(analytics_dag.py:172-240) and fails the run on any violation.  Here a
+check is (name, violation_predicate_or_aggregate); ``run_checks``
+evaluates ALL checks in one aggregate pass over the DataFrame — a
+single job, not one count() action per check, which matters when the
+input is a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import functions as F
+
+
+class QualityCheckError(AssertionError):
+    """Raised when any quality check fails (ASSERT semantics)."""
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    # count of violating rows must be zero...
+    violation: Column | None = None
+    # ...or this aggregate boolean must be true (e.g. count(*) > 0)
+    must_hold: Column | None = None
+
+
+def mart_checks() -> list[Check]:
+    """Q1-Q6 for the analytics mart (analytics_dag.py:177-227)."""
+    return [
+        Check("no_nonpositive_price", violation=F.col("price_vnd_real") <= 0),
+        Check("no_null_product_id", violation=F.col("product_id").isNull()),
+        Check("fx_rate_present", violation=F.col("fx_rate").isNull()),
+        Check("partition_nonempty", must_hold=F.count(F.lit(1)) > 0),
+        Check("usd_price_sane", violation=F.col("price_usd_real") > 100000),
+        Check(
+            "some_full_trend_data",
+            must_hold=F.count_if(F.col("trend_signal_status") == "Full Data") > 0,
+        ),
+    ]
+
+
+def run_checks(df: DataFrame, checks: list[Check], raise_on_fail: bool = True) -> Row:
+    """Evaluate every check in one aggregation job.  Returns the summary
+    row (one boolean per check, named ``ok_<name>``); raises
+    QualityCheckError listing failures when ``raise_on_fail``."""
+    aggs = []
+    for c in checks:
+        if c.violation is not None:
+            aggs.append((F.count_if(F.coalesce(c.violation, F.lit(False))) == 0).alias(f"ok_{c.name}"))
+        else:
+            aggs.append(c.must_hold.alias(f"ok_{c.name}"))
+    row = df.agg(*aggs).collect()[0]
+    failures = [c.name for c in checks if not row[f"ok_{c.name}"]]
+    if failures and raise_on_fail:
+        raise QualityCheckError(f"quality checks failed: {failures}")
+    return row
+
+
+def summary(df: DataFrame) -> DataFrame:
+    """Q7 — success-summary projection (analytics_dag.py:230-239):
+    row count, distinct products, rows per trend_signal_status."""
+    return df.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.countDistinct("product_id").alias("unique_products"),
+        F.count_if(F.col("trend_signal_status") == "Full Data").alias("full_data_rows"),
+        F.count_if(F.col("trend_signal_status") == "No Trend Data").alias("no_trend_rows"),
+        F.count_if(F.col("trend_signal_status") == "Unmapped").alias("unmapped_rows"),
+    )

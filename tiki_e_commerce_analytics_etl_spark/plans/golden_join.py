@@ -1,0 +1,81 @@
+"""The Golden Join — the reference's flagship query
+(analytics_dag.py:71-160): fact_daily_snapshot LEFT JOIN dim_products
+LEFT JOIN dim_categories LEFT JOIN dim_keyword_mapping (is_active)
+LEFT JOIN fact_google_trends (keyword, date) LEFT JOIN
+dim_exchange_rate (date, USD→VND), plus the derived columns
+price_usd_real (F17), trend_signal_status (F18) and the OBT casts (F16).
+
+Plan shape at scale: the fact is the only large input.  Every dim is
+broadcast (explicit hint; AQE would also pick this up from size) so
+the whole 5-way join is a single fact scan with no shuffle until the
+optional write repartition.  The is_active residual (J3) and the
+currency predicate (J5) are pushed into the build sides before the
+join, which keeps the broadcast tables minimal and makes the residual
+a plain equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark.functions import trend_signal_status, usd_price
+
+FX_FALLBACK_RATE = 25400.0  # analytics_dag.py:57
+
+
+def golden_join(
+    fact: DataFrame,
+    dim_products: DataFrame,
+    dim_categories: DataFrame,
+    keyword_mapping: DataFrame,
+    trends: DataFrame,
+    fx: DataFrame,
+    ds: str | None = None,
+) -> DataFrame:
+    """Build the One-Big-Table mart (deterministic core; the
+    non-deterministic ``inserted_at`` is appended by the writer so
+    oracle hashing stays stable — SURVEY.md §7.3)."""
+    f = fact
+    if ds is not None:
+        # P7 — incremental day slice; prunes the fact scan to one partition.
+        f = f.filter(F.col("snapshot_date") == F.lit(ds).cast("date"))
+
+    p = dim_products.select("product_id", "name", "brand_name", "category_id")
+    c = dim_categories.select("category_id", "category_name")
+    # J3 residual: is_active references only the build side → pre-filter.
+    m = keyword_mapping.filter(F.col("is_active")).select("tiki_category_id", "trend_keyword")
+    t = trends.select(F.col("date").alias("t_date"), "keyword", "score")
+    # J5 residual: currency-pair predicate on the build side.
+    e = (
+        fx.filter((F.col("from_currency") == "USD") & (F.col("to_currency") == "VND"))
+        .select(F.col("date").alias("e_date"), "rate")
+    )
+
+    joined = (
+        f.join(F.broadcast(p), "product_id", "left")
+        .join(F.broadcast(c), "category_id", "left")
+        .join(F.broadcast(m), p["category_id"] == m["tiki_category_id"], "left")
+        .join(
+            F.broadcast(t),
+            (m["trend_keyword"] == t["keyword"]) & (f["snapshot_date"] == t["t_date"]),
+            "left",
+        )
+        .join(F.broadcast(e), f["snapshot_date"] == e["e_date"], "left")
+    )
+
+    return joined.select(
+        f["snapshot_date"].alias("date"),
+        f["product_id"].cast("string").alias("product_id"),  # F16 (analytics_dag.py:102)
+        p["name"].alias("product_name"),
+        p["brand_name"].alias("brand_name"),
+        c["category_name"].alias("category_name"),
+        f["current_price"].cast("double").alias("price_vnd_real"),
+        f["original_price"].cast("double").alias("price_vnd_original"),
+        f["discount_rate"].cast("long").alias("discount_rate"),
+        e["rate"].alias("fx_rate"),
+        usd_price(f["current_price"].cast("double"), e["rate"], FX_FALLBACK_RATE).alias("price_usd_real"),
+        m["trend_keyword"].alias("trend_keyword"),
+        t["score"].cast("long").alias("trend_score"),
+        trend_signal_status(m["trend_keyword"], t["score"]).alias("trend_signal_status"),
+    )
