@@ -311,6 +311,70 @@ def q_vn_parse_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors for query vectors vec_id<5
+    (training-data pipeline op; exact baseline for ANN)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidate generation + exact rerank — the
+    100 TB-scale ANN path (rows-only check: approximate by design)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # planes/tables sized for this corpus: recall@10 = 1.00 vs the
+    # brute-force baseline at sf0.01.  More planes → smaller buckets →
+    # scale plane count with corpus size, add tables to recover recall.
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=3, n_tables=16
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword evidence → argmax."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + BPE-ish token counting per document."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(F.col("text")).alias("token_est"),
+        text_ops.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over word 8-shingles."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_ops.fingerprint(F.col("text"), 8).alias("fp"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs over documents
+    (rows-only: hash family is Spark-side xxhash64)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document (rows-only: xxhash64)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup_ops.simhash(F.col("text")).alias("simhash64"))
+
+
 def q_trends_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+F13+A1 — the full trends transform on a wide frame pivoted
     from events: melt → '<1' cleanup → casts → group-max
@@ -360,6 +424,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "vn_parse_literals": q_vn_parse_literals,
         "trends_pipeline": q_trends_pipeline,
+        "similarity_topk": q_similarity_topk,
+        "similarity_topk_lsh": q_similarity_topk_lsh,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
     }
 
 
@@ -396,8 +467,89 @@ source AS (
 """
 
 
+_NORM_WORDS_SQL = "str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _lang_id_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for lg, sw in LANG_STOPWORDS.items():
+        lst = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
+        hit_cols.append(
+            f"len(list_filter(ws, x -> list_contains([{lst}], x))) AS {lg}_hits"
+        )
+    langs = list(LANG_STOPWORDS)
+    case_arms = "\n".join(
+        f"WHEN {lg}_hits = best AND best > 0 THEN '{lg}'" for lg in langs
+    )
+    best = "GREATEST(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    return f"""
+        WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+        h AS (SELECT doc_id, {', '.join(hit_cols)} FROM w)
+        SELECT doc_id,
+               CASE {case_arms} ELSE 'und' END AS lang_pred
+        FROM (SELECT *, {best} AS best FROM h)
+    """
+
+
+_SIMILARITY_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+
+_TEXT_QUALITY_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, text, {_NORM_WORDS_SQL} AS ws FROM documents
+    )
+    SELECT doc_id,
+           list_aggregate(
+               list_transform(ws, x -> 1 + CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)),
+               'sum') AS token_est,
+           FLOOR(
+             LEAST(LENGTH(text) / 500.0, 1.0)
+             * (1.0 - LEAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                              / GREATEST(LENGTH(text), 1) * 5.0, 1.0))
+             * (1.0 - LEAST(len(list_filter(ws, x -> len(x) <= 1))
+                              / GREATEST(len(ws), 1) * 2.0, 1.0))
+             * 10000 + 0.5) / 10000 AS quality
+    FROM w
+"""
+
+_FINGERPRINT_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(ws) > 8 THEN
+               list_aggregate(
+                   list_transform(range(1, len(ws) - 6),
+                                  i -> md5(array_to_string(ws[i:i+7], ' '))),
+                   'min')
+           ELSE md5(array_to_string(ws, ' ')) END AS fp
+    FROM w
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "similarity_topk": _SIMILARITY_ORACLE,
+        "lang_id": _lang_id_oracle(),
+        "text_quality": _TEXT_QUALITY_ORACLE,
+        "doc_fingerprint": _FINGERPRINT_ORACLE,
         "golden_join": tdm.GOLDEN_ORACLE_SQL,
         "quality_summary": tdm.QUALITY_SUMMARY_ORACLE_SQL,
         "pricing_summary": """

@@ -1,0 +1,149 @@
+"""Operator-level tests: dedup, merge (incl. idempotence), reshape,
+quality, similarity, text."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark.operators import (
+    dedup,
+    merge,
+    quality,
+    reshape,
+    similarity,
+    text,
+)
+
+
+def test_keep_latest(spark):
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "a"), (1, "2026-01-01 12:00:00", "b"), (2, "2026-01-01 09:00:00", "c")],
+        "id: long, ts: string, v: string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.id, r.v) for r in dedup.keep_latest(df, ["id"], "ts").collect()}
+    assert out == {(1, "b"), (2, "c")}
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id: long, text: string",
+    )
+    out = dedup.exact_dedup(df).select("doc_id").collect()
+    assert sorted(r.doc_id for r in out) == [1, 3]
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("tonight", "today")
+    other = "completely unrelated text about spark query engines and columnar storage formats here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id: long, text: string"
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_candidates(df, num_hashes=32, bands=16).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_close_for_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    near = base + " again"
+    other = "totally different content about benchmarks"
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], "doc_id: long, text: string")
+    rows = {r.doc_id: r.h for r in df.select("doc_id", dedup.simhash(F.col("text")).alias("h")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "one two three four five six seven eight"
+    b = "one two three four five six seven nine"
+    c = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "doc_id: long, text: string")
+    out = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+
+
+def test_merge_upsert_idempotent(spark):
+    target = spark.createDataFrame(
+        [(1, "a", "2020-01-01"), (2, "b", "2020-01-01")], "k: long, v: string, created: string"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", "2021-01-01"), (3, "c", "2021-01-01")], "k: long, v: string, created: string"
+    )
+    once = merge.merge_upsert(target, source, ["k"], immutable=["created"])
+    rows = {r.k: (r.v, r.created) for r in once.collect()}
+    assert rows == {1: ("a", "2020-01-01"), 2: ("b2", "2020-01-01"), 3: ("c", "2021-01-01")}
+    twice = merge.merge_upsert(once, source, ["k"], immutable=["created"])
+    assert {r.k: (r.v, r.created) for r in twice.collect()} == rows
+
+
+def test_merge_target_wins_hybrid(spark):
+    # K5: manual category_name set in target survives the merge.
+    target = spark.createDataFrame([(1, "Manual Name"), (2, None)], "k: long, name: string")
+    source = spark.createDataFrame([(1, "Crawled"), (2, "Crawled2")], "k: long, name: string")
+    out = {r.k: r.name for r in merge.merge_upsert(target, source, ["k"], target_wins=["name"]).collect()}
+    assert out == {1: "Manual Name", 2: "Crawled2"}
+
+
+def test_melt_trends_wide_synthesizes_ispartial(spark):
+    wide = spark.createDataFrame(
+        [("2026-01-01", "10", "<1")], "date: string, kw_a: string, kw_b: string"
+    )
+    out = reshape.melt_trends_wide(wide).collect()
+    assert {(r.keyword, r.score_raw, r.is_partial) for r in out} == {
+        ("kw_a", "10", False),
+        ("kw_b", "<1", False),
+    }
+
+
+def test_quality_checks_fail_and_pass(spark):
+    good = spark.createDataFrame(
+        [("p1", 100.0, 25000.0, 1.0, "Full Data")],
+        "product_id: string, price_vnd_real: double, fx_rate: double, price_usd_real: double, trend_signal_status: string",
+    )
+    row = quality.run_checks(good, quality.mart_checks())
+    assert all(row[f"ok_{c.name}"] for c in quality.mart_checks())
+
+    bad = spark.createDataFrame(
+        [(None, -5.0, None, 200000.0, "Unmapped")],
+        "product_id: string, price_vnd_real: double, fx_rate: double, price_usd_real: double, trend_signal_status: string",
+    )
+    with pytest.raises(quality.QualityCheckError):
+        quality.run_checks(bad, quality.mart_checks())
+
+
+def test_cosine_and_topk(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = similarity.brute_force_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3]
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park in the morning"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id: long, text: string",
+    )
+    langs = {r.doc_id: r.lang for r in df.select("doc_id", text.lang_id(F.col("text")).alias("lang")).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
+    scores = {
+        r.doc_id: r.q
+        for r in df.select("doc_id", text.quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert 0.0 <= scores[3] <= scores[1] <= 1.0
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "short but extraordinarily long"),], "doc_id: long, text: string")
+    # short(1) + but(1) + extraordinarily(15 chars -> 1+floor(11/4)=3) + long(1) = 6
+    out = df.select(text.token_count(F.col("text")).alias("n")).collect()[0].n
+    assert out == 6

@@ -1,0 +1,84 @@
+"""Text-analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, and document fingerprinting — all
+pure Column expressions (JVM-side; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language.  A real deployment
+# would load fastText lid or cld3 via a pandas_udf; the operator shape
+# (per-language evidence score → argmax) is the same.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "que", "pour", "dans", "une", "pas"],
+    "es": ["el", "la", "los", "que", "y", "es", "en", "un", "por", "con"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text."""
+    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace + BPE-ish token estimate: word count plus extra
+    tokens for long words (≈1 token per 4 chars beyond the first 4) —
+    a deterministic stand-in for a real tokenizer's length."""
+    ws = words(text)
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + 1 + F.floor(F.greatest(F.length(w) - 4, F.lit(0)) / 4).cast("long"),
+    )
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    """Evidence score for one language: number of word tokens that are
+    in its stopword list."""
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, w)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword evidence; ties and zero evidence
+    resolve to 'und' unless exactly one language leads.  Deterministic:
+    languages are compared in a fixed order."""
+    langs = list(LANG_STOPWORDS)
+    hits = [lang_hits(text, lg) for lg in langs]
+    best = F.greatest(*hits)
+    # Highest-evidence language, first in fixed order wins ties.
+    expr = F.lit("und")
+    for lg, h in reversed(list(zip(langs, hits))):
+        expr = F.when((h == best) & (best > 0), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards mid-length docs,
+    penalizes punctuation soup and single-char tokens.  Mirrors the
+    C4/Gopher-style length/punct/stopword screens in spirit."""
+    n_chars = F.length(text)
+    ws = words(text)
+    n_words = F.size(ws)
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    short_words = F.size(F.filter(ws, lambda w: F.length(w) <= 1))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.least(n_punct / F.greatest(n_chars, F.lit(1)) * 5.0, F.lit(1.0))
+    short_penalty = F.least(short_words / F.greatest(n_words, F.lit(1)) * 2.0, F.lit(1.0))
+    raw = len_score * (1.0 - punct_penalty) * (1.0 - short_penalty)
+    return F.floor(raw * 10000 + F.lit(0.5)) / 10000
+
+
+def fingerprint(text: Column, k: int = 8) -> Column:
+    """Document fingerprint: lexicographic min of md5 over word
+    k-shingles — a deterministic winnowing-style signature that is
+    stable under content reordering-free edits and portable across
+    engines (md5 everywhere)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import shingles
+
+    return F.array_min(F.transform(shingles(text, k), F.md5))
