@@ -1,0 +1,153 @@
+"""Multimodal column plumbing for a training-data pipeline.
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct.  Decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages — the Spark-side contract (schema,
+batch shape, partitioning) is real and tested; the actual codec step is
+STUBBED (this container has no image/audio libraries) behind
+``decoder=``: pass a real decoder callable in production, or use the
+deterministic fake for plumbing tests.
+
+Scale notes: binary payloads dominate row size, so
+``repartition_for_payload`` sizes partitions by *bytes*, not rows,
+before the decode stage — a 100 TB media corpus with default row-count
+partitioning would OOM executors on skewed payload sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_decoder(payload: bytes, media_type: str) -> list[float]:
+    """Deterministic stand-in for a real decode+embed step: an 8-dim
+    'feature' derived from payload bytes.  Clearly NOT a real decoder —
+    swap for one (PIL/torchaudio/ffmpeg) in production."""
+    if payload is None:
+        return [0.0] * 8
+    return [float(sum(payload[i::8]) % 997) / 997.0 for i in range(8)]
+
+
+def real_decoder(payload: bytes, media_type: str) -> list[float]:
+    """Placeholder for the production decode path; the required media
+    libraries are not available in this environment."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "container; pass decoder=fake_decoder for plumbing tests"
+    )
+
+
+def repartition_for_payload(df: DataFrame, target_partition_bytes: int = 128 << 20) -> DataFrame:
+    """Repartition so each task holds ~target_partition_bytes of
+    payload.  Uses a cheap single-pass size estimate; at scale, replace
+    with catalog statistics."""
+    total = df.select(F.sum(F.coalesce(F.length("payload"), F.lit(0)))).collect()[0][0] or 0
+    n = max(1, int(total / target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def extract_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, str], list[float]] = real_decoder,
+    batch_size_hint: int = 64,
+) -> DataFrame:
+    """Decode+featurize each media row via Arrow-batched mapInPandas.
+
+    The decoder runs once per row inside a pandas batch — Arrow moves
+    the binary payloads to Python in columnar blocks rather than
+    per-row pickling.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder(p if p is None or isinstance(p, bytes) else bytes(p), mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_ms: int = 1000,
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video → sampled frame rows (media_id, frame_idx, frame binary).
+    ``sampler`` is the stubbed codec step; the default deterministic
+    fake slices the payload so the explode/bookkeeping plumbing is
+    exercised for real."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def default_sampler(payload: bytes, every: int) -> list[bytes]:
+        if not payload:
+            return []
+        n = max(1, min(8, len(payload) // 16))
+        step = max(1, len(payload) // n)
+        return [payload[i * step : (i + 1) * step] for i in range(n)]
+
+    sample = sampler or default_sampler
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[Any] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if p is None or isinstance(p, bytes) else bytes(p)
+                for i, fr in enumerate(sample(raw, every_ms)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(run, out_schema)

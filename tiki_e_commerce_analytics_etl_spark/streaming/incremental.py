@@ -1,0 +1,85 @@
+"""Structured-Streaming wrappers for the reference's incremental /
+late-data semantics (SURVEY.md §2.9).
+
+The reference is daily batch, but its behaviors map one-to-one:
+  - daily partition processing      → file-source micro-batches
+  - 30-day rolling MERGE refetch    → foreachBatch upsert sink
+  - is_partial provisional rows     → pre-watermark results
+  - idempotent DELETE+INSERT        → exactly-once partition overwrite
+    inside foreachBatch
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from tiki_e_commerce_analytics_etl_spark.operators.merge import merge_upsert
+
+
+def read_stream_json(
+    spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source stream over the raw zone: each arriving
+    snapshot_date directory becomes micro-batches (S1's streaming
+    shape)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("multiLine", True)
+        .json(path)
+    )
+
+
+def windowed_scores(events: DataFrame, ts_col: str = "ts", watermark: str = "1 day") -> DataFrame:
+    """Watermarked daily aggregate — the trends group-max (A1) with
+    late-data tolerance: rows older than the watermark are final;
+    newer ones may still be revised (is_partial semantics)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("w"), F.col("keyword"))
+        .agg(F.max("score").alias("score"))
+        .select(F.col("w.start").cast("date").alias("date"), "keyword", "score")
+    )
+
+
+def foreach_batch_upsert(
+    target_path: str,
+    keys: list[str],
+    tmp_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink that MERGEs each micro-batch into a parquet
+    target — the streaming twin of the K6 composite-key upsert
+    (trends_dag.py:652-677).  Exactly-once per batch id via the
+    temp-write-then-swap dance."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            target = spark.read.parquet(target_path)
+            merged = merge_upsert(target, batch, keys)
+        except Exception:  # first batch: no target yet
+            merged = batch
+        merged.write.mode("overwrite").parquet(tmp_path)
+        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(target_path)
+
+    return apply
+
+
+def start_upsert_stream(
+    source: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint: str,
+    tmp_path: str,
+) -> StreamingQuery:
+    return (
+        source.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(foreach_batch_upsert(target_path, keys, tmp_path))
+        .start()
+    )
