@@ -375,6 +375,26 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dedup_ops.simhash(F.col("text")).alias("simhash64"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join
+    (oracle-checked: pure set arithmetic, no engine-specific hashes)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate rollup (grouping-set surface SURVEY.md §2.7 notes as
+    free in Spark): per (returnflag, linestatus) + subtotals + total."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_trends_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+F13+A1 — the full trends transform on a wide frame pivoted
     from events: melt → '<1' cleanup → casts → group-max
@@ -431,6 +451,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "rollup_sales": q_rollup_sales,
     }
 
 
@@ -544,9 +566,39 @@ _FINGERPRINT_ORACLE = f"""
 """
 
 
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 5 THEN
+                   list_distinct(list_transform(range(1, len(ws) - 3),
+                                                i -> array_to_string(ws[i:i+4], ' ')))
+               ELSE [array_to_string(ws, ' ')] END AS grams
+        FROM w
+    ),
+    g AS (SELECT doc_id AS id, len(grams) AS n_grams, unnest(grams) AS gram FROM s),
+    p AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared,
+               ANY_VALUE(a.n_grams) AS na, ANY_VALUE(b.n_grams) AS nb
+        FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
+    FROM p WHERE shared / (na + nb - shared) >= 0.5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "similarity_topk": _SIMILARITY_ORACLE,
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "rollup_sales": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "lang_id": _lang_id_oracle(),
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,

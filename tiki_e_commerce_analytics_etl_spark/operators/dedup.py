@@ -20,13 +20,31 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 def keep_latest(df: DataFrame, keys: list[str], order_col: str, tiebreakers: list[str] | None = None) -> DataFrame:
-    """D1 — latest row per key: row_number() OVER (PARTITION BY keys
+    """D1 — latest row per key ≡ row_number() OVER (PARTITION BY keys
     ORDER BY order_col DESC) = 1 (transform_tiki.py:582-587).
 
-    One shuffle on ``keys``; AQE handles skewed keys.  ``tiebreakers``
-    pins determinism when order_col ties (the reference inherits
-    pandas' stable sort; we make the choice explicit).
+    Implemented as ``max_by(struct(<all>), struct(order, tiebreak…))``
+    rather than a ranking window: a hash aggregate does map-side
+    partial combining, so each input partition ships at most one
+    candidate row per key to the shuffle — versus the window's full
+    sort of every row.  At 100 TB of daily crawl data that's the
+    difference between shuffling per-key winners and shuffling the
+    whole table.  ``tiebreakers`` pins determinism on order_col ties
+    (struct ordering is lexicographic; "latest, then highest
+    tiebreaker" matches the desc/desc window ordering).
     """
+    order_struct = F.struct(order_col, *(tiebreakers or []))
+    row_struct = F.struct(*df.columns)
+    picked = df.groupBy(*keys).agg(
+        F.max_by(row_struct, order_struct).alias("__row")
+    )
+    return picked.select([F.col(f"__row.{c}").alias(c) for c in df.columns])
+
+
+def keep_latest_window(df: DataFrame, keys: list[str], order_col: str, tiebreakers: list[str] | None = None) -> DataFrame:
+    """Window-function formulation of keep_latest — same result; kept
+    for cases where the full row ordering must break ties on more than
+    the provided columns or the struct agg is undesirable."""
     order = [F.desc(order_col)] + [F.desc(c) for c in (tiebreakers or [])]
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
@@ -67,17 +85,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Exact content dedup: md5 over normalized text, keep the row with
     the smallest id per digest.
 
-    Scale: the shuffle key is the 128-bit digest — uniformly
-    distributed, so no skew; map-side partial aggregation reduces each
-    partition to one candidate row per digest before the exchange.
+    Scale: hash aggregate keyed on the 128-bit digest — uniformly
+    distributed (no skew) and partial-agg friendly: each map partition
+    ships one candidate row per digest, versus a window sort shuffling
+    every row.
     """
-    digest = F.md5(_normalized(F.col(text_col))).alias("content_hash")
-    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("content_hash", digest)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    with_hash = df.withColumn("content_hash", F.md5(_normalized(F.col(text_col))))
+    cols = with_hash.columns
+    picked = with_hash.groupBy("content_hash").agg(
+        F.min_by(F.struct(*[c for c in cols if c != "content_hash"]), F.col(id_col)).alias("__row")
+    )
+    return picked.select(
+        *[F.col(f"__row.{c}").alias(c) for c in cols if c != "content_hash"], "content_hash"
     )
 
 
@@ -187,6 +206,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs above ``threshold``.
 
@@ -194,13 +214,26 @@ def ngram_jaccard_pairs(
     count shared grams per pair, then Jaccard = shared / (|A|+|B|-shared).
     The n-gram join is the scalable formulation — it only pairs
     documents that share at least one gram, versus the O(N²) cross
-    join.  At 100 TB you'd additionally prune high-document-frequency
-    grams; exposed via ``max_df`` below.
+    join.
+
+    ``max_df`` prunes grams appearing in more than that many documents
+    before the pair join — at 100 TB, stop-phrase grams ("in the the")
+    would otherwise create quadratic hot buckets (a pair of documents
+    sharing only ultra-common grams cannot clear a high threshold
+    anyway, but the join would still enumerate it).  Note max_df
+    pruning makes the reported Jaccard a lower bound for pairs that
+    also share pruned grams; keep it None for exact semantics.
     """
     grams = df.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
     ).select("__id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+
+    if max_df is not None:
+        doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+        grams = (
+            grams.join(F.broadcast(doc_freq.filter(F.col("__df") <= max_df).select("gram")), "gram")
+        )
 
     a = grams.alias("a")
     b = grams.alias("b")
