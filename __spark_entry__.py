@@ -395,6 +395,57 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (training-data pipeline op).
+    Threshold 0.4 because the synthetic corpus is random (max pairwise
+    cosine ≈ 0.51) — production default is 0.9; the operator also has
+    an LSH candidate path for scale."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, threshold=0.4, method="exact")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) over events — batch twin of
+    the streaming session-window operator (§2.9): per-session rollup."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sessions
+
+    ev = read_table(spark, sf_dir, "events")
+    return sessions.session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, order_tiebreakers=["event_id"]
+    )
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over events — the
+    Structured-Streaming windowed-agg shape run in batch (identical
+    plan under readStream)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q6 — the ASSERT block as a result table
+    (analytics_dag.py:172-227): one aggregation pass over the mart,
+    unpivoted to (check_name, violations, passed) rows."""
+    return quality_ops.checks_report(
+        q_golden_join(spark, sf_dir), quality_ops.mart_checks()
+    )
+
+
 def q_trends_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+F13+A1 — the full trends transform on a wide frame pivoted
     from events: melt → '<1' cleanup → casts → group-max
@@ -453,6 +504,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "rollup_sales": q_rollup_sales,
+        "embedding_neardup": q_embedding_neardup,
+        "sessionize": q_sessionize,
+        "event_windows": q_event_windows,
+        "quality_checks": q_quality_checks,
     }
 
 
@@ -588,9 +643,88 @@ _NGRAM_JACCARD_ORACLE = f"""
 """
 
 
+_EMBEDDING_NEARDUP_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS score
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.4
+"""
+
+_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                            - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    seq AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, MIN(ts) AS session_start,
+           MAX(ts) AS session_end, COUNT(*) AS n_events
+    FROM seq GROUP BY user_id, session_seq
+"""
+
+_EVENT_WINDOWS_ORACLE = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _quality_checks_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.plans import testdata_mapping as _tdm
+
+    arms = [
+        ("no_nonpositive_price", "price_vnd_real <= 0"),
+        ("no_null_product_id", "product_id IS NULL"),
+        ("fx_rate_present", "fx_rate IS NULL"),
+        (None, None),  # partition_nonempty
+        ("usd_price_sane", "price_usd_real > 100000"),
+        (None, None),  # some_full_trend_data
+    ]
+    selects = []
+    for name, pred in arms:
+        if name is not None:
+            selects.append(
+                f"SELECT '{name}' AS check_name, "
+                f"COUNT(*) FILTER (WHERE {pred}) AS violations, "
+                f"COUNT(*) FILTER (WHERE {pred}) = 0 AS passed FROM golden"
+            )
+    selects.insert(
+        3,
+        "SELECT 'partition_nonempty', CAST(NULL AS BIGINT), COUNT(*) > 0 FROM golden",
+    )
+    selects.append(
+        "SELECT 'some_full_trend_data', CAST(NULL AS BIGINT), "
+        "COUNT(*) FILTER (WHERE trend_signal_status = 'Full Data') > 0 FROM golden"
+    )
+    return (
+        f"WITH {_tdm.MART_CTES}, golden AS ({_tdm.GOLDEN_SQL_BODY}) "
+        + " UNION ALL ".join(selects)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "similarity_topk": _SIMILARITY_ORACLE,
+        "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
+        "sessionize": _SESSIONIZE_ORACLE,
+        "event_windows": _EVENT_WINDOWS_ORACLE,
+        "quality_checks": _quality_checks_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "rollup_sales": """
             SELECT l_returnflag, l_linestatus,

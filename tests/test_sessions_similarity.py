@@ -1,0 +1,65 @@
+"""Unit tests for sessionization, embedding near-dup, and the
+checks-report operator (golden-pair style, SURVEY.md §5)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark.operators import quality, sessions, similarity
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, 100, _ts(0)),
+        (2, 100, _ts(10)),   # same session (gap 600s <= 1800)
+        (3, 100, _ts(50)),   # new session (gap 2400s > 1800)
+        (4, 200, _ts(5)),    # other user: own session numbering
+    ]
+    df = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    out = sessions.sessionize(df, "user_id", "ts", 1800, ["event_id"])
+    got = {r["event_id"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    stats = sessions.session_stats(df, "user_id", "ts", 1800, ["event_id"]).collect()
+    by_key = {(r["user_id"], r["session_seq"]): r for r in stats}
+    assert by_key[(100, 1)]["n_events"] == 2
+    assert by_key[(100, 1)]["session_end"] == _ts(10)
+    assert by_key[(100, 2)]["n_events"] == 1
+
+
+def test_cosine_neardup_exact_and_lsh_agree_on_obvious_dups(spark):
+    base = [1.0] + [0.0] * 63
+    near = [0.99] + [0.01] * 63
+    ortho = ([0.0] * 32 + [1.0] * 32)
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, ortho)], "vec_id: long, embedding: array<double>"
+    )
+    exact = similarity.cosine_neardup_pairs(df, threshold=0.9, method="exact").collect()
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(1, 2)]
+    assert exact[0]["score"] > 0.99
+
+    lsh = similarity.cosine_neardup_pairs(
+        df, threshold=0.9, method="lsh", n_planes=4, n_tables=8
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in lsh] == [(1, 2)]
+
+
+def test_checks_report_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0)], "k: long, v: double"
+    )
+    checks = [
+        quality.Check("no_negative_v", violation=F.col("v") < 0),
+        quality.Check("no_null_k", violation=F.col("k").isNull()),
+        quality.Check("nonempty", must_hold=F.count(F.lit(1)) > 0),
+    ]
+    rows = {r["check_name"]: r for r in quality.checks_report(df, checks).collect()}
+    assert rows["no_negative_v"]["violations"] == 1
+    assert rows["no_negative_v"]["passed"] is False
+    assert rows["no_null_k"]["violations"] == 1
+    assert rows["nonempty"]["violations"] is None
+    assert rows["nonempty"]["passed"] is True

@@ -61,6 +61,34 @@ def run_checks(df: DataFrame, checks: list[Check], raise_on_fail: bool = True) -
     return row
 
 
+def checks_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """All checks as a result table (check_name, violations, passed) —
+    the ASSERT block reified as a query.  Still ONE aggregation pass
+    over the input (every count_if folds into the same partial agg);
+    the unpivot to rows happens on the single aggregate row, so the
+    100 TB scan is touched exactly once.
+    """
+    aggs = []
+    for c in checks:
+        if c.violation is not None:
+            aggs.append(
+                F.count_if(F.coalesce(c.violation, F.lit(False))).alias(f"v_{c.name}")
+            )
+        else:
+            aggs.append(c.must_hold.alias(f"v_{c.name}"))
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in checks:
+        if c.violation is not None:
+            stack_args.append(
+                f"'{c.name}', cast(v_{c.name} as long), v_{c.name} = 0"
+            )
+        else:
+            stack_args.append(f"'{c.name}', cast(null as long), v_{c.name}")
+    expr = f"stack({len(checks)}, {', '.join(stack_args)}) as (check_name, violations, passed)"
+    return one.selectExpr(expr)
+
+
 def summary(df: DataFrame) -> DataFrame:
     """Q7 — success-summary projection (analytics_dag.py:230-239):
     row count, distinct products, rows per trend_signal_status."""
