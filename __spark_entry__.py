@@ -395,6 +395,30 @@ def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_outputs(spark: SparkSession) -> dict[str, DataFrame]:
+    """M3 — the full snapshot transform (rename → parse → category
+    derivation → keep-latest dedup → null filter → 3-way split) on the
+    deterministic raw fixture (plans/fixtures.py).  Oracle carries the
+    reference-semantics golden outputs, covering F1-F11 + D1 + P4 end
+    to end (reference transform_tiki.py:411-775)."""
+    from tiki_e_commerce_analytics_etl_spark.plans.fixtures import raw_products_fixture
+    from tiki_e_commerce_analytics_etl_spark.plans.snapshot import transform_snapshot
+
+    return transform_snapshot(raw_products_fixture(spark))
+
+
+def q_snapshot_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _snapshot_outputs(spark)["fact_daily_snapshot"]
+
+
+def q_snapshot_dim_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _snapshot_outputs(spark)["dim_products"]
+
+
+def q_snapshot_dim_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _snapshot_outputs(spark)["dim_categories"]
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data pipeline op).
     Threshold 0.4 because the synthetic corpus is random (max pairwise
@@ -504,6 +528,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "rollup_sales": q_rollup_sales,
+        "snapshot_fact": q_snapshot_fact,
+        "snapshot_dim_products": q_snapshot_dim_products,
+        "snapshot_dim_categories": q_snapshot_dim_categories,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -721,6 +748,48 @@ def _quality_checks_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "similarity_topk": _SIMILARITY_ORACLE,
+        "snapshot_fact": """
+            SELECT * FROM (VALUES
+                (DATE '2024-03-01', 101, 24500000, 27000000, 9, 5500, 1250, 4.8,
+                 TRUE, TRUE, TIMESTAMP '2024-03-01 12:30:00'),
+                (DATE '2024-03-01', 102, 1290000, 1590000, 41, 1500, 890, 4.5,
+                 TRUE, FALSE, TIMESTAMP '2024-03-01 09:15:00'),
+                (DATE '2024-03-01', 103, 2500000, 2500000, 0, 1000000,
+                 CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+                 TRUE, FALSE, TIMESTAMP '2024-03-01 10:00:00')
+            ) AS t(snapshot_date, product_id, current_price, original_price,
+                   discount_rate, sales_volume_acc, review_count, rating_average,
+                   inventory_status, tiki_now, extracted_at)
+        """,
+        "snapshot_dim_products": """
+            SELECT * FROM (VALUES
+                (101, 'SKU101', 'iPhone 15', 'Apple', 'https://img/101.jpg',
+                 'https://tiki.vn/iphone-15/p101', 1, 'TikiTrading',
+                 CAST(NULL AS VARCHAR), 1789, 1815, 2,
+                 TIMESTAMP '2024-03-01 12:30:00', TIMESTAMP '2024-03-01 12:30:00'),
+                (102, CAST(NULL AS VARCHAR), 'Tai nghe XYZ', 'Sony',
+                 'https://img/102.jpg', 'https://tiki.vn/tai-nghe-xyz/p102', 22,
+                 'ShopA', 'https://img/logo22.png', 8318, 1815, 3,
+                 TIMESTAMP '2024-03-01 09:15:00', TIMESTAMP '2024-03-01 09:15:00'),
+                (103, 'SKU103', 'Nồi chiên', 'Lock&Lock', CAST(NULL AS VARCHAR),
+                 CAST(NULL AS VARCHAR), 33, 'ShopB', CAST(NULL AS VARCHAR),
+                 1883, 1883, CAST(NULL AS BIGINT),
+                 TIMESTAMP '2024-03-01 10:00:00', TIMESTAMP '2024-03-01 10:00:00')
+            ) AS t(product_id, sku, name, brand_name, image_url, product_url,
+                   seller_id, seller_name, seller_logo, category_id,
+                   root_category_id, category_depth, created_at, updated_at)
+        """,
+        "snapshot_dim_categories": """
+            SELECT * FROM (VALUES
+                (1789, 'Điện thoại', 2, '1815 > 1789', 'dien-thoai-may-tinh-bang',
+                 1815, CAST(NULL AS VARCHAR)),
+                (8318, 'Tai nghe', 3, '1815 > 8318', 'tai-nghe', 1815,
+                 CAST(NULL AS VARCHAR)),
+                (1883, 'Nhà cửa đời sống', 1, '1883', 'nha-cua-doi-song',
+                 CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))
+            ) AS t(category_id, category_name, category_level, full_path,
+                   url_key, parent_id, standard_category)
+        """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "event_windows": _EVENT_WINDOWS_ORACLE,
