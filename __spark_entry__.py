@@ -419,6 +419,30 @@ def q_snapshot_dim_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snapshot_outputs(spark)["dim_categories"]
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the real Arrow-batched mapInPandas
+    decode stage: documents' text encoded to binary payloads (the
+    container has no codecs — deterministic fake decoder per
+    operators/multimodal.py), then payload-size metadata extracted.
+    The oracle checks the byte accounting end to end."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:bigint>")
+        .alias("meta"),
+    )
+    feats = mm.extract_features(media, decoder=mm.fake_decoder)
+    return feats.select("media_id", "media_type", "n_bytes")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data pipeline op).
     Threshold 0.4 because the synthetic corpus is random (max pairwise
@@ -531,6 +555,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_fact": q_snapshot_fact,
         "snapshot_dim_products": q_snapshot_dim_products,
         "snapshot_dim_categories": q_snapshot_dim_categories,
+        "multimodal_features": q_multimodal_features,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -789,6 +814,12 @@ def oracle_sql() -> dict[str, str]:
                  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))
             ) AS t(category_id, category_name, category_level, full_path,
                    url_key, parent_id, standard_category)
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
         """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,

@@ -1,0 +1,107 @@
+"""Drive the applyInPandasWithState sessionizer through a real
+Structured Streaming query: parquet file source → memory sink,
+availableNow trigger."""
+
+import datetime as dt
+
+from tiki_e_commerce_analytics_etl_spark.streaming import stateful
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_sessionize_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "events")
+    rows = [
+        (1, 100, _ts(0)),
+        (2, 100, _ts(10)),   # session 1: 2 events
+        (3, 100, _ts(50)),   # gap 40 min > 30 min → closes session 1
+        (4, 200, _ts(5)),    # user 200: single open session (stays in state)
+    ]
+    batch = spark.createDataFrame(rows, "event_id: long, user_id: long, ts: timestamp")
+    batch.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(src)
+        .select("user_id", "ts")
+    )
+    out = stateful.sessionize_stream(stream, gap_seconds=1800, timeout_ms=1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    # Expect 3 sessions: (100: 2 events, closed by gap), then the open
+    # sessions for users 100 and 200 flushed by processing-time timeout.
+    import time
+
+    deadline = time.time() + 90
+    rows = []
+    while time.time() < deadline:
+        rows = spark.sql("SELECT * FROM sessions_test").collect()
+        if len(rows) >= 3:
+            break
+        time.sleep(1)
+    q.stop()
+
+    got = {(r["user_id"], r["n_events"]): r for r in rows}
+    assert set(got) == {(100, 2), (100, 1), (200, 1)}
+    r = got[(100, 2)]
+    assert r["session_start"] == _ts(0)
+    assert r["session_end"] == _ts(10)
+    assert r["closed_by"] == "gap"
+    assert got[(100, 1)]["closed_by"] == "timeout"
+    assert got[(100, 1)]["session_start"] == _ts(50)
+    assert got[(200, 1)]["closed_by"] == "timeout"
+
+
+def test_session_fn_unit_gap_and_timeout():
+    """Exercise the state-transition function directly with a fake
+    GroupState (unit level — no streaming engine)."""
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self, value=None, timed_out=False):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self.removed = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = stateful.make_session_fn(gap_seconds=1800)
+
+    # Batch with an internal gap: one closed session + one kept open.
+    state = FakeState()
+    pdf = pd.DataFrame({"ts": [pd.Timestamp(_ts(0)), pd.Timestamp(_ts(10)), pd.Timestamp(_ts(50))]})
+    out = pd.concat(list(fn((100,), iter([pdf]), state)))
+    assert len(out) == 1
+    assert out.iloc[0]["n_events"] == 2
+    assert out.iloc[0]["closed_by"] == "gap"
+    assert state.exists  # open session with 1 event retained
+    assert state.get[2] == 1
+
+    # Timeout flushes the open session.
+    state.hasTimedOut = True
+    out2 = pd.concat(list(fn((100,), iter([]), state)))
+    assert len(out2) == 1
+    assert out2.iloc[0]["closed_by"] == "timeout"
+    assert state.removed
