@@ -21,6 +21,7 @@ import __spark_entry__ as entrymod  # noqa: E402
 from tiki_e_commerce_analytics_etl_spark.session import configure  # noqa: E402
 
 HEADLINE = [
+    # reference-parity surface
     "golden_join",
     "pricing_summary",
     "dedup_latest",
@@ -29,10 +30,25 @@ HEADLINE = [
     "melt_measures",
     "merge_upsert_dim",
     "merge_upsert_composite",
-    "dedup_exact_docs",
     "text_stats",
     "trends_pipeline",
     "quality_summary",
+    "quality_checks",
+    "rollup_sales",
+    "sessionize",
+    "event_windows",
+    # training-data pipeline surface
+    "dedup_exact_docs",
+    "minhash_pairs",
+    "simhash",
+    "ngram_jaccard",
+    "embedding_neardup",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "lang_id",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_features",
 ]
 
 

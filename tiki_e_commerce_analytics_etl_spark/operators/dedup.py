@@ -103,8 +103,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles of the normalized text as array<string>.
     Documents shorter than k words yield a single shingle of the whole
-    text so they still participate."""
-    words = F.split(_normalized(text), " ")
+    text so they still participate.
+
+    Splitting on ``\\s+`` directly produces the identical word list as
+    normalize-then-split-on-space in one regex pass instead of two.
+    """
+    words = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(
@@ -113,19 +117,27 @@ def shingles(text: Column, k: int = 5) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", words)))
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature as array<int>: for hash function i, the minimum
-    of ``hash(shingle, i)`` over the document's shingles.
+_MAX_LONG = (1 << 63) - 1
 
-    Uses Spark's built-in xxhash64 with per-function seeds — pure
-    expression (TRANSFORM + AGGREGATE over the array), no UDF, no
-    shuffle.
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as array<long>: for hash function i, the
+    minimum of ``xxhash64(shingle, i)`` over the document's shingles.
+
+    Single pass over the shingle array (one AGGREGATE whose accumulator
+    is the running per-function minimum vector) — the naive
+    one-array_min-per-function form re-evaluates the shingle expression
+    ``num_hashes`` times, which turns a text normalization that should
+    run once per row into hundreds of evaluations.  Pure expressions,
+    no UDF, no shuffle.
     """
-    sigs = [
-        F.array_min(F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+    seeds = F.sequence(F.lit(0).cast("long"), F.lit(num_hashes - 1).cast("long"))
+    init = F.array_repeat(F.lit(_MAX_LONG), num_hashes)
+    return F.aggregate(
+        shingle_arr,
+        init,
+        lambda acc, s: F.zip_with(acc, seeds, lambda a, i: F.least(a, F.xxhash64(s, i))),
+    )
 
 
 def minhash_lsh_candidates(
@@ -148,30 +160,53 @@ def minhash_lsh_candidates(
     Returns distinct candidate pairs (id_a < id_b).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes)
-    banded = df.select(
+    # Materialize the signature as a column in its own projection, THEN
+    # band — keeps the expensive shingle→minhash expression evaluated
+    # once per row instead of being inlined into every band expression.
+    with_sig = df.select(
         F.col(id_col).alias("__id"),
+        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("__sig"),
+    )
+    banded = with_sig.select(
+        "__id",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band)), F.lit(b)
+                        F.concat_ws(
+                            ",", F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                        ),
+                        F.lit(b),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("band", "band_hash"),
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    # Single-sided pair generation: ONE shuffle of the banded rows,
+    # collect each bucket's ids, expand pairs with array expressions.
+    # A self-join would evaluate the whole signature pipeline twice
+    # (Spark can't reuse the exchange across a broadcast side) and
+    # shuffle it twice.  Bucket membership lists are bounded by the
+    # true-duplicate cluster size — exactly the rows LSH exists to
+    # colocate.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -185,19 +220,31 @@ def simhash(text: Column, bits: int = 64) -> Column:
     """
     words = F.split(_normalized(text), " ")
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_cols = []
-    for i in range(bits):
-        mask = F.shiftleft(F.lit(1).cast("long"), i)
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for b in bit_cols[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    # Single pass: the accumulator is the per-bit vote vector, so the
+    # word hashing runs once per row rather than once per bit.
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, i: a
+            + F.when(h.bitwiseAND(F.call_function("shiftleft", F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            bit_idx,
+            lambda v, i: F.when(v > 0, F.call_function("shiftleft", F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc.bitwiseOR(m),
+    )
+    return packed
 
 
 def ngram_jaccard_pairs(
@@ -229,21 +276,43 @@ def ngram_jaccard_pairs(
         F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
     ).select("__id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
 
-    if max_df is not None:
-        doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-        grams = (
-            grams.join(F.broadcast(doc_freq.filter(F.col("__df") <= max_df).select("gram")), "gram")
+    # Single-sided inverted index: ONE shuffle of the gram rows, then
+    # per-gram pair expansion in array expressions.  Grams held by only
+    # one document produce no pairs (size filter) — semantics-preserving
+    # pruning that kills the bulk of the index (most shingles are
+    # unique).  A self-join formulation would compute and shuffle the
+    # shingling pipeline twice.  ``max_df`` caps the hot tail: a pair
+    # sharing only ultra-common grams can't clear a high threshold, but
+    # expansion would still enumerate it quadratically.  (max_df makes
+    # the reported Jaccard a lower bound for pairs that also share
+    # pruned grams; keep it None for exact semantics.)
+    hi = F.size("docs") <= max_df if max_df is not None else F.lit(True)
+    buckets = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_list(F.struct("__id", "n_grams"))).alias("docs"))
+        .filter((F.size("docs") > 1) & hi)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    x["n_grams"].alias("na"),
+                    y["n_grams"].alias("nb"),
+                ),
+            ),
         )
-
-    a = grams.alias("a")
-    b = grams.alias("b")
+    )
     shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("shared"),
-            F.first(F.col("a.n_grams")).alias("na"),
-            F.first(F.col("b.n_grams")).alias("nb"),
+            F.first(F.col("p.na")).alias("na"),
+            F.first(F.col("p.nb")).alias("nb"),
         )
     )
     jaccard = (F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard")

@@ -21,8 +21,9 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokens of the lowercased text."""
-    return F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    """Whitespace tokens of the lowercased text.  Single ``\\s+`` split
+    — same tokens as normalize-then-split in one regex pass."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
 
 
 def token_count(text: Column) -> Column:
