@@ -260,6 +260,36 @@ def q_merge_upsert_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_ops.merge_source_wins(target, source, ["date", "keyword"])
 
 
+def _hybrid_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    part = read_table(spark, sf_dir, "part")
+    target = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("manual_"), F.col("p_partkey").cast("string")))
+        .alias("category_name"),
+        F.lit(None).cast("string").alias("standard_category"),
+        "p_retailprice",
+    )
+    source = part.filter(F.col("p_partkey") % 2 == 0).select(
+        "p_partkey",
+        F.concat(F.lit("auto_"), F.col("p_partkey").cast("string")).alias("category_name"),
+        F.lit("std").alias("standard_category"),
+        (F.col("p_retailprice") * 2).alias("p_retailprice"),
+    )
+    return target, source
+
+
+def q_merge_upsert_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — the hybrid MERGE: manually-curated target values win via
+    COALESCE(target, source) on selected columns, source fills gaps and
+    plain columns (load_to_bq.py:392-415, COALESCE at :399,405)."""
+    target, source = _hybrid_frames(spark, sf_dir)
+    return merge_ops.merge_upsert(
+        target, source, ["p_partkey"],
+        target_wins=["category_name", "standard_category"],
+    )
+
+
 def q_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — duplicate-pair diagnostic (transform_google_trends.py:133-136)."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -538,6 +568,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "antijoin_new_keys": q_antijoin_new_keys,
         "merge_upsert_dim": q_merge_upsert_dim,
         "merge_upsert_composite": q_merge_upsert_composite,
+        "merge_upsert_hybrid": q_merge_upsert_hybrid,
         "duplicate_pairs": q_duplicate_pairs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
@@ -923,6 +954,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.date IS NOT NULL AND s.keyword IS NOT NULL THEN s.score ELSE t.score END AS score
             FROM target t FULL OUTER JOIN source s
               ON t.date = s.date AND t.keyword = s.keyword
+        """,
+        "merge_upsert_hybrid": """
+            WITH target AS (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey % 5 = 0 THEN NULL
+                            ELSE 'manual_' || CAST(p_partkey AS VARCHAR) END AS category_name,
+                       CAST(NULL AS VARCHAR) AS standard_category,
+                       p_retailprice
+                FROM part
+            ),
+            source AS (
+                SELECT p_partkey,
+                       'auto_' || CAST(p_partkey AS VARCHAR) AS category_name,
+                       'std' AS standard_category,
+                       p_retailprice * 2 AS p_retailprice
+                FROM part WHERE p_partkey % 2 = 0
+            )
+            SELECT COALESCE(t.p_partkey, s.p_partkey) AS p_partkey,
+                   COALESCE(t.category_name, s.category_name) AS category_name,
+                   COALESCE(t.standard_category, s.standard_category) AS standard_category,
+                   CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice
+                        ELSE t.p_retailprice END AS p_retailprice
+            FROM target t FULL OUTER JOIN source s ON t.p_partkey = s.p_partkey
         """,
         "duplicate_pairs": """
             SELECT l_partkey, l_suppkey, COUNT(*) AS dup_count

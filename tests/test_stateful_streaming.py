@@ -59,6 +59,43 @@ def test_sessionize_stream_end_to_end(spark, tmp_path):
     assert got[(200, 1)]["closed_by"] == "timeout"
 
 
+def test_windowed_scores_watermarked_stream(spark, tmp_path):
+    """Watermarked daily group-max over a file-source stream (the
+    trends A1 aggregate with late-data tolerance, §2.9)."""
+    from tiki_e_commerce_analytics_etl_spark.streaming import incremental
+
+    src = str(tmp_path / "scores")
+    rows = [
+        (dt.datetime(2024, 1, 1, 5), "phone", 10),
+        (dt.datetime(2024, 1, 1, 18), "phone", 30),
+        (dt.datetime(2024, 1, 2, 9), "phone", 20),
+        (dt.datetime(2024, 1, 1, 12), "laptop", 7),
+    ]
+    batch = spark.createDataFrame(rows, "ts: timestamp, keyword: string, score: long")
+    batch.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = incremental.windowed_scores(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scores_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["date"]), r["keyword"]): r["score"]
+        for r in spark.sql("SELECT * FROM scores_test").collect()
+    }
+    assert got == {
+        ("2024-01-01", "phone"): 30,
+        ("2024-01-02", "phone"): 20,
+        ("2024-01-01", "laptop"): 7,
+    }
+
+
 def test_session_fn_unit_gap_and_timeout():
     """Exercise the state-transition function directly with a fake
     GroupState (unit level — no streaming engine)."""
