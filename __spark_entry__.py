@@ -356,12 +356,10 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # planes/tables sized for this corpus: recall@10 = 1.00 vs the
-    # brute-force baseline at sf0.01.  More planes → smaller buckets →
-    # scale plane count with corpus size, add tables to recover recall.
-    return similarity.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=3, n_tables=16
-    )
+    # Plane count auto-sizes to the corpus (constant bucket occupancy);
+    # 16 tables recover recall.  Bucketing is one numpy matmul per Arrow
+    # batch; rerank is exact cosine.
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

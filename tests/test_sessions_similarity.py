@@ -48,6 +48,33 @@ def test_cosine_neardup_exact_and_lsh_agree_on_obvious_dups(spark):
     assert [(r["id_a"], r["id_b"]) for r in lsh] == [(1, 2)]
 
 
+def test_lsh_topk_recall_vs_brute_force(spark):
+    """LSH candidates + exact rerank should recover most of the true
+    top-k on a clustered corpus (deterministic seeded vectors)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for cid in range(8):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for j in range(25):
+            rows.append(
+                (cid * 25 + j, [c + rng.gauss(0, 0.15) for c in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    q = df.filter(F.col("vec_id") % 50 == 0)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(df, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_topk(df, q, k=5, n_tables=16).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"recall {recall}"
+
+
 def test_checks_report_rows(spark):
     df = spark.createDataFrame(
         [(1, 10.0), (2, -5.0), (None, 3.0)], "k: long, v: double"
