@@ -362,6 +362,18 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN: deterministic spherical k-means coarse quantizer,
+    nprobe-cell candidate join, exact rerank (rows-only: approximate by
+    design; recall checked in tests)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=16, nprobe=4
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword evidence → argmax."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
@@ -574,6 +586,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trends_pipeline": q_trends_pipeline,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_topk_lsh,
+        "similarity_topk_ivf": q_similarity_topk_ivf,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,

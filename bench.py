@@ -45,6 +45,7 @@ HEADLINE = [
     "embedding_neardup",
     "similarity_topk",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
     "lang_id",
     "text_quality",
     "doc_fingerprint",

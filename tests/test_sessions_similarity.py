@@ -72,7 +72,14 @@ def test_lsh_topk_recall_vs_brute_force(spark):
         for r in similarity.lsh_topk(df, q, k=5, n_tables=16).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.9, f"recall {recall}"
+    assert recall >= 0.9, f"lsh recall {recall}"
+
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(df, q, k=5, n_clusters=8, nprobe=2).collect()
+    }
+    ivf_recall = len(truth & ivf) / len(truth)
+    assert ivf_recall >= 0.9, f"ivf recall {ivf_recall}"
 
 
 def test_checks_report_rows(spark):
