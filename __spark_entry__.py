@@ -534,6 +534,21 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user daily resample with
+    forward-fill gap repair (one row per user per day between first and
+    last activity; missing days carry the last observation)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import grouped
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("snapshot_date")
+    ).agg(F.max("value").alias("daily_max"))
+    return grouped.resample_ffill_daily(
+        daily, key_col="user_id", date_col="snapshot_date", value_cols=("daily_max",)
+    )
+
+
 def q_trends_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1+F13+A1 — the full trends transform on a wide frame pivoted
     from events: melt → '<1' cleanup → casts → group-max
@@ -584,6 +599,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "vn_parse_literals": q_vn_parse_literals,
         "trends_pipeline": q_trends_pipeline,
+        "resample_ffill": q_resample_ffill,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "similarity_topk_ivf": q_similarity_topk_ivf,
@@ -1018,6 +1034,28 @@ def oracle_sql() -> dict[str, str]:
                 (NULL, 0, 0, 42, NULL),
                 ('No sales', 0, 30, NULL, NULL)
             ) AS t(qty_raw, sales_volume, discount_rate, category_id, price)
+        """,
+        "resample_ffill": """
+            WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS daily_max
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+            days AS (
+                SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+                FROM span
+            ),
+            j AS (
+                SELECT days.user_id, days.d, daily.daily_max,
+                       daily.d IS NOT NULL AS is_observed
+                FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
+            )
+            SELECT user_id, d AS snapshot_date,
+                   last_value(daily_max IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING
+                   ) AS daily_max,
+                   is_observed
+            FROM j
         """,
         "trends_pipeline": """
             WITH dates AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),

@@ -82,6 +82,27 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert ivf_recall >= 0.9, f"ivf recall {ivf_recall}"
 
 
+def test_resample_ffill_daily(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import grouped
+
+    rows = [
+        (1, dt.date(2024, 1, 1), 10.0),
+        (1, dt.date(2024, 1, 4), 40.0),   # 2-day gap → filled with 10.0
+        (2, dt.date(2024, 2, 1), 5.0),    # single-day key
+    ]
+    df = spark.createDataFrame(
+        rows, "product_id: long, snapshot_date: date, current_price: double"
+    )
+    out = grouped.resample_ffill_daily(df).collect()
+    by_key = {(r["product_id"], str(r["snapshot_date"])): r for r in out}
+    assert len(out) == 5  # 4 days for key 1 + 1 day for key 2
+    assert by_key[(1, "2024-01-02")]["current_price"] == 10.0
+    assert by_key[(1, "2024-01-02")]["is_observed"] is False
+    assert by_key[(1, "2024-01-04")]["current_price"] == 40.0
+    assert by_key[(1, "2024-01-04")]["is_observed"] is True
+    assert by_key[(2, "2024-02-01")]["current_price"] == 5.0
+
+
 def test_checks_report_rows(spark):
     df = spark.createDataFrame(
         [(1, 10.0), (2, -5.0), (None, 3.0)], "k: long, v: double"
