@@ -534,6 +534,28 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 note — the README-declared derived-metric surface (price
+    change / trend correlation): Pearson correlation per group, written
+    as the closed-form over DECIMAL sums so both engines compute the
+    identical float expression (built-in corr() implementations differ
+    across engines at the ulp level)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = F.sum(_dec("l_discount")).cast("double")
+    sy = F.sum(_dec("l_extendedprice")).cast("double")
+    sxx = F.sum(_dec("l_discount") * _dec("l_discount")).cast("double")
+    syy = F.sum(_dec("l_extendedprice") * _dec("l_extendedprice")).cast("double")
+    sxy = F.sum(_dec("l_discount") * _dec("l_extendedprice")).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(corr.alias("corr_discount_price"), n.alias("n_rows"))
+    )
+
+
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: per-user daily resample with
     forward-fill gap repair (one row per user per day between first and
@@ -600,6 +622,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vn_parse_literals": q_vn_parse_literals,
         "trends_pipeline": q_trends_pipeline,
         "resample_ffill": q_resample_ffill,
+        "price_discount_corr": q_price_discount_corr,
         "similarity_topk": q_similarity_topk,
         "similarity_topk_lsh": q_similarity_topk_lsh,
         "similarity_topk_ivf": q_similarity_topk_ivf,
@@ -1034,6 +1057,19 @@ def oracle_sql() -> dict[str, str]:
                 (NULL, 0, 0, 42, NULL),
                 ('No sales', 0, 30, NULL, NULL)
             ) AS t(qty_raw, sales_volume, discount_rate, category_id, price)
+        """,
+        "price_discount_corr": """
+            SELECT l_returnflag,
+                   (COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+                   / (SQRT(COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                           - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
+                      * SQRT(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                             - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
+                   AS corr_discount_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         "resample_ffill": """
             WITH daily AS (
