@@ -399,7 +399,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text_ops.fingerprint(F.col("text"), 8).alias("fp"))
+    return text_ops.fingerprint_df(docs.select("doc_id", "text"), "text", 8, "fp").select(
+        "doc_id", "fp"
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

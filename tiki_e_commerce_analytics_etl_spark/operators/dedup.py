@@ -24,14 +24,16 @@ def keep_latest(df: DataFrame, keys: list[str], order_col: str, tiebreakers: lis
     ORDER BY order_col DESC) = 1 (transform_tiki.py:582-587).
 
     Implemented as ``max_by(struct(<all>), struct(order, tiebreak…))``
-    rather than a ranking window: a hash aggregate does map-side
-    partial combining, so each input partition ships at most one
-    candidate row per key to the shuffle — versus the window's full
-    sort of every row.  At 100 TB of daily crawl data that's the
-    difference between shuffling per-key winners and shuffling the
-    whole table.  ``tiebreakers`` pins determinism on order_col ties
-    (struct ordering is lexicographic; "latest, then highest
-    tiebreaker" matches the desc/desc window ordering).
+    rather than a ranking window: the aggregate does map-side partial
+    combining (Spark plans SortAggregate here — struct buffers aren't
+    hash-aggregable — but the partial step still runs before the
+    exchange), so each input partition ships at most one candidate row
+    per key to the shuffle — versus the window's full sort of every
+    row.  At 100 TB of daily crawl data that's the difference between
+    shuffling per-key winners and shuffling the whole table.
+    ``tiebreakers`` pins determinism on order_col ties (struct ordering
+    is lexicographic; "latest, then highest tiebreaker" matches the
+    desc/desc window ordering).
     """
     order_struct = F.struct(order_col, *(tiebreakers or []))
     row_struct = F.struct(*df.columns)
@@ -85,10 +87,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Exact content dedup: md5 over normalized text, keep the row with
     the smallest id per digest.
 
-    Scale: hash aggregate keyed on the 128-bit digest — uniformly
+    Scale: aggregate keyed on the 128-bit digest — uniformly
     distributed (no skew) and partial-agg friendly: each map partition
-    ships one candidate row per digest, versus a window sort shuffling
-    every row.
+    ships one candidate row per digest (partial min_by before the
+    exchange), versus a window sort shuffling every row.
     """
     with_hash = df.withColumn("content_hash", F.md5(_normalized(F.col(text_col))))
     cols = with_hash.columns
@@ -100,6 +102,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingles_from_words(words: Column, k: int = 5) -> Column:
+    """Word k-shingle STRINGS from an already-materialized word array
+    column.  Pass an attribute: expressions referenced inside the
+    per-position lambda are re-evaluated per element, so an inline
+    split here would re-tokenize the document O(n) times."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n > k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles of the normalized text as array<string>.
     Documents shorter than k words yield a single shingle of the whole
@@ -107,14 +122,30 @@ def shingles(text: Column, k: int = 5) -> Column:
 
     Splitting on ``\\s+`` directly produces the identical word list as
     normalize-then-split-on-space in one regex pass instead of two.
+    NOTE: the split is inlined into the per-position lambda, so prefer
+    ``shingles_from_words`` over a materialized word column in hot
+    paths.
     """
+    return shingles_from_words(F.split(F.trim(F.lower(text)), r"\s+"), k)
+
+
+def word_hashes(text: Column) -> Column:
+    """Per-word xxhash64 of the whitespace-lowercased tokens."""
     words = F.split(F.trim(F.lower(text)), r"\s+")
-    n = F.size(words)
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def shingle_hashes_from(whashes: Column, k: int = 5) -> Column:
+    """k-window hashes over an already-materialized word-hash ARRAY
+    COLUMN (pass an attribute, not an expression: subtrees referenced
+    inside a higher-order lambda are re-evaluated per element, so an
+    inline word-hash expression here would turn O(n) into O(n²))."""
+    n = F.size(whashes)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(
         n > k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+        F.transform(idx, lambda i: F.xxhash64(F.slice(whashes, i + 1, k))),
+    ).otherwise(F.array(F.xxhash64(whashes)))
 
 
 _MAX_LONG = (1 << 63) - 1
@@ -163,9 +194,19 @@ def minhash_lsh_candidates(
     # Materialize the signature as a column in its own projection, THEN
     # band — keeps the expensive shingle→minhash expression evaluated
     # once per row instead of being inlined into every band expression.
-    with_sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(shingles(F.col(text_col), shingle_k), num_hashes).alias("__sig"),
+    with_sig = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            word_hashes(F.col(text_col)).alias("__wh"),
+        )
+        .select(
+            "__id",
+            F.array_distinct(shingle_hashes_from(F.col("__wh"), shingle_k)).alias("__sh"),
+        )
+        .select(
+            "__id",
+            minhash_signature(F.col("__sh"), num_hashes).alias("__sig"),
+        )
     )
     banded = with_sig.select(
         "__id",
@@ -271,10 +312,21 @@ def ngram_jaccard_pairs(
     pruning makes the reported Jaccard a lower bound for pairs that
     also share pruned grams; keep it None for exact semantics.
     """
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
-    ).select("__id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+    # Grams participate only as join/group keys, so they are carried as
+    # 64-bit shingle hashes, not strings: same set semantics (collision
+    # odds over a corpus of G grams ≈ G²/2⁶⁵ — negligible), no string
+    # building, and an 8-byte shuffle key.  Stages are materialized as
+    # columns so higher-order lambdas never re-evaluate their inputs.
+    grams = (
+        df.select(
+            F.col(id_col).alias("__id"), word_hashes(F.col(text_col)).alias("__wh")
+        )
+        .select(
+            "__id",
+            F.array_distinct(shingle_hashes_from(F.col("__wh"), n)).alias("grams"),
+        )
+        .select("__id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+    )
 
     # Single-sided inverted index: ONE shuffle of the gram rows, then
     # per-gram pair expansion in array expressions.  Grams held by only

@@ -79,7 +79,22 @@ def fingerprint(text: Column, k: int = 8) -> Column:
     """Document fingerprint: lexicographic min of md5 over word
     k-shingles — a deterministic winnowing-style signature that is
     stable under content reordering-free edits and portable across
-    engines (md5 everywhere)."""
+    engines (md5 everywhere).  Column form; hot paths should use
+    ``fingerprint_df`` (stage-materialized)."""
     from tiki_e_commerce_analytics_etl_spark.operators.dedup import shingles
 
     return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+def fingerprint_df(df, text_col: str = "text", k: int = 8, out_col: str = "fp"):
+    """DataFrame-level fingerprint with the word array materialized as
+    a column first, so tokenization runs once per row instead of once
+    per shingle position (lambda-inlining re-evaluation)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import shingles_from_words
+
+    keep = df.columns
+    return (
+        df.withColumn("__words", words(F.col(text_col)))
+        .withColumn(out_col, F.array_min(F.transform(shingles_from_words(F.col("__words"), k), F.md5)))
+        .select(*keep, out_col)
+    )
