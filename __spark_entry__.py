@@ -379,7 +379,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text_ops.lang_id(F.col("text")).alias("lang_pred"))
+    return docs.select("doc_id", text_ops.words(F.col("text")).alias("__w")).select(
+        "doc_id", text_ops.lang_id_from_words(F.col("__w")).alias("lang_pred")
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,9 +390,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
+        "doc_id", "text", text_ops.words(F.col("text")).alias("__w")
+    ).select(
         "doc_id",
-        text_ops.token_count(F.col("text")).alias("token_est"),
-        text_ops.quality_score(F.col("text")).alias("quality"),
+        text_ops.token_count_from_words(F.col("__w")).alias("token_est"),
+        text_ops.quality_score_from_words(F.col("text"), F.col("__w")).alias("quality"),
     )
 
 

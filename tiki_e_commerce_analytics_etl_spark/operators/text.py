@@ -26,11 +26,10 @@ def words(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def token_count(text: Column) -> Column:
-    """Whitespace + BPE-ish token estimate: word count plus extra
-    tokens for long words (≈1 token per 4 chars beyond the first 4) —
-    a deterministic stand-in for a real tokenizer's length."""
-    ws = words(text)
+def token_count_from_words(ws: Column) -> Column:
+    """Whitespace + BPE-ish token estimate over a word array: word
+    count plus extra tokens for long words (≈1 token per 4 chars beyond
+    the first 4) — a deterministic stand-in for a real tokenizer."""
     return F.aggregate(
         ws,
         F.lit(0).cast("long"),
@@ -38,19 +37,26 @@ def token_count(text: Column) -> Column:
     )
 
 
-def lang_hits(text: Column, lang: str) -> Column:
+def token_count(text: Column) -> Column:
+    """Column form of ``token_count_from_words``; hot paths should
+    materialize ``words(text)`` once and use the _from_words variant
+    (each Column-form call re-tokenizes the document)."""
+    return token_count_from_words(words(text))
+
+
+def lang_hits_from_words(ws: Column, lang: str) -> Column:
     """Evidence score for one language: number of word tokens that are
     in its stopword list."""
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    return F.size(F.filter(words(text), lambda w: F.array_contains(sw, w)))
+    return F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax of per-language stopword evidence; ties and zero evidence
-    resolve to 'und' unless exactly one language leads.  Deterministic:
-    languages are compared in a fixed order."""
+def lang_id_from_words(ws: Column) -> Column:
+    """Argmax of per-language stopword evidence over a word array; ties
+    and zero evidence resolve to 'und' unless exactly one language
+    leads.  Deterministic: languages are compared in a fixed order."""
     langs = list(LANG_STOPWORDS)
-    hits = [lang_hits(text, lg) for lg in langs]
+    hits = [lang_hits_from_words(ws, lg) for lg in langs]
     best = F.greatest(*hits)
     # Highest-evidence language, first in fixed order wins ties.
     expr = F.lit("und")
@@ -59,12 +65,18 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
-def quality_score(text: Column) -> Column:
-    """Heuristic document quality in [0, 1]: rewards mid-length docs,
-    penalizes punctuation soup and single-char tokens.  Mirrors the
-    C4/Gopher-style length/punct/stopword screens in spirit."""
+def lang_id(text: Column) -> Column:
+    """Column form of ``lang_id_from_words`` (re-tokenizes per language
+    list — stage the word array in hot paths)."""
+    return lang_id_from_words(words(text))
+
+
+def quality_score_from_words(text: Column, ws: Column) -> Column:
+    """Heuristic document quality in [0, 1] over a pre-tokenized word
+    array: rewards mid-length docs, penalizes punctuation soup and
+    single-char tokens.  Mirrors the C4/Gopher-style screens in
+    spirit."""
     n_chars = F.length(text)
-    ws = words(text)
     n_words = F.size(ws)
     n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
     short_words = F.size(F.filter(ws, lambda w: F.length(w) <= 1))
@@ -73,6 +85,11 @@ def quality_score(text: Column) -> Column:
     short_penalty = F.least(short_words / F.greatest(n_words, F.lit(1)) * 2.0, F.lit(1.0))
     raw = len_score * (1.0 - punct_penalty) * (1.0 - short_penalty)
     return F.floor(raw * 10000 + F.lit(0.5)) / 10000
+
+
+def quality_score(text: Column) -> Column:
+    """Column form of ``quality_score_from_words``."""
+    return quality_score_from_words(text, words(text))
 
 
 def fingerprint(text: Column, k: int = 8) -> Column:
