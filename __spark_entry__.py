@@ -489,6 +489,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes")
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling through the mapInPandas stage: video
+    payloads (documents with doc_id%3==2, text→bytes) sliced into ≤8
+    deterministic frames; the oracle reproduces the slice arithmetic
+    (frame count and per-frame byte length) in SQL."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:bigint>")
+        .alias("meta"),
+    )
+    frames = mm.frame_sample(media)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_len")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data pipeline op).
     Threshold 0.4 because the synthetic corpus is random (max pairwise
@@ -643,6 +668,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dim_products": q_snapshot_dim_products,
         "snapshot_dim_categories": q_snapshot_dim_categories,
         "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -907,6 +933,20 @@ def oracle_sql() -> dict[str, str]:
                    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+                FROM documents WHERE doc_id % 3 = 2
+            ),
+            f AS (
+                SELECT media_id, GREATEST(1, LEAST(8, L // 16)) AS n, L
+                FROM m WHERE L > 0
+            )
+            SELECT media_id,
+                   CAST(unnest(range(n)) AS INTEGER) AS frame_idx,
+                   CAST(L // n AS BIGINT) AS frame_len
+            FROM f
         """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
