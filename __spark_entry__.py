@@ -290,6 +290,40 @@ def q_merge_upsert_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semijoin_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / left_semi — customers having at least one order (the
+    complement of the anti-join MERGE arm)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_mktsegment")
+
+
+def q_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op (§2.11 'available free'): part keys ever shipped
+    minus part keys in open orders."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    shipped = li.join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        li.l_orderkey == o.o_orderkey,
+    ).select("l_partkey")
+    open_ = li.join(
+        o.filter(F.col("o_orderstatus") == "O"),
+        li.l_orderkey == o.o_orderkey,
+    ).select("l_partkey")
+    return shipped.exceptAll(open_).distinct()
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four (returnflag, linestatus)
+    aggregation combinations in one pass."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_duplicate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 — duplicate-pair diagnostic (transform_google_trends.py:133-136)."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -647,6 +681,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_dim": q_merge_upsert_dim,
         "merge_upsert_composite": q_merge_upsert_composite,
         "merge_upsert_hybrid": q_merge_upsert_hybrid,
+        "semijoin_active_customers": q_semijoin_active_customers,
+        "except_parts": q_except_parts,
+        "cube_sales": q_cube_sales,
         "duplicate_pairs": q_duplicate_pairs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
@@ -1073,6 +1110,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice
                         ELSE t.p_retailprice END AS p_retailprice
             FROM target t FULL OUTER JOIN source s ON t.p_partkey = s.p_partkey
+        """,
+        "semijoin_active_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "except_parts": """
+            SELECT DISTINCT l_partkey FROM (
+                SELECT l_partkey FROM lineitem li
+                JOIN orders o ON li.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                EXCEPT ALL
+                SELECT l_partkey FROM lineitem li
+                JOIN orders o ON li.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'O'
+            )
+        """,
+        "cube_sales": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "duplicate_pairs": """
             SELECT l_partkey, l_suppkey, COUNT(*) AS dup_count
