@@ -290,6 +290,41 @@ def q_merge_upsert_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 JSON functions — get_json_object over the events props
+    column (the crawler's __NEXT_DATA__ path navigation analogue):
+    extract $.k and aggregate per event_type."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family — rank / dense_rank / ntile / first_value
+    over a deterministic (unique-key) ordering."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("o_orderkey").over(w).alias("top_order"),
+    )
+
+
 def q_semijoin_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS / left_semi — customers having at least one order (the
     complement of the anti-join MERGE arm)."""
@@ -681,6 +716,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_dim": q_merge_upsert_dim,
         "merge_upsert_composite": q_merge_upsert_composite,
         "merge_upsert_hybrid": q_merge_upsert_hybrid,
+        "json_props": q_json_props,
+        "window_ranks": q_window_ranks,
         "semijoin_active_customers": q_semijoin_active_customers,
         "except_parts": q_except_parts,
         "cube_sales": q_cube_sales,
@@ -1110,6 +1147,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.p_partkey IS NOT NULL THEN s.p_retailprice
                         ELSE t.p_retailprice END AS p_retailprice
             FROM target t FULL OUTER JOIN source s ON t.p_partkey = s.p_partkey
+        """,
+        "json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "window_ranks": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   NTILE(4) OVER w AS quartile,
+                   FIRST_VALUE(o_orderkey) OVER w AS top_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
         """,
         "semijoin_active_customers": """
             SELECT c_custkey, c_mktsegment FROM customer c
