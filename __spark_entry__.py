@@ -583,6 +583,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket of the
+    document id — reproducible across runs, cluster sizes, and engines
+    (hence exactly oracle-checkable, unlike seed-based sample())."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.hash_split(
+        docs.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data pipeline op).
     Threshold 0.4 because the synthetic corpus is random (max pairwise
@@ -743,6 +755,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dim_categories": q_snapshot_dim_categories,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "hash_split": q_hash_split,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1007,6 +1020,17 @@ def oracle_sql() -> dict[str, str]:
                    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < CAST(FLOOR(0.8 * 65536) AS INTEGER) THEN 'train'
+                        WHEN b < CAST(FLOOR(0.9 * 65536) AS INTEGER) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+                FROM documents
+            )
         """,
         "frame_sample": """
             WITH m AS (

@@ -1,0 +1,56 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partitioning and not reproducible
+across engines or re-shuffles; these operators key every decision off a
+content hash of a stable id, so the same row lands in the same split
+on every run, any cluster size, and any engine that can compute md5 —
+which also makes them oracle-checkable exactly.
+
+Scale: pure narrow projections/filters (no shuffle, no state); the
+hash is computed inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16^4 buckets from the first 4 hex chars of md5 — plenty of
+# resolution for split weights while keeping the parsed int small.
+_BUCKETS = 16**4
+
+
+def hash_bucket(key: Column) -> Column:
+    """Stable bucket in [0, 65536) from md5 of the key's string form."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keeps rows whose bucket
+    falls below fraction·65536.  Same rows selected on every run."""
+    return df.filter(hash_bucket(F.col(key_col)) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (e.g. train/val/test) by hash
+    bucket.  Weights must sum to 1; boundaries are cumulative, so
+    adding rows never moves an existing row between splits."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key_col))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        clause = F.when(bucket < int(acc * _BUCKETS), F.lit(name))
+        expr = clause if expr is None else expr.when(bucket < int(acc * _BUCKETS), F.lit(name))
+    last_name = items[-1][0]
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn(out_col, expr)
