@@ -583,6 +583,39 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark percentile ≡ DuckDB
+    quantile_cont, bit-identical linear interpolation); the
+    approx_percentile sketch is the documented 100 TB path."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget bins by exclusive running token count (scan-pack
+    over a deterministic order).  Global-order window here for oracle
+    parity; the scale path packs per shard with the bin id prefixed by
+    shard (no global sort)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_ops.words(F.col("text")).alias("__w")
+    ).select("doc_id", text_ops.token_count_from_words(F.col("__w")).alias("tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "tokens",
+        F.floor((cum - F.col("tokens")) / F.lit(2048.0)).cast("long").alias("bin_id"),
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5 bucket of the
     document id — reproducible across runs, cluster sizes, and engines
@@ -756,6 +789,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "hash_split": q_hash_split,
+        "price_percentiles": q_price_percentiles,
+        "pack_documents": q_pack_documents,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1020,6 +1055,31 @@ def oracle_sql() -> dict[str, str]:
                    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "price_percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.95) AS p95,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "pack_documents": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            t AS (
+                SELECT doc_id,
+                       list_aggregate(
+                           list_transform(ws, x -> 1 + CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)),
+                           'sum') AS tokens
+                FROM w
+            ),
+            c AS (
+                SELECT doc_id, tokens,
+                       SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t
+            )
+            SELECT doc_id, tokens,
+                   CAST(FLOOR((cum - tokens) / 2048.0) AS BIGINT) AS bin_id
+            FROM c
         """,
         "hash_split": """
             SELECT doc_id,
