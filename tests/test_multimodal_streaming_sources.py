@@ -38,6 +38,17 @@ def test_real_decoder_is_explicit_stub(spark, media_df):
     assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
 
 
+def test_resize_images_updates_meta_and_payload(spark, media_df):
+    out = mm.resize_images(media_df, width=100, height=100).collect()
+    assert {r.media_id for r in out} == {1}  # only the image row
+    r = out[0]
+    assert r.meta.width == 100 and r.meta.height == 100
+    assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) > 0
+    # deterministic: same input -> same output
+    again = mm.resize_images(media_df, width=100, height=100).collect()[0]
+    assert bytes(again.payload) == bytes(r.payload)
+
+
 def test_frame_sample_only_videos(spark, media_df):
     frames = mm.frame_sample(media_df).collect()
     assert {r.media_id for r in frames} == {2}

@@ -110,6 +110,56 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize stage: (media_id, payload, meta) → resized payload
+    with updated meta dims.  ``resizer`` is the stubbed codec step (no
+    image libraries in this container) — the default deterministic fake
+    scales the byte length proportionally to the pixel-count change so
+    batch/schema/meta plumbing is exercised for real; swap in a
+    PIL/opencv-backed callable in production.
+    """
+
+    def default_resizer(payload: bytes, w: int, h: int) -> bytes:
+        if not payload:
+            return b""
+        # Deterministic stand-in: repeat/truncate to a size proportional
+        # to the target pixel count (clearly NOT a real resampler).
+        target = max(1, min(len(payload), (w * h) // 224))
+        reps = (target // len(payload)) + 1
+        return (payload * reps)[:target]
+
+    do_resize = resizer or default_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            out_meta = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                raw = p if p is None or isinstance(p, bytes) else bytes(p)
+                resized = None if raw is None else do_resize(raw, width, height)
+                out_payloads.append(resized)
+                meta = dict(m) if m is not None else {"mime": None, "duration_ms": None}
+                meta["width"], meta["height"] = width, height
+                out_meta.append(
+                    (meta.get("mime"), width, height, meta.get("duration_ms"))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payloads,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame,
     every_ms: int = 1000,
