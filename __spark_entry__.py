@@ -487,7 +487,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signature per document (rows-only: xxhash64)."""
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup_ops.simhash(F.col("text")).alias("simhash64"))
+    return dedup_ops.simhash_df(docs.select("doc_id", "text"), "text", "doc_id", "simhash64")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
