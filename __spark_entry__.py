@@ -601,19 +601,14 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a deterministic order).  Global-order window here for oracle
     parity; the scale path packs per shard with the bin id prefixed by
     shard (no global sort)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import packing
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", text_ops.words(F.col("text")).alias("__w")
     ).select("doc_id", text_ops.token_count_from_words(F.col("__w")).alias("tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum("tokens").over(w)
-    return toks.select(
-        "doc_id",
-        "tokens",
-        F.floor((cum - F.col("tokens")) / F.lit(2048.0)).cast("long").alias("bin_id"),
-    )
+    return packing.pack_global(toks, "tokens", "doc_id", budget=2048)
 
 
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
