@@ -583,6 +583,21 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path for A3/percentiles
+    (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
+    sketch estimates are engine-specific by construction)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
+            "approx_price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (Spark percentile ≡ DuckDB
     quantile_cont, bit-identical linear interpolation); the
@@ -786,6 +801,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
+        "sketch_summary": q_sketch_summary,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,

@@ -73,3 +73,28 @@ def write_partitioned(
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
     write_partitioned(df, path, partition_cols, mode="overwrite")
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed managed table (catalog-backed — bucketing
+    metadata doesn't survive a bare ``.parquet(path)`` write).
+
+    This is the co-located-join primitive: two tables bucketed on the
+    same key with the same bucket count join with NO exchange on either
+    side — the reference's `CLUSTER BY` (bigquery_schema.sql:31,57)
+    upgraded from read-locality to shuffle elimination.  Use for the
+    big fact↔fact joins that AQE can't broadcast (e.g. snapshot ↔
+    trends at full history scale); ``sort_cols`` additionally enables
+    sort-merge without a sort step and row-group min/max skipping.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -32,10 +32,18 @@ def golden_join(
     trends: DataFrame,
     fx: DataFrame,
     ds: str | None = None,
+    broadcast_dims: bool = True,
 ) -> DataFrame:
     """Build the One-Big-Table mart (deterministic core; the
     non-deterministic ``inserted_at`` is appended by the writer so
-    oracle hashing stays stable — SURVEY.md §7.3)."""
+    oracle hashing stays stable — SURVEY.md §7.3).
+
+    ``broadcast_dims=False`` drops the explicit broadcast hints for
+    deployments where a dim outgrows executor memory (e.g. a
+    billion-product dim_products): AQE then chooses per-join between
+    broadcast and shuffle from runtime sizes — prefer bucketing the
+    fact and dim on the join key (io.write_bucketed_table) to keep the
+    join exchange-free in that regime."""
     f = fact
     if ds is not None:
         # P7 — incremental day slice; prunes the fact scan to one partition.
@@ -52,16 +60,17 @@ def golden_join(
         .select(F.col("date").alias("e_date"), "rate")
     )
 
+    hint = F.broadcast if broadcast_dims else (lambda d: d)
     joined = (
-        f.join(F.broadcast(p), "product_id", "left")
-        .join(F.broadcast(c), "category_id", "left")
-        .join(F.broadcast(m), p["category_id"] == m["tiki_category_id"], "left")
+        f.join(hint(p), "product_id", "left")
+        .join(hint(c), "category_id", "left")
+        .join(hint(m), p["category_id"] == m["tiki_category_id"], "left")
         .join(
-            F.broadcast(t),
+            hint(t),
             (m["trend_keyword"] == t["keyword"]) & (f["snapshot_date"] == t["t_date"]),
             "left",
         )
-        .join(F.broadcast(e), f["snapshot_date"] == e["e_date"], "left")
+        .join(hint(e), f["snapshot_date"] == e["e_date"], "left")
     )
 
     return joined.select(
