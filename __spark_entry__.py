@@ -583,6 +583,38 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation chain as ONE lazy plan:
+    language filter (en) → quality screen (≥0.3) → exact dedup (md5,
+    min id wins) → near-dup removal (n-gram Jaccard ≥0.5, higher id of
+    each pair dropped) → deterministic train/val/test assignment.
+    Every stage is an operator that is also individually
+    oracle-checked; this query checks their composition."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id", "text", text_ops.words(F.col("text")).alias("__w")
+    ).select(
+        "doc_id",
+        "text",
+        text_ops.lang_id_from_words(F.col("__w")).alias("lang"),
+        text_ops.quality_score_from_words(F.col("text"), F.col("__w")).alias("quality"),
+        text_ops.token_count_from_words(F.col("__w")).alias("token_est"),
+    )
+    kept = feat.filter((F.col("lang") == "en") & (F.col("quality") >= 0.3))
+    deduped = dedup_ops.exact_dedup(kept, "text", "doc_id")
+    pairs = dedup_ops.ngram_jaccard_pairs(deduped, "text", "doc_id", n=5, threshold=0.5)
+    near_dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    final = deduped.join(near_dup_ids, "doc_id", "left_anti")
+    return sampling.hash_split(
+        final.select("doc_id", "lang", "quality", "token_est"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path for A3/percentiles
     (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
@@ -802,6 +834,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
         "sketch_summary": q_sketch_summary,
+        "curation_pipeline": q_curation_pipeline,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1016,6 +1049,78 @@ def _quality_checks_oracle() -> str:
     )
 
 
+_QUALITY_EXPR_SQL = (
+    "FLOOR(LEAST(LENGTH(text) / 500.0, 1.0)"
+    " * (1.0 - LEAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))"
+    " / GREATEST(LENGTH(text), 1) * 5.0, 1.0))"
+    " * (1.0 - LEAST(len(list_filter(ws, x -> len(x) <= 1))"
+    " / GREATEST(len(ws), 1) * 2.0, 1.0))"
+    " * 10000 + 0.5) / 10000"
+)
+
+_TOKEN_EXPR_SQL = (
+    "list_aggregate(list_transform(ws, x -> 1 +"
+    " CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)), 'sum')"
+)
+
+
+def _curation_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for lg, sw in LANG_STOPWORDS.items():
+        lst = ", ".join("'" + w.replace("'", "''") + "'" for w in sw)
+        hit_cols.append(
+            f"len(list_filter(ws, x -> list_contains([{lst}], x))) AS {lg}_hits"
+        )
+    langs = list(LANG_STOPWORDS)
+    case_arms = " ".join(f"WHEN {lg}_hits = best AND best > 0 THEN '{lg}'" for lg in langs)
+    best = "GREATEST(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_NORM_WORDS_SQL} AS ws FROM documents),
+        h AS (SELECT doc_id, text, ws, {', '.join(hit_cols)} FROM w),
+        feat AS (
+            SELECT doc_id, text, ws,
+                   CASE {case_arms} ELSE 'und' END AS lang,
+                   {_QUALITY_EXPR_SQL} AS quality,
+                   {_TOKEN_EXPR_SQL} AS token_est
+            FROM (SELECT *, {best} AS best FROM h)
+        ),
+        kept AS (SELECT * FROM feat WHERE lang = 'en' AND quality >= 0.3),
+        dedup AS (
+            SELECT * FROM (
+                SELECT *, MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS ch
+                FROM kept
+            ) QUALIFY ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id ASC) = 1
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) > 5 THEN
+                       list_distinct(list_transform(range(1, len(ws) - 3),
+                                                    i -> array_to_string(ws[i:i+4], ' ')))
+                   ELSE [array_to_string(ws, ' ')] END AS grams
+            FROM dedup
+        ),
+        g AS (SELECT doc_id AS id, len(grams) AS n_grams, unnest(grams) AS gram FROM s),
+        p AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared,
+                   ANY_VALUE(a.n_grams) AS na, ANY_VALUE(b.n_grams) AS nb
+            FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+            GROUP BY a.id, b.id
+        ),
+        nd AS (SELECT DISTINCT id_b FROM p WHERE shared / (na + nb - shared) >= 0.5),
+        final AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT id_b FROM nd))
+        SELECT doc_id, lang, quality, token_est,
+               CASE WHEN b < CAST(FLOOR(0.8 * 65536) AS INTEGER) THEN 'train'
+                    WHEN b < CAST(FLOOR(0.9 * 65536) AS INTEGER) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+            FROM final
+        )
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "similarity_topk": _SIMILARITY_ORACLE,
@@ -1129,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "curation_pipeline": _curation_oracle(),
         "lang_id": _lang_id_oracle(),
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,

@@ -50,6 +50,7 @@ HEADLINE = [
     "text_quality",
     "doc_fingerprint",
     "multimodal_features",
+    "curation_pipeline",
 ]
 
 
