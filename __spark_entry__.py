@@ -615,6 +615,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fx_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operator Spark lacks; composed from
+    union+window): each shipment takes the most recent fx rate at or
+    before its ship date — late shipments past the last fx row carry
+    the final published rate instead of a hard-coded fallback.  Oracle
+    is DuckDB's native ASOF LEFT JOIN."""
+    from tiki_e_commerce_analytics_etl_spark.operators import asof
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship_date")
+    )
+    fx = tdm.build_mart_inputs(spark, sf_dir)["fx"].select("date", "rate")
+    return asof.asof_join_backward(li, fx, "ship_date", "date", value_cols=["rate"])
+
+
 def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path for A3/percentiles
     (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
@@ -835,6 +850,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": q_pack_documents,
         "sketch_summary": q_sketch_summary,
         "curation_pipeline": q_curation_pipeline,
+        "fx_asof": q_fx_asof,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1235,6 +1251,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "curation_pipeline": _curation_oracle(),
+        "fx_asof": f"""
+            WITH {tdm.MART_CTES},
+            l AS (
+                SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+                FROM lineitem
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.ship_date, f.rate
+            FROM l ASOF LEFT JOIN fx f ON l.ship_date >= f.date
+        """,
         "lang_id": _lang_id_oracle(),
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
