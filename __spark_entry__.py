@@ -630,6 +630,29 @@ def q_fx_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.asof_join_backward(li, fx, "ship_date", "date", value_cols=["rate"])
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via binned interval index (equi-
+    join on time bin + exact residual) — shipments falling inside
+    30-day promotion windows derived from a sample of orders."""
+    from tiki_e_commerce_analytics_etl_spark.operators import range_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship_date")
+    )
+    windows = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            F.col("o_orderkey").alias("promo_id"),
+            F.col("o_orderdate").cast("date").alias("promo_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("promo_end"),
+        )
+    )
+    return range_join.range_join_points(
+        li, "ship_date", windows, "promo_start", "promo_end", bin_days=30
+    )
+
+
 def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path for A3/percentiles
     (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
@@ -851,6 +874,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_summary": q_sketch_summary,
         "curation_pipeline": q_curation_pipeline,
         "fx_asof": q_fx_asof,
+        "range_join": q_range_join,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1251,6 +1275,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "curation_pipeline": _curation_oracle(),
+        "range_join": """
+            WITH w AS (
+                SELECT o_orderkey AS promo_id,
+                       CAST(o_orderdate AS DATE) AS promo_start,
+                       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS promo_end
+                FROM orders WHERE o_orderkey % 997 = 0
+            )
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CAST(l.l_shipdate AS DATE) AS ship_date,
+                   w.promo_id, w.promo_start, CAST(w.promo_end AS DATE) AS promo_end
+            FROM lineitem l JOIN w
+              ON CAST(l.l_shipdate AS DATE) BETWEEN w.promo_start AND CAST(w.promo_end AS DATE)
+        """,
         "fx_asof": f"""
             WITH {tdm.MART_CTES},
             l AS (

@@ -1,0 +1,50 @@
+"""Range (interval) join — point-in-interval matching, another join
+shape Spark lacks a native strategy for (Catalyst plans the raw
+``t BETWEEN s AND e`` predicate as a broadcast-nested-loop or
+cartesian filter).
+
+Scalable formulation: bin the time axis; each interval registers in
+every bin it covers (explode), each point maps to exactly one bin, and
+the match becomes an equi-join on the bin plus the exact BETWEEN
+residual.  Work scales with points + interval-bin registrations +
+true matches, not |L|·|R|.  Pick ``bin_days`` near the typical
+interval length: wider bins → fewer registrations but more residual
+filtering; narrower → the reverse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EPOCH = "1970-01-01"
+
+
+def _day_bin(col: F.Column, bin_days: int) -> F.Column:
+    return F.floor(F.datediff(col, F.lit(_EPOCH).cast("date")) / bin_days).cast("long")
+
+
+def range_join_points(
+    left: DataFrame,
+    point_col: str,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_days: int = 30,
+) -> DataFrame:
+    """Inner join of left points to right intervals containing them
+    (inclusive bounds).  Returns all left columns + all right columns."""
+    lb = left.withColumn("__bin", _day_bin(F.col(point_col), bin_days))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _day_bin(F.col(start_col), bin_days), _day_bin(F.col(end_col), bin_days)
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bin")
+        .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__bin")
+    )
