@@ -653,6 +653,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour/day/month rollups of
+    events per type in ONE aggregation pass (explode granularities →
+    single hash agg), not one job per granularity."""
+    from tiki_e_commerce_analytics_etl_spark.operators import time_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_rollup.time_rollup(
+        ev.select("ts", "event_type", "value"),
+        "ts",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"),
+        ],
+        granularities=("hour", "day", "month"),
+    )
+
+
 def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path for A3/percentiles
     (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
@@ -875,6 +894,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "fx_asof": q_fx_asof,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1275,6 +1295,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "curation_pipeline": _curation_oracle(),
+        "time_rollup": """
+            SELECT 'hour' AS gran, date_trunc('hour', ts) AS bucket, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), event_type, COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'month', date_trunc('month', ts), event_type, COUNT(*),
+                   CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+            FROM events GROUP BY 2, 3
+        """,
         "range_join": """
             WITH w AS (
                 SELECT o_orderkey AS promo_id,
