@@ -1,0 +1,46 @@
+"""Unit coverage for the range-join and time-rollup operators beyond
+the driver oracle (API errors, bin-boundary correctness)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark.operators import range_join, time_rollup
+
+
+def test_range_join_bin_boundaries(spark):
+    # Interval spans two bins; points at the exact bounds match
+    # (inclusive); points one day outside do not.
+    points = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 10)), (2, dt.date(2024, 2, 9)),
+         (3, dt.date(2024, 1, 9)), (4, dt.date(2024, 2, 10))],
+        "pid: long, d: date",
+    )
+    intervals = spark.createDataFrame(
+        [(100, dt.date(2024, 1, 10), dt.date(2024, 2, 9))],
+        "iid: long, s: date, e: date",
+    )
+    out = range_join.range_join_points(points, "d", intervals, "s", "e", bin_days=30)
+    assert sorted(r["pid"] for r in out.collect()) == [1, 2]
+
+
+def test_time_rollup_granularities_consistent(spark):
+    ev = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5, 30), "a", 1.0),
+         (dt.datetime(2024, 1, 1, 5, 45), "a", 2.0),
+         (dt.datetime(2024, 1, 2, 7, 0), "a", 4.0)],
+        "ts: timestamp, event_type: string, value: double",
+    )
+    out = time_rollup.time_rollup(
+        ev, "ts", ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+        granularities=("hour", "day", "month"),
+    ).collect()
+    by = {(r["gran"], str(r["bucket"])): r["n"] for r in out}
+    assert by[("hour", "2024-01-01 05:00:00")] == 2
+    assert by[("day", "2024-01-01 00:00:00")] == 2
+    assert by[("day", "2024-01-02 00:00:00")] == 1
+    assert by[("month", "2024-01-01 00:00:00")] == 3
+    with pytest.raises(ValueError):
+        time_rollup.time_rollup(ev, "ts", [], [], granularities=("minute",))
