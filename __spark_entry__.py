@@ -604,7 +604,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.token_count_from_words(F.col("__w")).alias("token_est"),
     )
     kept = feat.filter((F.col("lang") == "en") & (F.col("quality") >= 0.3))
-    deduped = dedup_ops.exact_dedup(kept, "text", "doc_id")
+    # deduped feeds BOTH the pair generation and the anti-join; without
+    # a cache the whole scan→features→dedup prefix runs twice.
+    deduped = dedup_ops.exact_dedup(kept, "text", "doc_id").cache()
     pairs = dedup_ops.ngram_jaccard_pairs(deduped, "text", "doc_id", n=5, threshold=0.5)
     near_dup_ids = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     final = deduped.join(near_dup_ids, "doc_id", "left_anti")
