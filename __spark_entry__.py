@@ -43,6 +43,12 @@ def _ensure_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Performance confs (also runtime-settable): right-size shuffles for
+    # the test scale (AQE coalesces below this), keep AQE on, Arrow for
+    # the pandas-integrated operators.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     return spark
 
 
@@ -199,9 +205,15 @@ def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_antijoin_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 — MERGE's NOT-MATCHED arm as a left_anti join
-    (load_to_bq.py:288-298): customers with no orders."""
+    (load_to_bq.py:288-298): customers with no FINISHED orders (the
+    status filter keeps the result non-empty at every test scale, so
+    the check exercises real rows)."""
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return merge_ops.antijoin_new_rows(o, c.select("c_custkey", "c_name"), ["c_custkey"])
 
 
@@ -1405,7 +1417,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "antijoin_new_keys": """
             SELECT c_custkey, c_name FROM customer c
-            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
         """,
         "merge_upsert_dim": f"""
             WITH {_MERGE_DIM_CTES}
