@@ -49,6 +49,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out.loc[order].reset_index(drop=True)
 
 
+STRICT = False  # --strict: floats must be bit-identical (no isclose)
+
+
 def values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -59,6 +62,8 @@ def values_equal(a, b) -> bool:
         # normalization; treat NaN and None as the same missing value.
         return (a_nan or a is None) and (b_nan or b is None)
     if isinstance(a, float) and isinstance(b, float):
+        if STRICT:
+            return a == b
         return a == b or math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool) and not isinstance(b, bool):
         return float(a) == float(b)
@@ -91,8 +96,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_session("check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
