@@ -686,6 +686,32 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: keep all of src0, half of
+    src1, 10% of everything else — reproducible on any cluster size
+    (md5-bucket membership, no seed)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs.select("doc_id", "source"),
+        "doc_id",
+        "source",
+        {"src0": 1.0, "src1": 0.5},
+        default_fraction=0.1,
+    )
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional quality screen: events whose value is more than
+    3 group standard deviations from the per-type mean (closed-form
+    mean/std over decimal sums — bit-identical across engines)."""
+    ev = read_table(spark, sf_dir, "events")
+    return quality_ops.zscore_outliers(
+        ev.select("event_id", "event_type", "value"), ["event_type"], "value", z=3.0
+    ).select("event_id", "event_type", "value", "group_mean", "group_std")
+
+
 def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path for A3/percentiles
     (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
@@ -909,6 +935,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fx_asof": q_fx_asof,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "stratified_sample": q_stratified_sample,
+        "value_outliers": q_value_outliers,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1309,6 +1337,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "curation_pipeline": _curation_oracle(),
+        "stratified_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b
+                FROM documents
+            )
+            WHERE b < CASE source
+                        WHEN 'src0' THEN CAST(FLOOR(1.0 * 65536) AS INTEGER)
+                        WHEN 'src1' THEN CAST(FLOOR(0.5 * 65536) AS INTEGER)
+                        ELSE CAST(FLOOR(0.1 * 65536) AS INTEGER) END
+        """,
+        "value_outliers": """
+            WITH stats AS (
+                SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS ss
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   st.s / st.n AS group_mean,
+                   SQRT(GREATEST(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0)) AS group_std
+            FROM events e JOIN stats st ON e.event_type = st.event_type
+            WHERE ABS(e.value - st.s / st.n)
+                  > 3.0 * SQRT(GREATEST(st.ss / st.n - (st.s / st.n) * (st.s / st.n), 0.0))
+        """,
         "time_rollup": """
             SELECT 'hour' AS gran, date_trunc('hour', ts) AS bucket, event_type,
                    COUNT(*) AS n_events,

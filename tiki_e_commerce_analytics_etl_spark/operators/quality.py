@@ -89,6 +89,49 @@ def checks_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     return one.selectExpr(expr)
 
 
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates more than ``z`` group standard
+    deviations from the group mean — the distributional screen a
+    training pipeline runs before ingesting a numeric feed.
+
+    Two-pass shape: one aggregation for per-group (n, sum, sum-of-
+    squares) over DECIMAL (order-insensitive, engine-portable), then a
+    broadcast join back and a narrow filter.  Mean/std use the closed
+    form so results are bit-identical across engines (built-in
+    stddev implementations differ at the ulp level).
+    """
+    d = F.col(value_col).cast("decimal(18,6)")
+    # Squares are taken at scale 3 so the sum-of-squares decimal stays
+    # small enough that BOTH engines' decimal→double conversions are
+    # exact-integer-over-exact-power-of-ten divisions (DuckDB's cast of
+    # wide scale-12 decimals is not correctly rounded and drifts an ulp
+    # from Spark's BigDecimal conversion).  A 1e-3 quantization of the
+    # squared values is immaterial for an outlier screen.
+    d3 = F.col(value_col).cast("decimal(18,3)")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(d).cast("double").alias("__s"),
+        F.sum(d3 * d3).cast("double").alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__ss") / F.col("__n") - mean * mean
+    enriched = df.join(F.broadcast(stats), group_cols).withColumn(
+        "__mean", mean
+    ).withColumn("__std", F.sqrt(F.greatest(var, F.lit(0.0))))
+    return (
+        enriched.filter(
+            F.abs(F.col(value_col) - F.col("__mean")) > F.lit(z) * F.col("__std")
+        )
+        .drop("__n", "__s", "__ss")
+        .withColumnsRenamed({"__mean": "group_mean", "__std": "group_std"})
+    )
+
+
 def summary(df: DataFrame) -> DataFrame:
     """Q7 — success-summary projection (analytics_dag.py:230-239):
     row count, distinct products, rows per trend_signal_status."""

@@ -31,6 +31,29 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.filter(hash_bucket(F.col(key_col)) < int(fraction * _BUCKETS))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample web text to
+    10% but keep 100% of books): rows keep membership decided by their
+    own key hash against their stratum's fraction.  Unlisted strata get
+    ``default_fraction``.  Exactly reproducible, join-free (the
+    fraction lookup is a literal CASE, not a join)."""
+    bucket = hash_bucket(F.col(key_col))
+    thresh: Column = F.lit(int(default_fraction * _BUCKETS))
+    expr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        clause = (cond, F.lit(int(frac * _BUCKETS)))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    thresh = thresh if expr is None else expr.otherwise(thresh)
+    return df.filter(bucket < thresh)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,
