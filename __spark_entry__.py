@@ -337,6 +337,27 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (vs the ROWS frames elsewhere): per part, the
+    trailing-7-day shipped value — rows at equal/near dates aggregate
+    by the time range, not row position."""
+    li = read_table(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy(day)
+        .rangeBetween(-7, 0)
+    )
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.sum(_dec("l_extendedprice")).over(w).cast("double").alias("trailing_7d_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_7d_lines"),
+    )
+
+
 def q_semijoin_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS / left_semi — customers having at least one order (the
     complement of the anti-join MERGE arm)."""
@@ -902,6 +923,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_hybrid": q_merge_upsert_hybrid,
         "json_props": q_json_props,
         "window_ranks": q_window_ranks,
+        "window_trailing_range": q_window_trailing_range,
         "semijoin_active_customers": q_semijoin_active_customers,
         "except_parts": q_except_parts,
         "cube_sales": q_cube_sales,
@@ -1519,6 +1541,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "window_trailing_range": """
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   CAST(l_shipdate AS DATE) AS ship_date,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                       AS trailing_7d_value,
+                   COUNT(*) OVER w AS trailing_7d_lines
+            FROM lineitem
+            WINDOW w AS (
+                PARTITION BY l_partkey
+                ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
         """,
         "window_ranks": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
