@@ -855,9 +855,14 @@ def q_price_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
+    # Reported at 12 dp (explicit floor formula): the wide decimal→
+    # double casts feeding the closed form are correctly rounded in
+    # Spark but not always in DuckDB, so the raw doubles can differ in
+    # the last ulp at some scale factors.
+    corr12 = F.floor(corr * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
     return (
         li.groupBy("l_returnflag")
-        .agg(corr.alias("corr_discount_price"), n.alias("n_rows"))
+        .agg(corr12.alias("corr_discount_price"), n.alias("n_rows"))
     )
 
 
@@ -1618,13 +1623,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "price_discount_corr": """
             SELECT l_returnflag,
-                   (COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   FLOOR(((COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                     - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
                    / (SQRT(COUNT(*) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
                            - CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE))
                       * SQRT(COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                             - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)))
-                   AS corr_discount_price,
+                             - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))))
+                   * 1e12 + 0.5) / 1e12 AS corr_discount_price,
                    COUNT(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag
