@@ -53,6 +53,32 @@ def test_topk_uses_take_ordered_not_full_sort(plans):
     assert "TakeOrderedAndProject" in plans["topk_orders"]
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Hive-layout date partitioning must surface as PartitionFilters
+    (directory pruning), not a post-scan filter — the mechanism behind
+    every incremental day-slice query (P7/K3)."""
+    from pyspark.sql import functions as F
+
+    from tiki_e_commerce_analytics_etl_spark.io import write_partitioned
+
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(10)],
+        "ds: string, k: long, v: double",
+    ).withColumn("ds", F.col("ds").cast("date"))
+    path = str(tmp_path / "part_tbl")
+    write_partitioned(df, path, ["ds"])
+
+    sliced = spark.read.parquet(path).filter(F.col("ds") == "2024-01-02")
+    plan = sliced._sc._jvm.PythonSQLUtils.explainString(
+        sliced._jdf.queryExecution(), "extended"
+    )
+    scan_line = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "PartitionFilters: [" in scan_line
+    assert "2024-01-02" in scan_line.split("PartitionFilters")[1].split("]")[0]
+    assert sliced.count() == 10
+
+
 def test_dedup_latest_partial_aggregates_before_exchange(plans):
     p = plans["dedup_latest"]
     assert "partial_max_by" in p
