@@ -733,6 +733,28 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "value", "group_mean", "group_std")
 
 
+def q_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative hierarchy traversal (pointer jumping, log-depth
+    joins — Spark lacks recursive CTEs): a synthetic tree over order
+    keys (parent = key div 10 when present), each node resolved to its
+    root.  Oracle is DuckDB's WITH RECURSIVE."""
+    from tiki_e_commerce_analytics_etl_spark.operators import hierarchy
+
+    nodes = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .filter(F.col("k") < 10000)
+        .distinct()
+    )
+    parents = nodes.select(F.col("k").alias("pk"))
+    edges = nodes.join(
+        parents,
+        (F.expr("k div 10") == F.col("pk")) & (F.col("pk") != F.col("k")),
+        "left",
+    ).select(F.col("k").alias("node"), F.col("pk").alias("parent"))
+    return hierarchy.resolve_roots(edges, max_iters=4)
+
+
 def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path for A3/percentiles
     (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
@@ -964,6 +986,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "stratified_sample": q_stratified_sample,
         "value_outliers": q_value_outliers,
+        "hierarchy_roots": q_hierarchy_roots,
         "embedding_neardup": q_embedding_neardup,
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
@@ -1364,6 +1387,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "curation_pipeline": _curation_oracle(),
+        "hierarchy_roots": """
+            WITH RECURSIVE nodes AS (
+                SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey < 10000
+            ),
+            edges AS (
+                SELECT n.k AS node, p.k AS parent
+                FROM nodes n LEFT JOIN nodes p ON p.k = n.k // 10 AND p.k <> n.k
+            ),
+            r AS (
+                SELECT node, node AS root FROM edges WHERE parent IS NULL
+                UNION ALL
+                SELECT e.node, r.root FROM edges e JOIN r ON e.parent = r.node
+            )
+            SELECT node, root FROM r
+        """,
         "stratified_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -25,6 +25,23 @@ def test_range_join_bin_boundaries(spark):
     assert sorted(r["pid"] for r in out.collect()) == [1, 2]
 
 
+def test_hierarchy_pointer_jumping_resolves_log_depth(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import hierarchy
+
+    # Chain 1→2→3→…→12 (depth 11) plus a disjoint root 100.
+    edges = spark.createDataFrame(
+        [(i, i + 1 if i < 12 else None) for i in range(1, 13)] + [(100, None)],
+        "node: long, parent: long",
+    )
+    # 4 iterations resolve depth up to 2^4 = 16 ≥ 11.
+    out = {r["node"]: r["root"] for r in hierarchy.resolve_roots(edges, max_iters=4).collect()}
+    assert all(out[i] == 12 for i in range(1, 13))
+    assert out[100] == 100
+    # 2 iterations (depth ≤ 4) must NOT fully resolve an 11-deep chain.
+    partial = {r["node"]: r["root"] for r in hierarchy.resolve_roots(edges, max_iters=2).collect()}
+    assert partial[1] != 12
+
+
 def test_time_rollup_granularities_consistent(spark):
     ev = spark.createDataFrame(
         [(dt.datetime(2024, 1, 1, 5, 30), "a", 1.0),
