@@ -51,6 +51,11 @@ HEADLINE = [
     "doc_fingerprint",
     "multimodal_features",
     "curation_pipeline",
+    # custom operators Spark lacks natively
+    "fx_asof",
+    "range_join",
+    "time_rollup",
+    "hierarchy_roots",
 ]
 
 
