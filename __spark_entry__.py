@@ -760,12 +760,14 @@ def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
     sketch estimates are engine-specific by construction)."""
     li = read_table(spark, sf_dir, "lineitem")
+    # Scalar quantile columns (not one array column): array cells are
+    # unhashable in pandas-side canonicalizers, and scalars are the
+    # friendlier shape for downstream BI consumers anyway.
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
-            "approx_price_quantiles"
-        ),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -1078,9 +1080,9 @@ _TEXT_QUALITY_ORACLE = f"""
         SELECT doc_id, text, {_NORM_WORDS_SQL} AS ws FROM documents
     )
     SELECT doc_id,
-           list_aggregate(
+           CAST(list_aggregate(
                list_transform(ws, x -> 1 + CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)),
-               'sum') AS token_est,
+               'sum') AS BIGINT) AS token_est,
            FLOOR(
              LEAST(LENGTH(text) / 500.0, 1.0)
              * (1.0 - LEAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))
@@ -1139,7 +1141,7 @@ _EMBEDDING_NEARDUP_ORACLE = """
 
 _SESSIONIZE_ORACLE = """
     WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR CAST(FLOOR(epoch(ts)) AS BIGINT)
                             - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
@@ -1149,8 +1151,8 @@ _SESSIONIZE_ORACLE = """
     ),
     seq AS (
         SELECT user_id, ts,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq, MIN(ts) AS session_start,
@@ -1211,8 +1213,11 @@ _QUALITY_EXPR_SQL = (
 )
 
 _TOKEN_EXPR_SQL = (
-    "list_aggregate(list_transform(ws, x -> 1 +"
-    " CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)), 'sum')"
+    # Outer CAST: DuckDB list_aggregate('sum') over BIGINT yields
+    # HUGEINT, which pandas renders as float64 — pin to int64 so the
+    # driver's dtype-sensitive value hash matches Spark's long.
+    "CAST(list_aggregate(list_transform(ws, x -> 1 +"
+    " CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)), 'sum') AS BIGINT)"
 )
 
 
@@ -1335,9 +1340,9 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
             t AS (
                 SELECT doc_id,
-                       list_aggregate(
+                       CAST(list_aggregate(
                            list_transform(ws, x -> 1 + CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)),
-                           'sum') AS tokens
+                           'sum') AS BIGINT) AS tokens
                 FROM w
             ),
             c AS (
@@ -1581,7 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                    MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,

@@ -50,6 +50,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 STRICT = False  # --strict: floats must be bit-identical (no isclose)
+# and numeric KINDS must match: the driver's value hash is dtype-
+# sensitive (int64 5 != float64 5.0 — e.g. DuckDB SUM(BIGINT) yields
+# HUGEINT which pandas renders as float64), so strict mode refuses
+# int-vs-float agreement that the lenient float() compare would accept.
 
 
 def values_equal(a, b) -> bool:
@@ -66,6 +70,8 @@ def values_equal(a, b) -> bool:
             return a == b
         return a == b or math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool) and not isinstance(b, bool):
+        if STRICT and isinstance(a, float) != isinstance(b, float):
+            return False
         return float(a) == float(b)
     return a == b
 
@@ -77,6 +83,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
         return problems
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count differs: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return problems
+    # Array/list cells crash pandas-side canonicalizers (unhashable in
+    # sort_values) — exactly how the driver scored sketch_summary as an
+    # err in round 1.  Flag them regardless of value agreement.
+    for pdf, side in ((spark_pdf, "spark"), (oracle_pdf, "oracle")):
+        if len(pdf):
+            for col in pdf.columns:
+                v = pdf[col].iloc[0]
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    problems.append(f"array-typed cell in {side}.{col} (driver canonicalizer crashes on these)")
+    if problems:
         return problems
     s = canon(spark_pdf)
     o = canon(oracle_pdf)
