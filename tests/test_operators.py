@@ -80,6 +80,18 @@ def test_merge_upsert_idempotent(spark):
     assert {r.k: (r.v, r.created) for r in twice.collect()} == rows
 
 
+def test_merge_upsert_null_keys_never_match(spark):
+    # ANSI MERGE: a NULL key matches nothing — NULL-keyed rows from
+    # both sides pass through unmerged, each keeping its own values.
+    target = spark.createDataFrame([(None, "t_null"), (1, "t1")], "k: long, v: string")
+    source = spark.createDataFrame([(None, "s_null"), (1, "s1")], "k: long, v: string")
+    rows = sorted(
+        ((r.k, r.v) for r in merge.merge_upsert(target, source, ["k"]).collect()),
+        key=lambda p: (p[0] is None, p),
+    )
+    assert rows == [(1, "s1"), (None, "s_null"), (None, "t_null")]
+
+
 def test_merge_target_wins_hybrid(spark):
     # K5: manual category_name set in target survives the merge.
     target = spark.createDataFrame([(1, "Manual Name"), (2, None)], "k: long, name: string")

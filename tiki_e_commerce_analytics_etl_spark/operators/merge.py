@@ -51,19 +51,22 @@ def merge_upsert(
     # Qualified-name references ("t.c"/"s.c") rather than df[col] so
     # target and source may share lineage (self-derived merges would
     # otherwise trip Spark's ambiguous-self-join detection).
+    # Plain '=' on the keys (ANSI MERGE semantics): a NULL key never
+    # matches, so NULL-keyed rows from either side pass through as
+    # independent rows — same behavior as the SQL-engine MERGE twins.
     t = target.alias("t")
-    s = source.alias("s")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
     tc = lambda c: F.col(f"t.{c}")  # noqa: E731
     sc = lambda c: F.col(f"s.{c}")  # noqa: E731
     cond = None
     for k in keys:
-        clause = tc(k).eqNullSafe(sc(k))
+        clause = tc(k) == sc(k)
         cond = clause if cond is None else (cond & clause)
     joined = t.join(s, cond, "full_outer")
 
-    in_source = sc(keys[0]).isNotNull()
-    for k in keys[1:]:
-        in_source = in_source & sc(k).isNotNull()
+    # Side presence via a pre-join marker, not key null-ness: with plain
+    # equality a NULL-keyed source row still carries its own values.
+    in_source = sc("__s_present").isNotNull()
 
     protected = set(target_wins) | set(immutable)
     out_cols = []
