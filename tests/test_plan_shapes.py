@@ -79,6 +79,25 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert sliced.count() == 10
 
 
+def test_keyless_asof_windows_partition_on_bin(spark):
+    """The keyless as-of join must never sort the left table in one
+    task: every Window over the unioned (data-sized) side partitions on
+    the time bin; the only unpartitioned window consumes the per-bin
+    summary (one row per bin)."""
+    import re
+
+    df = entrymod.queries()["fx_asof"](spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # The data-sized carry window must be partitioned on the bin key...
+    assert re.search(r"windowspecdefinition\(__bin#\d+L?, __t", p), p
+    # ...fed by a hash shuffle on it, not a single-task sort.
+    assert re.search(r"hashpartitioning\(__bin", p)
+    # Any SinglePartition exchange may only carry the per-bin summary
+    # (never the __lrow payload of the unioned left rows).
+    for m in re.finditer(r"Input \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", p):
+        assert "__lrow" not in m.group(1), m.group(1)
+
+
 def test_dedup_latest_partial_aggregates_before_exchange(plans):
     p = plans["dedup_latest"]
     assert "partial_max_by" in p
