@@ -800,6 +800,24 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_global(toks, "tokens", "doc_id", budget=2048)
 
 
+def q_pack_documents_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB packing path: per-shard scan-packing with bin ids
+    namespaced by shard — the window partitions on the shard key, so
+    packing parallelizes across executors instead of funneling the
+    corpus through one global-order sort.  md5 shard hash so the
+    shard+bin arithmetic is exactly reproducible in the SQL oracle."""
+    from tiki_e_commerce_analytics_etl_spark.operators import packing
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_ops.words(F.col("text")).alias("__w")
+    ).select("doc_id", text_ops.token_count_from_words(F.col("__w")).alias("tokens"))
+    return packing.pack_sharded(
+        toks, "tokens", "doc_id", budget=2048, n_shards=32, portable_hash=True
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5 bucket of the
     document id — reproducible across runs, cluster sizes, and engines
@@ -981,6 +999,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
+        "pack_documents_sharded": q_pack_documents_sharded,
         "sketch_summary": q_sketch_summary,
         "curation_pipeline": q_curation_pipeline,
         "fx_asof": q_fx_asof,
@@ -1352,6 +1371,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, tokens,
                    CAST(FLOOR((cum - tokens) / 2048.0) AS BIGINT) AS bin_id
+            FROM c
+        """,
+        "pack_documents_sharded": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            t AS (
+                SELECT doc_id,
+                       CAST(list_aggregate(
+                           list_transform(ws, x -> 1 + CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)),
+                           'sum') AS BIGINT) AS tokens
+                FROM w
+            ),
+            sh AS (
+                SELECT doc_id, tokens,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 32 AS shard
+                FROM t
+            ),
+            c AS (
+                SELECT doc_id, tokens, shard,
+                       CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM sh
+            )
+            SELECT doc_id, tokens,
+                   CAST(shard AS BIGINT) * 4294967296
+                     + CAST(FLOOR((cum - tokens) / 2048.0) AS BIGINT) AS bin_id
             FROM c
         """,
         "hash_split": """

@@ -44,3 +44,16 @@ def test_pack_sharded_parallel_and_deterministic(spark):
     c = {r["doc_id"]: r["bin_id"]
          for r in packing.pack_sharded(df.repartition(13), "tokens", "doc_id", 2048, 8).collect()}
     assert a == c
+
+
+def test_pack_sharded_portable_hash_windows_on_shard(spark):
+    df = _fixture(spark)
+    out = packing.pack_sharded(df, "tokens", "doc_id", budget=2048, n_shards=8, portable_hash=True)
+    assert out.count() == 500
+    stride = packing._SHARD_STRIDE
+    assert len({r["bin_id"] // stride for r in out.collect()}) > 1
+    # The packing window must partition on the shard key (parallel),
+    # never on a constant.
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "windowspecdefinition(__shard" in plan
+    assert "SinglePartition" not in plan

@@ -37,11 +37,23 @@ def pack_sharded(
     order_col: str,
     budget: int,
     n_shards: int = 256,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Append ``bin_id`` with per-shard scan-packing (deterministic
     hash shards; window partitioned on shard → parallel, no global
-    sort)."""
-    shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards))
+    sort).
+
+    ``portable_hash=True`` shards by the md5 bucket of the id's string
+    form (sampling.hash_bucket) instead of xxhash64 — a few cycles
+    slower per row but reproducible on any engine with md5, which is
+    what makes the sharded path exactly oracle-checkable.  xxhash64
+    stays the default for engine-internal runs."""
+    from tiki_e_commerce_analytics_etl_spark.operators.sampling import hash_bucket
+
+    if portable_hash:
+        shard = F.pmod(hash_bucket(F.col(order_col)), F.lit(n_shards))
+    else:
+        shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards))
     w = (
         Window.partitionBy("__shard")
         .orderBy(order_col)
