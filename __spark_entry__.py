@@ -833,8 +833,10 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data pipeline op).
     Threshold 0.4 because the synthetic corpus is random (max pairwise
-    cosine ≈ 0.51) — production default is 0.9; the operator also has
-    an LSH candidate path for scale."""
+    cosine ≈ 0.51) — production default is 0.9.  Exact method runs as
+    a distributed block-pair cogroup (no driver-side corpus
+    materialization); the LSH candidate path trades recall for
+    sub-quadratic work at 100 TB."""
     from tiki_e_commerce_analytics_etl_spark.operators import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")

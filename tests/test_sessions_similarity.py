@@ -48,6 +48,31 @@ def test_cosine_neardup_exact_and_lsh_agree_on_obvious_dups(spark):
     assert [(r["id_a"], r["id_b"]) for r in lsh] == [(1, 2)]
 
 
+def test_cosine_neardup_blocked_matches_broadcast_bitexact(spark):
+    """The distributed block-cogroup exact path must reproduce the
+    collect-and-broadcast baseline bit for bit (same sequential dim
+    fold), across block boundaries and input partitionings."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) * 0.2 + (i % 7) for _ in range(16)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").repartition(5)
+    blocked = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.cosine_neardup_pairs(df, threshold=0.8, method="exact").collect()
+    }
+    broadcast = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.cosine_neardup_pairs(
+            df, threshold=0.8, method="exact_broadcast"
+        ).collect()
+    }
+    assert blocked == broadcast  # exact float equality, not approx
+    assert len(blocked) > 10
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     """LSH candidates + exact rerank should recover most of the true
     top-k on a clustered corpus (deterministic seeded vectors)."""
