@@ -443,6 +443,35 @@ def q_vn_parse_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_js_clean_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — the crawler-side JS cleaning twins (cleanReviewCount /
+    extractProductId, TikiCrawler/puppeteer/src/utils.js:210-255) on a
+    golden corpus whose expected constants were generated by running
+    the reference JS verbatim under node."""
+    from tiki_e_commerce_analytics_etl_spark.functions.parsing import (
+        clean_review_count,
+        extract_product_id,
+    )
+
+    rows = [
+        ("(1.234 đánh giá)", "https://tiki.vn/dien-thoai-iphone/p123456.html?spid=789"),
+        ("(1.5k đánh giá)", "https://tiki.vn/cart?spid=789"),
+        ("2.3K", "https://example.com/product/555"),
+        ("(987)", "98765"),
+        ("N/A", "https://tiki.vn/dien-thoai/c1789"),
+        (None, None),
+        ("(12.345.678 đánh giá)", "/P42"),
+        ("(1,2k)", "spid=0042&x"),
+    ]
+    df = spark.createDataFrame(rows, "review_raw: string, url_raw: string")
+    return df.select(
+        "review_raw",
+        clean_review_count(F.col("review_raw")).alias("review_count"),
+        "url_raw",
+        extract_product_id(F.col("url_raw")).alias("product_id"),
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 neighbors for query vectors vec_id<5
     (training-data pipeline op; exact baseline for ANN)."""
@@ -980,6 +1009,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
         "vn_parse_literals": q_vn_parse_literals,
+        "js_clean_literals": q_js_clean_literals,
         "trends_pipeline": q_trends_pipeline,
         "resample_ffill": q_resample_ffill,
         "price_discount_corr": q_price_discount_corr,
@@ -1709,6 +1739,21 @@ def oracle_sql() -> dict[str, str]:
                 (NULL, 0, 0, 42, NULL),
                 ('No sales', 0, 30, NULL, NULL)
             ) AS t(qty_raw, sales_volume, discount_rate, category_id, price)
+        """,
+        "js_clean_literals": """
+            SELECT * FROM (VALUES
+                ('(1.234 đánh giá)', 1234,
+                 'https://tiki.vn/dien-thoai-iphone/p123456.html?spid=789', '123456'),
+                ('(1.5k đánh giá)', 1500, 'https://tiki.vn/cart?spid=789', '789'),
+                ('2.3K', 2300, 'https://example.com/product/555', '555'),
+                ('(987)', 987, '98765', '98765'),
+                ('N/A', CAST(NULL AS BIGINT), 'https://tiki.vn/dien-thoai/c1789',
+                 CAST(NULL AS VARCHAR)),
+                (CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+                 CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+                ('(12.345.678 đánh giá)', 12345678, '/P42', '42'),
+                ('(1,2k)', 1000, 'spid=0042&x', '0042')
+            ) AS t(review_raw, review_count, url_raw, product_id)
         """,
         "price_discount_corr": """
             SELECT l_returnflag,

@@ -17,9 +17,11 @@ from tiki_e_commerce_analytics_etl_spark.functions import (
     category_root,
     clean_price,
     clean_rating,
+    clean_review_count,
     clean_trends_score,
     derive_parent_id,
     extract_category_id,
+    extract_product_id,
     extract_url_key,
     has_tiki_now,
     parse_category_path,
@@ -213,6 +215,47 @@ def test_hierarchy_helpers(spark):
     assert (out[0]["fp"], out[0]["pid"], out[0]["lvl"]) == ("1815 > 4593", 1815, 3)
     assert (out[1]["fp"], out[1]["pid"], out[1]["lvl"]) == ("1789", None, 1)
     assert (out[2]["fp"], out[2]["pid"], out[2]["lvl"]) == ("42", None, 1)
+
+
+def test_clean_review_count(spark):
+    # Expected values generated by running the reference JS
+    # (TikiCrawler/puppeteer/src/utils.js:210-229) verbatim under node —
+    # including its bug-compatible quirks (leading-prefix parseInt,
+    # letter-stripping char class, first-k-only removal).
+    cases = [
+        ("(1.234 đánh giá)", 1234),
+        ("(1.5k đánh giá)", 1500),
+        ("2.3K", 2300),
+        ("(2.5K đánh giá)", 2500),
+        ("(987)", 987),
+        ("N/A", None),
+        ("", None),
+        (None, None),
+        ("(12.345.678 đánh giá)", 12345678),
+        ("(1,2k)", 1000),       # parseFloat("1,2") === 1
+        ("(1,234 reviews)", 1),  # parseInt leading-prefix parse
+        ("()", None),
+        ("abc", None),
+    ]
+    assert run_scalar(spark, clean_review_count, [c[0] for c in cases]) == [c[1] for c in cases]
+
+
+def test_extract_product_id(spark):
+    # utils.js:236-255 goldens, node-generated.
+    cases = [
+        ("https://tiki.vn/dien-thoai-iphone/p123456.html?spid=789", "123456"),
+        ("https://tiki.vn/cart?spid=789", "789"),
+        ("https://example.com/product/555", "555"),
+        ("98765", "98765"),
+        ("https://tiki.vn/dien-thoai/c1789", None),
+        ("", None),
+        (None, None),
+        ("/P42", "42"),
+        ("spid=0042&x", "0042"),   # keeps leading zeros (string out)
+        ("product/99?spid=11", "99"),  # leftmost match wins
+        ("p123 no slash", None),
+    ]
+    assert run_scalar(spark, extract_product_id, [c[0] for c in cases]) == [c[1] for c in cases]
 
 
 def test_clean_trends_score(spark):

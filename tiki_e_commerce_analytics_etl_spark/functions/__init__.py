@@ -9,11 +9,13 @@ from tiki_e_commerce_analytics_etl_spark.functions.parsing import (  # noqa: F40
     category_root,
     clean_price,
     clean_rating,
+    clean_review_count,
     clean_trends_score,
     coerce_double,
     coerce_long,
     derive_parent_id,
     extract_category_id,
+    extract_product_id,
     extract_url_key,
     has_tiki_now,
     inventory_in_stock,

@@ -105,6 +105,73 @@ def clean_price(col: Column | str) -> Column:
     )
 
 
+# cleanReviewCount's strip class (utils.js:216, /[()đánh giá\s]/gi):
+# individual characters, unicode-case-insensitive — note it removes the
+# letters of "đánh giá" anywhere, not the phrase.
+_REVIEW_STRIP_RE = r"(?iu)[()đánh giá\s]"
+# JS parseFloat/parseInt parse a LEADING numeric prefix and ignore the
+# rest ("1,2" → 1; "1rvews" → 1) — anchored prefix extracts mirror that.
+_JS_FLOAT_PREFIX_RE = r"^([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)"
+_JS_INT_PREFIX_RE = r"^([+-]?\d+)"
+_PRODUCT_ID_RE = r"(?i)/p(\d+)|spid=(\d+)|product/(\d+)"
+
+
+def clean_review_count(col: Column | str) -> Column:
+    """F20 — review-count cleaner, JS twin of
+    TikiCrawler/puppeteer/src/utils.js:210-229 (cleanReviewCount).
+
+    "(1.234 đánh giá)" → 1234 (dot thousands); "(1.5k …)" → 1500
+    (k-suffix, JS Math.round = floor(x+0.5)); unparseable/empty → NULL.
+    Bug-compatible with the JS: the strip class removes the *letters*
+    of "đánh giá", parseFloat/parseInt take the leading numeric prefix,
+    and only the FIRST 'k' is removed before parseFloat.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    cleaned = F.regexp_replace(s, _REVIEW_STRIP_RE, "")
+    has_k = F.lower(cleaned).contains("k")
+    # ^(.*?)k — anchored, so exactly the first k/K is dropped.
+    dek = F.regexp_replace(cleaned, r"(?i)^(.*?)k", "$1")
+    from_k = F.floor(
+        _try_cast(F.regexp_extract(dek, _JS_FLOAT_PREFIX_RE, 1), "double") * 1000
+        + F.lit(0.5)
+    ).cast("long")
+    from_int = _try_cast(
+        F.nullif(
+            F.regexp_extract(F.regexp_replace(cleaned, r"\.", ""), _JS_INT_PREFIX_RE, 1),
+            F.lit(""),
+        ),
+        "long",
+    )
+    return (
+        F.when(s.isNull() | (s == ""), F.lit(None).cast("long"))
+        .when(has_k, from_k)
+        .otherwise(from_int)
+    )
+
+
+def extract_product_id(col: Column | str) -> Column:
+    """F20 — product-id extractor, JS twin of
+    TikiCrawler/puppeteer/src/utils.js:236-255 (extractProductId).
+
+    All-digit input passes through; otherwise the first match of
+    ``/p(\\d+)|spid=(\\d+)|product/(\\d+)`` (case-insensitive, leftmost
+    position wins across alternatives, like the JS regex) supplies the
+    id; no match/empty → NULL.  Returns STRING like the JS (ids such as
+    "0042" keep their leading zeros).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    groups = [
+        F.nullif(F.regexp_extract(s, _PRODUCT_ID_RE, i), F.lit("")) for i in (1, 2, 3)
+    ]
+    return (
+        F.when(s.isNull() | (s == ""), F.lit(None).cast("string"))
+        .when(s.rlike(r"^\d+$"), s)
+        .otherwise(F.coalesce(*groups))
+    )
+
+
 def parse_snapshot_date(col: Column | str) -> Column:
     """F5 — ISO timestamp string → DATE; invalid → NULL
     (transform_tiki.py:350-365).
