@@ -42,6 +42,24 @@ def test_hierarchy_pointer_jumping_resolves_log_depth(spark):
     assert partial[1] != 12
 
 
+def test_hierarchy_early_exits_at_fixed_point(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import hierarchy
+
+    # Depth-3 chain: pointer jumping converges in 2 rounds; one more
+    # round detects the fixed point — so 3 join rounds, never the
+    # max_iters=8 budget.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, None)], "node: long, parent: long"
+    )
+    stats: dict = {}
+    out = {
+        r["node"]: r["root"]
+        for r in hierarchy.resolve_roots(edges, max_iters=8, _stats=stats).collect()
+    }
+    assert out == {1: 4, 2: 4, 3: 4, 4: 4}
+    assert stats["iterations"] == 3
+
+
 def test_time_rollup_granularities_consistent(spark):
     ev = spark.createDataFrame(
         [(dt.datetime(2024, 1, 1, 5, 30), "a", 1.0),
