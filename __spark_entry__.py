@@ -596,6 +596,22 @@ def q_snapshot_dim_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snapshot_outputs(spark)["dim_categories"]
 
 
+def q_snapshot_fact_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOM-fallback string-record path end to end: an all-string
+    raw batch (extractor.js:251-340 shapes — "1.290.000 ₫", "-25%",
+    "Đã bán 1.5k", "(1.2k đánh giá)", id recoverable only from the
+    URL) through conform_dom_strings (F12+F20) and the same
+    transform_snapshot, down to the fact table."""
+    from tiki_e_commerce_analytics_etl_spark.plans.fixtures import raw_products_dom_fixture
+    from tiki_e_commerce_analytics_etl_spark.plans.snapshot import (
+        conform_dom_strings,
+        transform_snapshot,
+    )
+
+    raw = conform_dom_strings(raw_products_dom_fixture(spark))
+    return transform_snapshot(raw)["fact_daily_snapshot"]
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the real Arrow-batched mapInPandas
     decode stage: documents' text encoded to binary payloads (the
@@ -1026,6 +1042,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_fact": q_snapshot_fact,
         "snapshot_dim_products": q_snapshot_dim_products,
         "snapshot_dim_categories": q_snapshot_dim_categories,
+        "snapshot_fact_dom": q_snapshot_fact_dom,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "hash_split": q_hash_split,
@@ -1362,6 +1379,16 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(product_id, sku, name, brand_name, image_url, product_url,
                    seller_id, seller_name, seller_logo, category_id,
                    root_category_id, category_depth, created_at, updated_at)
+        """,
+        "snapshot_fact_dom": """
+            SELECT * FROM (VALUES
+                (DATE '2024-03-02', 201, 1290000, 1590000, 25, 1500, 1200, 4.7,
+                 TRUE, TRUE, TIMESTAMP '2024-03-02 09:00:00'),
+                (DATE '2024-03-02', 202, 2000000, 2000000, 0, 100, 87,
+                 CAST(NULL AS DOUBLE), TRUE, FALSE, TIMESTAMP '2024-03-02 10:00:00')
+            ) AS t(snapshot_date, product_id, current_price, original_price,
+                   discount_rate, sales_volume_acc, review_count, rating_average,
+                   inventory_status, tiki_now, extracted_at)
         """,
         "snapshot_dim_categories": """
             SELECT * FROM (VALUES

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from tiki_e_commerce_analytics_etl_spark.io import write_partitioned
 from tiki_e_commerce_analytics_etl_spark.plans.snapshot import (
+    conform_dom_strings,
     read_raw,
     transform_snapshot,
 )
@@ -121,6 +122,25 @@ def test_snapshot_end_to_end(spark, raw_dir):
     assert cats[1795].full_path == "1789 > 1795"
     assert cats[8318].url_key == "tai-nghe"
     assert cats[4593].category_level == 3
+
+
+def test_dom_string_records_end_to_end(spark):
+    """The fully string-typed DOM-fallback batch (extractor.js:251-340
+    shapes) flows through conform_dom_strings + transform_snapshot: ids
+    recovered from URLs, k-suffix review counts cleaned, unparseable
+    prices rejected, category derived from the path."""
+    from tiki_e_commerce_analytics_etl_spark.plans.fixtures import raw_products_dom_fixture
+
+    outs = transform_snapshot(conform_dom_strings(raw_products_dom_fixture(spark)))
+    fact = {r.product_id: r for r in outs["fact_daily_snapshot"].collect()}
+    assert set(fact) == {201, 202}  # 203's "Liên hệ" price → P4 reject
+    assert fact[201].current_price == 1290000
+    assert fact[201].review_count == 1200  # "(1.2k đánh giá)"
+    assert fact[202].sales_volume_acc == 100
+    assert fact[202].review_count == 87
+    dims = {r.category_id: r for r in outs["dim_categories"].collect()}
+    assert dims[8318].category_level == 3  # from "1815 > 8322 > 8318"
+    assert dims[1883].category_level == 1  # URL-only fallback
 
 
 def test_partition_overwrite_idempotent(spark, tmp_path):

@@ -59,3 +59,34 @@ RAW_FIXTURE_ROWS = [
 
 def raw_products_fixture(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(RAW_FIXTURE_ROWS, schemas.RAW_PRODUCT_SCHEMA)
+
+
+# DOM-fallback records (extractor.js:251-340): every field is text
+# scraped off the page — "1.290.000 ₫" prices, "-25%" badges,
+# "Đã bán 1.5k" volumes, "(1.2k đánh giá)" review counts, ids as
+# digit strings or only derivable from the product URL.
+RAW_DOM_FIXTURE_ROWS = [
+    # 201: complete DOM record, category only via the 3-level path.
+    ("201", None, "Loa ABC", "loa-abc", "https://tiki.vn/loa-abc/p201.html?spid=99",
+     "JBL", "1.290.000 ₫", "1.590.000 ₫", "-25%", "4.7", "(1.2k đánh giá)",
+     "Đã bán 1.5k", None, "ShopX", "77", None, None, ["tiki_now"],
+     "available", None, None, None, None, "1815 > 8322 > 8318",
+     "2024-03-02T09:00:00Z", "1", "https://tiki.vn/tai-nghe/c8318",
+     "Tai nghe", None),
+    # 202: id missing from the data attribute — recovered from the URL
+    # (extractProductId); rating unparseable; category via URL only.
+    (None, None, "Chuột DEF", None, "https://tiki.vn/chuot-def/p202.html?spid=42",
+     None, "2.000.000đ", None, None, "bad", "(87)", "Đã bán 100",
+     None, "ShopY", "88", None, None, None,
+     "available", None, None, None, None, None,
+     "2024-03-02T10:00:00Z", "1", "https://tiki.vn/nha-cua-doi-song/c1883",
+     "Nhà cửa đời sống", None),
+    # 203: price the cleaner cannot parse → P4 rejection.
+    ("203", None, "Liên hệ shop", None, None, None, "Liên hệ", None, None,
+     None, None, None, None, None, None, None, None, None, None, None, None,
+     None, None, None, "2024-03-02T11:00:00Z", "1", None, None, None),
+]
+
+
+def raw_products_dom_fixture(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(RAW_DOM_FIXTURE_ROWS, schemas.RAW_PRODUCT_STRING_SCHEMA)

@@ -27,7 +27,10 @@ from tiki_e_commerce_analytics_etl_spark.functions import (
     category_root,
     clean_price,
     clean_rating,
+    clean_review_count,
+    coerce_double,
     coerce_long,
+    extract_product_id,
     derive_parent_id,
     extract_category_id,
     extract_url_key,
@@ -63,6 +66,37 @@ def read_raw(spark: SparkSession, path: str) -> DataFrame:
         .option("pathGlobFilter", "*.json")
         .json(path)
     )
+
+
+def conform_dom_strings(raw: DataFrame) -> DataFrame:
+    """F12 + F20 — coerce a DOM-fallback record batch (every numeric
+    field scraped as text, reference extractor.js:251-340) into the
+    typed raw schema so the one snapshot pipeline serves both sources.
+
+    product_id falls back to the URL (extractProductId semantics,
+    utils.js:236-255) when the data attribute was missing; review_count
+    goes through the k-suffix/dot-thousands cleaner (utils.js:210-229).
+    Everything else is the pandas-Int64-style coercing cast (F12).
+    All narrow projections — fuses into the scan's codegen stage.
+    """
+    df = raw.withColumns(
+        {
+            "product_id": F.coalesce(
+                coerce_long("product_id"),
+                coerce_long(extract_product_id(F.col("product_url"))),
+            ),
+            "rating": coerce_double("rating"),
+            "review_count": clean_review_count(F.col("review_count")).cast("string"),
+            "seller_id": coerce_long("seller_id"),
+            "warehouse_id": coerce_long("warehouse_id"),
+            "category_id": coerce_long("category_id"),
+            "root_category_id": coerce_long("root_category_id"),
+            "category_depth": coerce_long("category_depth"),
+            "_source_page": coerce_long("_source_page"),
+            "_root_category_id": coerce_long("_root_category_id"),
+        }
+    )
+    return conform_schema(df, schemas.RAW_PRODUCT_SCHEMA)
 
 
 def clean_products(raw: DataFrame) -> DataFrame:

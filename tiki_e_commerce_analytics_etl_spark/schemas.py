@@ -55,6 +55,22 @@ RAW_PRODUCT_SCHEMA = T.StructType(
     ]
 )
 
+# The DOM-fallback crawler (reference extractor.js:160-243 /
+# extractFromHTML) emits every field as text scraped off the page —
+# same column set, numeric fields string-typed.  conform_dom_strings
+# (plans/snapshot.py) coerces this into RAW_PRODUCT_SCHEMA.
+RAW_PRODUCT_STRING_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            f.name,
+            T.StringType()
+            if isinstance(f.dataType, (T.LongType, T.DoubleType))
+            else f.dataType,
+        )
+        for f in RAW_PRODUCT_SCHEMA.fields
+    ]
+)
+
 # --------------------------------------------------------------------------
 # Warehouse tables (bigquery_schema.sql).
 # --------------------------------------------------------------------------
