@@ -76,8 +76,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # Warmup: small query to pay JVM/codegen startup once.
+    # Warmup: small query to pay JVM/codegen startup once, plus a tiny
+    # mapInPandas so Python worker / Arrow startup isn't billed to the
+    # first Arrow-stage query either.
     qs["distinct_segments"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -41,6 +41,15 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     nanos under ``nanosAsLong``; convert to a microsecond timestamp with
     integer division (ns-since-epoch exceeds double's 2^53 exact range,
     so float math would corrupt it).
+
+    Note on scan parallelism: the local testdata tables are
+    single-row-group parquet files, so the FileScan yields one
+    partition.  A keyed repartition floor here was measured end-to-end
+    and REJECTED: the extra exchange plus forced-32-partition Arrow
+    batches cost more than the scan parallelism buys, because the
+    CPU-heavy per-document work is vectorized (operators/dedup.py
+    Arrow stages) rather than per-row.  On a real multi-file layout
+    the scan parallelism comes from splits, not from a repartition.
     """
     df = spark.read.parquet(f"{base_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
