@@ -529,6 +529,51 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with the held-out eval slice (doc_id % 53 == 0).  Eval gram
+    set is broadcast; corpus side never shuffles its grams."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 53 == 0)
+    return dedup_ops.decontaminate(corpus, eval_set, "text", "doc_id", k=8)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screen: per-doc word counts, distinct
+    ratio, and top-word fraction via two hash aggregates."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(docs, "text", "doc_id")
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to per-source token budgets by proportional hash
+    thresholding (two-pass: tiny per-source totals broadcast back, then
+    a narrow filter — no per-source global sort)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", "source", text_ops.words(F.col("text")).alias("__w")
+    ).select(
+        "doc_id",
+        "source",
+        text_ops.token_count_from_words(F.col("__w")).alias("token_est"),
+    )
+    mixed = sampling.token_budget_mix(
+        with_tokens,
+        "doc_id",
+        "source",
+        "token_est",
+        {"src0": 1000.0, "src1": 1500.0},
+        default_budget=600.0,
+    )
+    return mixed.select("doc_id", "source", "token_est")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over word 8-shingles."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
@@ -1038,6 +1083,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "token_budget_mix": q_token_budget_mix,
         "rollup_sales": q_rollup_sales,
         "snapshot_fact": q_snapshot_fact,
         "snapshot_dim_products": q_snapshot_dim_products,
@@ -1195,6 +1243,61 @@ _NGRAM_JACCARD_ORACLE = f"""
     FROM p WHERE shared / (na + nb - shared) >= 0.5
 """
 
+
+_DECONTAMINATE_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 8 THEN
+                   list_distinct(list_transform(range(1, len(ws) - 6),
+                                                i -> array_to_string(ws[i:i+7], ' ')))
+               ELSE [array_to_string(ws, ' ')] END AS grams
+        FROM w
+    ),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM s WHERE doc_id % 53 <> 0),
+    eg AS (SELECT DISTINCT unnest(grams) AS gram FROM s WHERE doc_id % 53 = 0),
+    sh AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+        FROM g JOIN eg USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sh.shared_grams, 0) AS BIGINT) AS shared_grams,
+           COALESCE(sh.shared_grams, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+    WHERE d.doc_id % 53 <> 0
+"""
+
+_REPETITION_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    pw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY doc_id, word)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS distinct_words,
+           CAST(MAX(c) AS BIGINT) AS top_word_count,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_ratio,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_word_frac
+    FROM pw GROUP BY doc_id
+"""
+
+_TOKEN_BUDGET_MIX_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(list_aggregate(
+                   list_transform({_NORM_WORDS_SQL},
+                                  x -> 1 + CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)),
+                   'sum') AS BIGINT) AS token_est
+        FROM documents
+    ),
+    t AS (SELECT source, CAST(SUM(token_est) AS BIGINT) AS total FROM w GROUP BY source)
+    SELECT doc_id, source, token_est
+    FROM w JOIN t USING (source)
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+          < FLOOR(LEAST(
+                CASE source WHEN 'src0' THEN 1000.0 WHEN 'src1' THEN 1500.0
+                            ELSE 600.0 END / CAST(total AS DOUBLE),
+                1.0) * 65536)
+"""
 
 _EMBEDDING_NEARDUP_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -1487,6 +1590,9 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _EVENT_WINDOWS_ORACLE,
         "quality_checks": _quality_checks_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
+        "repetition_stats": _REPETITION_ORACLE,
+        "token_budget_mix": _TOKEN_BUDGET_MIX_ORACLE,
         "rollup_sales": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

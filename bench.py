@@ -42,6 +42,9 @@ HEADLINE = [
     "minhash_pairs",
     "simhash",
     "ngram_jaccard",
+    "decontaminate",
+    "repetition_stats",
+    "token_budget_mix",
     "embedding_neardup",
     "similarity_topk",
     "similarity_topk_lsh",

@@ -159,3 +159,58 @@ def test_token_count(spark):
     # short(1) + but(1) + extraordinarily(15 chars -> 1+floor(11/4)=3) + long(1) = 6
     out = df.select(text.token_count(F.col("text")).alias("n")).collect()[0].n
     assert out == 6
+
+
+def test_decontaminate_flags_overlap(spark):
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id: long, text: string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the eval doc's 8-gram windows
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+            # clean
+            (2, "one two three four five six seven eight nine ten"),
+            # short doc (<= k words folds to a single whole-text gram)
+            (3, "tiny doc"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r.doc_id: (r.shared_grams, r.contaminated) for r in
+           dedup.decontaminate(corpus, evalset, k=8).collect()}
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # every corpus row is reported, flagged or not
+    assert set(out) == {1, 2, 3}
+
+
+def test_repetition_stats_ratios(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ")],
+        "doc_id: long, text: string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert rows[1].n_words == 4 and rows[1].distinct_words == 1
+    assert rows[1].top_word_count == 4 and rows[1].top_word_frac == 1.0
+    assert rows[2].distinct_ratio == 1.0 and rows[2].top_word_count == 1
+
+
+def test_token_budget_mix_respects_proportions(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    rows = [(i, "web" if i % 2 == 0 else "code", 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, tokens: long")
+    # web total = code total = 10_000 tokens
+    out = sampling.token_budget_mix(
+        df, "doc_id", "source", "tokens", {"web": 5000.0}, default_budget=0.0
+    )
+    got = out.groupBy("source").count().collect()
+    by_src = {r.source: r["count"] for r in got}
+    # ~half of web kept (hash thresholding, expected 50 of 100), code dropped
+    assert "code" not in by_src
+    assert 30 <= by_src.get("web", 0) <= 70
+    # deterministic: same selection on re-run
+    again = {r.doc_id for r in out.collect()}
+    assert again == {r.doc_id for r in out.collect()}

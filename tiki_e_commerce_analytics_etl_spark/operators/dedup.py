@@ -407,6 +407,48 @@ def minhash_lsh_candidates(
     return _expand_bucket_pairs(buckets, doc_struct=False).distinct()
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_hits`` distinct word k-grams with any evaluation document
+    (the GPT-3/PaLM-style n-gram overlap screen a training pipeline
+    runs before every release).
+
+    Returns every corpus row's (id, shared_grams, contaminated).
+
+    Scale shape: both sides go through the vectorized gram stage; the
+    eval side (benchmarks — thousands of docs, not billions) collapses
+    to a distinct hashed-gram set that is BROADCAST, so the corpus-side
+    probe is a narrow map join — no shuffle of the corpus grams at all;
+    the only exchange is the per-document count aggregation, keyed on
+    the document id (uniform, skew-free).
+    """
+    corpus_grams = hashed_gram_rows(corpus, text_col, id_col, k)
+    eval_grams = hashed_gram_rows(eval_set, text_col, id_col, k).select("gram").distinct()
+    shared = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram", "inner")
+        # one row per (doc, distinct gram) by construction → COUNT is
+        # the distinct shared-gram count
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(shared, F.col(id_col) == shared["__id"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("shared_grams"), F.lit(0)).cast("long").alias("shared_grams"),
+            (F.coalesce(F.col("shared_grams"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash of the word set, as a signed long.
 

@@ -54,6 +54,43 @@ def stratified_hash_sample(
     return df.filter(bucket < thresh)
 
 
+def token_budget_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budgets: dict[str, float],
+    default_budget: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing to per-source token budgets (the DoReMi-style
+    "N tokens of web, M of code" recipe), deterministically.
+
+    Two-pass proportional thresholding instead of a per-source ordered
+    cumulative-sum cut: pass 1 is a tiny per-source token total
+    (broadcast back), pass 2 keeps rows whose hash bucket falls below
+    ``budget/total`` of the bucket space.  Expected kept tokens per
+    source ≈ budget, membership is stable under re-runs and row
+    additions (content-hash keyed), and the plan is a narrow filter —
+    no per-source global sort, which is the formulation that would
+    funnel each source through one task at 100 TB.  Sources missing
+    from ``budgets`` get ``default_budget``.
+    """
+    totals = df.groupBy(strata_col).agg(F.sum(tokens_col).cast("long").alias("__total"))
+    budget: Column = F.lit(float(default_budget))
+    expr = None
+    for name, b in budgets.items():
+        clause = (F.col(strata_col) == name, F.lit(float(b)))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    budget = budget if expr is None else expr.otherwise(budget)
+    frac = F.least(budget / F.col("__total").cast("double"), F.lit(1.0))
+    thresh = F.floor(frac * _BUCKETS)
+    return (
+        df.join(F.broadcast(totals), strata_col)
+        .filter(hash_bucket(F.col(key_col)) < thresh)
+        .drop("__total")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -92,6 +92,32 @@ def quality_score(text: Column) -> Column:
     return quality_score_from_words(text, words(text))
 
 
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition screen: per-document word counts and
+    repetition ratios (a high top-word fraction / low distinct ratio
+    marks boilerplate and degenerate generations).
+
+    Shape: explode words → count per (doc, word) → fold per doc.  Both
+    aggregations are hash aggregates with map-side partial combining;
+    the (doc, word) key is near-unique so the first exchange carries
+    roughly one row per distinct word occurrence — no hot keys (a
+    stopword is spread across documents, and the per-document group is
+    bounded by document length).
+    """
+    exploded = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("__w"))
+    per_word = exploded.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    n_words = F.sum("__c").cast("long")
+    distinct_words = F.count(F.lit(1)).cast("long")
+    top = F.max("__c").cast("long")
+    return per_word.groupBy(id_col).agg(
+        n_words.alias("n_words"),
+        distinct_words.alias("distinct_words"),
+        top.alias("top_word_count"),
+        (distinct_words.cast("double") / n_words.cast("double")).alias("distinct_ratio"),
+        (top.cast("double") / n_words.cast("double")).alias("top_word_frac"),
+    )
+
+
 def fingerprint(text: Column, k: int = 8) -> Column:
     """Document fingerprint: lexicographic min of md5 over word
     k-shingles — a deterministic winnowing-style signature that is
