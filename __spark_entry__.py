@@ -505,6 +505,44 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, long form (label, pos, m).
+    Component sums go through DECIMAL(18,6) so the unordered float
+    aggregation is order-free and engine-exact."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, "label", "embedding")
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every vector (broadcast
+    centroids, narrow scoring, per-vector ranking window)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb, "label", "embedding")
+    return similarity.assign_nearest_centroid(emb, cents, "vec_id", "embedding")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails → phones, counts on the properly-nested forms)
+    on a golden literal corpus; the oracle carries hand-computed
+    expected constants, so the check is engine-independent truth."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    rows = [
+        (1, "contact john.doe@example.com or +1 555 123 4567 now"),
+        (2, "just plain words"),
+        (3, "hai email a@b.co và c.d@e.org cạnh nhau"),
+        (4, "đường dây nóng 0912 345 678 gọi ngay"),
+        (5, None),
+        (6, "order 12345678 is not a phone but 123-456-7890 is"),
+    ]
+    df = spark.createDataFrame(rows, "case_id: long, text: string")
+    return text_ops.redact_pii_df(df, "text", "case_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword evidence → argmax."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
@@ -1086,6 +1124,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "token_budget_mix": q_token_budget_mix,
+        "embedding_centroids": q_embedding_centroids,
+        "centroid_assign": q_centroid_assign,
+        "pii_redact": q_pii_redact,
         "rollup_sales": q_rollup_sales,
         "snapshot_fact": q_snapshot_fact,
         "snapshot_dim_products": q_snapshot_dim_products,
@@ -1297,6 +1338,48 @@ _TOKEN_BUDGET_MIX_ORACLE = f"""
                 CASE source WHEN 'src0' THEN 1000.0 WHEN 'src1' THEN 1500.0
                             ELSE 600.0 END / CAST(total AS DOUBLE),
                 1.0) * 65536)
+"""
+
+_CENTROIDS_SQL = """
+    v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    x AS (SELECT vec_id, label, unnest(range(1, len(e) + 1)) - 1 AS pos, unnest(e) AS val FROM v),
+    cs AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM x GROUP BY label, pos
+    )
+"""
+
+_EMBEDDING_CENTROIDS_ORACLE = f"""
+    WITH {_CENTROIDS_SQL}
+    SELECT label, CAST(pos AS INTEGER) AS pos, m FROM cs
+"""
+
+_CENTROID_ASSIGN_ORACLE = f"""
+    WITH {_CENTROIDS_SQL},
+    c AS (SELECT label, list(m ORDER BY pos) AS cv FROM cs GROUP BY label),
+    scored AS (
+        SELECT vec_id, c.label,
+               list_dot_product(e, cv)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cv, cv))) AS score
+        FROM v CROSS JOIN c
+    )
+    SELECT vec_id, label AS assigned_label, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, label ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+"""
+
+_PII_REDACT_ORACLE = """
+    SELECT * FROM (VALUES
+        (1, 'contact <EMAIL> or <PHONE> now', 1, 1),
+        (2, 'just plain words', 0, 0),
+        (3, 'hai email <EMAIL> và <EMAIL> cạnh nhau', 2, 0),
+        (4, 'đường dây nóng <PHONE> gọi ngay', 0, 1),
+        (5, NULL, NULL, NULL),
+        (6, 'order 12345678 is not a phone but <PHONE> is', 0, 1)
+    ) AS t(case_id, redacted, n_emails, n_phones)
 """
 
 _EMBEDDING_NEARDUP_ORACLE = """
@@ -1593,6 +1676,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "token_budget_mix": _TOKEN_BUDGET_MIX_ORACLE,
+        "embedding_centroids": _EMBEDDING_CENTROIDS_ORACLE,
+        "centroid_assign": _CENTROID_ASSIGN_ORACLE,
+        "pii_redact": _PII_REDACT_ORACLE,
         "rollup_sales": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

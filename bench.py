@@ -45,6 +45,8 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "token_budget_mix",
+    "embedding_centroids",
+    "centroid_assign",
     "embedding_neardup",
     "similarity_topk",
     "similarity_topk_lsh",

@@ -214,3 +214,31 @@ def test_token_budget_mix_respects_proportions(spark):
     # deterministic: same selection on re-run
     again = {r.doc_id for r in out.collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and call 123-456-7890 or 0912 345 678")],
+        "case_id: long, text: string",
+    )
+    r = text.redact_pii_df(df, "text", "case_id").collect()[0]
+    assert r.redacted == "mail <EMAIL> and call <PHONE> or <PHONE>"
+    assert r.n_emails == 1 and r.n_phones == 2
+
+
+def test_pii_short_digit_runs_not_phones(spark):
+    df = spark.createDataFrame([(1, "order 12345678 shipped")], "case_id: long, text: string")
+    r = text.redact_pii_df(df, "text", "case_id").collect()[0]
+    assert r.redacted == "order 12345678 shipped" and r.n_phones == 0
+
+
+def test_centroid_assignment_routes_to_own_cluster(spark):
+    rows = [
+        (1, [1.0, 0.0], "x"), (2, [0.9, 0.1], "x"),
+        (3, [0.0, 1.0], "y"), (4, [0.1, 0.9], "y"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>, label: string")
+    cents = similarity.label_centroids(df, "label", "embedding")
+    got = {r.vec_id: r.assigned_label for r in
+           similarity.assign_nearest_centroid(df, cents, "vec_id", "embedding").collect()}
+    assert got == {1: "x", 2: "x", 3: "y", 4: "y"}

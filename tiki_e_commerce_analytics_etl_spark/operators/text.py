@@ -92,6 +92,46 @@ def quality_score(text: Column) -> Column:
     return quality_score_from_words(text, words(text))
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB/engines without backtracking): character classes and
+# bounded repetition only — no lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# At least 9 chars total (digit + 7 of [digit/space/dash] + digit) so
+# short ids/order numbers don't false-positive.
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def redact_pii(text: Column) -> Column:
+    """Text with emails then phone numbers replaced by placeholder
+    tokens.  Emails are redacted FIRST so their digit runs can't
+    double-count as phones."""
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) — phones counted on the email-redacted
+    form, mirroring the redaction nesting."""
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    n_phones = F.regexp_count(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), F.lit(PII_PHONE_RE)
+    )
+    return n_emails, n_phones
+
+
+def redact_pii_df(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document PII scrub: redacted text plus per-kind match counts
+    (the audit trail a compliance pass needs).  Pure narrow projection —
+    regex runs inside codegen, no shuffle, no Python."""
+    n_emails, n_phones = pii_counts(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        redact_pii(F.col(text_col)).alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher-style repetition screen: per-document word counts and
     repetition ratios (a high top-word fraction / low distinct ratio
