@@ -142,3 +142,35 @@ def test_session_fn_unit_gap_and_timeout():
     assert len(out2) == 1
     assert out2.iloc[0]["closed_by"] == "timeout"
     assert state.removed
+
+
+def test_dedup_stream_first_seen_bounded_state(spark, tmp_path):
+    """Streaming ingest dedup (D2's streaming twin): duplicate keys
+    within the watermark window collapse to one row; state is bounded
+    by the watermark, not corpus lifetime."""
+    from tiki_e_commerce_analytics_etl_spark.streaming import incremental
+
+    src = str(tmp_path / "ingest")
+    rows = [
+        (dt.datetime(2024, 1, 1, 5), 1, "first"),
+        (dt.datetime(2024, 1, 1, 6), 1, "dup-redelivery"),
+        (dt.datetime(2024, 1, 1, 7), 2, "other"),
+        (dt.datetime(2024, 1, 1, 8), 2, "dup-again"),
+        (dt.datetime(2024, 1, 1, 9), 3, "unique"),
+    ]
+    batch = spark.createDataFrame(rows, "ts: timestamp, product_id: long, v: string")
+    batch.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = incremental.dedup_stream(stream, ["product_id"], "ts", "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT product_id FROM dedup_stream_test").collect()
+    assert sorted(r.product_id for r in got) == [1, 2, 3]

@@ -47,6 +47,25 @@ def windowed_scores(events: DataFrame, ts_col: str = "ts", watermark: str = "1 d
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming ingest dedup: first occurrence of each key wins, with
+    bounded state — the streaming twin of the batch first-seen dedup
+    (D2) that a crawler re-delivery / at-least-once source needs.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until
+    the watermark passes it, so state is O(keys per watermark window),
+    not O(all keys ever) — the property that makes ingest dedup viable
+    on an unbounded stream.  (Plain ``dropDuplicates`` on a stream
+    accumulates state forever.)
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def foreach_batch_upsert(
     target_path: str,
     keys: list[str],
