@@ -242,3 +242,39 @@ def test_centroid_assignment_routes_to_own_cluster(spark):
     got = {r.vec_id: r.assigned_label for r in
            similarity.assign_nearest_centroid(df, cents, "vec_id", "embedding").collect()}
     assert got == {1: "x", 2: "x", 3: "y", 4: "y"}
+
+
+def test_vectorized_gram_stage_matches_expression_tokenization(spark):
+    """The Arrow gram stage promises the exact tokenization of
+    F.split(F.trim(F.lower(text)), r'\\s+') (Java trim <= U+0020, ASCII
+    \\s).  Distinct-gram counts per document must agree with the
+    expression formulation on whitespace edge cases — NBSP and
+    ideographic space must NOT split, ASCII tab/newline must."""
+    texts = [
+        (1, ""),
+        (2, "   "),
+        (3, "a"),
+        (4, "a  b\tc\nd e"),
+        (5, "x\u00a0y z"),
+        (6, "w\u3000v u"),
+        (7, "\u00c1\u00c9\u00cd \u0110\u1ea1i H\u1ecdc TI\u1ebeNG vi\u1ec7t nam xin ch\u00e0o"),
+        (8, "same same same same same same same same"),
+        (9, " lead and trail \t"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    k = 3
+    expr = df.select(
+        "doc_id", dedup.word_hashes(F.col("text")).alias("__wh")
+    ).select(
+        "doc_id",
+        F.size(F.array_distinct(dedup.shingle_hashes_from(F.col("__wh"), k))).alias("n"),
+    )
+    expr_counts = {r.doc_id: r.n for r in expr.collect()}
+    vec_counts = {
+        r["__id"]: r["n_grams"]
+        for r in dedup.hashed_gram_rows(df, "text", "doc_id", k=k)
+        .select("__id", "n_grams")
+        .distinct()
+        .collect()
+    }
+    assert expr_counts == vec_counts

@@ -104,3 +104,34 @@ def test_dedup_latest_partial_aggregates_before_exchange(plans):
     # exactly one exchange: the per-key shuffle
     physical = p.split("== Physical Plan ==")[-1]
     assert physical.count("Exchange hashpartitioning") == 1
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-side gram set must broadcast (corpus grams never
+    shuffle for the probe); the only hash exchanges are the per-doc
+    count agg and the final id join-back."""
+    df = entrymod.queries()["decontaminate"](spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_token_budget_mix_is_narrow_filter(spark):
+    """Corpus mixing must not sort per source: no Window/Sort over the
+    corpus — just the tiny totals agg broadcast back and a filter."""
+    df = entrymod.queries()["token_budget_mix"](spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    """Scoring must stream the corpus against broadcast centroid
+    arrays; the per-vector ranking window partitions on the vector id
+    (never a single-partition sort of all scores)."""
+    import re
+
+    df = entrymod.queries()["centroid_assign"](spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert re.search(r"windowspecdefinition\(vec_id", p)

@@ -171,10 +171,12 @@ def shingle_hashes_from(whashes: Column, k: int = 5) -> Column:
 # --------------------------------------------------------------------------
 
 # Tokenization must match the expression path exactly:
-# F.split(F.trim(F.lower(text)), r"\s+") — Java trim strips code points
-# <= U+0020 and Java \s is ASCII-only, so mirror both (Python str.strip
-# / re-default \s are Unicode-wide and would tokenize NBSP differently).
-_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+# F.split(F.trim(F.lower(text)), r"\s+").  Spark's trim strips ONLY the
+# space character (0x20, not tab/newline), Java \s is ASCII-only, and
+# StringSplit uses Pattern.split(limit=-1) which KEEPS leading/trailing
+# empty tokens — mirror all three (Python str.strip() / re-default \s
+# are Unicode-wide and would tokenize NBSP differently).
+_SPARK_TRIM = " "
 _ASCII_WS = re.compile(r"\s+", re.ASCII)
 
 _P1 = np.uint64(0x9E3779B185EBCA87)
@@ -190,7 +192,7 @@ def _token_hashes(texts: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
     an interpreted hash per word.
     """
     words_per_doc = [
-        _ASCII_WS.split(("" if t is None else t).lower().strip(_JAVA_TRIM))
+        _ASCII_WS.split(("" if t is None else t).lower().strip(_SPARK_TRIM))
         for t in texts
     ]
     lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(words_per_doc))
@@ -210,15 +212,18 @@ def _doc_shingles(hw: np.ndarray, k: int) -> np.ndarray:
     Documents with <= k words fold to a single whole-text hash, same
     structure as ``shingle_hashes_from``."""
     n = len(hw)
-    if n > k:
-        g = hw[: n - k + 1] * _P1
-        for j in range(1, k):
-            g = (g ^ hw[j : n - k + 1 + j]) * _P2
-    else:
-        acc = _FNV
-        for x in hw:
-            acc = (acc ^ x) * _P1
-        g = np.array([acc], dtype=np.uint64)
+    # uint64 wraparound is the intended hash mixing — silence numpy's
+    # scalar-overflow warning (array ops never warn, scalars do).
+    with np.errstate(over="ignore"):
+        if n > k:
+            g = hw[: n - k + 1] * _P1
+            for j in range(1, k):
+                g = (g ^ hw[j : n - k + 1 + j]) * _P2
+        else:
+            acc = _FNV
+            for x in hw:
+                acc = (acc ^ x) * _P1
+            g = np.array([acc], dtype=np.uint64)
     return np.unique(g)
 
 
