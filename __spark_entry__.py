@@ -778,6 +778,40 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1's inverse: long→wide pivot of the trends table with an
+    EXPLICIT pivot-value list — without it Spark runs an extra
+    distinct job to discover columns, and the output schema becomes
+    data-dependent (both wrong at scale)."""
+    inp = tdm.build_mart_inputs(spark, sf_dir)
+    kws = [f"kw_{i}" for i in range(7)]
+    return (
+        inp["trends"]
+        .groupBy("date")
+        .pivot("keyword", kws)
+        .agg(F.sum("score"))
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (gap-merge sessions as
+    a groupBy key — one shuffle on user_id, sessions assembled by the
+    aggregation itself).  Complements the composed sessionize operator;
+    the oracle reproduces the [start, last+gap) merge semantics with
+    integer-µs gap comparisons."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_fx_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operator Spark lacks; composed from
     union+window): each shipment takes the most recent fx rate at or
@@ -1142,6 +1176,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "fx_asof": q_fx_asof,
         "range_join": q_range_join,
+        "pivot_trends": q_pivot_trends,
+        "session_windows": q_session_windows,
         "time_rollup": q_time_rollup,
         "stratified_sample": q_stratified_sample,
         "value_outliers": q_value_outliers,
@@ -1412,6 +1448,39 @@ _SESSIONIZE_ORACLE = """
     SELECT user_id, session_seq, MIN(ts) AS session_start,
            MAX(ts) AS session_end, COUNT(*) AS n_events
     FROM seq GROUP BY user_id, session_seq
+"""
+
+_PIVOT_TRENDS_ORACLE_BODY = "\n".join(
+    ["SELECT date,"]
+    + [
+        f"       CAST(SUM(CASE WHEN keyword = 'kw_{i}' THEN score END) AS BIGINT) AS kw_{i},"
+        for i in range(6)
+    ]
+    + [
+        "       CAST(SUM(CASE WHEN keyword = 'kw_6' THEN score END) AS BIGINT) AS kw_6",
+        "FROM trends GROUP BY date",
+    ]
+)
+
+_SESSION_WINDOWS_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    seq AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM seq GROUP BY user_id, s
 """
 
 _EVENT_WINDOWS_ORACLE = """
@@ -1763,6 +1832,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.l_orderkey, l.l_linenumber, l.ship_date, f.rate
             FROM l ASOF LEFT JOIN fx f ON l.ship_date >= f.date
         """,
+        "pivot_trends": f"WITH {tdm.MART_CTES} {_PIVOT_TRENDS_ORACLE_BODY}",
+        "session_windows": _SESSION_WINDOWS_ORACLE,
         "lang_id": _lang_id_oracle(),
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,

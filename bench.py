@@ -36,7 +36,9 @@ HEADLINE = [
     "quality_checks",
     "rollup_sales",
     "sessionize",
+    "session_windows",
     "event_windows",
+    "pivot_trends",
     # training-data pipeline surface
     "dedup_exact_docs",
     "minhash_pairs",
