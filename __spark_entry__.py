@@ -778,6 +778,65 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 product-price dimension from the daily fact history:
+    per-day observed price (keep-latest max per day), consecutive
+    unchanged days collapsed into [valid_from, valid_to) versions,
+    valid_to NULL for the open version."""
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import scd2_from_history
+
+    inp = tdm.build_mart_inputs(spark, sf_dir)
+    daily = (
+        inp["fact"]
+        .groupBy("product_id", "snapshot_date")
+        .agg(F.max(F.col("current_price").cast("decimal(18,2)")).alias("price"))
+    )
+    spans = scd2_from_history(daily, ["product_id"], ["price"], "snapshot_date")
+    # Conventional far-future sentinel for the open version (also keeps
+    # the comparison harness free of NULL-date cells); price emitted as
+    # double (decimal was only the change-detection/compare type).
+    return spans.select(
+        "product_id",
+        F.col("price").cast("double").alias("price"),
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")).alias("valid_to"),
+    )
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) over
+    per-part price partitions — fine-grained keys so no partition
+    outgrows a task at scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy("l_extendedprice")
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((returnflag), (linestatus)) — the
+    grouping-set shape rollup/cube can't express — with grouping_id()
+    disambiguating the NULL-as-total rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_pivot_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1's inverse: long→wide pivot of the trends table with an
     EXPLICIT pivot-value list — without it Spark runs an extra
@@ -1178,6 +1237,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "pivot_trends": q_pivot_trends,
         "session_windows": q_session_windows,
+        "scd2_products": q_scd2_products,
+        "window_distribution": q_window_distribution,
+        "grouping_sets_sales": q_grouping_sets_sales,
         "time_rollup": q_time_rollup,
         "stratified_sample": q_stratified_sample,
         "value_outliers": q_value_outliers,
@@ -1834,6 +1896,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_trends": f"WITH {tdm.MART_CTES} {_PIVOT_TRENDS_ORACLE_BODY}",
         "session_windows": _SESSION_WINDOWS_ORACLE,
+        "scd2_products": f"""
+            WITH {tdm.MART_CTES},
+            daily AS (
+                SELECT product_id, snapshot_date,
+                       MAX(CAST(current_price AS DECIMAL(18,2))) AS price
+                FROM fact GROUP BY product_id, snapshot_date
+            ),
+            flagged AS (
+                SELECT product_id, snapshot_date, price,
+                       CASE WHEN lag(price) OVER w IS DISTINCT FROM price
+                            THEN 1 ELSE 0 END AS chg
+                FROM daily
+                WINDOW w AS (PARTITION BY product_id ORDER BY snapshot_date)
+            ),
+            versioned AS (
+                SELECT product_id, snapshot_date, price,
+                       SUM(chg) OVER (PARTITION BY product_id ORDER BY snapshot_date
+                                      ROWS UNBOUNDED PRECEDING) AS ver
+                FROM flagged
+            ),
+            spans AS (
+                SELECT product_id, ver, ANY_VALUE(price) AS price,
+                       MIN(snapshot_date) AS valid_from
+                FROM versioned GROUP BY product_id, ver
+            )
+            SELECT product_id, CAST(price AS DOUBLE) AS price, valid_from,
+                   COALESCE(lead(valid_from) OVER (PARTITION BY product_id ORDER BY ver),
+                            DATE '9999-12-31') AS valid_to
+            FROM spans
+        """,
+        "window_distribution": """
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_partkey ORDER BY l_extendedprice)
+        """,
+        "grouping_sets_sales": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
         "lang_id": _lang_id_oracle(),
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,

@@ -39,6 +39,9 @@ HEADLINE = [
     "session_windows",
     "event_windows",
     "pivot_trends",
+    "scd2_products",
+    "window_distribution",
+    "grouping_sets_sales",
     # training-data pipeline surface
     "dedup_exact_docs",
     "minhash_pairs",

@@ -278,3 +278,30 @@ def test_vectorized_gram_stage_matches_expression_tokenization(spark):
         .collect()
     }
     assert expr_counts == vec_counts
+
+
+def test_scd2_from_history_collapses_versions(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import scd2_from_history
+    import datetime as _dt
+
+    rows = [
+        (1, "2024-01-01", 10.0), (1, "2024-01-02", 10.0),  # version 1
+        (1, "2024-01-03", 12.0),                            # version 2
+        (1, "2024-01-04", 12.0), (1, "2024-01-05", 10.0),  # back to 10 -> version 3
+        (2, "2024-01-01", None), (2, "2024-01-02", None),  # NULL attr: one version
+        (2, "2024-01-03", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k: long, d: string, price: double").withColumn(
+        "d", F.col("d").cast("date")
+    )
+    out = scd2_from_history(df, ["k"], ["price"], "d")
+    got = {
+        (r.k, r.price, str(r.valid_from), str(r.valid_to)) for r in out.collect()
+    }
+    assert got == {
+        (1, 10.0, "2024-01-01", "2024-01-03"),
+        (1, 12.0, "2024-01-03", "2024-01-05"),
+        (1, 10.0, "2024-01-05", "None"),
+        (2, None, "2024-01-01", "2024-01-03"),
+        (2, 5.0, "2024-01-03", "None"),
+    }

@@ -22,7 +22,7 @@ idempotent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,3 +102,47 @@ def apply_merge(spark, merged: DataFrame, final_path: str, tmp_path: str) -> Non
     MERGE-without-ACID hazard, SURVEY.md §7.3)."""
     merged.write.mode("overwrite").parquet(tmp_path)
     spark.read.parquet(tmp_path).write.mode("overwrite").parquet(final_path)
+
+
+def scd2_from_history(
+    history: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    date_col: str,
+) -> DataFrame:
+    """SCD Type-2 dimension from an observed-state history: collapse
+    consecutive observations with unchanged ``attrs`` into validity
+    intervals (key, attrs, valid_from, valid_to), valid_to NULL for the
+    current version — the dimensional-modeling step the reference's
+    SCD1 MERGE loads (K4-K6) skip by overwriting in place.
+
+    Change detection is a lag over (keys ORDER BY date) on the attr
+    tuple; version ids are the running sum of change flags; intervals
+    close with lead(valid_from).  All three windows share the same
+    (keys, date/version) partitioning+ordering, so the plan is ONE
+    shuffle on the key (window nodes reuse the exchange) followed by a
+    partial-agg groupBy on (keys, version).  History rows per key are
+    bounded by the observation calendar, not corpus size — no skew.
+    """
+    attr_struct = F.struct(*attrs)
+    w = Window.partitionBy(*keys).orderBy(date_col)
+    # Null-safe change detection (IS DISTINCT FROM): a NULL attr value
+    # must compare equal to NULL, not poison the flag to "unchanged".
+    changed = F.when(
+        ~F.lag(attr_struct).over(w).eqNullSafe(attr_struct), 1
+    ).otherwise(0)
+    versioned = history.withColumn(
+        "__ver",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = versioned.groupBy(*keys, "__ver").agg(
+        *[F.first(a).alias(a) for a in attrs],
+        F.min(date_col).alias("valid_from"),
+    )
+    wv = Window.partitionBy(*keys).orderBy("__ver")
+    return spans.select(
+        *keys,
+        *attrs,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )

@@ -24,7 +24,7 @@ from tiki_e_commerce_analytics_etl_spark.session import get_session  # noqa: E40
 
 def _norm(v):
     """Canonical comparable form for a cell value."""
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return None
     if isinstance(v, pd.Timestamp):
         v = v.to_pydatetime()
