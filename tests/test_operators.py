@@ -305,3 +305,25 @@ def test_scd2_from_history_collapses_versions(spark):
         (2, None, "2024-01-01", "2024-01-03"),
         (2, 5.0, "2024-01-03", "None"),
     }
+
+
+def test_observed_write_single_pass_gate(spark, tmp_path):
+    """Write-time quality observation: metrics ride the write action
+    (no second aggregation job), violations raise after landing."""
+    ok = spark.createDataFrame([(1, 5.0), (2, 3.0)], "product_id: long, price: double")
+    checks = [
+        quality.Check("no_nonpositive_price", violation=F.col("price") <= 0),
+        quality.Check("nonempty", must_hold=F.count(F.lit(1)) > 0),
+    ]
+    out = str(tmp_path / "obs_ok")
+    row = quality.observed_write(
+        ok, checks, lambda d: d.write.mode("overwrite").parquet(out)
+    )
+    assert row["ok_no_nonpositive_price"] and row["ok_nonempty"]
+    assert spark.read.parquet(out).count() == 2
+
+    bad = spark.createDataFrame([(1, -5.0)], "product_id: long, price: double")
+    with pytest.raises(quality.QualityCheckError, match="no_nonpositive_price"):
+        quality.observed_write(
+            bad, checks, lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "obs_bad"))
+        )

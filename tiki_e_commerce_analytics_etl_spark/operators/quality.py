@@ -142,3 +142,40 @@ def summary(df: DataFrame) -> DataFrame:
         F.count_if(F.col("trend_signal_status") == "No Trend Data").alias("no_trend_rows"),
         F.count_if(F.col("trend_signal_status") == "Unmapped").alias("unmapped_rows"),
     )
+
+
+def observed_write(
+    df: DataFrame,
+    checks: list[Check],
+    writer: "callable",
+    name: str = "quality",
+) -> Row:
+    """Run ``checks`` as write-time observations: the metrics ride the
+    write job itself (``df.observe``), so a quality-gated load costs
+    ONE pass over the data instead of check-aggregate + write — at a
+    100 TB scan that halves the job.  ``writer`` receives the observed
+    DataFrame and must trigger exactly one action (e.g.
+    ``lambda d: write_partitioned(d, path, [...])``).  Returns the
+    summary row (``ok_<name>`` booleans) and raises QualityCheckError
+    on any violation — after the write, which is the observe tradeoff:
+    gate-before-write needs the extra pass, gate-with-write validates
+    the landed partition (pair with the idempotent partition-overwrite
+    loads so a failed gate just re-runs the slice).
+    """
+    from pyspark.sql import Observation
+
+    aggs = []
+    for c in checks:
+        if c.violation is not None:
+            aggs.append(
+                (F.count_if(F.coalesce(c.violation, F.lit(False))) == 0).alias(f"ok_{c.name}")
+            )
+        else:
+            aggs.append(c.must_hold.alias(f"ok_{c.name}"))
+    obs = Observation(name)
+    writer(df.observe(obs, *aggs))
+    row = Row(**obs.get)
+    failures = [c.name for c in checks if not row[f"ok_{c.name}"]]
+    if failures:
+        raise QualityCheckError(f"quality checks failed: {failures}")
+    return row
