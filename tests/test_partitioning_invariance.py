@@ -1,0 +1,49 @@
+"""Distribution-correctness guards: a query's RESULT must not depend on
+the physical partitioning — the local proxy for "same answer on 4
+cores and on 1000 executors".  Each query runs under materially
+different execution layouts (shuffle-partition count swing + AQE
+toggled) and the canonicalized results must match bit-for-bit.
+
+Queries chosen for order-sensitivity risk: windows with tiebreaks
+(sessionize, scd2), running-sum packing, hash-threshold sampling,
+inverted-index pair generation, and the Arrow-vectorized gram stage.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "sessionize",
+    "scd2_products",
+    "pack_documents",
+    "token_budget_mix",
+    "ngram_jaccard",
+    "hash_split",
+    "dedup_latest",
+    "curation_pipeline",
+]
+
+
+def _canon(df):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check import canon
+
+    return canon(df.toPandas())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_partitioning(spark, name):
+    fn = entrymod.queries()[name]
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    a = _canon(fn(spark, SF_DIR))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")
+    b = _canon(fn(spark, SF_DIR))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert a.equals(b), f"{name}: result depends on physical partitioning"
