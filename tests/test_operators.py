@@ -327,3 +327,20 @@ def test_observed_write_single_pass_gate(spark, tmp_path):
         quality.observed_write(
             bad, checks, lambda d: d.write.mode("overwrite").parquet(str(tmp_path / "obs_bad"))
         )
+
+
+def test_gram_stage_handles_hot_document(spark):
+    """Skew robustness: one pathological 20k-word document must flow
+    through the vectorized gram stage and the inverted-index join
+    without blowup — its grams are near-unique, so it pairs with
+    nothing and adds O(doc_len) rows, not O(doc_len^2)."""
+    hot = " ".join(f"w{i}" for i in range(20_000))
+    df = spark.createDataFrame(
+        [(1, hot), (2, "tiny doc here"), (3, "tiny doc here too")],
+        "doc_id: long, text: string",
+    )
+    grams = dedup.hashed_gram_rows(df, "text", "doc_id", k=5)
+    counts = {r["__id"]: r["n_grams"] for r in grams.select("__id", "n_grams").distinct().collect()}
+    assert counts[1] == 20_000 - 5 + 1
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    assert all({p.id_a, p.id_b} == {2, 3} for p in pairs)
