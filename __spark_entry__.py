@@ -837,6 +837,49 @@ def q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (binned, each pair emitted once
+    from its overlap-start bin — no dedup shuffle): shipment transit
+    windows [shipdate, receiptdate] overlapping 30-day promotions."""
+    from tiki_e_commerce_analytics_etl_spark.operators import range_join
+
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 31 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        # deterministic transit time stands in for the receipt date the
+        # trimmed testdata lacks
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            (F.col("l_orderkey") % 20 + 3).cast("int"),
+        ).alias("receipt_date"),
+    )
+    promos = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            F.col("o_orderkey").alias("promo_id"),
+            F.col("o_orderdate").cast("date").alias("promo_start"),
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("promo_end"),
+        )
+    )
+    joined = range_join.interval_overlap_join(
+        li, "ship_date", "receipt_date", promos, "promo_start", "promo_end"
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "promo_id",
+        (
+            F.datediff(
+                F.least(F.col("receipt_date"), F.col("promo_end")),
+                F.greatest(F.col("ship_date"), F.col("promo_start")),
+            )
+            + 1
+        ).cast("long").alias("overlap_days"),
+    )
+
+
 def q_pivot_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1's inverse: long→wide pivot of the trends table with an
     EXPLICIT pivot-value list — without it Spark runs an extra
@@ -1237,6 +1280,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "pivot_trends": q_pivot_trends,
         "session_windows": q_session_windows,
+        "interval_overlap": q_interval_overlap,
         "scd2_products": q_scd2_products,
         "window_distribution": q_window_distribution,
         "grouping_sets_sales": q_grouping_sets_sales,
@@ -1896,6 +1940,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_trends": f"WITH {tdm.MART_CTES} {_PIVOT_TRENDS_ORACLE_BODY}",
         "session_windows": _SESSION_WINDOWS_ORACLE,
+        "interval_overlap": """
+            WITH l AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(l_shipdate AS DATE) AS ship_date,
+                       CAST(l_shipdate AS DATE) + CAST(l_orderkey % 20 + 3 AS INTEGER) AS receipt_date
+                FROM lineitem WHERE l_orderkey % 31 = 0
+            ),
+            r AS (
+                SELECT o_orderkey AS promo_id,
+                       CAST(o_orderdate AS DATE) AS promo_start,
+                       CAST(o_orderdate AS DATE) + 30 AS promo_end
+                FROM orders WHERE o_orderkey % 997 = 0
+            )
+            SELECT l_orderkey, l_linenumber, promo_id,
+                   CAST(date_diff('day',
+                        GREATEST(ship_date, promo_start),
+                        LEAST(receipt_date, promo_end)) + 1 AS BIGINT) AS overlap_days
+            FROM l JOIN r
+              ON ship_date <= promo_end AND promo_start <= receipt_date
+        """,
         "scd2_products": f"""
             WITH {tdm.MART_CTES},
             daily AS (

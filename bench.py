@@ -64,6 +64,7 @@ HEADLINE = [
     # custom operators Spark lacks natively
     "fx_asof",
     "range_join",
+    "interval_overlap",
     "time_rollup",
     "hierarchy_roots",
 ]

@@ -79,3 +79,32 @@ def test_time_rollup_granularities_consistent(spark):
     assert by[("month", "2024-01-01 00:00:00")] == 3
     with pytest.raises(ValueError):
         time_rollup.time_rollup(ev, "ts", [], [], granularities=("minute",))
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    """Pairs overlapping across MANY shared bins must appear exactly
+    once (emitted from the overlap-start bin), with closed-bound
+    touch-overlaps included and disjoint intervals excluded."""
+    from tiki_e_commerce_analytics_etl_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "2024-06-30"),   # long interval: spans many 30d bins
+            (2, "2024-03-10", "2024-03-15"),
+            (3, "2025-01-01", "2025-01-02"),   # disjoint from everything
+        ],
+        "lid: long, ls: string, le: string",
+    ).select("lid", F.col("ls").cast("date").alias("ls"), F.col("le").cast("date").alias("le"))
+    right = spark.createDataFrame(
+        [
+            (10, "2024-02-01", "2024-05-31"),  # long overlap with lid=1
+            (20, "2024-03-15", "2024-04-15"),  # touches lid=2 at one day
+        ],
+        "rid: long, rs: string, re: string",
+    ).select("rid", F.col("rs").cast("date").alias("rs"), F.col("re").cast("date").alias("re"))
+
+    rows = interval_overlap_join(left, "ls", "le", right, "rs", "re", bin_days=30).collect()
+    pairs = sorted((r.lid, r.rid) for r in rows)
+    assert pairs == [(1, 10), (1, 20), (2, 10), (2, 20)]  # each exactly once

@@ -24,6 +24,51 @@ def _day_bin(col: F.Column, bin_days: int) -> F.Column:
     return F.floor(F.datediff(col, F.lit(_EPOCH).cast("date")) / bin_days).cast("long")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    l_start: str,
+    l_end: str,
+    right: DataFrame,
+    r_start: str,
+    r_end: str,
+    bin_days: int = 30,
+) -> DataFrame:
+    """Inner join of overlapping interval pairs (closed bounds:
+    ``l_start <= r_end AND r_start <= l_end``) — the interval×interval
+    sibling of ``range_join_points``.
+
+    Both sides register in every bin they span; the match is an
+    equi-join on the bin plus the exact overlap residual.  A pair
+    spanning several shared bins would match in each — instead of a
+    costly DISTINCT over the (wide) output, each pair is EMITTED
+    EXACTLY ONCE, from the bin containing the overlap's start
+    (``greatest(l_start, r_start)``): that bin is shared by
+    construction, so no duplicates and no dedup shuffle.  Work scales
+    with bin registrations + true matches, not |L|·|R|.
+    """
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _day_bin(F.col(l_start), bin_days), _day_bin(F.col(l_end), bin_days)
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                _day_bin(F.col(r_start), bin_days), _day_bin(F.col(r_end), bin_days)
+            )
+        ),
+    )
+    overlap = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    emit_here = (
+        _day_bin(F.greatest(F.col(l_start), F.col(r_start)), bin_days) == F.col("__bin")
+    )
+    return lb.join(rb, "__bin").filter(overlap & emit_here).drop("__bin")
+
+
 def range_join_points(
     left: DataFrame,
     point_col: str,
