@@ -174,3 +174,40 @@ def test_dedup_stream_first_seen_bounded_state(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT product_id FROM dedup_stream_test").collect()
     assert sorted(r.product_id for r in got) == [1, 2, 3]
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """Exactly-once across restart: a second availableNow run on the
+    same checkpoint must process only files that arrived after the
+    first run — re-delivered source data is not re-landed."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_recovery")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id: long, v: string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(b1.schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 3
+
+    # second delivery: two new rows in a new file
+    spark.createDataFrame([(4, "d"), (5, "e")], "id: long, v: string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]  # batch-1 rows exactly once
