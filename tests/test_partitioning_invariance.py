@@ -35,8 +35,23 @@ def _canon(df):
     return canon(df.toPandas())
 
 
+@pytest.fixture
+def restore_confs(spark):
+    """Snapshot the layout confs and restore the SESSION's originals
+    afterwards — hardcoding 'restore' values would silently leave later
+    tests in the shared session running with a different parallelism
+    than they were written for."""
+    keys = ["spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions"]
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("name", QUERIES)
-def test_result_invariant_under_partitioning(spark, name):
+def test_result_invariant_under_partitioning(spark, restore_confs, name):
     fn = entrymod.queries()[name]
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -44,6 +59,4 @@ def test_result_invariant_under_partitioning(spark, name):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "17")
     b = _canon(fn(spark, SF_DIR))
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     assert a.equals(b), f"{name}: result depends on physical partitioning"

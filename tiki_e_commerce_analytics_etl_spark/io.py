@@ -37,10 +37,12 @@ def conform_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
 def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md layout).
 
-    The events table stores TIMESTAMP(NANOS), which Spark reads as long
-    nanos under ``nanosAsLong``; convert to a microsecond timestamp with
-    integer division (ns-since-epoch exceeds double's 2^53 exact range,
-    so float math would corrupt it).
+    The events table's ``ts`` has varied across driver testdata
+    generations — TIMESTAMP(NANOS) (reads as long nanos under
+    ``nanosAsLong``; converted with exact integer division because
+    ns-since-epoch exceeds double's 2^53 range) or naive TIMESTAMP(US)
+    (reads as TIMESTAMP_NTZ; cast to session-UTC TIMESTAMP).  Both
+    normalize to the same µs-UTC timestamp the engine standardizes on.
 
     Note on scan parallelism: the local testdata tables are
     single-row-group parquet files, so the FileScan yields one
@@ -52,8 +54,17 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     the scan parallelism comes from splits, not from a repartition.
     """
     df = spark.read.parquet(f"{base_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet under nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Naive µs parquet (isAdjustedToUTC=false) infers as NTZ;
+            # the engine standardizes on session-UTC TIMESTAMP, and the
+            # cast interprets the naive value in the (UTC) session zone
+            # — same instant, same wall-clock, oracle-identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -22,8 +22,10 @@ Plan shapes:
   axis is bucketed into coarse bins and the same union+window runs
   partitioned BY BIN — fully parallel.  Cross-bin carry (a left row
   whose latest right row lives in an earlier bin, possibly across a
-  gap of empty bins) is restored by a per-bin running "last right row
-  so far" computed over the *bin summary* (one row per bin — bounded
+  gap of empty bins) is restored by a per-bin running "last non-null
+  right value so far", carried PER VALUE COLUMN (matching the keyed
+  window's per-column ignorenulls semantics) and computed over the
+  *bin summary* (one row per bin — bounded
   by time range / bin width, never by data size) and injected into
   each bin as one synthetic right row that sorts first.  The only
   unpartitioned window in the plan therefore consumes the per-bin
@@ -124,11 +126,23 @@ def _binned_union(
     l2 = l_tagged.withColumn("__bin", binexpr)
     r2 = r_tagged.withColumn("__bin", binexpr)
 
-    # Last right row per bin — ONE row per non-empty right bin.  The
-    # (t, value-struct) max respects the same (time, insertion) order
-    # as the in-bin window because only __t orders right rows there.
-    vstruct = F.struct(*[F.col(f"__v_{c}").alias(f"__v_{c}") for c in value_cols])
-    rb = r2.groupBy("__bin").agg(F.max_by(vstruct, F.col("__t")).alias("__last"))
+    # Per-bin, PER-COLUMN last non-null right value — mirrors the keyed
+    # path, where F.last(ignorenulls) carries each value column
+    # independently (a latest right row with a NULL in one column must
+    # not mask an older non-null value for that column).  The max_by
+    # ordering key ignores rows where the column is null (null ordering
+    # keys are skipped by max_by) and sorts null-time rows FIRST
+    # (matching the window's asc_nulls_first), via the (isNotNull, t)
+    # struct.
+    ordk = F.struct(F.col("__t").isNotNull().alias("nn"), F.col("__t").alias("t"))
+    rb = r2.groupBy("__bin").agg(
+        *[
+            F.max_by(
+                F.col(f"__v_{c}"), F.when(F.col(f"__v_{c}").isNotNull(), ordk)
+            ).alias(f"__last_{c}")
+            for c in value_cols
+        ]
+    )
 
     # Every bin either side touches, with the running last-right-values
     # of all STRICTLY EARLIER bins.  This is the only unpartitioned
@@ -136,11 +150,14 @@ def _binned_union(
     # time-range / bin_width), not the data.
     all_bins = l2.select("__bin").distinct().unionByName(rb.select("__bin")).distinct()
     wbins = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, -1)
-    carry = (
-        all_bins.join(rb, "__bin", "left")
-        .select("__bin", F.last("__last", ignorenulls=True).over(wbins).alias("__carry"))
-        .filter(F.col("__carry").isNotNull())
-    )
+    carry_cols = [
+        F.last(F.col(f"__last_{c}"), ignorenulls=True).over(wbins).alias(f"__carry_{c}")
+        for c in value_cols
+    ]
+    any_nonnull = F.lit(False)
+    for c in value_cols:
+        any_nonnull = any_nonnull | F.col(f"__carry_{c}").isNotNull()
+    carry = all_bins.join(rb, "__bin", "left").select("__bin", *carry_cols).filter(any_nonnull)
 
     # One synthetic right row per bin, sorting before every real row
     # (__t null → nulls-first, side -1 breaks the tie with real rows
@@ -151,7 +168,7 @@ def _binned_union(
         F.lit(None).cast(t_type).alias("__t"),
         F.lit(-1).alias("__side"),
         F.lit(None).cast(lrow_type).alias("__lrow"),
-        *[F.col(f"__carry.__v_{c}").alias(f"__v_{c}") for c in value_cols],
+        *[F.col(f"__carry_{c}").alias(f"__v_{c}") for c in value_cols],
         "__bin",
     )
 

@@ -209,13 +209,20 @@ def _token_hashes(texts: "pd.Series") -> tuple[np.ndarray, np.ndarray]:
 def _doc_shingles(hw: np.ndarray, k: int) -> np.ndarray:
     """Distinct k-window hashes of one document's word-hash vector —
     vectorized rolling multiply-xor combine (uint64 wraps in numpy).
-    Documents with <= k words fold to a single whole-text hash, same
-    structure as ``shingle_hashes_from``."""
+
+    Documents with exactly k words take the SAME rolling combine as the
+    k-windows of longer documents (one window spanning the whole text),
+    so a k-word document's gram equals an identical k-gram appearing
+    inside a longer document — matching the string-gram oracle, where a
+    k-word whole text IS its single k-gram.  Only documents with < k
+    words fold to a whole-text FNV hash (a < k-word string can never
+    equal an exactly-k-word gram, so the separate family is safe).
+    """
     n = len(hw)
     # uint64 wraparound is the intended hash mixing — silence numpy's
     # scalar-overflow warning (array ops never warn, scalars do).
     with np.errstate(over="ignore"):
-        if n > k:
+        if n >= k:
             g = hw[: n - k + 1] * _P1
             for j in range(1, k):
                 g = (g ^ hw[j : n - k + 1 + j]) * _P2

@@ -24,6 +24,29 @@ def _day_bin(col: F.Column, bin_days: int) -> F.Column:
     return F.floor(F.datediff(col, F.lit(_EPOCH).cast("date")) / bin_days).cast("long")
 
 
+def _require_disjoint_columns(left: DataFrame, right: DataFrame, op: str) -> None:
+    """Both join formulations keep every column from both sides, so a
+    shared name would make the residual predicates ambiguous — fail at
+    plan time with the offending names rather than at analysis."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    if shared:
+        raise ValueError(
+            f"{op}: column name(s) {shared} appear on both sides; "
+            "rename/prefix one side before joining"
+        )
+
+
+def _span_bins(start: F.Column, end: F.Column, bin_days: int) -> F.Column:
+    """Bin sequence an interval registers in.  An inverted interval
+    (start > end) would silently yield a DESCENDING bin sequence (and
+    wrong matches) — assert instead.  Null-bounded intervals keep the
+    established semantics: sequence(null, ·) is null and explode drops
+    the row."""
+    ok = start.isNull() | end.isNull() | (start <= end)
+    chk = F.assert_true(ok, F.lit("inverted interval: start > end"))
+    return F.when(chk.isNull(), F.sequence(_day_bin(start, bin_days), _day_bin(end, bin_days)))
+
+
 def interval_overlap_join(
     left: DataFrame,
     l_start: str,
@@ -46,21 +69,12 @@ def interval_overlap_join(
     construction, so no duplicates and no dedup shuffle.  Work scales
     with bin registrations + true matches, not |L|·|R|.
     """
+    _require_disjoint_columns(left, right, "interval_overlap_join")
     lb = left.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                _day_bin(F.col(l_start), bin_days), _day_bin(F.col(l_end), bin_days)
-            )
-        ),
+        "__bin", F.explode(_span_bins(F.col(l_start), F.col(l_end), bin_days))
     )
     rb = right.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                _day_bin(F.col(r_start), bin_days), _day_bin(F.col(r_end), bin_days)
-            )
-        ),
+        "__bin", F.explode(_span_bins(F.col(r_start), F.col(r_end), bin_days))
     )
     overlap = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     emit_here = (
@@ -79,14 +93,10 @@ def range_join_points(
 ) -> DataFrame:
     """Inner join of left points to right intervals containing them
     (inclusive bounds).  Returns all left columns + all right columns."""
+    _require_disjoint_columns(left, right, "range_join_points")
     lb = left.withColumn("__bin", _day_bin(F.col(point_col), bin_days))
     rb = right.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                _day_bin(F.col(start_col), bin_days), _day_bin(F.col(end_col), bin_days)
-            )
-        ),
+        "__bin", F.explode(_span_bins(F.col(start_col), F.col(end_col), bin_days))
     )
     return (
         lb.join(rb, "__bin")
