@@ -487,10 +487,17 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import similarity
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # Plane count auto-sizes to the corpus (constant bucket occupancy);
-    # 16 tables recover recall.  Bucketing is one numpy matmul per Arrow
-    # batch; rerank is exact cosine.
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    # Plane count auto-sizes to the corpus (constant bucket occupancy)
+    # from the parquet footer's row count — metadata only, no Spark
+    # action (a production caller passes catalog stats).  16 tables
+    # recover recall; bucketing is one numpy matmul per Arrow batch;
+    # rerank is exact cosine.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, corpus_size=n_rows
+    )
 
 
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -57,6 +57,69 @@ def test_frame_sample_only_videos(spark, media_df):
     assert all(isinstance(r.frame, (bytes, bytearray)) for r in frames)
 
 
+def _wav_bytes(freq: float = 440.0, rate: int = 8000, seconds: float = 0.1) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        n = int(rate * seconds)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(20000 * math.sin(2 * math.pi * freq * i / rate)))
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_real_decoder_wav_audio():
+    feat = mm.real_decoder(_wav_bytes(), "audio")
+    assert len(feat) == 8
+    assert feat[0] == 1.0  # mono
+    assert feat[1] == 2.0  # 16-bit
+    assert abs(feat[3] - 0.1) < 1e-6  # duration seconds
+    amp = 20000 / 32768
+    assert abs(feat[5] - amp / 2**0.5) < 0.02  # sine RMS
+    assert abs(feat[6] - amp) < 0.02  # peak
+    # deterministic
+    assert mm.real_decoder(_wav_bytes(), "audio") == feat
+
+
+def test_real_decoder_non_wav_audio_raises():
+    with pytest.raises(NotImplementedError):
+        mm.real_decoder(b"\xffOggS not a wav", "audio")
+
+
+def test_real_decoder_image_with_pillow():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL_Image.new("L", (32, 16), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    feat = mm.real_decoder(buf.getvalue(), "image")
+    assert len(feat) == 8
+    assert abs(feat[0] - 32 / 4096) < 1e-9 and abs(feat[1] - 16 / 4096) < 1e-9
+    assert abs(feat[2] - 128 / 255) < 1e-6  # flat gray mean
+
+
+def test_extract_features_real_audio_spark_path(spark):
+    rows = [
+        (10, "audio", _wav_bytes(220.0), ("audio/wav", None, None, 100)),
+        (11, "audio", None, ("audio/wav", None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.extract_features(df, decoder=mm.real_decoder).collect()}
+    assert len(out[10].feature) == 8 and out[10].feature[0] == 1.0
+    assert list(out[11].feature) == [0.0] * 8
+
+
 def test_streaming_upsert_foreachbatch(spark, tmp_path):
     """Drive the foreachBatch MERGE sink with two batches: second batch
     revises a key and adds one (the trends late-revision semantics)."""

@@ -3,10 +3,11 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct.  Decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages — the Spark-side contract (schema,
-batch shape, partitioning) is real and tested; the actual codec step is
-STUBBED (this container has no image/audio libraries) behind
-``decoder=``: pass a real decoder callable in production, or use the
-deterministic fake for plumbing tests.
+batch shape, partitioning) is real and tested.  The codec step behind
+``decoder=`` has a real path (``real_decoder``: PIL for images when
+installed, stdlib ``wave`` for WAV audio) that degrades to
+NotImplementedError per media type when the codec is absent, and a
+deterministic ``fake_decoder`` for plumbing tests without codecs.
 
 Scale notes: binary payloads dominate row size, so
 ``repartition_for_payload`` sizes partitions by *bytes*, not rows,
@@ -63,19 +64,109 @@ def fake_decoder(payload: bytes, media_type: str) -> list[float]:
 
 
 def real_decoder(payload: bytes, media_type: str) -> list[float]:
-    """Placeholder for the production decode path; the required media
-    libraries are not available in this environment."""
+    """Real decode path with optional codecs: PIL for images (when
+    installed), stdlib ``wave`` for WAV audio (always available).
+    Produces a deterministic 8-dim summary feature.  Raises
+    NotImplementedError only for a media type whose codec is absent
+    (no PIL → images unavailable; video needs ffmpeg-like tooling this
+    container lacks) — pass ``decoder=fake_decoder`` to exercise the
+    plumbing without codecs."""
+    if payload is None:
+        return [0.0] * 8
+    if media_type == "image":
+        try:
+            from PIL import Image  # optional dependency
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decoding requires pillow; pass decoder=fake_decoder "
+                "for plumbing tests"
+            ) from exc
+        import io as _io
+
+        import numpy as np
+
+        img = Image.open(_io.BytesIO(payload)).convert("L")
+        a = np.asarray(img, dtype=np.float64) / 255.0
+        h, w = a.shape
+        return [
+            float(w) / 4096.0,
+            float(h) / 4096.0,
+            float(a.mean()),
+            float(a.std()),
+            float(a[: max(1, h // 2), :].mean()),
+            float(a[h // 2 :, :].mean()) if h > 1 else float(a.mean()),
+            float(a[:, : max(1, w // 2)].mean()),
+            float(a[:, w // 2 :].mean()) if w > 1 else float(a.mean()),
+        ]
+    if media_type == "audio":
+        import io as _io
+        import wave as _wave
+
+        import numpy as np
+
+        try:
+            with _wave.open(_io.BytesIO(payload), "rb") as wav:
+                n_channels = wav.getnchannels()
+                sampwidth = wav.getsampwidth()
+                framerate = wav.getframerate()
+                n_frames = wav.getnframes()
+                raw = wav.readframes(n_frames)
+        except (_wave.Error, EOFError) as exc:
+            raise NotImplementedError(
+                "audio decoding supports WAV via stdlib wave; other codecs "
+                "need soundfile/torchaudio"
+            ) from exc
+        dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sampwidth)
+        if dtype is None:
+            raise NotImplementedError(f"unsupported WAV sample width {sampwidth}")
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        scale = float(2 ** (8 * sampwidth - 1))
+        x = x / scale
+        if x.size == 0:
+            x = np.zeros(1)
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if x.size > 1 else 0.0
+        return [
+            float(n_channels),
+            float(sampwidth),
+            float(framerate) / 48000.0,
+            float(n_frames) / max(framerate, 1),  # duration seconds
+            float(np.abs(x).mean()),
+            float(np.sqrt((x * x).mean())),
+            float(np.abs(x).max()),
+            zc,
+        ]
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; pass decoder=fake_decoder for plumbing tests"
+        f"no codec available for media_type={media_type!r}; "
+        "pass decoder=fake_decoder for plumbing tests"
     )
 
 
-def repartition_for_payload(df: DataFrame, target_partition_bytes: int = 128 << 20) -> DataFrame:
+def repartition_for_payload(
+    df: DataFrame,
+    target_partition_bytes: int = 128 << 20,
+    total_payload_bytes: int | None = None,
+) -> DataFrame:
     """Repartition so each task holds ~target_partition_bytes of
-    payload.  Uses a cheap single-pass size estimate; at scale, replace
-    with catalog statistics."""
-    total = df.select(F.sum(F.coalesce(F.length("payload"), F.lit(0)))).collect()[0][0] or 0
+    payload.
+
+    The size estimate costs NO data pass: pass ``total_payload_bytes``
+    when known (catalog stats / manifest), else the source files'
+    on-disk sizes are summed driver-side (``df.inputFiles()`` is
+    metadata-only).  File size is compressed bytes — an underestimate
+    of in-memory payload — but binary media payloads barely compress,
+    so it lands within a small factor, and the target is a sizing
+    heuristic, not a correctness bound."""
+    import os
+    from urllib.parse import urlparse
+
+    total = total_payload_bytes
+    if total is None:
+        total = 0
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            path = p.path if p.scheme in ("file", "") else None
+            if path and os.path.exists(path):
+                total += os.path.getsize(path)
     n = max(1, int(total / target_partition_bytes) + 1)
     return df.repartition(n)
 
