@@ -512,6 +512,55 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ANN recall thresholds: both ANN paths are seeded-deterministic, so
+# per-query recall@10 vs the (oracle-exact) brute-force top-k is a
+# stable quantity per dataset.  The registered *_recall queries emit
+# (query_id, recall_ok) and the DuckDB oracle asserts TRUE for every
+# query — a driver-visible gate that fails if the hash family, plane
+# sizing, or quantizer regresses.  Thresholds sit well below measured
+# recall at sf0.001/0.01/0.1 (see tests/test_sessions_similarity.py)
+# but high enough that a broken ANN path cannot pass.
+LSH_RECALL_THRESHOLD = 0.5  # measured min 0.7 across sf0.001/0.01/0.1
+IVF_RECALL_THRESHOLD = 0.3  # measured min 0.5 at nprobe=8; random ≈ 0.02
+
+
+def _recall_vs_exact(exact: DataFrame, ann: DataFrame, threshold: float) -> DataFrame:
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        (
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact")) >= F.lit(threshold)
+        ).alias("recall_ok"),
+    )
+
+
+def q_similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gate for the LSH ANN path vs exact brute-force top-k."""
+    exact = q_similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_similarity_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_vs_exact(exact, ann, LSH_RECALL_THRESHOLD)
+
+
+def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gate for the IVF ANN path vs exact brute-force top-k.
+    Probes half the cells (nprobe=8 of 16) so the measured floor (0.5)
+    sits comfortably above the threshold; q_similarity_topk_ivf keeps
+    the cheaper nprobe=4 production shape."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = q_similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=16, nprobe=8
+    ).select("query_id", "neighbor_id")
+    return _recall_vs_exact(exact, ann, IVF_RECALL_THRESHOLD)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, long form (label, pos, m).
     Component sums go through DECIMAL(18,6) so the unordered float
@@ -630,16 +679,21 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs over documents
-    (rows-only: hash family is Spark-side xxhash64)."""
+    """MinHash+LSH near-duplicate candidate pairs over documents,
+    using the engine-portable md5-derived hash family so the full
+    shingle→minhash→band→bucket-join pipeline is checked against a
+    true DuckDB oracle (the xxhash64-native variant stays in the
+    library for hot paths and is covered by pytest)."""
     docs = read_table(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_candidates(docs, "text", "doc_id")
+    return dedup_ops.minhash_lsh_candidates_portable(docs, "text", "doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signature per document (rows-only: xxhash64)."""
+    """Portable 48-bit SimHash signature per document — md5-derived
+    word hashes, bit-exact against the SQL oracle (the xxhash64
+    simhash_df variant stays library-side under pytest)."""
     docs = read_table(spark, sf_dir, "documents")
-    return dedup_ops.simhash_df(docs.select("doc_id", "text"), "text", "doc_id", "simhash64")
+    return dedup_ops.simhash_portable_df(docs.select("doc_id", "text"), "text", "doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1256,8 +1310,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "price_discount_corr": q_price_discount_corr,
         "similarity_topk": q_similarity_topk,
-        "similarity_topk_lsh": q_similarity_topk_lsh,
-        "similarity_topk_ivf": q_similarity_topk_ivf,
+        "similarity_lsh_recall": q_similarity_lsh_recall,
+        "similarity_ivf_recall": q_similarity_ivf_recall,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1431,6 +1485,77 @@ _NGRAM_JACCARD_ORACLE = f"""
     )
     SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
     FROM p WHERE shared / (na + nb - shared) >= 0.5
+"""
+
+
+def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of dedup.minhash_lsh_candidates_portable: identical
+    md5-derived 48-bit gram hash, identical (a, b) coefficients from
+    the same seeded generator, identical '-'-joined band keys."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import (
+        portable_minhash_params,
+    )
+
+    a, b = portable_minhash_params(num_hashes)
+    r = num_hashes // bands
+    sig_cols = ",\n               ".join(
+        f"MIN({a[i]}*h + {b[i]}) AS s{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('-', {cols}) AS key FROM sig".format(
+            bi=bi, cols=", ".join(f"s{bi * r + j}" for j in range(r))
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 5 THEN
+                   list_transform(range(1, len(ws) - 3),
+                                  i -> array_to_string(ws[i:i+4], ' '))
+               ELSE [array_to_string(ws, ' ')] END AS grams
+        FROM w
+    ),
+    g AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM s)),
+    sig AS (SELECT doc_id, {sig_cols}
+            FROM g GROUP BY doc_id),
+    bands AS ({band_selects})
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+"""
+
+
+_SIMHASH_PORTABLE_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) AS hw
+          FROM e),
+    v AS (
+        SELECT doc_id, t.j,
+               SUM(CASE WHEN (hw >> CAST(t.j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h CROSS JOIN range(48) t(j)
+        GROUP BY doc_id, t.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash48
+    FROM v GROUP BY doc_id
+"""
+
+
+# The ANN paths are seeded-deterministic, so "every query's recall@10
+# clears the threshold" is a stable boolean the oracle CAN produce
+# without running ANN: TRUE per query id.  A hash-family / quantizer /
+# plane-sizing regression drops recall below the threshold and flips
+# rows to FALSE → driver hash mismatch.
+_ANN_RECALL_ORACLE = """
+    SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
 """
 
 
@@ -1855,6 +1980,10 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _EVENT_WINDOWS_ORACLE,
         "quality_checks": _quality_checks_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "minhash_pairs": _minhash_portable_oracle(),
+        "simhash": _SIMHASH_PORTABLE_ORACLE,
+        "similarity_lsh_recall": _ANN_RECALL_ORACLE,
+        "similarity_ivf_recall": _ANN_RECALL_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "token_budget_mix": _TOKEN_BUDGET_MIX_ORACLE,

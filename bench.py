@@ -54,8 +54,8 @@ HEADLINE = [
     "centroid_assign",
     "embedding_neardup",
     "similarity_topk",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
+    "similarity_lsh_recall",
+    "similarity_ivf_recall",
     "lang_id",
     "text_quality",
     "doc_fingerprint",

@@ -419,6 +419,143 @@ def minhash_lsh_candidates(
     return _expand_bucket_pairs(buckets, doc_struct=False).distinct()
 
 
+def portable_minhash_params(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """Seeded (a, b) coefficients for the portable universal-hash
+    family g_i(h) = a_i·h + b_i, sized so the arithmetic never leaves
+    int64: a < 2^14 (odd), b < 2^48, h < 2^48 → a·h + b < 2^63."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    a = [rng.randrange(1, 1 << 14) | 1 for _ in range(num_hashes)]
+    b = [rng.randrange(0, 1 << 48) for _ in range(num_hashes)]
+    return a, b
+
+
+def _md5_48(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
+
+
+def minhash_lsh_candidates_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs with an ENGINE-PORTABLE hash family,
+    so the whole pipeline carries a true SQL oracle (the xxhash64
+    family of ``minhash_lsh_candidates`` is Spark-internal and can only
+    be rows-checked).
+
+    Hash family: gram hash h = int64 of the first 12 hex chars of
+    md5(gram) — 48 uniform bits any engine reproduces exactly
+    (md5 + substr + hex cast) — and per-function hash g_i = a_i·h + b_i
+    in plain int64 arithmetic (no overflow by construction, see
+    ``portable_minhash_params``).  Band key is the '-'-joined decimal
+    signature slice — string equality, no engine-specific folding.
+
+    Plan shape is identical to the native path: one vectorized Arrow
+    stage emits (id, band, band_key); ONE shuffle groups buckets;
+    single-sided pair expansion.  Costs ~1 Python md5 per gram — the
+    portability price; prefer the xxhash variant when no cross-engine
+    check is needed.
+    """
+    rows_per_band = num_hashes // bands
+    a, b = portable_minhash_params(num_hashes, seed)
+    A = np.array(a, dtype=np.int64)
+    Bv = np.array(b, dtype=np.int64)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", id_field.dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_key", T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, bandl, keys = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = _ASCII_WS.split(("" if t is None else t).lower().strip(_SPARK_TRIM))
+                n = len(words)
+                if n > shingle_k:
+                    grams = [
+                        " ".join(words[j : j + shingle_k])
+                        for j in range(n - shingle_k + 1)
+                    ]
+                else:
+                    grams = [" ".join(words)]
+                hs = np.fromiter(
+                    (_md5_48(g) for g in grams), dtype=np.int64, count=len(grams)
+                )
+                sig = (hs[:, None] * A[None, :] + Bv[None, :]).min(axis=0)
+                for bi in range(bands):
+                    seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                    ids.append(i)
+                    bandl.append(bi)
+                    keys.append("-".join(str(int(v)) for v in seg))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "__id": ids,
+                        "band": np.array(bandl, dtype=np.int32),
+                        "band_key": keys,
+                    }
+                )
+
+    banded = df.select(id_col, text_col).mapInPandas(run, out_schema)
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("__id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+    )
+    return _expand_bucket_pairs(buckets, doc_struct=False).distinct()
+
+
+def simhash_portable_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash48",
+    bits: int = 48,
+) -> DataFrame:
+    """SimHash with the portable md5-derived 48-bit word hash (same
+    family as ``minhash_lsh_candidates_portable``), so the signature is
+    bit-for-bit reproducible in SQL.  Semantics mirror ``simhash_df``:
+    per word OCCURRENCE ±1 votes per bit, bit set when the vote is
+    strictly positive."""
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_field.dataType), T.StructField(out_col, T.LongType())]
+    )
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+    shifts = np.arange(bits, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = _ASCII_WS.split(("" if t is None else t).lower().strip(_SPARK_TRIM))
+                hs = np.fromiter(
+                    (_md5_48(w) for w in words), dtype=np.int64, count=len(words)
+                )
+                bmat = (hs[:, None] >> shifts[None, :]) & 1
+                votes = 2 * bmat.sum(axis=0) - len(hs)
+                ids.append(i)
+                sigs.append(int(weights[votes > 0].sum()))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, out_col: np.array(sigs, dtype=np.int64)}
+                )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
