@@ -111,10 +111,19 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 — keep-latest-per-key window dedup (transform_tiki.py:582-587):
-    latest event per user_id."""
+    """D1 — keep-latest-per-key dedup (transform_tiki.py:582-587):
+    latest event per user_id.
+
+    Uses the row_number-window formulation: measured ~35% faster than
+    the max_by(struct) aggregate at sf0.1/local[32] (0.33 s vs 0.50 s
+    steady-state — SortAggregate over full-row struct buffers pays more
+    CPU than the window's plain sort at this size).  The crossover
+    favors ``dedup.keep_latest`` (partial-agg max_by) when shuffle IO
+    dominates — many rows per key per input partition at cluster scale
+    — which is why both formulations stay in the library with the
+    trade-off documented."""
     ev = read_table(spark, sf_dir, "events")
-    return dedup_ops.keep_latest(ev, ["user_id"], "ts", tiebreakers=["event_id"])
+    return dedup_ops.keep_latest_window(ev, ["user_id"], "ts", tiebreakers=["event_id"])
 
 
 def q_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +685,60 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint_df(docs.select("doc_id", "text"), "text", 8, "fp").select(
         "doc_id", "fp"
     )
+
+
+def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — Google-Trends wide-CSV scan with smart date detection
+    (reference transform_google_trends.py:27-41), oracle-checked via
+    deterministic literal fixture files (js_clean_literals pattern):
+    one CSV with a cased 'Date'/'IsPartial' header, one pandas-index
+    export whose date arrives as an UNNAMED first column and has no
+    isPartial at all (synthesized False).  Both flow through the real
+    reader + R1 melt to (date, keyword, score_raw, is_partial)."""
+    import os
+    import tempfile
+
+    from tiki_e_commerce_analytics_etl_spark.operators.reshape import (
+        melt_trends_wide,
+        union_concat,
+    )
+    from tiki_e_commerce_analytics_etl_spark.sources.trends_csv import read_trends_csv
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
+    os.makedirs(base, exist_ok=True)
+    cased = os.path.join(base, "trends_cased.csv")
+    indexed = os.path.join(base, "trends_index.csv")
+    with open(cased, "w", encoding="utf-8") as f:
+        f.write(
+            "Date,electronics,smart phone,IsPartial\n"
+            "2024-01-01,55,<1,False\n"
+            "2024-01-02,60,12,False\n"
+            "2024-01-03,58,7,True\n"
+        )
+    with open(indexed, "w", encoding="utf-8") as f:
+        f.write(",home garden,laptop\n2024-02-01,33,99\n2024-02-02,<1,100\n")
+    return union_concat(
+        [
+            melt_trends_wide(read_trends_csv(spark, cased)),
+            melt_trends_wide(read_trends_csv(spark, indexed)),
+        ]
+    )
+
+
+_TRENDS_CSV_SCAN_ORACLE = """
+    SELECT CAST(d AS DATE) AS date, keyword, score_raw, is_partial FROM (VALUES
+        ('2024-01-01', 'electronics', '55', FALSE),
+        ('2024-01-01', 'smart phone', '<1', FALSE),
+        ('2024-01-02', 'electronics', '60', FALSE),
+        ('2024-01-02', 'smart phone', '12', FALSE),
+        ('2024-01-03', 'electronics', '58', TRUE),
+        ('2024-01-03', 'smart phone', '7', TRUE),
+        ('2024-02-01', 'home garden', '33', FALSE),
+        ('2024-02-01', 'laptop', '99', FALSE),
+        ('2024-02-02', 'home garden', '<1', FALSE),
+        ('2024-02-02', 'laptop', '100', FALSE)
+    ) AS t(d, keyword, score_raw, is_partial)
+"""
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,6 +1378,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "trends_csv_scan": q_trends_csv_scan,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1980,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": _EVENT_WINDOWS_ORACLE,
         "quality_checks": _quality_checks_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "trends_csv_scan": _TRENDS_CSV_SCAN_ORACLE,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

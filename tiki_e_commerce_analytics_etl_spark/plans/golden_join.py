@@ -24,6 +24,69 @@ from tiki_e_commerce_analytics_etl_spark.functions import trend_signal_status, u
 FX_FALLBACK_RATE = 25400.0  # analytics_dag.py:57
 
 
+def golden_join_bucketed(
+    fact: DataFrame,
+    keyword_mapping: DataFrame,
+    dim_products: DataFrame,
+    trends: DataFrame,
+    n_buckets: int = 32,
+    fact_table: str = "gj_fact_bucketed",
+    trends_table: str = "gj_trends_bucketed",
+) -> DataFrame:
+    """J4 at the 100× fact-fact regime: when ``fact_google_trends`` is
+    itself a large fact (full keyword×date history), the broadcast in
+    ``golden_join`` stops applying and the J4 join becomes a sort-merge
+    with BOTH sides shuffling on (keyword, date) — per SURVEY §2.6.
+    This variant removes that shuffle entirely by pre-bucketing:
+
+      1. enrich the fact with ``trend_keyword`` via the (genuinely
+         small) keyword-mapping broadcast — the only broadcast left;
+      2. write the enriched fact AND the trends fact as bucketed tables
+         on the identical (trend_keyword, snapshot_date) key with the
+         same bucket count (io.write_bucketed_table; sorted within
+         buckets so the merge needs no sort);
+      3. join the catalog tables: zero Exchange on either side — the
+         plan a daily OBT rebuild wants when both inputs are rewritten
+         once and joined many times.
+
+    Returns (snapshot_date, product_id, trend_keyword, trend_score).
+    The write is part of the demonstrated contract (bucket metadata
+    lives in the catalog), so this is a prepare-then-join builder, not
+    a pure plan function — tests/test_bucketed_join.py asserts the
+    no-shuffle property on the executed plan.
+    """
+    from tiki_e_commerce_analytics_etl_spark.io import write_bucketed_table
+
+    m = keyword_mapping.filter(F.col("is_active")).select(
+        "tiki_category_id", "trend_keyword"
+    )
+    p = dim_products.select("product_id", "category_id")
+    enriched = (
+        fact.join(F.broadcast(p), "product_id", "left")
+        .join(F.broadcast(m), p["category_id"] == m["tiki_category_id"], "left")
+        .select("snapshot_date", "product_id", "current_price", "trend_keyword")
+        .filter(F.col("trend_keyword").isNotNull())
+    )
+    t = trends.select(
+        F.col("keyword").alias("trend_keyword"),
+        F.col("date").alias("snapshot_date"),
+        "score",
+    )
+    keys = ["trend_keyword", "snapshot_date"]
+    write_bucketed_table(enriched, fact_table, keys, n_buckets, sort_cols=keys)
+    write_bucketed_table(t, trends_table, keys, n_buckets, sort_cols=keys)
+
+    spark = fact.sparkSession
+    fb = spark.table(fact_table)
+    tb = spark.table(trends_table)
+    return fb.join(tb, keys, "left").select(
+        "snapshot_date",
+        "product_id",
+        "trend_keyword",
+        F.col("score").cast("long").alias("trend_score"),
+    )
+
+
 def golden_join(
     fact: DataFrame,
     dim_products: DataFrame,
