@@ -687,6 +687,29 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: n-gram Jaccard candidate pairs →
+    connected components (min-id labeling, pointer-jumping propagation)
+    — the transitive-closure step between pair generation and delete
+    decisions in a dedup pipeline.  Oracle: the same pair SQL plus a
+    WITH RECURSIVE reachability closure."""
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    return graph.connected_components(pairs, "id_a", "id_b")
+
+
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 word bigrams by term frequency with
+    document frequency alongside (tokenizer-vocab / stop-phrase
+    construction).  One hash agg keyed on the gram + TakeOrdered."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
+
+
 def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — Google-Trends wide-CSV scan with smart date detection
     (reference transform_google_trends.py:27-41), oracle-checked via
@@ -1379,6 +1402,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "trends_csv_scan": q_trends_csv_scan,
+        "neardup_clusters": q_neardup_clusters,
+        "vocab_top_ngrams": q_vocab_top_ngrams,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1530,8 +1555,7 @@ _FINGERPRINT_ORACLE = f"""
 """
 
 
-_NGRAM_JACCARD_ORACLE = f"""
-    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+_JACCARD_PAIRS_CTES = f"""w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
     s AS (
         SELECT doc_id,
                CASE WHEN len(ws) > 5 THEN
@@ -1546,9 +1570,41 @@ _NGRAM_JACCARD_ORACLE = f"""
                ANY_VALUE(a.n_grams) AS na, ANY_VALUE(b.n_grams) AS nb
         FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
         GROUP BY a.id, b.id
-    )
+    )"""
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH {_JACCARD_PAIRS_CTES}
     SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
     FROM p WHERE shared / (na + nb - shared) >= 0.5
+"""
+
+_NEARDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    pairs AS (SELECT id_a, id_b FROM p WHERE shared / (na + nb - shared) >= 0.5),
+    bidir AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+        SELECT a AS node, b AS peer FROM bidir
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN bidir e ON r.peer = e.a
+    )
+    SELECT node, LEAST(node, MIN(peer)) AS component FROM reach GROUP BY node
+"""
+
+_VOCAB_TOP_NGRAMS_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) > 2 THEN
+                   list_transform(range(1, len(ws)), i -> array_to_string(ws[i:i+1], ' '))
+               ELSE [array_to_string(ws, ' ')] END AS grams
+        FROM w
+    ),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM s)
+    SELECT gram, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM g GROUP BY gram
+    ORDER BY tf DESC, gram ASC
+    LIMIT 100
 """
 
 
@@ -2045,6 +2101,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_checks": _quality_checks_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "trends_csv_scan": _TRENDS_CSV_SCAN_ORACLE,
+        "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
+        "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

@@ -47,6 +47,8 @@ HEADLINE = [
     "minhash_pairs",
     "simhash",
     "ngram_jaccard",
+    "neardup_clusters",
+    "vocab_top_ngrams",
     "decontaminate",
     "repetition_stats",
     "token_budget_mix",

@@ -344,3 +344,43 @@ def test_gram_stage_handles_hot_document(spark):
     assert counts[1] == 20_000 - 5 + 1
     pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
     assert all({p.id_a, p.id_b} == {2, 3} for p in pairs)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+    # One 6-node chain (worst case for propagation depth — pointer
+    # jumping must close it within max_iters=20), one 2-node island,
+    # and a self-contained triangle with redundant edges.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in graph.connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_connected_components_reversed_edges(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+    # Edges pointing "uphill" (min id on the b side) must still label
+    # by the component minimum.
+    pairs = spark.createDataFrame([(5, 1), (9, 5)], "id_a long, id_b long")
+    comp = {r.node: r.component for r in graph.connected_components(pairs).collect()}
+    assert comp == {1: 1, 5: 1, 9: 1}
+
+
+def test_keep_canonical_drops_non_canonical_members(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 10, 11, 50]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in graph.keep_canonical(df, pairs).collect())
+    # cluster {1,2,3} -> 1, cluster {10,11} -> 10, 50 untouched
+    assert kept == [1, 10, 50]

@@ -98,12 +98,17 @@ def test_keyless_asof_windows_partition_on_bin(spark):
         assert "__lrow" not in m.group(1), m.group(1)
 
 
-def test_dedup_latest_partial_aggregates_before_exchange(plans):
+def test_dedup_latest_single_exchange_window(plans):
+    """q_dedup_latest uses the row_number-window formulation (measured
+    faster at local scale — see its docstring; the partial-agg max_by
+    twin stays in dedup.keep_latest for the shuffle-bound regime).
+    The plan must be ONE per-key exchange feeding a partitioned window
+    — no second shuffle, no unpartitioned window."""
     p = plans["dedup_latest"]
-    assert "partial_max_by" in p
-    # exactly one exchange: the per-key shuffle
     physical = p.split("== Physical Plan ==")[-1]
     assert physical.count("Exchange hashpartitioning") == 1
+    assert "row_number" in p
+    assert "SinglePartition" not in physical
 
 
 def test_decontaminate_broadcasts_eval_grams(spark):

@@ -1,0 +1,111 @@
+"""Graph operators for dedup-cluster resolution.
+
+A near-duplicate pipeline (MinHash/SimHash/Jaccard/embedding) produces
+candidate PAIRS; turning pairs into delete decisions needs the
+transitive closure — documents A~B and B~C must land in ONE cluster
+even though (A, C) was never emitted.  ``connected_components`` labels
+every endpoint with its component's minimum id; ``keep_canonical``
+then deletes every non-canonical member in one anti-join.
+
+Scale shape: min-label propagation with POINTER JUMPING — each round
+is two hash-partitioned joins (neighbor-min, then label-of-label), so
+convergence needs O(log diameter) rounds instead of O(diameter).
+Near-dup clusters are small and dense (that is what similarity means),
+so in practice 2-3 rounds close; ``max_iters`` bounds the pathological
+chain.  Each round ends with a bounded fixed-point probe
+(``limit(1).count()`` — same pattern as operators/hierarchy.py) and a
+``localCheckpoint`` to truncate the growing lineage, which would
+otherwise re-execute every prior round's joins each action.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``, where
+    ``component`` is the minimum node id reachable through the
+    undirected edge set.  Nodes with no edges are not emitted (a
+    caller's left join treats them as their own singleton cluster).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    bidir = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        bidir.select("a")
+        .distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("comp"))
+    )
+
+    for _ in range(max_iters):
+        # Propagate: each node takes the min label over itself and its
+        # neighbors.  One shuffle keyed on the node id.
+        nbr = (
+            bidir.join(
+                labels.select(F.col("node").alias("b"), F.col("comp").alias("ncomp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("ncomp").alias("nbr_min"))
+            .select(F.col("a").alias("node"), "nbr_min")
+        )
+        prop = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+        )
+        # Pointer jump: comp := comp(comp) — collapses label chains in
+        # log steps.
+        jumped = (
+            prop.alias("x")
+            .join(
+                prop.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("jcomp")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+            > 0
+        )
+        labels = jumped
+        if not changed:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate that is not its cluster's canonical
+    (minimum-id) member: rows absent from the pair graph survive
+    untouched; one anti-join against the non-canonical node set."""
+    comps = connected_components(pairs, src, dst)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

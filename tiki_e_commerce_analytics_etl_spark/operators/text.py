@@ -181,3 +181,34 @@ def fingerprint_df(df, text_col: str = "text", k: int = 8, out_col: str = "fp"):
         .withColumn(out_col, F.array_min(F.transform(shingles_from_words(F.col("__words"), k), F.md5)))
         .select(*keep, out_col)
     )
+
+
+def top_ngrams(df, text_col: str = "text", id_col: str = "doc_id", n: int = 2, k: int = 100):
+    """Corpus vocabulary builder: the ``k`` most frequent word
+    ``n``-grams with corpus term frequency (every occurrence counts)
+    and document frequency — the first step of building a tokenizer
+    vocab or a stop-phrase list over a training corpus.
+
+    Scale shape: the word array materializes once per row (no
+    lambda-inlined re-tokenization), grams explode narrow, and the
+    count is ONE hash aggregate keyed on the gram — hot grams ("of
+    the") partial-aggregate map-side, so the shuffle carries one row
+    per (partition, gram), not per occurrence.  The top-k is a
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Deterministic order: (tf desc, gram asc).
+    """
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import shingles_from_words
+
+    exploded = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__words"))
+        .select(id_col, F.explode(shingles_from_words(F.col("__words"), n)).alias("gram"))
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .orderBy(F.desc("tf"), F.asc("gram"))
+        .limit(k)
+    )
