@@ -687,6 +687,72 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (1, "hash"), (1, "join"), (1, "merge"),
+    (2, "window"), (2, "sort"), (2, "order"),
+    (3, "stream"), (3, "batch"), (3, "data"),
+]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-10 documents per keyword query
+    (rational-idf variant — see operators/ranking.py for why ln() is
+    avoided in cross-engine-checked scores).  Query set is a literal
+    constant mirrored in the oracle VALUES."""
+    from tiki_e_commerce_analytics_etl_spark.operators import ranking
+
+    docs = read_table(spark, sf_dir, "documents")
+    qt = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return ranking.bm25_topk(docs, qt, "text", "doc_id", k=10)
+
+
+def _dlit(x: float) -> str:
+    """Double literal for DuckDB: bare decimal literals parse as
+    DECIMAL (different arithmetic!); an exponent forces DOUBLE with
+    strtod's correctly-rounded parse of Python's round-trip repr."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    K1, B, K1P1 = _dlit(k1), _dlit(b), _dlit(k1 + 1.0)
+    return f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    qt AS (SELECT DISTINCT * FROM (VALUES {vals}) t(query_id, term)),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+              WHERE term IN (SELECT term FROM qt) GROUP BY term),
+    m AS (
+        SELECT qt.query_id, tf.doc_id,
+               CAST(
+                   (stats.n_docs - dfreq.df + 0.5e0) / (dfreq.df + 0.5e0)
+                   * (CAST(tf.tf AS DOUBLE) * {K1P1})
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {K1} * (1.0e0 - {B} + {B} * dl.dl
+                                / (CAST(stats.total_len AS DOUBLE) / stats.n_docs)))
+                   AS DECIMAL(28,10)) AS c
+        FROM tf
+        JOIN qt USING (term)
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+    ),
+    s AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score
+          FROM m GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, score, rank FROM (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS INTEGER) AS rank
+        FROM s
+    ) WHERE rank <= {k}
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: n-gram Jaccard candidate pairs →
     connected components (min-id labeling, pointer-jumping propagation)
@@ -1404,6 +1470,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trends_csv_scan": q_trends_csv_scan,
         "neardup_clusters": q_neardup_clusters,
         "vocab_top_ngrams": q_vocab_top_ngrams,
+        "bm25_search": q_bm25_search,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2103,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "trends_csv_scan": _TRENDS_CSV_SCAN_ORACLE,
         "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
         "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
+        "bm25_search": _bm25_oracle(),
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

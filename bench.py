@@ -49,6 +49,7 @@ HEADLINE = [
     "ngram_jaccard",
     "neardup_clusters",
     "vocab_top_ngrams",
+    "bm25_search",
     "decontaminate",
     "repetition_stats",
     "token_budget_mix",

@@ -384,3 +384,25 @@ def test_keep_canonical_drops_non_canonical_members(spark):
     kept = sorted(r.doc_id for r in graph.keep_canonical(df, pairs).collect())
     # cluster {1,2,3} -> 1, cluster {10,11} -> 10, 50 untouched
     assert kept == [1, 10, 50]
+
+
+def test_bm25_ranks_denser_match_higher(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash join"),      # dense match
+            (2, "hash sort window filter scan table"), # one term, once
+            (3, "sort window filter scan table group"),# no match
+            (4, "hash join merge " + "padding " * 50), # long doc, diluted
+        ],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame([(1, "hash"), (1, "join")], "query_id int, term string")
+    rows = ranking.bm25_topk(docs, qt, k=10).collect()
+    by_rank = {r.rank: r.doc_id for r in rows if r.query_id == 1}
+    assert by_rank[1] == 1           # dense short doc wins
+    assert 3 not in by_rank.values() # no-match doc absent
+    scores = {r.doc_id: r.score for r in rows}
+    assert scores[1] > scores[4] > 0 # length normalization penalizes 4
+    assert scores[2] > 0
