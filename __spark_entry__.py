@@ -753,6 +753,33 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
 """
 
 
+def q_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate: clustered (within-cell) embedding dedup must
+    recover a floor fraction of the exact all-pairs near-dups.  On
+    this RANDOM synthetic corpus cell coherence is inherently weak —
+    measured coverage 0.26-0.36 across SFs vs 1/16 ≈ 0.06 chance — so
+    the threshold is 0.15: ~2.5× above chance (a broken quantizer or
+    cell join degrades to chance), comfortably below the floor.
+    Production semantic embeddings cluster far tighter."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_neardup_pairs(emb, threshold=0.4, method="exact").select(
+        "id_a", "id_b"
+    )
+    sd = similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=16).select(
+        "id_a", "id_b"
+    )
+    hits = exact.join(sd, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return total.crossJoin(hits).select(
+        "n_exact",
+        ((F.col("n_hit") / F.col("n_exact")) >= F.lit(0.15)).alias("coverage_ok"),
+    )
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster resolution: n-gram Jaccard candidate pairs →
     connected components (min-id labeling, pointer-jumping propagation)
@@ -1233,19 +1260,38 @@ def q_hierarchy_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates — the 100 TB path for A3/percentiles
-    (HyperLogLog++ and KLL-style quantile sketches; rows-only check:
-    sketch estimates are engine-specific by construction)."""
+    """Sketch aggregates as a DRIVER-VISIBLE accuracy gate: the sketch
+    estimates themselves are engine-specific (HLL++ / quantile-sketch
+    internals), so instead of rows-only checking, this emits each
+    estimate's bounded-relative-error verdict against the exact
+    aggregate computed in the same pass — booleans the DuckDB oracle
+    asserts TRUE (same pattern as the ANN recall gates).  HLL++
+    standard error at default rsd=0.05 is ~5%; the 10% bound gives a
+    broken-sketch gate without flakiness; approx_percentile at
+    accuracy=1000 is rank-exact to ~0.1% so 2% bounds it."""
     li = read_table(spark, sf_dir, "lineitem")
-    # Scalar quantile columns (not one array column): array cells are
-    # unhashable in pandas-side canonicalizers, and scalars are the
-    # friendlier shape for downstream BI consumers anyway.
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
         F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def ok(approx, exact, bound):
+        rel = F.abs(F.col(approx).cast("double") - F.col(exact)) / F.col(exact)
+        return (rel <= F.lit(bound)).alias(f"{approx}_ok")
+
+    return agg.select(
+        ok("approx_parts", "exact_parts", 0.10),
+        ok("approx_orders", "exact_orders", 0.10),
+        ok("approx_p50", "exact_p50", 0.02),
+        ok("approx_p95", "exact_p95", 0.02),
+        "n_rows",
     )
 
 
@@ -1471,6 +1517,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "bm25_search": q_bm25_search,
+        "semdedup_coverage": q_semdedup_coverage,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2168,9 +2215,19 @@ def oracle_sql() -> dict[str, str]:
         "quality_checks": _quality_checks_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "trends_csv_scan": _TRENDS_CSV_SCAN_ORACLE,
+        "sketch_summary": """
+            SELECT TRUE AS approx_parts_ok, TRUE AS approx_orders_ok,
+                   TRUE AS approx_p50_ok, TRUE AS approx_p95_ok,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+        """,
         "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
         "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
         "bm25_search": _bm25_oracle(),
+        "semdedup_coverage": f"""
+            SELECT COUNT(*) AS n_exact, TRUE AS coverage_ok
+            FROM ({_EMBEDDING_NEARDUP_ORACLE})
+        """,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

@@ -56,6 +56,8 @@ HEADLINE = [
     "embedding_centroids",
     "centroid_assign",
     "embedding_neardup",
+    "semdedup_coverage",
+    "sketch_summary",
     "similarity_topk",
     "similarity_lsh_recall",
     "similarity_ivf_recall",

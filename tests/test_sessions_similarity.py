@@ -143,3 +143,21 @@ def test_checks_report_rows(spark):
     assert rows["no_null_k"]["violations"] == 1
     assert rows["nonempty"]["violations"] is None
     assert rows["nonempty"]["passed"] is True
+
+
+def test_semdedup_pairs_subset_of_exact_with_identical_scores(spark):
+    from tiki_e_commerce_analytics_etl_spark.io import read_table
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.cosine_neardup_pairs(emb, 0.4, method="exact").collect()
+    }
+    sd = similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=16).collect()
+    assert len(sd) > 0
+    for r in sd:
+        # every within-cell pair is a true near-dup with the exact
+        # path's bit-identical score
+        assert (r.id_a, r.id_b) in exact
+        assert r.score == exact[(r.id_a, r.id_b)]
