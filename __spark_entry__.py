@@ -753,6 +753,27 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
 """
 
 
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day) time-weighted average of the event value
+    (piecewise-constant between events) — integer-exact formulation,
+    see operators/grouped.time_weighted_avg_daily."""
+    from tiki_e_commerce_analytics_etl_spark.operators.grouped import (
+        time_weighted_avg_daily,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_weighted_avg_daily(ev, "user_id", "ts", "value")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust distributional screen: events beyond 3 MADs from the
+    per-type median (exact percentile ≡ DuckDB quantile_cont)."""
+    ev = read_table(spark, sf_dir, "events")
+    return quality_ops.mad_outliers(
+        ev.select("event_id", "event_type", "value"), ["event_type"], "value", k=3.0
+    ).select("event_id", "event_type", "value", "group_median", "group_mad")
+
+
 def q_semdedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup gate: clustered (within-cell) embedding dedup must
     recover a floor fraction of the exact all-pairs near-dups.  On
@@ -1518,6 +1539,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
+        "twap_daily": q_twap_daily,
+        "mad_outliers": q_mad_outliers,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2227,6 +2250,45 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_coverage": f"""
             SELECT COUNT(*) AS n_exact, TRUE AS coverage_ok
             FROM ({_EMBEDDING_NEARDUP_ORACLE})
+        """,
+        "twap_daily": """
+            WITH b AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+                       LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS next_es,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE value >= 0
+                WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts, event_id)
+            ),
+            a AS (
+                SELECT user_id, day,
+                       SUM(cents * (next_es - es)) AS num,
+                       CAST(SUM(next_es - es) AS BIGINT) AS total_secs
+                FROM b WHERE next_es IS NOT NULL GROUP BY user_id, day
+            )
+            SELECT user_id, day, total_secs,
+                   CAST((num * 1000) // total_secs AS BIGINT) AS twap_milli
+            FROM a WHERE total_secs > 0
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS group_median
+                FROM events GROUP BY event_type
+            ),
+            wm AS (
+                SELECT e.event_id, e.event_type, e.value, m.group_median
+                FROM events e JOIN med m USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type,
+                       quantile_cont(abs(value - group_median), 0.5) AS group_mad
+                FROM wm GROUP BY event_type
+            )
+            SELECT wm.event_id, wm.event_type, wm.value,
+                   wm.group_median, mad.group_mad
+            FROM wm JOIN mad USING (event_type)
+            WHERE abs(wm.value - wm.group_median) > 3.0e0 * mad.group_mad
         """,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,

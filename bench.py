@@ -68,6 +68,8 @@ HEADLINE = [
     "curation_pipeline",
     # custom operators Spark lacks natively
     "fx_asof",
+    "twap_daily",
+    "mad_outliers",
     "range_join",
     "interval_overlap",
     "time_rollup",

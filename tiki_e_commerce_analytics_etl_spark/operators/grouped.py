@@ -61,3 +61,58 @@ def resample_ffill_daily(
         return out[[key_col, date_col, *value_cols, "is_observed"]]
 
     return df.select(*cols).groupBy(key_col).applyInPandas(fill, out_schema)
+
+
+def time_weighted_avg_daily(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreakers: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Per (key, day) time-weighted average of an irregularly-sampled
+    value — piecewise-constant (last-observation-carried-forward)
+    between consecutive events; a day's final event carries no weight
+    (its interval extends past the grouping boundary).  The TWAP a
+    pricing feed wants where a plain AVG over-weights bursts.
+
+    Engine-exact integer formulation: interval weights are whole epoch
+    SECONDS (timestamp→long is the floor-epoch both engines share),
+    values quantize to cents via the explicit floor(v*100+0.5) grid,
+    and the average is emitted in milli-units by integer division —
+    every checked column is integer math, no float-sum ordering
+    anywhere.  Column expressions only: one window (lead) and one hash
+    aggregate, both keyed on (key, day).
+
+    Returns (user, day, total_secs, twap_milli): value≥0 rows only
+    (integer div truncation ≡ floor needs non-negative numerators).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    day = F.to_date(F.col(ts_col)).alias("day")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreakers]
+    w = Window.partitionBy(F.col(user_col), F.to_date(F.col(ts_col))).orderBy(*order)
+    es = F.col(ts_col).cast("long")
+    base = (
+        df.filter(F.col(value_col) >= 0)
+        .select(
+            F.col(user_col),
+            day,
+            es.alias("__es"),
+            F.lead(es).over(w).alias("__next_es"),
+            F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long").alias("__cents"),
+        )
+        .filter(F.col("__next_es").isNotNull())
+        .withColumn("__dt", F.col("__next_es") - F.col("__es"))
+    )
+    agg = base.groupBy(user_col, "day").agg(
+        F.sum(F.col("__cents") * F.col("__dt")).alias("__num"),
+        F.sum("__dt").alias("total_secs"),
+    )
+    return agg.filter(F.col("total_secs") > 0).select(
+        user_col,
+        "day",
+        "total_secs",
+        F.expr("(__num * 1000) div total_secs").alias("twap_milli"),
+    )

@@ -179,3 +179,39 @@ def observed_write(
     if failures:
         raise QualityCheckError(f"quality checks failed: {failures}")
     return row
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust twin of ``zscore_outliers``: flag rows deviating more
+    than ``k`` MADs (median absolute deviations) from the group
+    median.  Mean/std screens are themselves dragged by the outliers
+    they hunt; median/MAD are breakdown-resistant, the screen of
+    choice for heavy-tailed telemetry.
+
+    Two exact ``percentile`` aggregations (group median, then median
+    absolute deviation) with broadcast join-backs.  Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` interpolate
+    identically, so flags are engine-exact.  Exact percentile buffers
+    each group's values — right for bounded group cardinalities; at
+    unbounded 100 TB group sizes swap ``approx_percentile`` (the
+    sketch gate pattern) and widen ``k``.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
+        .groupBy(*group_cols)
+        .agg(F.expr("percentile(__adev, 0.5)").alias("__mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_cols)
+        .filter(F.abs(F.col(value_col) - F.col("__med")) > F.lit(k) * F.col("__mad"))
+        .withColumnsRenamed({"__med": "group_median", "__mad": "group_mad"})
+    )
