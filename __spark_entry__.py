@@ -534,13 +534,15 @@ IVF_RECALL_THRESHOLD = 0.3  # measured min 0.5 at nprobe=8; random ≈ 0.02
 
 
 def _recall_vs_exact(exact: DataFrame, ann: DataFrame, threshold: float) -> DataFrame:
+    # Both sides are bounded by k × |queries| rows — broadcast the ANN
+    # side and the per-query hit counts so no sort-merge appears.
     hits = (
-        exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+        exact.join(F.broadcast(ann), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
     base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
-    return base.join(hits, "query_id", "left").select(
+    return base.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         (
             (F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact")) >= F.lit(threshold)

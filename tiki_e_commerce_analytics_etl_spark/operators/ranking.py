@@ -52,7 +52,10 @@ def bm25_topk(
 
     tok = docs.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # Document length re-aggregates tf rather than re-scanning the raw
+    # token stream: one fewer explode+shuffle over the corpus, and the
+    # (doc, term) partitioning already co-locates each doc's terms.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_len"),
