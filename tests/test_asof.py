@@ -36,3 +36,40 @@ def test_asof_backward_per_key(spark):
         ).collect()
     }
     assert out == {1: None, 2: 100.0, 3: 100.0, 4: 200.0, 5: 7.0}
+
+
+def test_keyless_carry_is_per_column_with_null_values(spark):
+    """Advisor regression: a bin's LATEST right row carrying a NULL in
+    one value column must not mask an older non-null value of that
+    column for left rows in LATER bins — the keyless path must match
+    the keyed path's per-column last-non-null semantics."""
+    from pyspark.sql import functions as F
+
+    from tiki_e_commerce_analytics_etl_spark.operators.asof import asof_join_backward
+
+    right = spark.createDataFrame(
+        [
+            # bin 0 (days 0-31 with bin_width=32): older row has rate,
+            # newest row has NULL rate but a source.
+            ("2024-01-01", 100.0, None),
+            ("2024-01-10", None, "feed-a"),
+        ],
+        "d string, rate double, source string",
+    ).select(F.col("d").cast("date").alias("d"), "rate", "source")
+    left = spark.createDataFrame(
+        [("2024-03-15",)], "ld string"  # far later bin, nothing in between
+    ).select(F.col("ld").cast("date").alias("ld"))
+
+    out = asof_join_backward(
+        left, right, "ld", "d", ["rate", "source"], by=[], bin_width=32
+    ).collect()[0]
+    assert out.rate == 100.0  # old non-null survives the newer NULL
+    assert out.source == "feed-a"
+
+    # Keyed path must agree exactly.
+    lk = left.withColumn("k", F.lit(1))
+    rk = right.withColumn("k", F.lit(1))
+    keyed = asof_join_backward(
+        lk, rk, "ld", "d", ["rate", "source"], by=["k"]
+    ).collect()[0]
+    assert (keyed.rate, keyed.source) == (out.rate, out.source)

@@ -108,3 +108,48 @@ def test_interval_overlap_join_emits_each_pair_once(spark):
     rows = interval_overlap_join(left, "ls", "le", right, "rs", "re", bin_days=30).collect()
     pairs = sorted((r.lid, r.rid) for r in rows)
     assert pairs == [(1, 10), (1, 20), (2, 10), (2, 20)]  # each exactly once
+
+
+def test_interval_overlap_rejects_shared_column_names(spark):
+    import pytest as _pytest
+    from tiki_e_commerce_analytics_etl_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-05")], "id long, s string, e string"
+    ).selectExpr("id", "CAST(s AS DATE) AS s", "CAST(e AS DATE) AS e")
+    with _pytest.raises(ValueError, match="appear on both sides"):
+        interval_overlap_join(left, "s", "e", left, "s", "e")
+
+
+def test_interval_overlap_rejects_inverted_intervals(spark):
+    import pytest as _pytest
+    from tiki_e_commerce_analytics_etl_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-05", "2024-01-01")], "lid long, ls string, le string"
+    ).selectExpr("lid", "CAST(ls AS DATE) AS ls", "CAST(le AS DATE) AS le")
+    right = spark.createDataFrame(
+        [(2, "2024-01-01", "2024-01-09")], "rid long, rs string, re string"
+    ).selectExpr("rid", "CAST(rs AS DATE) AS rs", "CAST(re AS DATE) AS re")
+    with _pytest.raises(Exception, match="inverted interval|ASSERT"):
+        interval_overlap_join(left, "ls", "le", right, "rs", "re").collect()
+
+
+def test_interval_overlap_null_bounds_drop_silently(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01", "2024-01-05"), (2, None, "2024-01-05")],
+        "lid long, ls string, le string",
+    ).selectExpr("lid", "CAST(ls AS DATE) AS ls", "CAST(le AS DATE) AS le")
+    right = spark.createDataFrame(
+        [(7, "2024-01-02", "2024-01-03")], "rid long, rs string, re string"
+    ).selectExpr("rid", "CAST(rs AS DATE) AS rs", "CAST(re AS DATE) AS re")
+    rows = interval_overlap_join(left, "ls", "le", right, "rs", "re").collect()
+    assert [(r.lid, r.rid) for r in rows] == [(1, 7)]

@@ -161,3 +161,22 @@ def test_semdedup_pairs_subset_of_exact_with_identical_scores(spark):
         # path's bit-identical score
         assert (r.id_a, r.id_b) in exact
         assert r.score == exact[(r.id_a, r.id_b)]
+
+
+def test_exact_neardup_supports_string_ids(spark):
+    """Advisor regression: the default blocked exact path hardcoded
+    int64 pair ids; string ids must work end to end."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0, 0.0]),
+            ("doc-b", [1.0, 0.001, 0.0]),
+            ("doc-c", [0.0, 1.0, 0.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    pairs = similarity.cosine_neardup_pairs(
+        df, threshold=0.9, method="exact", id_col="vec_id"
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [("doc-a", "doc-b")]
