@@ -1293,16 +1293,28 @@ def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken-sketch gate without flakiness; approx_percentile at
     accuracy=1000 is rank-exact to ~0.1% so 2% bounds it."""
     li = read_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # Four independent single-row aggregates crossJoined rather than
+    # one combined agg: two countDistincts in one agg force an Expand
+    # (3× the input) into a single final aggregation that also buffers
+    # the exact percentiles — measured 9.5 s at sf0.1 combined vs ~2 s
+    # split.  Each split agg partial-aggregates on its own.
+    sketches = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
         F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact_parts = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+    exact_orders = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
+    exact_pcts = li.agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
-        F.count(F.lit(1)).alias("n_rows"),
+    )
+    agg = (
+        sketches.crossJoin(F.broadcast(exact_parts))
+        .crossJoin(F.broadcast(exact_orders))
+        .crossJoin(F.broadcast(exact_pcts))
     )
 
     def ok(approx, exact, bound):

@@ -508,7 +508,14 @@ def minhash_lsh_candidates_portable(
                     }
                 )
 
-    banded = df.select(id_col, text_col).mapInPandas(run, out_schema)
+    # Unlike the numpy-vectorized native stages (where a repartition
+    # costs more than single-partition execution saves — see
+    # io.read_table), the md5 loop here is interpreted Python per gram;
+    # spreading a single-row-group scan across cores is a measured win.
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    src = df.select(id_col, text_col).repartition(par, id_col)
+    banded = src.mapInPandas(run, out_schema)
     buckets = (
         banded.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("__id")).alias("docs"))
