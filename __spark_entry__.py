@@ -755,6 +755,39 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-validation table diff: orders vs a deterministically
+    perturbed twin (keys %97 removed, %31 price-bumped, %53 re-keyed
+    as additions) → per-key added/removed/changed/equal status via one
+    full-outer join with null-safe column compares."""
+    from tiki_e_commerce_analytics_etl_spark.operators.diff import table_diff
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    kept = o.filter(F.col("o_orderkey") % 97 != 0)
+    perturbed = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 53 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    right = perturbed.unionByName(added)
+    return table_diff(o, right, ["o_orderkey"])
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling histogram: 20 fixed-width bins over
+    l_extendedprice with clamped tails — integer-exact counts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return quality_ops.histogram(li, "l_extendedprice", 0.0, 100000.0, nbins=20)
+
+
 def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (user, day) time-weighted average of the event value
     (piecewise-constant between events) — integer-exact formulation,
@@ -1555,6 +1588,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_coverage": q_semdedup_coverage,
         "twap_daily": q_twap_daily,
         "mad_outliers": q_mad_outliers,
+        "snapshot_diff": q_snapshot_diff,
+        "price_histogram": q_price_histogram,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2303,6 +2338,39 @@ def oracle_sql() -> dict[str, str]:
                    wm.group_median, mad.group_mad
             FROM wm JOIN mad USING (event_type)
             WHERE abs(wm.value - wm.group_median) > 3.0e0 * mad.group_mad
+        """,
+        "snapshot_diff": """
+            WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+            r AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 31 = 0
+                            THEN o_totalprice + 1.0e0
+                            ELSE o_totalprice END AS o_totalprice
+                FROM o WHERE o_orderkey % 97 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+                FROM o WHERE o_orderkey % 53 = 0
+            )
+            SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                   CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                        WHEN r.o_orderkey IS NULL THEN 'removed'
+                        WHEN l.o_orderstatus IS NOT DISTINCT FROM r.o_orderstatus
+                             AND l.o_totalprice IS NOT DISTINCT FROM r.o_totalprice
+                        THEN 'equal'
+                        ELSE 'changed' END AS status
+            FROM o l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+        """,
+        "price_histogram": """
+            WITH b AS (
+                SELECT LEAST(GREATEST(CAST(FLOOR(
+                           (CAST(l_extendedprice AS DOUBLE) - 0.0e0) * 20
+                           / (100000.0e0 - 0.0e0)) AS BIGINT), 0), 19) AS bin
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bin,
+                   0.0e0 + bin * (100000.0e0 - 0.0e0) / 20 AS bin_lo,
+                   COUNT(*) AS n
+            FROM b GROUP BY bin
         """,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,

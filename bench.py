@@ -70,6 +70,8 @@ HEADLINE = [
     "fx_asof",
     "twap_daily",
     "mad_outliers",
+    "snapshot_diff",
+    "price_histogram",
     "range_join",
     "interval_overlap",
     "time_rollup",

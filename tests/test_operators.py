@@ -406,3 +406,29 @@ def test_bm25_ranks_denser_match_higher(spark):
     scores = {r.doc_id: r.score for r in rows}
     assert scores[1] > scores[4] > 0 # length normalization penalizes 4
     assert scores[2] > 0
+
+
+def test_table_diff_statuses_and_null_semantics(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.diff import (
+        diff_summary,
+        table_diff,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 31.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    d = {r.k: r.status for r in table_diff(left, right, ["k"]).collect()}
+    assert d == {
+        1: "equal",
+        2: "equal",    # NULL <=> NULL is equal, not changed
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
+    summary = {r.status: r.n for r in diff_summary(table_diff(left, right, ["k"])).collect()}
+    assert summary == {"equal": 2, "changed": 1, "removed": 1, "added": 1}

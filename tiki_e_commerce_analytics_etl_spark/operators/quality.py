@@ -215,3 +215,44 @@ def mad_outliers(
         .filter(F.abs(F.col(value_col) - F.col("__med")) > F.lit(k) * F.col("__mad"))
         .withColumnsRenamed({"__med": "group_median", "__mad": "group_mad"})
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 20,
+    clamp: bool = True,
+) -> DataFrame:
+    """Fixed-width histogram for data profiling: (bin, bin_lo, n) with
+    ``bin = floor((v - lo) * nbins / (hi - lo))``.  With ``clamp``,
+    out-of-range values land in the edge bins (profiling wants to SEE
+    the tails); otherwise they are dropped.  Empty bins are not
+    emitted (a reader left-joins a bin spine if it needs zeros).
+
+    One partial-agg hash aggregate on a small integer key; the bin
+    expression is plain double arithmetic + floor, identical in any
+    engine, and the checked outputs are integers (bin, count) plus the
+    exactly-representable bin_lo edge — no float-sum ordering anywhere.
+    """
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) * nbins / (F.lit(hi) - F.lit(lo))).cast("long")
+    b = (
+        F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(nbins - 1).cast("long"))
+        if clamp
+        else raw
+    )
+    out = df.filter(v.isNotNull())
+    if not clamp:
+        out = out.filter((raw >= 0) & (raw < nbins))
+    return (
+        out.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * (F.lit(hi) - F.lit(lo)) / nbins).alias("bin_lo"),
+            "n",
+        )
+    )
