@@ -32,6 +32,45 @@ Fetch = Callable[[str], Any]  # url -> parsed JSON
 FX_FALLBACK_RATE = 25400.0  # fx_rate_dag.py:65
 
 
+def http_fetch(
+    timeout_s: float = 30.0,
+    headers: dict[str, str] | None = None,
+) -> Fetch:
+    """Real HTTP transport: returns a ``Fetch`` (url → parsed JSON)
+    backed by ``requests`` with a reused connection-pooling Session
+    (falls back to stdlib urllib when requests is absent).  This is
+    the production plug for every injected ``fetch=`` in this module:
+
+        rows = crawl_listings(http_fetch(), category_ids=[1789])
+
+    Kept out of defaults so imports never do I/O and tests stay
+    hermetic; the paging/retry/cache/fallback logic above is transport-
+    agnostic.  Reference transport: api_crawler.js:330-386 (axios),
+    trends_dag.py:100-157 (requests)."""
+    hdrs = {"User-Agent": "tiki-spark/1.0 (+analytics-etl)"} | (headers or {})
+    try:
+        import requests
+
+        session = requests.Session()
+        session.headers.update(hdrs)
+
+        def fetch(url: str) -> Any:
+            resp = session.get(url, timeout=timeout_s)
+            resp.raise_for_status()
+            return resp.json()
+
+        return fetch
+    except ImportError:
+        import urllib.request
+
+        def fetch(url: str) -> Any:
+            req = urllib.request.Request(url, headers=hdrs)
+            with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+
+        return fetch
+
+
 def fetch_with_retry(
     fetch: Fetch,
     url: str,
