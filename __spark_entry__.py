@@ -755,6 +755,17 @@ def _bm25_oracle(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
 """
 
 
+def q_length_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-balanced deterministic sample: token-length decile strata
+    (exact percentile cutpoints) + md5-bucket 25% within each."""
+    from tiki_e_commerce_analytics_etl_spark.operators.sampling import (
+        length_stratified_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return length_stratified_sample(docs, "text", "doc_id", strata=10, fraction=0.25)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Migration-validation table diff: orders vs a deterministically
     perturbed twin (keys %97 removed, %31 price-bumped, %53 re-keyed
@@ -1590,6 +1601,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "snapshot_diff": q_snapshot_diff,
         "price_histogram": q_price_histogram,
+        "length_stratified_sample": q_length_stratified_sample,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2338,6 +2350,18 @@ def oracle_sql() -> dict[str, str]:
                    wm.group_median, mad.group_mad
             FROM wm JOIN mad USING (event_type)
             WHERE abs(wm.value - wm.group_median) > 3.0e0 * mad.group_mad
+        """,
+        "length_stratified_sample": f"""
+            WITH w AS (SELECT doc_id, len({_NORM_WORDS_SQL}) AS n_tokens FROM documents),
+            c AS (SELECT quantile_cont(n_tokens,
+                        [{', '.join(repr(i / 10) for i in range(1, 10))}]) AS cuts
+                  FROM w),
+            s AS (SELECT doc_id, n_tokens,
+                         CAST(len(list_filter(c.cuts, x -> x <= n_tokens)) AS INTEGER) AS stratum
+                  FROM w CROSS JOIN c)
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, stratum
+            FROM s
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 16384
         """,
         "snapshot_diff": """
             WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),

@@ -72,6 +72,7 @@ HEADLINE = [
     "mad_outliers",
     "snapshot_diff",
     "price_histogram",
+    "length_stratified_sample",
     "range_join",
     "interval_overlap",
     "time_rollup",

@@ -114,3 +114,46 @@ def hash_split(
     last_name = items[-1][0]
     expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
     return df.withColumn(out_col, expr)
+
+
+def length_stratified_sample(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata: int = 10,
+    fraction: float = 0.25,
+) -> DataFrame:
+    """Length-balanced corpus sample: bucket documents into token-length
+    quantile strata, then keep a deterministic md5-bucket ``fraction``
+    within each stratum.  A uniform sample of a heavy-tailed corpus
+    over-represents whatever length range dominates the row count; the
+    stratified form preserves the length distribution's deciles — the
+    shape a curriculum/mixture builder usually wants.
+
+    Returns (id, n_tokens, stratum) for the sampled rows, stratum =
+    number of quantile cutpoints <= n_tokens (0-based, ``strata``
+    buckets).
+
+    Scale shape: one narrow pass for lengths; ONE percentile aggregate
+    producing the strata-1 cutpoints (bounded output, broadcast back
+    via crossJoin); the per-row stratum assignment and the md5 filter
+    are stateless expressions.  Exact percentile buffers per-partition
+    length arrays — swap approx_percentile cutpoints at extreme scale
+    (strata boundaries need not be exact to balance a sample).
+    """
+    from tiki_e_commerce_analytics_etl_spark.operators.text import words
+
+    qs = [i / strata for i in range(1, strata)]
+    lengths = df.select(
+        F.col(id_col), F.size(words(F.col(text_col))).alias("n_tokens")
+    )
+    cuts = lengths.agg(
+        F.expr(f"percentile(n_tokens, array({', '.join(map(repr, qs))}))").alias("__cuts")
+    )
+    assigned = lengths.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_tokens",
+        F.size(F.filter(F.col("__cuts"), lambda c: c <= F.col("n_tokens"))).alias("stratum"),
+    )
+    threshold = int(fraction * 65536)
+    return assigned.filter(hash_bucket(F.col(id_col)) < threshold)
