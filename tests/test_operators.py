@@ -432,3 +432,47 @@ def test_table_diff_statuses_and_null_semantics(spark):
     }
     summary = {r.status: r.n for r in diff_summary(table_diff(left, right, ["k"])).collect()}
     assert summary == {"equal": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_connected_components_matches_union_find_property(spark):
+    """Property check vs an independent Python union-find on random
+    edge sets — catches propagation bugs no hand-picked graph would."""
+    import random
+
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id labeling
+        return {n: find(n) for n in parent}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        ).filter(lambda es: any(a != b for a, b in es))
+    )
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.node: r.component for r in graph.connected_components(pairs).collect()}
+        assert got == union_find(edges)
+
+    check()

@@ -140,3 +140,41 @@ def test_centroid_assign_broadcasts_centroids(spark):
     p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert re.search(r"windowspecdefinition\(vec_id", p)
+
+
+def test_bm25_broadcasts_query_vocabulary(spark):
+    """The query-term side and derived per-term stats must broadcast;
+    the corpus token stream must never sit on the build side."""
+    import re
+
+    p = _plan(spark, "bm25_search")
+    physical = p.split("== Physical Plan ==")[-1]
+    assert physical.count("BroadcastHashJoin") >= 3
+    # no sort-merge join anywhere: every join side that matters is tiny
+    assert "SortMergeJoin" not in physical
+
+
+def test_vocab_top_ngrams_is_partial_agg_plus_take_ordered(spark):
+    """Corpus-scale vocabulary counting must partial-aggregate before
+    the shuffle and end in TakeOrdered, not a global sort of all
+    grams."""
+    p = _plan(spark, "vocab_top_ngrams")
+    physical = p.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in physical
+    assert physical.count("Exchange hashpartitioning") <= 2  # gram agg (+ distinct-df)
+
+
+def test_histogram_single_small_key_exchange(spark):
+    p = _plan(spark, "price_histogram")
+    physical = p.split("== Physical Plan ==")[-1]
+    assert physical.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in physical
+
+
+def test_snapshot_diff_full_outer_smj_on_key(spark):
+    """Fact-fact diff: full-outer sort-merge on the key is the correct
+    strategy (both sides data-sized); no nested-loop, no cartesian."""
+    p = _plan(spark, "snapshot_diff")
+    physical = p.split("== Physical Plan ==")[-1]
+    assert "SortMergeJoin" in physical and "FullOuter" in physical
+    assert "CartesianProduct" not in physical and "BroadcastNestedLoopJoin" not in physical
