@@ -24,6 +24,17 @@ QUERIES = [
     "hash_split",
     "dedup_latest",
     "curation_pipeline",
+    # round-3 additions with order-sensitivity risk: band-bucket pair
+    # expansion, top-k ties, integer division over window leads,
+    # full-outer status classification, quantile strata boundaries,
+    # iterative label propagation
+    "minhash_pairs",
+    "bm25_search",
+    "vocab_top_ngrams",
+    "twap_daily",
+    "snapshot_diff",
+    "length_stratified_sample",
+    "neardup_clusters",
 ]
 
 
