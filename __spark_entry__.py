@@ -889,17 +889,27 @@ def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
     os.makedirs(base, exist_ok=True)
+
+    def write_atomic(path: str, content: str) -> None:
+        # Concurrent runs (bench + check, pytest workers) share these
+        # fixed paths: write-to-temp + os.replace keeps a reader from
+        # ever seeing a truncated file, and identical content makes
+        # the race benign.
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(content)
+        os.replace(tmp, path)
+
     cased = os.path.join(base, "trends_cased.csv")
     indexed = os.path.join(base, "trends_index.csv")
-    with open(cased, "w", encoding="utf-8") as f:
-        f.write(
-            "Date,electronics,smart phone,IsPartial\n"
-            "2024-01-01,55,<1,False\n"
-            "2024-01-02,60,12,False\n"
-            "2024-01-03,58,7,True\n"
-        )
-    with open(indexed, "w", encoding="utf-8") as f:
-        f.write(",home garden,laptop\n2024-02-01,33,99\n2024-02-02,<1,100\n")
+    write_atomic(
+        cased,
+        "Date,electronics,smart phone,IsPartial\n"
+        "2024-01-01,55,<1,False\n"
+        "2024-01-02,60,12,False\n"
+        "2024-01-03,58,7,True\n",
+    )
+    write_atomic(indexed, ",home garden,laptop\n2024-02-01,33,99\n2024-02-02,<1,100\n")
     return union_concat(
         [
             melt_trends_wide(read_trends_csv(spark, cased)),

@@ -6,10 +6,8 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from tiki_e_commerce_analytics_etl_spark.io import read_table, write_bucketed_table
+from tiki_e_commerce_analytics_etl_spark.io import write_bucketed_table
 from tiki_e_commerce_analytics_etl_spark.plans.golden_join import golden_join_bucketed
-
-SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.mark.usefixtures("spark")
@@ -85,7 +83,7 @@ def test_golden_join_bucketed_fact_fact_no_shuffle(spark):
                 "left",
             )
             .select(
-                "snapshot_date", "product_id", "trend_keyword",
+                "snapshot_date", "product_id", "current_price", "trend_keyword",
                 F.col("score").cast("long").alias("trend_score"),
             )
         )

@@ -264,3 +264,35 @@ def test_http_fetch_against_local_server(spark):
         assert df.count() == 4
     finally:
         srv.shutdown()
+
+
+def test_real_decoder_8bit_wav_is_unsigned():
+    """Review regression: 8-bit WAV PCM is UNSIGNED (silence = 0x80);
+    a signed reinterpretation would report full-scale amplitude for
+    silence."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128] * 800))  # digital silence
+    feat = mm.real_decoder(buf.getvalue(), "audio")
+    assert feat[1] == 1.0          # sampwidth
+    assert feat[4] == 0.0          # mean abs of silence
+    assert feat[5] == 0.0 and feat[6] == 0.0  # rms, peak
+
+
+def test_repartition_for_payload_no_size_info_leaves_partitioning(spark):
+    """Review regression: a derived DataFrame with no input files must
+    NOT collapse to one partition."""
+    import warnings
+
+    df = spark.range(0, 1000, 1, 8).selectExpr("id AS media_id", "CAST(NULL AS BINARY) AS payload")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = mm.repartition_for_payload(df)
+    assert out.rdd.getNumPartitions() == 8  # unchanged
+    assert any("no local size info" in str(w.message) for w in rec)

@@ -476,3 +476,18 @@ def test_connected_components_matches_union_find_property(spark):
         assert got == union_find(edges)
 
     check()
+
+
+def test_table_diff_raises_on_schema_drift(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.diff import table_diff
+
+    left = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    right = spark.createDataFrame([(1, "a")], "k long, s string")
+    with pytest.raises(ValueError, match="schema drift"):
+        table_diff(left, right, ["k"])
+    # explicit subset still works
+    d = table_diff(left, right, ["k"], compare_cols=["s"]).collect()
+    assert d[0].status == "equal"
+    # keys-only tables are rejected in default mode
+    with pytest.raises(ValueError, match="no non-key columns"):
+        table_diff(left.select("k"), right.select("k"), ["k"])

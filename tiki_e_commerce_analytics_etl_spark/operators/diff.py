@@ -28,11 +28,30 @@ def table_diff(
 ) -> DataFrame:
     """Per-key diff of ``right`` (new) vs ``left`` (old): returns
     (*keys, status) with status in added | removed | changed | equal.
+
     ``compare_cols`` defaults to the non-key columns present on BOTH
-    sides."""
+    sides — and in that default mode any SCHEMA drift (a column present
+    on one side only) raises instead of silently shrinking the
+    comparison: a migration that dropped or renamed a column would
+    otherwise diff as a perfect 'equal' run, which is precisely the
+    failure this tool exists to catch.  Pass ``compare_cols``
+    explicitly to diff a deliberate column subset."""
     if compare_cols is None:
-        shared = [c for c in left.columns if c in set(right.columns)]
-        compare_cols = [c for c in shared if c not in keys]
+        l_only = [c for c in left.columns if c not in set(right.columns)]
+        r_only = [c for c in right.columns if c not in set(left.columns)]
+        if l_only or r_only:
+            raise ValueError(
+                f"table_diff: schema drift — left-only columns {l_only}, "
+                f"right-only columns {r_only}; pass compare_cols explicitly "
+                "to diff a column subset"
+            )
+        compare_cols = [c for c in left.columns if c not in keys]
+        if not compare_cols:
+            raise ValueError(
+                "table_diff: no non-key columns to compare — every key "
+                "would classify as 'equal'; pass compare_cols or add value "
+                "columns"
+            )
 
     l = left.select(
         *[F.col(k).alias(f"__lk_{k}") for k in keys],

@@ -116,12 +116,16 @@ def real_decoder(payload: bytes, media_type: str) -> list[float]:
                 "audio decoding supports WAV via stdlib wave; other codecs "
                 "need soundfile/torchaudio"
             ) from exc
-        dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(sampwidth)
-        if dtype is None:
+        # WAV PCM: 8-bit samples are UNSIGNED (centered at 128); wider
+        # widths are signed little-endian.
+        if sampwidth == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif sampwidth in (2, 4):
+            dtype = np.int16 if sampwidth == 2 else np.int32
+            x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+            x = x / float(2 ** (8 * sampwidth - 1))
+        else:
             raise NotImplementedError(f"unsupported WAV sample width {sampwidth}")
-        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-        scale = float(2 ** (8 * sampwidth - 1))
-        x = x / scale
         if x.size == 0:
             x = np.zeros(1)
         zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if x.size > 1 else 0.0
@@ -167,6 +171,23 @@ def repartition_for_payload(
             path = p.path if p.scheme in ("file", "") else None
             if path and os.path.exists(path):
                 total += os.path.getsize(path)
+        if total == 0:
+            # Remote storage (s3://, hdfs://) or a derived DataFrame
+            # with no input files: no size information is available
+            # driver-side.  Returning df UNCHANGED is the safe move —
+            # a blind repartition(1) would funnel the whole payload
+            # dataset into one task, the exact OOM this helper exists
+            # to prevent.  Pass total_payload_bytes (catalog stats /
+            # manifest) to get byte-aware sizing in that regime.
+            import warnings
+
+            warnings.warn(
+                "repartition_for_payload: no local size info for input "
+                "files; leaving partitioning unchanged — pass "
+                "total_payload_bytes for byte-aware sizing",
+                stacklevel=2,
+            )
+            return df
     n = max(1, int(total / target_partition_bytes) + 1)
     return df.repartition(n)
 

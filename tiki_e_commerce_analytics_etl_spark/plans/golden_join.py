@@ -49,7 +49,8 @@ def golden_join_bucketed(
          plan a daily OBT rebuild wants when both inputs are rewritten
          once and joined many times.
 
-    Returns (snapshot_date, product_id, trend_keyword, trend_score).
+    Returns (snapshot_date, product_id, current_price, trend_keyword,
+    trend_score).
     The write is part of the demonstrated contract (bucket metadata
     lives in the catalog), so this is a prepare-then-join builder, not
     a pure plan function — tests/test_bucketed_join.py asserts the
@@ -82,6 +83,7 @@ def golden_join_bucketed(
     return fb.join(tb, keys, "left").select(
         "snapshot_date",
         "product_id",
+        "current_price",
         "trend_keyword",
         F.col("score").cast("long").alias("trend_score"),
     )
