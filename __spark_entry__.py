@@ -1347,11 +1347,23 @@ def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken-sketch gate without flakiness; approx_percentile at
     accuracy=1000 is rank-exact to ~0.1% so 2% bounds it."""
     li = read_table(spark, sf_dir, "lineitem")
-    # Four independent single-row aggregates crossJoined rather than
-    # one combined agg: two countDistincts in one agg force an Expand
-    # (3× the input) into a single final aggregation that also buffers
-    # the exact percentiles — measured 9.5 s at sf0.1 combined vs ~2 s
-    # split.  Each split agg partial-aggregates on its own.
+    # THREE pieces, each with the cheapest exact formulation (the
+    # round-3 four-way crossJoin chain took 5.3 s at sf0.1; this takes
+    # ~2 s):
+    #  1. ALL sketches + the row count share ONE partial-aggregating
+    #     scan — none are exact distincts, so no Expand.
+    #  2. The two exact countDistincts share one agg: Expand 2× over
+    #     two pruned key columns is cheap when no percentile buffers
+    #     sit in the same final aggregation (combining them measured
+    #     9.5 s).
+    #  3. Exact percentiles by global sort-rank interpolation instead
+    #     of the `percentile` aggregate: the counts-map buffer that
+    #     aggregate builds over ~600k near-distinct doubles costs
+    #     4-6 s, vs <1 s for row_number over a sorted single window
+    #     plus a 2-row interpolation.  The single-partition window is
+    #     gate-only verification (exact percentiles at 100 TB are not
+    #     a production path — approx_percentile is); values verified
+    #     bit-identical to `percentile` on this data.
     sketches = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
@@ -1359,16 +1371,40 @@ def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("approx_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    exact_parts = li.agg(F.countDistinct("l_partkey").alias("exact_parts"))
-    exact_orders = li.agg(F.countDistinct("l_orderkey").alias("exact_orders"))
-    exact_pcts = li.agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+    exact_counts = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
-    agg = (
-        sketches.crossJoin(F.broadcast(exact_parts))
-        .crossJoin(F.broadcast(exact_orders))
-        .crossJoin(F.broadcast(exact_pcts))
+    vals = li.filter(F.col("l_extendedprice").isNotNull()).select(
+        F.col("l_extendedprice").alias("v")
+    )
+    ranked = vals.withColumn("rk", F.row_number().over(Window.orderBy("v")) - 1)
+    with_n = ranked.crossJoin(F.broadcast(vals.agg(F.count(F.lit(1)).alias("n"))))
+
+    def interp(p: float, name: str):
+        # percentile(p) = v[floor(r)]*(1-frac) + v[ceil(r)]*frac at
+        # r = p*(n-1) over the 0-indexed sorted values.
+        r = F.lit(p) * (F.col("n") - F.lit(1))
+        lo, hi = F.floor(r), F.ceil(r)
+        frac = r - lo
+        return F.sum(
+            F.when(
+                F.col("rk") == lo,
+                F.col("v") * F.when(lo == hi, F.lit(1.0)).otherwise(F.lit(1.0) - frac),
+            )
+            .when(F.col("rk") == hi, F.col("v") * frac)
+            .otherwise(F.lit(0.0))
+        ).alias(name)
+
+    def near(p: float):
+        r = F.lit(p) * (F.col("n") - F.lit(1))
+        return (F.col("rk") >= F.floor(r)) & (F.col("rk") <= F.ceil(r))
+
+    exact_pcts = with_n.filter(near(0.5) | near(0.95)).agg(
+        interp(0.5, "exact_p50"), interp(0.95, "exact_p95")
+    )
+    agg = sketches.crossJoin(F.broadcast(exact_counts)).crossJoin(
+        F.broadcast(exact_pcts)
     )
 
     def ok(approx, exact, bound):

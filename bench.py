@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -123,9 +124,21 @@ def main() -> None:
             # matches identical logical plans) — keep every rep honest.
             spark.catalog.clearCache()
         per_rep[name] = runs
-        timings[name] = sorted(runs)[len(runs) // 2]
+        # statistics.median, not sorted()[n//2]: the latter is the
+        # upper-middle element (biased high) for even rep counts.
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # The stdout line must stay SHORT (medians only): the driver
+    # tail-captures stdout, and round 3's line with embedded per-rep
+    # arrays outgrew the capture window and recorded `parsed: null`.
+    # Per-rep detail goes to a side file for auditability instead.
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_reps.json")
+        with open(side, "w") as f:
+            json.dump({"sf": sf, "reps": per_rep}, f, indent=1, sort_keys=True)
+    except OSError as exc:  # never let audit detail break the artifact
+        print(f"bench_reps.json not written: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -133,7 +146,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "reps": per_rep,
                 "sf": sf,
             }
         )

@@ -12,15 +12,18 @@ is two hash-partitioned joins (neighbor-min, then label-of-label), so
 convergence needs O(log diameter) rounds instead of O(diameter).
 Near-dup clusters are small and dense (that is what similarity means),
 so in practice 2-3 rounds close; ``max_iters`` bounds the pathological
-chain.  Each round ends with a bounded fixed-point probe
-(``limit(1).count()`` — same pattern as operators/hierarchy.py) and a
-``localCheckpoint`` to truncate the growing lineage, which would
-otherwise re-execute every prior round's joins each action.
+chain.  Each round is ONE job: the changed-label count rides the jump
+join itself as an ``Observation`` metric, collected by the eager
+``localCheckpoint`` that also truncates the growing lineage (which
+would otherwise re-execute every prior round's joins each action) —
+no separate fixed-point probe job.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -47,9 +50,12 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("comp"))
     )
 
+    changed = True
     for _ in range(max_iters):
         # Propagate: each node takes the min label over itself and its
-        # neighbors.  One shuffle keyed on the node id.
+        # neighbors.  One shuffle keyed on the node id.  The round's
+        # OLD label rides along so the fixed-point check is a column
+        # comparison, not a join back against the previous labels.
         nbr = (
             bidir.join(
                 labels.select(F.col("node").alias("b"), F.col("comp").alias("ncomp")),
@@ -61,6 +67,7 @@ def connected_components(
         )
         prop = labels.join(nbr, "node", "left").select(
             "node",
+            F.col("comp").alias("old_comp"),
             F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
         )
         # Pointer jump: comp := comp(comp) — collapses label chains in
@@ -76,21 +83,35 @@ def connected_components(
             )
             .select(
                 "node",
+                "old_comp",
                 F.least(F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-            > 0
+        # Fixed-point probe folded into the round's single action: the
+        # changed-count is an Observation on the jump join, and the
+        # eager localCheckpoint both materializes the round (truncating
+        # lineage) and delivers the metric — one job per round instead
+        # of a checkpoint job plus a probe job.
+        obs = Observation()
+        labels = (
+            jumped.observe(
+                obs,
+                F.sum((F.col("comp") != F.col("old_comp")).cast("long")).alias("changed"),
+            )
+            .select("node", "comp")
+            .localCheckpoint(eager=True)
         )
-        labels = jumped
+        changed = (obs.get["changed"] or 0) > 0
         if not changed:
             break
+    if changed:
+        warnings.warn(
+            f"connected_components: not converged after max_iters={max_iters} "
+            "rounds; returned labels may split components. Raise max_iters "
+            "(rounds needed grow ~log2 of graph diameter).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("comp").alias("component"))
 
 
