@@ -1,0 +1,208 @@
+"""Atomic-commit (acid.py) guarantees: crash safety, reader isolation,
+writer-writer serialization, time travel, vacuum.
+
+The crash tests inject faults at every stage of the commit protocol
+(after data write / during manifest create) and assert readers still
+see exactly the previous snapshot — the "kill a writer mid-rewrite,
+readers see old-or-new never partial" contract plain dynamic partition
+overwrite cannot provide.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark import acid, io
+
+
+def _mk(spark, tag: str, n: int = 50, parts=("a", "b")):
+    rows = [
+        Row(k=i, payload=tag, p=parts[i % len(parts)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _snapshot(spark, path, version=None):
+    df = acid.read_atomic(spark, path, version=version)
+    rows = df.collect()
+    return len(rows), {r.payload for r in rows}, {r.p for r in rows}
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+    assert v0 == 0
+    n, payloads, parts = _snapshot(spark, path)
+    assert (n, payloads, parts) == (50, {"old"}, {"a", "b"})
+
+
+def test_partition_replace_carries_forward_absent_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+    only_a = _mk(spark, "new").filter(F.col("p") == "a")
+    acid.atomic_overwrite_partitions(only_a, path, ["p"])
+    df = acid.read_atomic(spark, path)
+    got = {(r.p, r.payload) for r in df.collect()}
+    assert got == {("a", "new"), ("b", "old")}
+    assert df.count() == 50
+
+
+def test_unpartitioned_full_replace(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path)
+    acid.atomic_overwrite_partitions(_mk(spark, "new", n=7), path)
+    n, payloads, _ = _snapshot(spark, path)
+    assert (n, payloads) == (7, {"new"})
+
+
+def test_writer_killed_after_data_write_is_invisible(spark, tmp_path, monkeypatch):
+    """Death between the parquet write and the manifest create leaves
+    the table bit-identical to the previous snapshot."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+    before = _snapshot(spark, path)
+
+    real_open = os.open
+
+    def die_on_manifest(p, *a, **kw):
+        if acid._MANIFEST_DIR in str(p) and str(p).endswith(".json"):
+            raise KeyboardInterrupt("writer killed at commit point")
+        return real_open(p, *a, **kw)
+
+    monkeypatch.setattr(os, "open", die_on_manifest)
+    with pytest.raises(KeyboardInterrupt):
+        acid.atomic_overwrite_partitions(_mk(spark, "doomed"), path, ["p"])
+    monkeypatch.undo()
+
+    assert _snapshot(spark, path) == before
+    assert acid.latest_version(path) == 0
+    # the orphaned txn dir exists but is unreferenced -> vacuum food
+    txns = os.listdir(os.path.join(path, "data"))
+    assert len(txns) == 2
+    removed = acid.vacuum(path, keep_versions=1)
+    assert any("txn-" in r for r in removed)
+    assert _snapshot(spark, path) == before
+
+
+def test_writer_killed_mid_parquet_write_is_invisible(spark, tmp_path):
+    """Death DURING the data write (simulated by an aborted Spark job)
+    never perturbs readers: uncommitted files are never listed."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+    before = _snapshot(spark, path)
+    bad = _mk(spark, "doomed").withColumn(
+        "boom", F.udf(lambda: (_ for _ in ()).throw(ValueError("die")))()
+    )
+    with pytest.raises(Exception):
+        acid.atomic_overwrite_partitions(bad, path, ["p"])
+    assert _snapshot(spark, path) == before
+
+
+def test_concurrent_readers_never_see_partial(spark, tmp_path):
+    """A reader loop racing a committing writer observes ONLY complete
+    snapshots: every read is all-old or all-new across all partitions,
+    with the full row count."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "v0"), path, ["p"])
+    dfs = {tag: _mk(spark, tag).cache() for tag in ("v1", "v2", "v3")}
+    for df in dfs.values():
+        df.count()
+
+    bad: list[tuple] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            n, payloads, parts = _snapshot(spark, path)
+            if not (n == 50 and len(payloads) == 1 and parts == {"a", "b"}):
+                bad.append((n, payloads, parts))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for tag, df in dfs.items():
+            acid.atomic_overwrite_partitions(df, path, ["p"])
+    finally:
+        stop.set()
+        t.join()
+    assert bad == []
+    assert _snapshot(spark, path)[1] == {"v3"}
+
+
+def test_racing_writers_both_land(spark, tmp_path, monkeypatch):
+    """Two writers committing from the same base version serialize via
+    the exclusive create: the loser retries at the next version and
+    neither update is lost (distinct partitions both visible)."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+
+    df_a = _mk(spark, "wa").filter(F.col("p") == "a")
+    df_b = _mk(spark, "wb").filter(F.col("p") == "b")
+
+    # Force the race deterministically: while writer A commits, writer
+    # B's commit has already taken A's intended version.
+    real_open = os.open
+    injected = {"done": False}
+
+    def steal_version(p, *a, **kw):
+        sp = str(p)
+        if (
+            not injected["done"]
+            and acid._MANIFEST_DIR in sp
+            and sp.endswith(".json")
+            and os.O_EXCL & a[0]
+        ):
+            injected["done"] = True
+            acid.atomic_overwrite_partitions(df_b, path, ["p"])  # B wins v1
+        return real_open(p, *a, **kw)
+
+    monkeypatch.setattr(os, "open", steal_version)
+    acid.atomic_overwrite_partitions(df_a, path, ["p"])  # A retries -> v2
+    monkeypatch.undo()
+
+    assert acid.latest_version(path) == 2
+    got = {(r.p, r.payload) for r in acid.read_atomic(spark, path).collect()}
+    assert got == {("a", "wa"), ("b", "wb")}
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "v0"), path, ["p"])
+    acid.atomic_overwrite_partitions(_mk(spark, "v1"), path, ["p"])
+    acid.atomic_overwrite_partitions(_mk(spark, "v2"), path, ["p"])
+    assert _snapshot(spark, path, version=1)[1] == {"v1"}
+    assert _snapshot(spark, path)[1] == {"v2"}
+
+    removed = acid.vacuum(path, keep_versions=1)
+    assert removed  # old manifests + unreferenced txn dirs
+    assert _snapshot(spark, path)[1] == {"v2"}
+    with pytest.raises(FileNotFoundError):
+        acid._read_manifest(path, 0)
+
+
+def test_io_overwrite_partitions_atomic_flag(spark, tmp_path):
+    path = str(tmp_path / "t")
+    io.overwrite_partitions(_mk(spark, "old"), path, ["p"], atomic=True)
+    io.overwrite_partitions(
+        _mk(spark, "new").filter(F.col("p") == "a"), path, ["p"], atomic=True
+    )
+    got = {(r.p, r.payload) for r in acid.read_atomic(spark, path).collect()}
+    assert got == {("a", "new"), ("b", "old")}
+
+
+def test_manifest_is_fsynced_valid_json(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "x"), path, ["p"])
+    with open(acid._manifest_path(path, 0)) as f:
+        m = json.load(f)
+    assert m["version"] == 0 and m["partition_cols"] == ["p"]
+    assert set(m["partitions"]) == {"p=a", "p=b"}
+    for files in m["partitions"].values():
+        for rel in files:
+            assert os.path.exists(os.path.join(path, rel))

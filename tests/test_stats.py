@@ -1,0 +1,95 @@
+"""Catalog-stats sidecars and footer-based estimation (stats.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import warnings
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark import io, stats
+from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_footer_row_count_exact_for_scan(spark):
+    df = io.read_table(spark, SF, "orders")
+    est = stats.estimated_row_count(df, require_exact=True)
+    assert est == df.count()
+
+
+def test_footer_row_count_upper_bound_through_filter(spark):
+    df = io.read_table(spark, SF, "orders")
+    filtered = df.filter(F.col("o_totalprice") > 100000)
+    est = stats.estimated_row_count(filtered)
+    assert est == df.count()  # scan rows: documented upper bound
+    assert stats.estimated_row_count(filtered, require_exact=True) is None
+
+
+def test_no_stats_for_in_memory_relation(spark):
+    df = spark.createDataFrame([Row(a=1), Row(a=2)])
+    assert stats.estimated_row_count(df) is None
+
+
+def test_plan_size_estimate_positive(spark):
+    df = io.read_table(spark, SF, "lineitem")
+    size = stats.estimated_size_bytes(df)
+    assert size is not None and size > 0
+
+
+def test_write_partitioned_publishes_stats_full_replace(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(123).withColumn("v", F.col("id") * 2)
+    io.write_partitioned(df, path)
+    s = stats.read_stats(path)
+    assert s["row_count"] == 123 and s["size_bytes"] > 0
+    # sidecar is invisible to Spark's scan
+    assert spark.read.parquet(path).count() == 123
+
+
+def test_write_partitioned_stats_partitioned_mode(spark, tmp_path):
+    """Dynamic partition overwrite: stats must reflect the whole table,
+    not the written batch."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [Row(k=i, p="a" if i < 60 else "b") for i in range(100)]
+    )
+    io.write_partitioned(df, path, ["p"])
+    assert stats.read_stats(path)["row_count"] == 100
+    # rewrite only partition a with fewer rows
+    smaller = spark.createDataFrame([Row(k=i, p="a") for i in range(10)])
+    io.write_partitioned(smaller, path, ["p"])
+    assert stats.read_stats(path)["row_count"] == 50  # 10 new a + 40 b
+    assert spark.read.parquet(path).count() == 50
+
+
+def test_lsh_topk_defaults_plane_count_from_stats(spark):
+    """Parquet-backed corpus + no corpus_size: plane count comes from
+    footer stats — no fixed-8-planes warning."""
+    emb = io.read_table(spark, SF, "embeddings")
+    queries = emb.limit(3)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = similarity.lsh_topk(emb, queries, k=5, corpus_size=None)
+        out.write.format("noop").mode("overwrite").save()
+    assert not [w for w in caught if "lsh_topk" in str(w.message)]
+
+
+def test_lsh_topk_warns_without_any_stats(spark):
+    emb = io.read_table(spark, SF, "embeddings")
+    mem = spark.createDataFrame(emb.limit(20).collect())
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        similarity.lsh_topk(mem, mem.limit(2), k=3)
+    assert [w for w in caught if "lsh_topk" in str(w.message)]
+
+
+def test_stats_json_atomic_publish(tmp_path):
+    path = str(tmp_path)
+    stats.write_stats(path, 5, 10)
+    with open(os.path.join(path, "_stats.json")) as f:
+        assert json.load(f) == {"row_count": 5, "size_bytes": 10}
+    assert not os.path.exists(os.path.join(path, "_stats.json.tmp"))

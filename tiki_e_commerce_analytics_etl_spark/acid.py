@@ -1,0 +1,256 @@
+"""Atomic, concurrent-writer-safe table commits on a plain filesystem.
+
+The reference gets ACID for free from BigQuery — a WRITE_TRUNCATE load
+into a partition decorator is atomic per partition, and readers never
+observe a half-loaded partition (load_to_bq.py:185-188, 272-299;
+dags/analytics_dag.py:65-68).  ``io.overwrite_partitions`` (dynamic
+partition overwrite) has no such guarantee: Spark deletes and rewrites
+partition directories in place, so a reader racing the rewrite can list
+a partially-written partition, and a writer killed mid-rewrite leaves
+the table truncated.
+
+This module supplies the missing guarantee with the same design Delta
+Lake / Iceberg use (both public): **immutable data files + an atomic
+metadata pointer**.
+
+Layout under a table root::
+
+    <path>/data/txn-<id>/...          immutable parquet (Hive dirs when
+                                      partitioned); INVISIBLE until a
+                                      manifest references it
+    <path>/_manifests/v00000042.json  immutable snapshot: partition ->
+                                      [relative data file paths]
+
+Commit protocol (``atomic_overwrite_partitions``):
+
+1. Write the DataFrame's files under a fresh ``data/txn-<uuid>/``
+   directory.  Readers only open files named by a committed manifest,
+   so in-progress writes are invisible *by construction* — no hidden-
+   file filtering tricks, no rename dance over live directories.
+2. Read the current max manifest version N, merge the new partition
+   file lists over the old snapshot (partitions present in the new
+   data replace; absent partitions carry forward — the reference's
+   partition-truncate semantics), and create ``v{N+1}.json`` with
+   ``O_CREAT | O_EXCL``.  The *exclusive create is the commit point*:
+   it either fully succeeds or fully fails, and two racing writers
+   cannot both create the same version — the loser re-reads the
+   winner's snapshot, re-merges, and retries at N+2, which serializes
+   writers without a lock file.
+3. Nothing else.  A writer killed before step 2 leaves only
+   unreferenced data files (``vacuum`` collects them); killed after,
+   the commit is complete.
+
+Readers (``read_atomic``) list ``_manifests/``, pick the max version
+(or an explicit ``version=`` for time travel), and read exactly the
+files it names — an old-or-new snapshot across ALL partitions, which
+is *stronger* than BigQuery's per-partition atomicity.  Old snapshots
+stay readable until ``vacuum`` drops them, so an in-flight reader is
+never broken by a concurrent commit (the paths it resolved still
+exist) — the failure mode plain dynamic overwrite cannot avoid.
+
+At 100 TB the same protocol holds with one substitution: the
+exclusive-create primitive becomes the object store's conditional PUT
+(S3 ``If-None-Match:*``, GCS ``x-goog-if-generation-match: 0``) —
+exactly how Delta commits on S3/GCS — and manifests shard into a
+manifest list once partition counts reach millions.  Data-file writes
+scale as ordinary Spark parquet jobs; the commit itself is O(manifest)
+driver-side metadata, not O(data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed snapshot version, or None for an empty table."""
+    versions = _list_versions(path)
+    return versions[-1] if versions else None
+
+
+def _relative_parquet_files(root: str) -> dict[str, list[str]]:
+    """Map partition dir (''" for unpartitioned) -> relative file paths
+    for every parquet data file under ``root``."""
+    out: dict[str, list[str]] = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            if not name.endswith(".parquet") or name.startswith((".", "_")):
+                continue
+            rel_dir = os.path.relpath(dirpath, root)
+            part = "" if rel_dir == "." else rel_dir
+            out.setdefault(part, []).append(os.path.join(dirpath, name))
+    return out
+
+
+def atomic_overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | tuple[str, ...] = (),
+    max_commit_retries: int = 20,
+) -> int:
+    """Replace the partitions present in ``df`` (the whole table when
+    unpartitioned) in ONE atomic commit; returns the new version.
+
+    Safe against concurrent readers (they see the previous or the new
+    snapshot, never a mix), concurrent writers (exclusive-create
+    serializes commits; both land, last merge wins per partition), and
+    writer death at any instant (an uncommitted transaction is
+    invisible garbage for ``vacuum``).
+    """
+    txn = uuid.uuid4().hex[:12]
+    txn_rel = os.path.join(_DATA_DIR, f"txn-{txn}")
+    txn_dir = os.path.join(path, txn_rel)
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*list(partition_cols))
+    writer.parquet(txn_dir)
+
+    new_parts: dict[str, list[str]] = {
+        part: sorted(os.path.relpath(p, path) for p in files)
+        for part, files in _relative_parquet_files(txn_dir).items()
+    }
+
+    for _ in range(max_commit_retries):
+        versions = _list_versions(path)
+        base = _read_manifest(path, versions[-1]) if versions else {"partitions": {}, "partition_cols": list(partition_cols)}
+        merged = dict(base.get("partitions", {}))
+        if partition_cols:
+            merged.update(new_parts)
+        else:
+            merged = dict(new_parts)  # unpartitioned: full replace
+        next_v = (versions[-1] + 1) if versions else 0
+        manifest = {
+            "version": next_v,
+            "txn": txn,
+            "partition_cols": list(partition_cols),
+            "partitions": merged,
+        }
+        payload = json.dumps(manifest, sort_keys=True).encode()
+        try:
+            # THE commit point: O_EXCL create either fully succeeds or
+            # fully fails; a racing writer's win surfaces as EEXIST and
+            # we re-merge against their snapshot.  (At object-store
+            # scale: conditional PUT.)
+            fd = os.open(
+                _manifest_path(path, next_v),
+                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+                0o644,
+            )
+        except FileExistsError:
+            continue
+        try:
+            os.write(fd, payload)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return next_v
+    raise RuntimeError(
+        f"atomic commit to {path} lost {max_commit_retries} consecutive "
+        "version races; raise max_commit_retries or reduce writer fan-in"
+    )
+
+
+def read_atomic(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a committed snapshot (latest by default; ``version=`` for
+    time travel).  Only files named by that manifest are opened, so a
+    concurrent commit can never tear the result.
+
+    Partitioned snapshots may span several transactions (each partition
+    keeps the files of the txn that last replaced it); files are read
+    per-transaction with that txn's directory as ``basePath`` so Spark
+    re-derives the Hive partition columns, then unioned by name — scan
+    count is bounded by the number of live transactions (≤ number of
+    partitions, typically far fewer), not by file count.
+    """
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+    manifest = _read_manifest(path, version)
+    all_files = [f for files in manifest["partitions"].values() for f in files]
+    if not all_files:
+        raise ValueError(f"snapshot v{version} of {path} is empty")
+    by_txn: dict[str, list[str]] = {}
+    for rel in all_files:
+        # rel = data/txn-<id>/[<part dirs>/]file.parquet
+        txn_root = os.path.join(*rel.split(os.sep)[:2])
+        by_txn.setdefault(txn_root, []).append(os.path.join(path, rel))
+    parts = None
+    for txn_root, files in sorted(by_txn.items()):
+        df = (
+            spark.read.option("basePath", os.path.join(path, txn_root))
+            .parquet(*sorted(files))
+        )
+        parts = df if parts is None else parts.unionByName(df)
+    return parts
+
+
+def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+    """Delete manifests older than the newest ``keep_versions`` and any
+    transaction directory no retained manifest references; returns the
+    removed paths.  Run it with a grace matched to the longest reader
+    (same contract as Delta's VACUUM): an in-flight reader of a
+    retained version is never broken.
+    """
+    versions = _list_versions(path)
+    if not versions:
+        return []
+    keep = versions[-keep_versions:] if keep_versions > 0 else []
+    live_txns = set()
+    for v in keep:
+        for files in _read_manifest(path, v)["partitions"].values():
+            for rel in files:
+                live_txns.add(os.path.join(*rel.split(os.sep)[:2]))
+    removed = []
+    for v in versions:
+        if v not in keep:
+            p = _manifest_path(path, v)
+            os.unlink(p)
+            removed.append(p)
+    data_root = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in live_txns:
+                full = os.path.join(data_root, name)
+                shutil.rmtree(full)
+                removed.append(full)
+    return removed

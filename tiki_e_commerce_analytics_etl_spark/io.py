@@ -80,19 +80,61 @@ def write_partitioned(
     path: str,
     partition_cols: list[str] | tuple[str, ...] = (),
     mode: str = "overwrite",
+    collect_stats: bool = True,
 ) -> None:
     """Hive-layout parquet write; with ``partitionOverwriteMode=dynamic``
     (set by session.configure) mode='overwrite' replaces only the
     partitions present in ``df`` — the reference's partition-truncate
-    load (load_to_bq.py:185-188) without any decorator machinery."""
+    load (load_to_bq.py:185-188) without any decorator machinery.
+
+    By default an ``ANALYZE TABLE``-style stats sidecar (``_stats.json``:
+    row count + byte size) is published next to the data: the row count
+    rides the write itself as an ``Observation`` metric (zero extra
+    passes — BigQuery gives the reference these numbers for free) and
+    feeds downstream sizing (``similarity.lsh_topk`` plane count,
+    ``multimodal.repartition_for_payload``)."""
+    from pyspark.sql import Observation
+
+    # The observed count equals the table total only for a full
+    # replace; appends and dynamic partition overwrites leave other
+    # data in place, so those modes re-sum parquet footers instead
+    # (metadata-only, no data scan).
+    full_replace = mode == "overwrite" and not partition_cols
+    obs = None
+    if collect_stats and full_replace:
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+    if collect_stats:
+        from . import stats as _stats
+
+        rows = int(obs.get["rows"] or 0) if obs is not None else None
+        _stats.write_stats(path, rows)
 
 
-def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
-    write_partitioned(df, path, partition_cols, mode="overwrite")
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    atomic: bool = False,
+) -> None:
+    """Idempotent partition replace.  Default = Spark dynamic partition
+    overwrite (in-place: fastest, but a reader racing the rewrite can
+    observe a partial partition and a killed writer truncates it).
+    ``atomic=True`` routes through :mod:`.acid`'s manifest commit —
+    concurrent readers see old-or-new snapshots only and writer death
+    never corrupts, matching the ACID the reference inherits from
+    BigQuery (load_to_bq.py:272-299); read back with
+    ``acid.read_atomic``."""
+    if atomic:
+        from . import acid
+
+        acid.atomic_overwrite_partitions(df, path, partition_cols)
+    else:
+        write_partitioned(df, path, partition_cols, mode="overwrite")
 
 
 def write_bucketed_table(
