@@ -65,3 +65,120 @@ def test_salted_join_matches_plain(spark):
     )
     assert salted == plain
     assert len(salted) == 301  # 300 (hot k=1) + 1 (k=2); k=3/k=4 unmatched
+
+
+def _skewed_golden_inputs(spark, n=120_000, hot_tenths=3):
+    """Golden-join inputs with one product_id carrying hot_tenths/10 of
+    the fact — the hot-SKU regime (a flash-sale product crawled every
+    snapshot) where the fact->dim_products shuffle develops a straggler
+    partition once dims are too big to broadcast."""
+    import datetime
+
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 10 < hot_tenths, F.lit(7))
+        .otherwise((F.col("id") % 997) + 100)
+        .alias("product_id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 30).cast("int")).alias(
+            "snapshot_date"
+        ),
+        (F.col("id") % 100000).cast("double").alias("current_price"),
+        (F.col("id") % 120000).cast("double").alias("original_price"),
+        (F.col("id") % 50).cast("long").alias("discount_rate"),
+    )
+    dim_p = spark.range(1200).select(
+        F.col("id").alias("product_id"),
+        F.concat(F.lit("p"), F.col("id")).alias("name"),
+        F.lit("b").alias("brand_name"),
+        (F.col("id") % 50).alias("category_id"),
+    )
+    dim_c = spark.range(50).select(
+        F.col("id").alias("category_id"),
+        F.concat(F.lit("c"), F.col("id")).alias("category_name"),
+    )
+    km = spark.range(50).select(
+        F.col("id").alias("tiki_category_id"),
+        F.concat(F.lit("kw"), F.col("id") % 5).alias("trend_keyword"),
+        F.lit(True).alias("is_active"),
+    )
+    trends = spark.createDataFrame(
+        [
+            (f"kw{k}", datetime.date(2024, 1, 1) + datetime.timedelta(days=d), float(k * 10 + d))
+            for k in range(5)
+            for d in range(30)
+        ],
+        "keyword string, date date, score double",
+    )
+    fx = spark.createDataFrame(
+        [
+            ("USD", "VND", datetime.date(2024, 1, 1) + datetime.timedelta(days=d), 25000.0 + d)
+            for d in range(30)
+        ],
+        "from_currency string, to_currency string, date date, rate double",
+    )
+    return fact, dim_p, dim_c, km, trends, fx
+
+
+def _checksum(rows):
+    return len(rows), sum(hash(tuple(r)) for r in rows) & ((1 << 64) - 1)
+
+
+def test_golden_join_skewed_fact_aqe_splits(spark):
+    """Golden Join under a hot-SKU fact in the no-broadcast regime:
+    AQE's skew-join handling must split the straggler partition (the
+    executed plan carries the skew=true marker) and the skew-split run
+    must produce bit-identical results to the broadcast plan, which is
+    immune to join skew by construction (the fact never shuffles)."""
+    from tiki_e_commerce_analytics_etl_spark.plans.golden_join import golden_join
+
+    inputs = _skewed_golden_inputs(spark)
+    expected = _checksum(golden_join(*inputs, broadcast_dims=True).collect())
+
+    # Scale AQE's skew thresholds (tuned for multi-GB partitions) down
+    # to test-size data; the mechanism under test is identical.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        out = golden_join(*inputs, broadcast_dims=False)
+        got = _checksum(out.collect())
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin" in plan  # broadcasts really were disabled
+    assert plan.count("skew=true") >= 1  # the hot partition was split
+    assert got == expected
+
+
+def test_golden_join_skewed_fact_salted_fallback_matches(spark):
+    """The engine-side fallback for planners without AQE skew handling:
+    salt the hot fact side of the golden join's fact->dim_products
+    join.  Results must be identical to the broadcast formulation
+    (salting only changes the physical distribution), and the salted
+    plan must actually shuffle on (key, salt) so the hot SKU spreads
+    across reducers."""
+    fact, dim_p, *_ = _skewed_golden_inputs(spark, n=30_000)
+    cols = ["product_id", "snapshot_date", "current_price", "name", "category_id"]
+    expected = _checksum(
+        fact.join(F.broadcast(dim_p), "product_id").select(*cols).collect()
+    )
+    salted = skew.salted_join_left_skewed(
+        fact, dim_p, ["product_id"], salt_from=["snapshot_date", "current_price"], n_salts=8
+    ).select(*cols)
+    got = _checksum(salted.collect())
+    assert got == expected
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # join really ran on (product_id, salt)
