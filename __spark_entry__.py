@@ -887,8 +887,19 @@ def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tiki_e_commerce_analytics_etl_spark.sources.trends_csv import read_trends_csv
 
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_fixtures")
-    os.makedirs(base, exist_ok=True)
+    # Per-uid directory, created 0700 and ownership-verified: a fixed
+    # world-visible path under /tmp would let another local user
+    # pre-create the directory (makedirs(exist_ok=True) masks foreign
+    # ownership) and tamper with a registered query's input.
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_fixtures_uid{os.getuid()}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"fixture dir {base} is owned by uid {st.st_uid}, not the "
+            f"current uid {os.getuid()} — refusing to write query fixtures "
+            "into a foreign-owned directory"
+        )
 
     def write_atomic(path: str, content: str) -> None:
         # Concurrent runs (bench + check, pytest workers) share these

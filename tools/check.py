@@ -150,7 +150,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"pass {name}: {len(spark_pdf)} rows match")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+    ran = len(only & set(qs)) if only else len(qs)
+    print(f"\n{ran - len(failed)}/{ran} queries pass")
     return 1 if failed else 0
 
 
