@@ -929,6 +929,80 @@ def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K7/K8 upgraded to concurrent-writer safety: partition-grain
+    overwrite through acid.py's manifest commit (immutable txn data
+    dirs + O_EXCL versioned manifests — the BigQuery-partition-
+    decorator ACID the reference relies on, load_to_bq.py:185-188,
+    rebuilt on a bare filesystem).  Commits a full snapshot, then
+    atomically replaces ONE partition with a re-filtered aggregate;
+    the read-back must show the new partition merged with the
+    carried-forward ones — which is exactly what the DuckDB oracle
+    recomputes relationally.  A fresh per-process table dir keeps
+    concurrent check/bench runs from interleaving commits."""
+    import os
+    import tempfile
+    import uuid
+
+    from tiki_e_commerce_analytics_etl_spark import acid
+
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def daily(src):
+        return src.groupBy(F.col("l_returnflag").alias("flag")).agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_fixtures_uid{os.getuid()}"
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    path = os.path.join(base, f"atomic_swap_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+
+    acid.atomic_overwrite_partitions(daily(li), path, ["flag"])
+    refined = daily(li.filter(F.col("l_quantity") > 25)).filter(F.col("flag") == "A")
+    acid.atomic_overwrite_partitions(refined, path, ["flag"])
+    return acid.read_atomic(spark, path).select("flag", "sum_qty", "n")
+
+
+_ATOMIC_SWAP_ORACLE = """
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 25
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem WHERE l_returnflag <> 'A'
+    GROUP BY l_returnflag
+"""
+
+
+def q_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics as a driver-visible gate: the parquet-footer
+    row estimates (stats.estimated_row_count — metadata-only, the
+    numbers that size lsh_topk's buckets and payload repartitioning)
+    must equal the exact COUNT(*) the oracle computes by scanning."""
+    from tiki_e_commerce_analytics_etl_spark import stats as stats_mod
+
+    rows = [
+        (t, int(stats_mod.estimated_row_count(read_table(spark, sf_dir, t), require_exact=True)))
+        for t in ("lineitem", "orders", "documents", "embeddings")
+    ]
+    return spark.createDataFrame(rows, "table_name string, row_count bigint")
+
+
+_CATALOG_STATS_ORACLE = """
+    SELECT 'lineitem' AS table_name, COUNT(*) AS row_count FROM lineitem
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+"""
+
+
 _TRENDS_CSV_SCAN_ORACLE = """
     SELECT CAST(d AS DATE) AS date, keyword, score_raw, is_partial FROM (VALUES
         ('2024-01-01', 'electronics', '55', FALSE),
@@ -1650,6 +1724,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "trends_csv_scan": q_trends_csv_scan,
+        "atomic_swap": q_atomic_swap,
+        "catalog_stats": q_catalog_stats,
         "neardup_clusters": q_neardup_clusters,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "bm25_search": q_bm25_search,
@@ -2356,6 +2432,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_checks": _quality_checks_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "trends_csv_scan": _TRENDS_CSV_SCAN_ORACLE,
+        "atomic_swap": _ATOMIC_SWAP_ORACLE,
+        "catalog_stats": _CATALOG_STATS_ORACLE,
         "sketch_summary": """
             SELECT TRUE AS approx_parts_ok, TRUE AS approx_orders_ok,
                    TRUE AS approx_p50_ok, TRUE AS approx_p95_ok,
