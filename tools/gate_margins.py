@@ -1,0 +1,122 @@
+"""Measure the data-dependent gate margins against the CURRENT
+testdata generation.
+
+The driver regenerates /root/testdata each round, and several
+registered queries are boolean GATES whose thresholds were calibrated
+against a specific generation: ANN recall (LSH >= 0.5, IVF >= 0.3 at
+nprobe=8), SemDeDup coverage (>= 0.15), and the sketch relative-error
+bounds (HLL 10%, approx-percentile 2%).  A regeneration could move a
+measured quantity toward its threshold without any code change.  Run
+this at round start (and before relying on CHECK_LOCAL artifacts):
+it prints each gate's MEASURED value, its threshold, and the margin,
+and exits non-zero when any margin falls under the safety floor.
+
+Usage: python tools/gate_margins.py [sf_dir ...]
+       (default: sf0.001 and sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tiki_e_commerce_analytics_etl_spark.io import read_table  # noqa: E402
+from tiki_e_commerce_analytics_etl_spark.session import get_session  # noqa: E402
+
+# require measured >= threshold * (1 + floor) — i.e. at least 20%
+# relative headroom before we call a gate "at risk"
+MARGIN_FLOOR = 0.2
+
+
+def _recall(exact, ann) -> float:
+    hits = (
+        exact.join(F.broadcast(ann), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    row = (
+        base.join(hits, "query_id", "left")
+        .agg(F.min(F.coalesce(F.col("hits"), F.lit(0)) / F.col("n")).alias("r"))
+        .collect()[0]
+    )
+    return float(row["r"])
+
+
+def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
+    """[(gate, measured, threshold, margin)] — margin is the relative
+    headroom between the measured quantity and the value that flips
+    the gate boolean (direction-aware: recall/coverage must stay
+    ABOVE, sketch errors must stay BELOW)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    out = []
+    exact = entrymod.q_similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = entrymod.q_similarity_topk_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    r = _recall(exact, lsh)
+    thr = entrymod.LSH_RECALL_THRESHOLD
+    out.append(("lsh_recall@10 (worst query)", r, thr, (r - thr) / thr))
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ivf = similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_clusters=16, nprobe=8
+    ).select("query_id", "neighbor_id")
+    r = _recall(exact, ivf)
+    thr = entrymod.IVF_RECALL_THRESHOLD
+    out.append(("ivf_recall@10 (worst query)", r, thr, (r - thr) / thr))
+
+    # semdedup: raw hit ratio behind the coverage_ok boolean
+    exact_pairs = similarity.cosine_neardup_pairs(emb, threshold=0.4, method="exact").select("id_a", "id_b")
+    sd = similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=16).select("id_a", "id_b")
+    n_hit = exact_pairs.join(sd, ["id_a", "id_b"], "left_semi").count()
+    n_exact = exact_pairs.count()
+    ratio = n_hit / n_exact if n_exact else float("nan")
+    out.append(("semdedup_coverage", ratio, 0.15, (ratio - 0.15) / 0.15))
+
+    # sketch gates: actual relative errors vs their bounds
+    li = read_table(spark, sf_dir, "lineitem")
+    vals = li.agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50a"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("p95a"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.countDistinct("l_orderkey").alias("eo"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50e"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95e"),
+    ).collect()[0]
+    for label, a, e, bound in (
+        ("sketch.parts_hll", vals["ap"], vals["ep"], 0.10),
+        ("sketch.orders_hll", vals["ao"], vals["eo"], 0.10),
+        ("sketch.p50", vals["p50a"], vals["p50e"], 0.02),
+        ("sketch.p95", vals["p95a"], vals["p95e"], 0.02),
+    ):
+        err = abs(float(a) - float(e)) / float(e)
+        out.append((label, err, bound, (bound - err) / bound))
+    return out
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    spark = get_session("gate-margins")
+    bad = 0
+    for sf_dir in sf_dirs:
+        print(f"== {sf_dir}")
+        for gate, measured, threshold, margin in measure(spark, sf_dir):
+            flag = "" if margin >= MARGIN_FLOOR else "  <-- AT RISK"
+            if margin < MARGIN_FLOOR:
+                bad += 1
+            print(
+                f"  {gate:28s} measured={measured:8.4f} bound={threshold:6.3f} "
+                f"headroom={margin:+.0%}{flag}"
+            )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
