@@ -1,0 +1,169 @@
+"""Empirical scaling curves: time the heavy queries at sf0.1 and at a
+10x-replicated input, record the measured growth factor per query.
+
+Usage::
+
+    python tools/scaling_bench.py            # build 10x data if absent, run
+    python tools/scaling_bench.py --rebuild  # force data regeneration
+
+The 10x dataset derives from /root/testdata/sf0.1 so the data
+DISTRIBUTIONS (key cardinality ratios, text vocabulary, dup-rate)
+match the driver's generator at a scale it doesn't ship:
+
+- ``lineitem``/``orders`` replicate 10x with SHARD-SHIFTED order keys
+  (joins stay 1:1, no artificial key hotness) and shard-shifted dates
+  (the daily grain really grows — scd2 spans, golden-join trend dates).
+- ``part`` stays fixed: facts grow, the product catalog doesn't —
+  exactly the regime where golden_join's dim broadcasts must keep
+  winning while the fact side scales.
+- ``documents`` replicate 10x with a per-shard token suffix: every
+  token differs across shards, so shingle/minhash/gram structure is
+  preserved WITHIN a shard and disjoint ACROSS shards — duplicate
+  fraction stays constant (a 10x corpus at the same dup-rate) instead
+  of every doc gaining 9 synthetic near-duplicates, which would be a
+  100x-pairs workload, not a 10x one.
+
+Writes one JSON line (and a markdown table on stderr) with per-query
+medians at both scales and the wall-clock growth factor; SCALING.md
+records the analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from tiki_e_commerce_analytics_etl_spark.session import configure  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# The 1x baseline is REWRITTEN through the same multi-file writer as
+# the 10x set: the driver's sf0.1 tables are single-row-group files
+# whose scans get one partition, so timing raw sf0.1 against a
+# multi-file 10x set would conflate data growth with scan parallelism
+# (it measured curation_pipeline at 0.7x growth — faster on 10x data).
+BASE_DIR = os.environ.get("SPARK_GRAFT_SCALED_BASE", os.path.join(_REPO, ".scaling1x"))
+SCALED_DIR = os.environ.get("SPARK_GRAFT_SCALED_DIR", os.path.join(_REPO, ".scaling10x"))
+REPLICAS = 10
+QUERIES = [
+    "golden_join",
+    "scd2_products",
+    "curation_pipeline",
+    "neardup_clusters",
+    "bm25_search",
+]
+# key offsets chosen far above any sf0.1 key range
+ORDER_SHIFT = 10_000_000
+DOC_SHIFT = 10_000_000
+
+
+def build_scaled(spark, target_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    from tiki_e_commerce_analytics_etl_spark.io import read_table
+
+    os.makedirs(target_dir, exist_ok=True)
+
+    def replicate(name: str, shard_fn) -> None:
+        out = os.path.join(target_dir, f"{name}.parquet")
+        base = read_table(spark, BASE_SF, name)
+        shards = [shard_fn(base, i) for i in range(replicas)]
+        df = shards[0]
+        for s in shards[1:]:
+            df = df.unionByName(s)
+        # repartition so BOTH scales get the same per-replica file
+        # granularity (layout-neutral comparison)
+        df.repartition(4 * replicas).write.mode("overwrite").parquet(out)
+        print(f"built {out}", file=sys.stderr)
+
+    replicate(
+        "lineitem",
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * ORDER_SHIFT)
+        ).withColumn("l_shipdate", F.col("l_shipdate") + F.expr(f"INTERVAL {i} DAYS")),
+    )
+    replicate(
+        "orders",
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * ORDER_SHIFT)
+        ).withColumn("o_orderdate", F.col("o_orderdate") + F.expr(f"INTERVAL {i} DAYS")),
+    )
+    replicate("part", lambda df, i: df)  # catalog fixed across shards
+    if os.path.exists(os.path.join(BASE_SF, "events.parquet")):
+        replicate(
+            "events",
+            lambda df, i: df.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * ORDER_SHIFT)
+            ).withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000)),
+        )
+
+    def doc_shard(df, i):
+        df = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * DOC_SHIFT))
+        if i == 0:
+            return df
+        # suffix every token with a shard tag: within-shard similarity
+        # structure preserved exactly, cross-shard similarity zero
+        tag = chr(ord("a") + i)
+        df = df.withColumn("text", F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + tag))
+        return df.withColumn("n_chars", F.length("text"))
+
+    replicate("documents", doc_shard)
+    # `part` above keeps dims fixed; dedup shard count recorded for audit
+    with open(os.path.join(target_dir, "MANIFEST.json"), "w") as f:
+        json.dump({"base": BASE_SF, "replicas": replicas}, f)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        configure(SparkSession.builder.appName("scaling").master(f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for target_dir, replicas in ((BASE_DIR, 1), (SCALED_DIR, REPLICAS)):
+        if "--rebuild" in sys.argv or not os.path.exists(
+            os.path.join(target_dir, "MANIFEST.json")
+        ):
+            build_scaled(spark, target_dir, replicas)
+
+    qs = entrymod.queries()
+    qs["distinct_segments"](spark, BASE_SF).write.format("noop").mode("overwrite").save()
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    def run(name: str, sf_dir: str) -> float:
+        runs = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+            spark.catalog.clearCache()
+        return round(statistics.median(runs), 3)
+
+    results = {}
+    for name in QUERIES:
+        t1 = run(name, BASE_DIR)
+        t10 = run(name, SCALED_DIR)
+        results[name] = {
+            "x1_sec": t1,
+            "x10_sec": t10,
+            "growth": round(t10 / t1, 2),
+        }
+        print(f"{name}: {t1}s -> {t10}s ({t10 / t1:.1f}x)", file=sys.stderr)
+
+    print(json.dumps({"metric": "scaling_10x", "queries": results}))
+
+
+if __name__ == "__main__":
+    main()
