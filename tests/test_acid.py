@@ -206,3 +206,29 @@ def test_manifest_is_fsynced_valid_json(spark, tmp_path):
     for files in m["partitions"].values():
         for rel in files:
             assert os.path.exists(os.path.join(path, rel))
+
+
+def test_atomic_append_and_compact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "base"), path, ["p"])
+    acid.atomic_overwrite_partitions(_mk(spark, "extra", n=20), path, ["p"], mode="append")
+    n, payloads, parts = _snapshot(spark, path)
+    assert (n, payloads, parts) == (70, {"base", "extra"}, {"a", "b"})
+
+    # appends accumulate files; compaction rewrites them in one new
+    # version without changing the data
+    v = acid.compact(spark, path, target_partitions=1)
+    assert v == acid.latest_version(path)
+    assert _snapshot(spark, path) == (70, {"base", "extra"}, {"a", "b"})
+    m = acid._read_manifest(path, v)
+    assert sum(len(f) for f in m["partitions"].values()) <= 2  # 1 file/partition
+    # pre-compaction version still time-travels
+    assert _snapshot(spark, path, version=1)[0] == 70
+    acid.vacuum(path, keep_versions=1)
+    assert _snapshot(spark, path) == (70, {"base", "extra"}, {"a", "b"})
+
+
+def test_append_mode_rejected_values(spark, tmp_path):
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError):
+        acid.atomic_overwrite_partitions(_mk(spark, "x"), path, ["p"], mode="upsert")

@@ -119,16 +119,21 @@ def atomic_overwrite_partitions(
     path: str,
     partition_cols: list[str] | tuple[str, ...] = (),
     max_commit_retries: int = 20,
+    mode: str = "overwrite",
 ) -> int:
-    """Replace the partitions present in ``df`` (the whole table when
-    unpartitioned) in ONE atomic commit; returns the new version.
+    """Replace (``mode='overwrite'``) or extend (``mode='append'``)
+    the partitions present in ``df`` — the whole table when
+    unpartitioned — in ONE atomic commit; returns the new version.
 
     Safe against concurrent readers (they see the previous or the new
     snapshot, never a mix), concurrent writers (exclusive-create
-    serializes commits; both land, last merge wins per partition), and
-    writer death at any instant (an uncommitted transaction is
-    invisible garbage for ``vacuum``).
+    serializes commits; both land — overwrites merge per partition,
+    appends never clobber each other), and writer death at any
+    instant (an uncommitted transaction is invisible garbage for
+    ``vacuum``).
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     txn = uuid.uuid4().hex[:12]
     txn_rel = os.path.join(_DATA_DIR, f"txn-{txn}")
     txn_dir = os.path.join(path, txn_rel)
@@ -148,7 +153,10 @@ def atomic_overwrite_partitions(
         versions = _list_versions(path)
         base = _read_manifest(path, versions[-1]) if versions else {"partitions": {}, "partition_cols": list(partition_cols)}
         merged = dict(base.get("partitions", {}))
-        if partition_cols:
+        if mode == "append":
+            for part, files in new_parts.items():
+                merged[part] = sorted(merged.get(part, []) + files)
+        elif partition_cols:
             merged.update(new_parts)
         else:
             merged = dict(new_parts)  # unpartitioned: full replace
@@ -221,6 +229,28 @@ def read_atomic(
         )
         parts = df if parts is None else parts.unionByName(df)
     return parts
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int | None = None,
+) -> int:
+    """Rewrite the latest snapshot's files into a fresh transaction and
+    commit it as a new version — the small-files remedy for tables fed
+    by frequent atomic appends (streaming foreachBatch sinks).  Readers
+    are never disturbed: the compacted snapshot replaces the pointer,
+    and prior versions (with the small files) remain readable until
+    ``vacuum``.  ``target_partitions`` defaults to Spark's own AQE
+    coalescing of the read."""
+    version = latest_version(path)
+    if version is None:
+        raise FileNotFoundError(f"no committed snapshot under {path}")
+    manifest = _read_manifest(path, version)
+    df = read_atomic(spark, path, version=version)
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    return atomic_overwrite_partitions(df, path, manifest.get("partition_cols") or ())
 
 
 def vacuum(path: str, keep_versions: int = 2) -> list[str]:
