@@ -211,3 +211,81 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
 
     got = sorted(r.id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 4, 5]  # batch-1 rows exactly once
+
+
+def test_atomic_upsert_sink_exactly_once_replay(spark, tmp_path):
+    """The acid-backed foreachBatch sink: a replayed micro-batch (same
+    batch id, as after a crash between sink commit and checkpoint
+    write) must be skipped inside the serialized commit — target
+    unchanged, no version burned by the replay."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_upsert_atomic,
+    )
+
+    target = str(tmp_path / "t")
+    sink = foreach_batch_upsert_atomic(target, ["id"], app_id="q1")
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
+    sink(b0, 0)
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "id: long, v: string")
+    sink(b1, 1)
+    v_after = acid.latest_version(target)
+    got = {(r.id, r.v) for r in acid.read_atomic(spark, target).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+    # crash-replay of batch 1: skipped, nothing changes
+    sink(b1, 1)
+    sink(b0, 0)  # older replay likewise
+    assert acid.latest_version(target) == v_after
+    assert {(r.id, r.v) for r in acid.read_atomic(spark, target).collect()} == got
+
+    # next batch still lands
+    sink(spark.createDataFrame([(4, "d")], "id: long, v: string"), 2)
+    assert acid.last_txn_version(target, "q1") == 2
+    assert acid.read_atomic(spark, target).count() == 4
+
+
+def test_atomic_upsert_sink_streaming_end_to_end(spark, tmp_path):
+    """Full Structured Streaming run through the atomic sink, restart
+    included: second availableNow run on the same checkpoint merges
+    only new files; every committed snapshot is complete."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_upsert_atomic,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "t")
+    schema = "id: long, v: string"
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, v string")
+            .parquet(src)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_upsert_atomic(target, ["id"], "stream1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert {(r.id, r.v) for r in acid.read_atomic(spark, target).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    spark.createDataFrame([(2, "B"), (3, "c")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    assert {(r.id, r.v) for r in acid.read_atomic(spark, target).collect()} == {
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    }

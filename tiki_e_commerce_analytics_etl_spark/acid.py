@@ -120,6 +120,8 @@ def atomic_overwrite_partitions(
     partition_cols: list[str] | tuple[str, ...] = (),
     max_commit_retries: int = 20,
     mode: str = "overwrite",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """Replace (``mode='overwrite'``) or extend (``mode='append'``)
     the partitions present in ``df`` — the whole table when
@@ -131,9 +133,21 @@ def atomic_overwrite_partitions(
     appends never clobber each other), and writer death at any
     instant (an uncommitted transaction is invisible garbage for
     ``vacuum``).
+
+    ``txn_app``/``txn_version`` give idempotent writes for replaying
+    producers (the Delta ``txn`` action): the manifest records the
+    highest version committed per app, and a commit whose version is
+    <= the recorded one is SKIPPED (returns -1) — checked inside the
+    serialized commit loop, so a replayed micro-batch can never land
+    twice even against a racing writer.  Streaming foreachBatch sinks
+    pass (query-id, batch-id).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be given together")
+    if txn_app is not None and last_txn_version(path, txn_app) >= txn_version:
+        return -1  # fast path: already committed, skip the data write too
     txn = uuid.uuid4().hex[:12]
     txn_rel = os.path.join(_DATA_DIR, f"txn-{txn}")
     txn_dir = os.path.join(path, txn_rel)
@@ -152,6 +166,13 @@ def atomic_overwrite_partitions(
     for _ in range(max_commit_retries):
         versions = _list_versions(path)
         base = _read_manifest(path, versions[-1]) if versions else {"partitions": {}, "partition_cols": list(partition_cols)}
+        app_versions = dict(base.get("app_versions", {}))
+        if txn_app is not None:
+            # re-checked each retry: a racing replayer that committed
+            # this (app, version) while we waited makes ours a no-op
+            if app_versions.get(txn_app, -1) >= txn_version:
+                return -1
+            app_versions[txn_app] = txn_version
         merged = dict(base.get("partitions", {}))
         if mode == "append":
             for part, files in new_parts.items():
@@ -166,6 +187,7 @@ def atomic_overwrite_partitions(
             "txn": txn,
             "partition_cols": list(partition_cols),
             "partitions": merged,
+            "app_versions": app_versions,
         }
         payload = json.dumps(manifest, sort_keys=True).encode()
         try:
@@ -229,6 +251,15 @@ def read_atomic(
         )
         parts = df if parts is None else parts.unionByName(df)
     return parts
+
+
+def last_txn_version(path: str, app: str) -> int:
+    """Highest transactional version committed for ``app`` (-1 if
+    none) — the replay cursor for idempotent producers."""
+    version = latest_version(path)
+    if version is None:
+        return -1
+    return int(_read_manifest(path, version).get("app_versions", {}).get(app, -1))
 
 
 def compact(

@@ -89,6 +89,42 @@ def foreach_batch_upsert(
     return apply
 
 
+def foreach_batch_upsert_atomic(
+    target_path: str,
+    keys: list[str],
+    app_id: str,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once foreachBatch MERGE sink on the acid manifest
+    commit: each micro-batch MERGEs into the latest committed snapshot
+    and commits atomically with the (app_id, batch_id) transaction
+    recorded in the manifest.  A replayed batch after a crash-restart
+    (Structured Streaming re-runs the last uncommitted batch from the
+    checkpoint) is detected by its batch id and SKIPPED inside the
+    serialized commit — exactly-once output without relying on MERGE
+    idempotence, and readers racing the sink always see a complete
+    snapshot (the `foreach_batch_upsert` temp-swap dance gives
+    neither guarantee: its double overwrite can expose a half-written
+    target and replays rewrite it).
+    """
+    from tiki_e_commerce_analytics_etl_spark import acid
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if acid.last_txn_version(target_path, app_id) >= batch_id:
+            return  # replay of an already-committed batch
+        try:
+            target = acid.read_atomic(spark, target_path)
+        except FileNotFoundError:
+            merged = batch
+        else:
+            merged = merge_upsert(target, batch, keys)
+        acid.atomic_overwrite_partitions(
+            merged, target_path, txn_app=app_id, txn_version=batch_id
+        )
+
+    return apply
+
+
 def start_upsert_stream(
     source: DataFrame,
     target_path: str,
