@@ -232,3 +232,37 @@ def test_append_mode_rejected_values(spark, tmp_path):
     path = str(tmp_path / "t")
     with pytest.raises(ValueError):
         acid.atomic_overwrite_partitions(_mk(spark, "x"), path, ["p"], mode="upsert")
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """A partition committed before a column existed reads as NULL for
+    that column when the snapshot mixes old and new transactions."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+    widened = (
+        _mk(spark, "new")
+        .filter(F.col("p") == "a")
+        .withColumn("extra", F.lit(42).cast("long"))
+    )
+    acid.atomic_overwrite_partitions(widened, path, ["p"])
+    df = acid.read_atomic(spark, path)
+    assert "extra" in df.columns
+    got = {(r.p, r.payload, r.extra) for r in df.collect()}
+    assert {(p, pay) for p, pay, _ in got} == {("a", "new"), ("b", "old")}
+    assert all(e == 42 for p, _, e in got if p == "a")
+    assert all(e is None for p, _, e in got if p == "b")
+
+
+def test_snapshot_row_count_from_manifest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "v0"), path, ["p"])
+    assert acid.snapshot_row_count(path) == 50
+    acid.atomic_overwrite_partitions(
+        _mk(spark, "more", n=20), path, ["p"], mode="append"
+    )
+    assert acid.snapshot_row_count(path) == 70
+    smaller = _mk(spark, "small", n=10).filter(F.col("p") == "a")
+    acid.atomic_overwrite_partitions(smaller, path, ["p"])
+    # partition a replaced (was 25+10=35 rows, now 5 as n=10 alternates a/b)
+    assert acid.snapshot_row_count(path) == acid.read_atomic(spark, path).count()
+    assert acid.snapshot_row_count(path, version=0) == 50  # time travel

@@ -162,6 +162,18 @@ def atomic_overwrite_partitions(
         part: sorted(os.path.relpath(p, path) for p in files)
         for part, files in _relative_parquet_files(txn_dir).items()
     }
+    # per-partition row counts from the new files' parquet footers
+    # (metadata-only) — carried in the manifest so table-level stats
+    # need no file listing at read time
+    try:
+        import pyarrow.parquet as pq
+
+        new_rows = {
+            part: sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows for f in files)
+            for part, files in new_parts.items()
+        }
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        new_rows = {}
 
     for _ in range(max_commit_retries):
         versions = _list_versions(path)
@@ -174,19 +186,25 @@ def atomic_overwrite_partitions(
                 return -1
             app_versions[txn_app] = txn_version
         merged = dict(base.get("partitions", {}))
+        merged_rows = dict(base.get("partition_rows", {}))
         if mode == "append":
             for part, files in new_parts.items():
                 merged[part] = sorted(merged.get(part, []) + files)
+                if part in new_rows:
+                    merged_rows[part] = merged_rows.get(part, 0) + new_rows[part]
         elif partition_cols:
             merged.update(new_parts)
+            merged_rows.update(new_rows)
         else:
             merged = dict(new_parts)  # unpartitioned: full replace
+            merged_rows = dict(new_rows)
         next_v = (versions[-1] + 1) if versions else 0
         manifest = {
             "version": next_v,
             "txn": txn,
             "partition_cols": list(partition_cols),
             "partitions": merged,
+            "partition_rows": merged_rows,
             "app_versions": app_versions,
         }
         payload = json.dumps(manifest, sort_keys=True).encode()
@@ -249,8 +267,24 @@ def read_atomic(
             spark.read.option("basePath", os.path.join(path, txn_root))
             .parquet(*sorted(files))
         )
-        parts = df if parts is None else parts.unionByName(df)
+        # allowMissingColumns: a snapshot may mix transactions written
+        # before and after a column was added (schema evolution);
+        # columns absent from an older transaction read as NULL, the
+        # standard add-column semantics.
+        parts = df if parts is None else parts.unionByName(df, allowMissingColumns=True)
     return parts
+
+
+def snapshot_row_count(path: str, version: int | None = None) -> int | None:
+    """Exact row count of a committed snapshot from manifest metadata
+    alone — the catalog statistic BigQuery exposes for free, here paid
+    once at commit time (footer sums of the committed files)."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            return None
+    rows = _read_manifest(path, version).get("partition_rows")
+    return sum(rows.values()) if rows else None
 
 
 def last_txn_version(path: str, app: str) -> int:
