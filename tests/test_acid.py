@@ -266,3 +266,68 @@ def test_snapshot_row_count_from_manifest(spark, tmp_path):
     # partition a replaced (was 25+10=35 rows, now 5 as n=10 alternates a/b)
     assert acid.snapshot_row_count(path) == acid.read_atomic(spark, path).count()
     assert acid.snapshot_row_count(path, version=0) == 50  # time travel
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model check: random sequences of overwrite / partial-overwrite /
+    append / compact / vacuum must keep the table equal to a pure-
+    Python dict model of per-partition multisets at every step."""
+    import hypothesis.strategies as st
+    from hypothesis import HealthCheck, given, settings
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["overwrite", "partial", "append", "compact", "vacuum"]),
+            st.integers(min_value=1, max_value=4),  # rows per partition
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    counter = {"n": 0}
+
+    @given(seq=ops)
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(seq):
+        counter["n"] += 1
+        path = str(tmp_path / f"m{counter['n']}")
+        model: dict[str, list[tuple]] = {}
+        for step, (op, rows) in enumerate(seq):
+            tag = f"s{step}"
+            batch = [(i, tag, p) for p in ("a", "b") for i in range(rows)]
+            df = spark.createDataFrame(batch, "k: long, payload: string, p: string")
+            if op == "overwrite":
+                acid.atomic_overwrite_partitions(df, path, ["p"])
+                model = {"a": [t for t in batch if t[2] == "a"],
+                         "b": [t for t in batch if t[2] == "b"]}
+            elif op == "partial":
+                only_a = [t for t in batch if t[2] == "a"]
+                acid.atomic_overwrite_partitions(
+                    df.filter(F.col("p") == "a"), path, ["p"]
+                )
+                model["a"] = only_a
+                model.setdefault("b", [])
+            elif op == "append":
+                acid.atomic_overwrite_partitions(df, path, ["p"], mode="append")
+                for p in ("a", "b"):
+                    model.setdefault(p, []).extend(t for t in batch if t[2] == p)
+            elif op == "compact":
+                if acid.latest_version(path) is not None:
+                    acid.compact(spark, path, target_partitions=1)
+            elif op == "vacuum":
+                if acid.latest_version(path) is not None:
+                    acid.vacuum(path, keep_versions=1)
+            if acid.latest_version(path) is not None:
+                got = sorted(
+                    (r.k, r.payload, r.p)
+                    for r in acid.read_atomic(spark, path).collect()
+                )
+                want = sorted(t for ts in model.values() for t in ts)
+                assert got == want, f"divergence after step {step} ({op})"
+                assert acid.snapshot_row_count(path) == len(want)
+
+    run()
