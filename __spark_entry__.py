@@ -870,6 +870,27 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
 
 
+def _fixture_base() -> str:
+    """Per-uid scratch dir for fixture-backed queries, created 0700 and
+    ownership-verified: a fixed world-visible path under /tmp would let
+    another local user pre-create the directory (makedirs(exist_ok=True)
+    masks foreign ownership) and tamper with a registered query's
+    input."""
+    import os
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_fixtures_uid{os.getuid()}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"fixture dir {base} is owned by uid {st.st_uid}, not the "
+            f"current uid {os.getuid()} — refusing to write query fixtures "
+            "into a foreign-owned directory"
+        )
+    return base
+
+
 def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — Google-Trends wide-CSV scan with smart date detection
     (reference transform_google_trends.py:27-41), oracle-checked via
@@ -887,19 +908,7 @@ def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tiki_e_commerce_analytics_etl_spark.sources.trends_csv import read_trends_csv
 
-    # Per-uid directory, created 0700 and ownership-verified: a fixed
-    # world-visible path under /tmp would let another local user
-    # pre-create the directory (makedirs(exist_ok=True) masks foreign
-    # ownership) and tamper with a registered query's input.
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_fixtures_uid{os.getuid()}")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    st = os.stat(base)
-    if st.st_uid != os.getuid():
-        raise RuntimeError(
-            f"fixture dir {base} is owned by uid {st.st_uid}, not the "
-            f"current uid {os.getuid()} — refusing to write query fixtures "
-            "into a foreign-owned directory"
-        )
+    base = _fixture_base()
 
     def write_atomic(path: str, content: str) -> None:
         # Concurrent runs (bench + check, pytest workers) share these
@@ -939,9 +948,12 @@ def q_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the read-back must show the new partition merged with the
     carried-forward ones — which is exactly what the DuckDB oracle
     recomputes relationally.  A fresh per-process table dir keeps
-    concurrent check/bench runs from interleaving commits."""
+    concurrent check/bench runs from interleaving commits; the
+    snapshot is materialized (3 aggregate rows) so the scratch table
+    can be deleted before returning — without the cleanup every
+    check/bench execution would leak two parquet commits into /tmp."""
     import os
-    import tempfile
+    import shutil
     import uuid
 
     from tiki_e_commerce_analytics_etl_spark import acid
@@ -954,16 +966,16 @@ def q_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_fixtures_uid{os.getuid()}"
-    )
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    path = os.path.join(base, f"atomic_swap_{os.getpid()}_{uuid.uuid4().hex[:8]}")
-
-    acid.atomic_overwrite_partitions(daily(li), path, ["flag"])
-    refined = daily(li.filter(F.col("l_quantity") > 25)).filter(F.col("flag") == "A")
-    acid.atomic_overwrite_partitions(refined, path, ["flag"])
-    return acid.read_atomic(spark, path).select("flag", "sum_qty", "n")
+    path = os.path.join(_fixture_base(), f"atomic_swap_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+    try:
+        acid.atomic_overwrite_partitions(daily(li), path, ["flag"])
+        refined = daily(li.filter(F.col("l_quantity") > 25)).filter(F.col("flag") == "A")
+        acid.atomic_overwrite_partitions(refined, path, ["flag"])
+        out = acid.read_atomic(spark, path).select("flag", "sum_qty", "n")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 _ATOMIC_SWAP_ORACLE = """

@@ -71,7 +71,7 @@ def test_writer_killed_after_data_write_is_invisible(spark, tmp_path, monkeypatc
     real_open = os.open
 
     def die_on_manifest(p, *a, **kw):
-        if acid._MANIFEST_DIR in str(p) and str(p).endswith(".json"):
+        if acid._MANIFEST_DIR in str(p) and ".json" in str(p):
             raise KeyboardInterrupt("writer killed at commit point")
         return real_open(p, *a, **kw)
 
@@ -85,7 +85,7 @@ def test_writer_killed_after_data_write_is_invisible(spark, tmp_path, monkeypatc
     # the orphaned txn dir exists but is unreferenced -> vacuum food
     txns = os.listdir(os.path.join(path, "data"))
     assert len(txns) == 2
-    removed = acid.vacuum(path, keep_versions=1)
+    removed = acid.vacuum(path, keep_versions=1, grace_seconds=0)
     assert any("txn-" in r for r in removed)
     assert _snapshot(spark, path) == before
 
@@ -155,7 +155,7 @@ def test_racing_writers_both_land(spark, tmp_path, monkeypatch):
         if (
             not injected["done"]
             and acid._MANIFEST_DIR in sp
-            and sp.endswith(".json")
+            and ".json" in sp
             and os.O_EXCL & a[0]
         ):
             injected["done"] = True
@@ -179,7 +179,7 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert _snapshot(spark, path, version=1)[1] == {"v1"}
     assert _snapshot(spark, path)[1] == {"v2"}
 
-    removed = acid.vacuum(path, keep_versions=1)
+    removed = acid.vacuum(path, keep_versions=1, grace_seconds=0)
     assert removed  # old manifests + unreferenced txn dirs
     assert _snapshot(spark, path)[1] == {"v2"}
     with pytest.raises(FileNotFoundError):
@@ -224,7 +224,7 @@ def test_atomic_append_and_compact(spark, tmp_path):
     assert sum(len(f) for f in m["partitions"].values()) <= 2  # 1 file/partition
     # pre-compaction version still time-travels
     assert _snapshot(spark, path, version=1)[0] == 70
-    acid.vacuum(path, keep_versions=1)
+    acid.vacuum(path, keep_versions=1, grace_seconds=0)
     assert _snapshot(spark, path) == (70, {"base", "extra"}, {"a", "b"})
 
 
@@ -320,7 +320,7 @@ def test_model_based_random_op_sequences(spark, tmp_path):
                     acid.compact(spark, path, target_partitions=1)
             elif op == "vacuum":
                 if acid.latest_version(path) is not None:
-                    acid.vacuum(path, keep_versions=1)
+                    acid.vacuum(path, keep_versions=1, grace_seconds=0)
             if acid.latest_version(path) is not None:
                 got = sorted(
                     (r.k, r.payload, r.p)
@@ -331,3 +331,94 @@ def test_model_based_random_op_sequences(spark, tmp_path):
                 assert acid.snapshot_row_count(path) == len(want)
 
     run()
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, tmp_path):
+    """An uncommitted (staged) transaction directory younger than the
+    grace period survives vacuum — reference-counting alone cannot
+    tell a crashed writer's garbage from a writer that has not yet
+    committed its manifest."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "v0"), path, ["p"])
+    # stage a txn without committing (simulated in-flight writer)
+    staged = os.path.join(path, "data", "txn-inflight0001")
+    os.makedirs(os.path.join(staged, "p=a"))
+    with open(os.path.join(staged, "p=a", "part-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    removed = acid.vacuum(path, keep_versions=1)  # default 24h grace
+    assert os.path.isdir(staged), "grace period must protect fresh txns"
+    assert not any("txn-inflight" in r for r in removed)
+    removed = acid.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert not os.path.isdir(staged)
+
+
+def test_compact_conflict_with_concurrent_append(spark, tmp_path, monkeypatch):
+    """A writer landing between compaction's snapshot read and its
+    commit must NOT lose rows: the stale compaction commit aborts with
+    CommitConflict and the redo re-reads the writer's data."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "base"), path, ["p"])
+    extra = _mk(spark, "late", n=20)
+
+    real_open = os.open
+    injected = {"done": False}
+
+    def append_mid_compact(p, *a, **kw):
+        sp = str(p)
+        if (
+            not injected["done"]
+            and acid._MANIFEST_DIR in sp
+            and sp.endswith(".tmp")
+        ):
+            injected["done"] = True
+            acid.atomic_overwrite_partitions(extra, path, ["p"], mode="append")
+        return real_open(p, *a, **kw)
+
+    monkeypatch.setattr(os, "open", append_mid_compact)
+    acid.compact(spark, path, target_partitions=1)
+    monkeypatch.undo()
+
+    got = {(r.payload) for r in acid.read_atomic(spark, path).collect()}
+    assert got == {"base", "late"}, "concurrent append must survive compaction"
+    assert acid.read_atomic(spark, path).count() == 70
+
+
+def test_partition_layout_mismatch_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "flat"), path)  # unpartitioned
+    with pytest.raises(ValueError, match="partitioned by"):
+        acid.atomic_overwrite_partitions(_mk(spark, "part"), path, ["p"])
+    path2 = str(tmp_path / "t2")
+    acid.atomic_overwrite_partitions(_mk(spark, "part"), path2, ["p"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        acid.atomic_overwrite_partitions(_mk(spark, "flat"), path2)
+
+
+def test_manifest_publish_is_content_atomic(spark, tmp_path, monkeypatch):
+    """Kill the writer between manifest content write and publish: no
+    version appears (readers keep the old snapshot), and no torn JSON
+    can ever become the latest version because publish is a hardlink
+    of a fully-fsynced file."""
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+    before = _snapshot(spark, path)
+
+    real_link = os.link
+
+    def die_on_publish(src, dst, **kw):
+        raise KeyboardInterrupt("killed at publish")
+
+    monkeypatch.setattr(os, "link", die_on_publish)
+    with pytest.raises(KeyboardInterrupt):
+        acid.atomic_overwrite_partitions(_mk(spark, "doomed"), path, ["p"])
+    monkeypatch.undo()
+
+    assert acid.latest_version(path) == 0
+    assert _snapshot(spark, path) == before
+    # every manifest on disk parses (no torn content anywhere)
+    for v in acid._list_versions(path):
+        acid._read_manifest(path, v)
+    # the orphaned .tmp is vacuum food under zero grace
+    acid.vacuum(path, keep_versions=1, grace_seconds=0)
+    mdir = os.path.join(path, acid._MANIFEST_DIR)
+    assert not [n for n in os.listdir(mdir) if n.endswith(".tmp")]

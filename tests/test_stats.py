@@ -93,3 +93,29 @@ def test_stats_json_atomic_publish(tmp_path):
     with open(os.path.join(path, "_stats.json")) as f:
         assert json.load(f) == {"row_count": 5, "size_bytes": 10}
     assert not os.path.exists(os.path.join(path, "_stats.json.tmp"))
+
+
+def test_append_stats_incremental_no_footer_walk(spark, tmp_path, monkeypatch):
+    """Append mode must derive the new row count from the previous
+    sidecar + the observed batch (O(batch)), not by re-reading every
+    footer in the table (O(table))."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    io.write_partitioned(spark.range(100), path)
+    opened = {"n": 0}
+    real = pq.ParquetFile
+
+    def counting(*a, **kw):
+        opened["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    io.write_partitioned(spark.range(40), path, mode="append")
+    monkeypatch.undo()
+    assert stats.read_stats(path)["row_count"] == 140
+    assert opened["n"] == 0, "append stats must not reopen table footers"
+
+
+def test_write_stats_noop_on_remote_path():
+    assert stats.write_stats("s3a://bucket/table", None) is None

@@ -71,6 +71,13 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed since the caller's base snapshot; the
+    caller must re-read and redo its work (read-modify-write ops like
+    compaction cannot blindly retry the merge — their staged data is
+    derived from the stale snapshot)."""
+
+
 def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
 
@@ -122,6 +129,7 @@ def atomic_overwrite_partitions(
     mode: str = "overwrite",
     txn_app: str | None = None,
     txn_version: int | None = None,
+    expected_base_version: int | None = None,
 ) -> int:
     """Replace (``mode='overwrite'``) or extend (``mode='append'``)
     the partitions present in ``df`` — the whole table when
@@ -141,6 +149,12 @@ def atomic_overwrite_partitions(
     serialized commit loop, so a replayed micro-batch can never land
     twice even against a racing writer.  Streaming foreachBatch sinks
     pass (query-id, batch-id).
+
+    ``expected_base_version`` turns the commit into a compare-and-swap
+    for read-modify-write callers (compaction): if any other writer
+    committed after that version, ``CommitConflict`` is raised instead
+    of merging — the staged data was derived from a stale snapshot and
+    blindly merging it would drop the concurrent writer's rows.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
@@ -178,6 +192,20 @@ def atomic_overwrite_partitions(
     for _ in range(max_commit_retries):
         versions = _list_versions(path)
         base = _read_manifest(path, versions[-1]) if versions else {"partitions": {}, "partition_cols": list(partition_cols)}
+        if expected_base_version is not None:
+            current = versions[-1] if versions else None
+            if current != expected_base_version:
+                raise CommitConflict(
+                    f"{path}: expected base v{expected_base_version} but "
+                    f"latest is v{current}; re-read and redo the "
+                    "read-modify-write"
+                )
+        if base.get("partitions") and list(base.get("partition_cols", [])) != list(partition_cols):
+            raise ValueError(
+                f"{path} is partitioned by {base.get('partition_cols')}, "
+                f"but this write uses {list(partition_cols)}; mixing "
+                "layouts would silently union incompatible row shapes"
+            )
         app_versions = dict(base.get("app_versions", {}))
         if txn_app is not None:
             # re-checked each retry: a racing replayer that committed
@@ -208,23 +236,29 @@ def atomic_overwrite_partitions(
             "app_versions": app_versions,
         }
         payload = json.dumps(manifest, sort_keys=True).encode()
-        try:
-            # THE commit point: O_EXCL create either fully succeeds or
-            # fully fails; a racing writer's win surfaces as EEXIST and
-            # we re-merge against their snapshot.  (At object-store
-            # scale: conditional PUT.)
-            fd = os.open(
-                _manifest_path(path, next_v),
-                os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-                0o644,
-            )
-        except FileExistsError:
-            continue
+        # THE commit point — and it must be CONTENT-atomic, not just
+        # name-atomic: the payload is fully written and fsynced to a
+        # private temp file first, then published with os.link, which
+        # atomically either installs the complete file under the
+        # version name or fails with EEXIST (a racing writer won; we
+        # re-merge against their snapshot and retry).  A bare
+        # O_EXCL-create-then-write would let a reader (or a crash)
+        # observe a half-written manifest as the latest version —
+        # bricking the table.  (At object-store scale: conditional PUT,
+        # which is content-atomic by construction.)
+        tmp = _manifest_path(path, next_v) + f".{txn}.tmp"
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
         try:
             os.write(fd, payload)
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, _manifest_path(path, next_v))
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(tmp)
         return next_v
     raise RuntimeError(
         f"atomic commit to {path} lost {max_commit_retries} consecutive "
@@ -300,6 +334,7 @@ def compact(
     spark: SparkSession,
     path: str,
     target_partitions: int | None = None,
+    max_conflict_retries: int = 5,
 ) -> int:
     """Rewrite the latest snapshot's files into a fresh transaction and
     commit it as a new version — the small-files remedy for tables fed
@@ -307,24 +342,55 @@ def compact(
     are never disturbed: the compacted snapshot replaces the pointer,
     and prior versions (with the small files) remain readable until
     ``vacuum``.  ``target_partitions`` defaults to Spark's own AQE
-    coalescing of the read."""
-    version = latest_version(path)
-    if version is None:
-        raise FileNotFoundError(f"no committed snapshot under {path}")
-    manifest = _read_manifest(path, version)
-    df = read_atomic(spark, path, version=version)
-    if target_partitions:
-        df = df.repartition(target_partitions)
-    return atomic_overwrite_partitions(df, path, manifest.get("partition_cols") or ())
+    coalescing of the read.
+
+    Compaction is a read-modify-write, so it commits with
+    compare-and-swap semantics: if any writer (e.g. the streaming
+    sink) lands a version between the snapshot read and the commit,
+    the commit raises ``CommitConflict`` and the WHOLE compaction
+    redoes from the new snapshot — a plain merge-retry would replace
+    the concurrent writer's partitions with files compacted from the
+    stale snapshot, silently dropping its rows while the carried-
+    forward app_versions suppress any replay."""
+    for _ in range(max_conflict_retries):
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+        manifest = _read_manifest(path, version)
+        df = read_atomic(spark, path, version=version)
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        try:
+            return atomic_overwrite_partitions(
+                df,
+                path,
+                manifest.get("partition_cols") or (),
+                expected_base_version=version,
+            )
+        except CommitConflict:
+            continue  # someone committed meanwhile; recompact their data
+    raise CommitConflict(
+        f"compaction of {path} lost {max_conflict_retries} consecutive "
+        "races against concurrent writers"
+    )
 
 
-def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+def vacuum(path: str, keep_versions: int = 2, grace_seconds: float = 86400.0) -> list[str]:
     """Delete manifests older than the newest ``keep_versions`` and any
     transaction directory no retained manifest references; returns the
-    removed paths.  Run it with a grace matched to the longest reader
-    (same contract as Delta's VACUUM): an in-flight reader of a
-    retained version is never broken.
+    removed paths.
+
+    ``grace_seconds`` (default 24h, same contract as Delta VACUUM's
+    retention) protects two kinds of in-flight work an unreferenced
+    path cannot be distinguished from by reference-counting alone:
+    a WRITER that has staged its transaction directory but not yet
+    committed its manifest, and a READER still scanning files of a
+    just-superseded version.  Only paths whose mtime is older than the
+    grace are reclaimed; size it to the longest writer stage + reader
+    scan.  Tests pass 0 to reclaim immediately.
     """
+    import time
+
     versions = _list_versions(path)
     if not versions:
         return []
@@ -334,18 +400,33 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
         for files in _read_manifest(path, v)["partitions"].values():
             for rel in files:
                 live_txns.add(os.path.join(*rel.split(os.sep)[:2]))
+    cutoff = time.time() - grace_seconds
+
+    def aged(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) <= cutoff
+        except OSError:
+            return False
+
     removed = []
     for v in versions:
         if v not in keep:
             p = _manifest_path(path, v)
-            os.unlink(p)
-            removed.append(p)
+            if aged(p):
+                os.unlink(p)
+                removed.append(p)
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    for name in os.listdir(mdir):
+        # orphaned content-publish temp files from crashed commits
+        if name.endswith(".tmp") and aged(os.path.join(mdir, name)):
+            os.unlink(os.path.join(mdir, name))
+            removed.append(os.path.join(mdir, name))
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
         for name in os.listdir(data_root):
             rel = os.path.join(_DATA_DIR, name)
-            if rel not in live_txns:
-                full = os.path.join(data_root, name)
+            full = os.path.join(data_root, name)
+            if rel not in live_txns and aged(full):
                 shutil.rmtree(full)
                 removed.append(full)
     return removed

@@ -92,16 +92,16 @@ def write_partitioned(
     rides the write itself as an ``Observation`` metric (zero extra
     passes — BigQuery gives the reference these numbers for free) and
     feeds downstream sizing (``similarity.lsh_topk`` plane count,
-    ``multimodal.repartition_for_payload``)."""
+    ``multimodal.repartition_for_payload``).  Cost per mode: full
+    replace and append are O(batch) — observed rows, plus the previous
+    sidecar for append; a dynamic PARTITION overwrite can't be
+    decomposed that way (unknown partitions were replaced), so it
+    re-sums footers, O(table files) of metadata reads.  Remote paths
+    skip the sidecar (stats.write_stats is a no-op there)."""
     from pyspark.sql import Observation
 
-    # The observed count equals the table total only for a full
-    # replace; appends and dynamic partition overwrites leave other
-    # data in place, so those modes re-sum parquet footers instead
-    # (metadata-only, no data scan).
-    full_replace = mode == "overwrite" and not partition_cols
     obs = None
-    if collect_stats and full_replace:
+    if collect_stats:
         obs = Observation()
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writer = df.write.mode(mode)
@@ -111,7 +111,15 @@ def write_partitioned(
     if collect_stats:
         from . import stats as _stats
 
-        rows = int(obs.get["rows"] or 0) if obs is not None else None
+        batch_rows = int(obs.get["rows"] or 0)
+        if mode == "overwrite" and not partition_cols:
+            rows = batch_rows  # full replace: batch IS the table
+        elif mode == "append":
+            prev = _stats.read_stats(path)
+            prev_rows = prev.get("row_count") if prev else None
+            rows = prev_rows + batch_rows if prev_rows is not None else None
+        else:
+            rows = None  # partition overwrite: recount from footers
         _stats.write_stats(path, rows)
 
 

@@ -108,10 +108,17 @@ def estimated_size_bytes(df: DataFrame) -> int | None:
     return size if 0 <= size < (1 << 62) else None
 
 
-def write_stats(path: str, row_count: int | None, size_bytes: int | None = None, **extra) -> dict:
+def write_stats(path: str, row_count: int | None, size_bytes: int | None = None, **extra) -> dict | None:
     """Persist a stats sidecar next to a saved table.  ``row_count`` /
     ``size_bytes`` left as None are recomputed from the directory's
-    parquet footers / file sizes (metadata-only, no data scan)."""
+    parquet footers / file sizes (metadata-only, no data scan).
+
+    Non-local paths (s3a://, hdfs://, ...) return None without writing:
+    the sidecar is published with os-level file APIs, and a data write
+    that succeeded must never be failed retroactively by its stats
+    bookkeeping."""
+    if urlparse(path).scheme not in ("", "file"):
+        return None
     if (row_count is None or size_bytes is None) and os.path.isdir(path):
         import pyarrow.parquet as pq
 
