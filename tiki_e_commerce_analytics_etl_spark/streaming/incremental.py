@@ -73,8 +73,12 @@ def foreach_batch_upsert(
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink that MERGEs each micro-batch into a parquet
     target — the streaming twin of the K6 composite-key upsert
-    (trends_dag.py:652-677).  Exactly-once per batch id via the
-    temp-write-then-swap dance."""
+    (trends_dag.py:652-677).  Replay-safe only because MERGE by key is
+    idempotent, and the double overwrite is NOT atomic for concurrent
+    readers; prefer ``foreach_batch_upsert_atomic`` (acid manifest
+    commit, true exactly-once via transactional batch ids, readers
+    always see complete snapshots).  Kept for bare-parquet targets
+    read directly by ``spark.read.parquet``."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
