@@ -422,3 +422,15 @@ def test_manifest_publish_is_content_atomic(spark, tmp_path, monkeypatch):
     acid.vacuum(path, keep_versions=1, grace_seconds=0)
     mdir = os.path.join(path, acid._MANIFEST_DIR)
     assert not [n for n in os.listdir(mdir) if n.endswith(".tmp")]
+
+
+def test_manifest_level_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "v0"), path, ["p"])
+    only_a = acid.read_atomic(spark, path, partitions={"p": "a"})
+    assert {r.p for r in only_a.collect()} == {"a"}
+    assert only_a.count() == 25
+    with pytest.raises(ValueError, match="unknown partition"):
+        acid.read_atomic(spark, path, partitions={"nope": "x"})
+    with pytest.raises(ValueError, match="empty"):
+        acid.read_atomic(spark, path, partitions={"p": "zzz"})

@@ -270,10 +270,17 @@ def read_atomic(
     spark: SparkSession,
     path: str,
     version: int | None = None,
+    partitions: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read a committed snapshot (latest by default; ``version=`` for
     time travel).  Only files named by that manifest are opened, so a
     concurrent commit can never tear the result.
+
+    ``partitions={"snapshot_date": "2024-01-01"}`` prunes at the
+    MANIFEST level — only the matching partitions' files are even
+    listed, the metadata-side pruning BigQuery's partition decorators
+    gave the reference (and what Catalyst would do from directory
+    names, done here without touching the filesystem at all).
 
     Partitioned snapshots may span several transactions (each partition
     keeps the files of the txn that last replaced it); files are read
@@ -287,9 +294,24 @@ def read_atomic(
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {path}")
     manifest = _read_manifest(path, version)
-    all_files = [f for files in manifest["partitions"].values() for f in files]
+    part_map = manifest["partitions"]
+    if partitions:
+        cols = manifest.get("partition_cols") or []
+        unknown = set(partitions) - set(cols)
+        if unknown:
+            raise ValueError(f"unknown partition columns {sorted(unknown)}; table has {cols}")
+        wanted = {f"{c}={partitions[c]}" for c in cols if c in partitions}
+        part_map = {
+            part: files
+            for part, files in part_map.items()
+            if wanted <= set(part.split(os.sep))
+        }
+    all_files = [f for files in part_map.values() for f in files]
     if not all_files:
-        raise ValueError(f"snapshot v{version} of {path} is empty")
+        raise ValueError(
+            f"snapshot v{version} of {path} is empty"
+            + (f" for partitions {partitions}" if partitions else "")
+        )
     by_txn: dict[str, list[str]] = {}
     for rel in all_files:
         # rel = data/txn-<id>/[<part dirs>/]file.parquet
