@@ -900,7 +900,6 @@ def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     isPartial at all (synthesized False).  Both flow through the real
     reader + R1 melt to (date, keyword, score_raw, is_partial)."""
     import os
-    import tempfile
 
     from tiki_e_commerce_analytics_etl_spark.operators.reshape import (
         melt_trends_wide,

@@ -381,6 +381,13 @@ def test_compact_conflict_with_concurrent_append(spark, tmp_path, monkeypatch):
     got = {(r.payload) for r in acid.read_atomic(spark, path).collect()}
     assert got == {"base", "late"}, "concurrent append must survive compaction"
     assert acid.read_atomic(spark, path).count() == 70
+    # the conflicted attempt's staged copy was reclaimed at abort time:
+    # every txn dir on disk is referenced by some manifest
+    refs = set()
+    for v in acid._list_versions(path):
+        for files in acid._read_manifest(path, v)["partitions"].values():
+            refs |= {rel.split(os.sep)[1] for rel in files}
+    assert set(os.listdir(os.path.join(path, "data"))) <= refs
 
 
 def test_partition_layout_mismatch_rejected(spark, tmp_path):
@@ -434,3 +441,60 @@ def test_manifest_level_partition_pruning(spark, tmp_path):
         acid.read_atomic(spark, path, partitions={"nope": "x"})
     with pytest.raises(ValueError, match="empty"):
         acid.read_atomic(spark, path, partitions={"p": "zzz"})
+
+
+def test_vacuum_protects_just_superseded_version(spark, tmp_path):
+    """Retention anchors to SUPERSESSION time, not file mtime: a
+    snapshot whose files are ancient but that stopped being latest
+    only seconds ago must survive vacuum (a reader may be mid-scan)."""
+    import time
+
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "old"), path, ["p"])
+    # age v0's manifest and data as if committed 3 days ago
+    old_time = time.time() - 3 * 86400
+    os.utime(acid._manifest_path(path, 0), (old_time, old_time))
+    for dirpath, _dirs, files in os.walk(os.path.join(path, "data")):
+        os.utime(dirpath, (old_time, old_time))
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old_time, old_time))
+
+    acid.atomic_overwrite_partitions(_mk(spark, "new"), path, ["p"])  # supersede NOW
+    removed = acid.vacuum(path, keep_versions=1)  # default 24h grace
+    assert removed == [], "ancient mtimes must not defeat reader protection"
+    # time travel to v0 still works
+    assert _snapshot(spark, path, version=0)[1] == {"old"}
+    # once the supersession itself has aged, reclamation proceeds
+    removed = acid.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert any(r.endswith("v00000000.json") for r in removed)
+
+
+def test_vacuum_reclaims_garbage_on_never_committed_table(spark, tmp_path):
+    """A writer that crashed before the table's FIRST commit leaves
+    staged data and a tmp manifest; vacuum must reclaim them even
+    though no manifest versions exist."""
+    path = str(tmp_path / "t")
+    os.makedirs(os.path.join(path, acid._MANIFEST_DIR))
+    staged = os.path.join(path, "data", "txn-dead00000001")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    with open(os.path.join(path, acid._MANIFEST_DIR, "v00000000.json.x.tmp"), "w") as f:
+        f.write("{}")
+    removed = acid.vacuum(path, keep_versions=1, grace_seconds=0)
+    assert not os.path.isdir(staged)
+    assert any(r.endswith(".tmp") for r in removed)
+
+
+def test_partition_pruning_hive_escaped_values(spark, tmp_path):
+    """Pruning must match Spark's Hive path escaping: a value with ':'
+    lives on disk as '%3A', and the raw user value must still prune."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00"), (2, "2024-01-01 11:00")], "k: long, p: string"
+    )
+    acid.atomic_overwrite_partitions(df, path, ["p"])
+    pruned = acid.read_atomic(spark, path, partitions={"p": "2024-01-01 10:00"})
+    rows = pruned.collect()
+    assert [r.k for r in rows] == [1]
+    assert rows[0].p == "2024-01-01 10:00"

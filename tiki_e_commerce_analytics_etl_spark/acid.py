@@ -27,18 +27,21 @@ Commit protocol (``atomic_overwrite_partitions``):
    directory.  Readers only open files named by a committed manifest,
    so in-progress writes are invisible *by construction* — no hidden-
    file filtering tricks, no rename dance over live directories.
-2. Read the current max manifest version N, merge the new partition
-   file lists over the old snapshot (partitions present in the new
-   data replace; absent partitions carry forward — the reference's
-   partition-truncate semantics), and create ``v{N+1}.json`` with
-   ``O_CREAT | O_EXCL``.  The *exclusive create is the commit point*:
-   it either fully succeeds or fully fails, and two racing writers
-   cannot both create the same version — the loser re-reads the
-   winner's snapshot, re-merges, and retries at N+2, which serializes
-   writers without a lock file.
-3. Nothing else.  A writer killed before step 2 leaves only
-   unreferenced data files (``vacuum`` collects them); killed after,
-   the commit is complete.
+2. Read the current max manifest version N and merge the new
+   partition file lists over the old snapshot (partitions present in
+   the new data replace; absent partitions carry forward — the
+   reference's partition-truncate semantics).
+3. Publish ``v{N+1}.json`` CONTENT-atomically: the full payload is
+   written and fsynced to a private ``*.tmp`` file, then installed
+   under the version name with ``os.link`` — the *hardlink is the
+   commit point*.  It either installs the complete, durable file or
+   fails with EEXIST (a racing writer took the version; the loser
+   re-reads the winner's snapshot, re-merges, and retries at N+2),
+   so no reader can ever observe a half-written manifest and two
+   writers serialize without a lock file.  A writer killed at any
+   point before the link leaves only unreferenced data files and at
+   worst an orphaned ``.tmp`` manifest (``vacuum`` collects both);
+   killed after, the commit is complete.
 
 Readers (``read_atomic``) list ``_manifests/``, pick the max version
 (or an explicit ``version=`` for time travel), and read exactly the
@@ -99,6 +102,21 @@ def _list_versions(path: str) -> list[int]:
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as f:
         return json.load(f)
+
+
+_HIVE_ESCAPED = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+
+
+def _escape_partition_value(value: str | None) -> str:
+    """Hive path escaping as Spark's ExternalCatalogUtils.escapePathName
+    applies it when writing partition directories — pruning compares
+    against directory names, so the user's raw value must be escaped
+    the same way ('10:00' is on disk as '10%3A00')."""
+    if value is None or value == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPED else c for c in str(value)
+    )
 
 
 def latest_version(path: str) -> int | None:
@@ -162,6 +180,15 @@ def atomic_overwrite_partitions(
         raise ValueError("txn_app and txn_version must be given together")
     if txn_app is not None and last_txn_version(path, txn_app) >= txn_version:
         return -1  # fast path: already committed, skip the data write too
+    if expected_base_version is not None and latest_version(path) != expected_base_version:
+        # pre-stage CAS check: conflicting before the (expensive) data
+        # write avoids orphaning a full staged copy of the table per
+        # lost race; the authoritative check still runs in the commit
+        # loop below.
+        raise CommitConflict(
+            f"{path}: expected base v{expected_base_version} but latest is "
+            f"v{latest_version(path)}; re-read and redo the read-modify-write"
+        )
     txn = uuid.uuid4().hex[:12]
     txn_rel = os.path.join(_DATA_DIR, f"txn-{txn}")
     txn_dir = os.path.join(path, txn_rel)
@@ -189,28 +216,36 @@ def atomic_overwrite_partitions(
     except ImportError:  # pragma: no cover - pyarrow is baked in
         new_rows = {}
 
+    def _abort(exc: Exception):
+        # a staged-but-never-committed txn is pure garbage the moment
+        # we raise: reclaim it now rather than pinning a full table
+        # copy on disk until vacuum's grace expires
+        shutil.rmtree(txn_dir, ignore_errors=True)
+        raise exc
+
     for _ in range(max_commit_retries):
         versions = _list_versions(path)
         base = _read_manifest(path, versions[-1]) if versions else {"partitions": {}, "partition_cols": list(partition_cols)}
         if expected_base_version is not None:
             current = versions[-1] if versions else None
             if current != expected_base_version:
-                raise CommitConflict(
+                _abort(CommitConflict(
                     f"{path}: expected base v{expected_base_version} but "
                     f"latest is v{current}; re-read and redo the "
                     "read-modify-write"
-                )
+                ))
         if base.get("partitions") and list(base.get("partition_cols", [])) != list(partition_cols):
-            raise ValueError(
+            _abort(ValueError(
                 f"{path} is partitioned by {base.get('partition_cols')}, "
                 f"but this write uses {list(partition_cols)}; mixing "
                 "layouts would silently union incompatible row shapes"
-            )
+            ))
         app_versions = dict(base.get("app_versions", {}))
         if txn_app is not None:
             # re-checked each retry: a racing replayer that committed
             # this (app, version) while we waited makes ours a no-op
             if app_versions.get(txn_app, -1) >= txn_version:
+                shutil.rmtree(txn_dir, ignore_errors=True)  # staged copy unused
                 return -1
             app_versions[txn_app] = txn_version
         merged = dict(base.get("partitions", {}))
@@ -260,10 +295,10 @@ def atomic_overwrite_partitions(
         finally:
             os.unlink(tmp)
         return next_v
-    raise RuntimeError(
+    _abort(RuntimeError(
         f"atomic commit to {path} lost {max_commit_retries} consecutive "
         "version races; raise max_commit_retries or reduce writer fan-in"
-    )
+    ))
 
 
 def read_atomic(
@@ -300,7 +335,11 @@ def read_atomic(
         unknown = set(partitions) - set(cols)
         if unknown:
             raise ValueError(f"unknown partition columns {sorted(unknown)}; table has {cols}")
-        wanted = {f"{c}={partitions[c]}" for c in cols if c in partitions}
+        wanted = {
+            f"{c}={_escape_partition_value(partitions[c])}"
+            for c in cols
+            if c in partitions
+        }
         part_map = {
             part: files
             for part, files in part_map.items()
@@ -404,24 +443,41 @@ def vacuum(path: str, keep_versions: int = 2, grace_seconds: float = 86400.0) ->
 
     ``grace_seconds`` (default 24h, same contract as Delta VACUUM's
     retention) protects two kinds of in-flight work an unreferenced
-    path cannot be distinguished from by reference-counting alone:
-    a WRITER that has staged its transaction directory but not yet
-    committed its manifest, and a READER still scanning files of a
-    just-superseded version.  Only paths whose mtime is older than the
-    grace are reclaimed; size it to the longest writer stage + reader
-    scan.  Tests pass 0 to reclaim immediately.
+    path cannot be distinguished from by reference-counting alone,
+    each anchored to the RIGHT clock:
+
+    - a WRITER that has staged its transaction directory but not yet
+      committed its manifest: never-referenced paths are reclaimed
+      only once their own mtime ages past the grace (a fresh stage is
+      young by definition);
+    - a READER still scanning files of a just-superseded version:
+      superseded manifests (and the transactions only they reference)
+      are reclaimed only once their SUPERSESSION has aged — measured
+      from the commit time (manifest mtime) of the oldest RETAINED
+      version, the moment the to-be-deleted state stopped being
+      reachable as "latest".  File mtimes are useless here: a
+      partition written a month ago and superseded one second ago has
+      ancient mtimes but may still be mid-scan (Delta likewise anchors
+      retention to the removal timestamp, not file creation).
+
+    Size the grace to the longest writer stage + reader scan.  Tests
+    pass 0 to reclaim immediately.
     """
     import time
 
     versions = _list_versions(path)
-    if not versions:
-        return []
-    keep = versions[-keep_versions:] if keep_versions > 0 else []
+    keep = versions[-keep_versions:] if (versions and keep_versions > 0) else []
     live_txns = set()
-    for v in keep:
-        for files in _read_manifest(path, v)["partitions"].values():
-            for rel in files:
-                live_txns.add(os.path.join(*rel.split(os.sep)[:2]))
+    referenced_ever = set()
+    for v in versions:
+        refs = {
+            os.path.join(*rel.split(os.sep)[:2])
+            for files in _read_manifest(path, v)["partitions"].values()
+            for rel in files
+        }
+        referenced_ever |= refs
+        if v in keep:
+            live_txns |= refs
     cutoff = time.time() - grace_seconds
 
     def aged(p: str) -> bool:
@@ -430,25 +486,37 @@ def vacuum(path: str, keep_versions: int = 2, grace_seconds: float = 86400.0) ->
         except OSError:
             return False
 
+    # supersession clock: everything not in `keep` stopped being
+    # reachable-as-latest no later than the oldest kept commit
+    supersession_aged = bool(keep) and aged(_manifest_path(path, keep[0]))
+
     removed = []
     for v in versions:
-        if v not in keep:
+        if v not in keep and supersession_aged:
             p = _manifest_path(path, v)
-            if aged(p):
-                os.unlink(p)
-                removed.append(p)
+            os.unlink(p)
+            removed.append(p)
     mdir = os.path.join(path, _MANIFEST_DIR)
-    for name in os.listdir(mdir):
-        # orphaned content-publish temp files from crashed commits
-        if name.endswith(".tmp") and aged(os.path.join(mdir, name)):
-            os.unlink(os.path.join(mdir, name))
-            removed.append(os.path.join(mdir, name))
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            # orphaned content-publish temp files from crashed commits
+            if name.endswith(".tmp") and aged(os.path.join(mdir, name)):
+                os.unlink(os.path.join(mdir, name))
+                removed.append(os.path.join(mdir, name))
     data_root = os.path.join(path, _DATA_DIR)
     if os.path.isdir(data_root):
         for name in os.listdir(data_root):
             rel = os.path.join(_DATA_DIR, name)
             full = os.path.join(data_root, name)
-            if rel not in live_txns and aged(full):
+            if rel in live_txns:
+                continue
+            if rel in referenced_ever:
+                # dropped by a newer commit: reader-protection clock
+                if supersession_aged:
+                    shutil.rmtree(full)
+                    removed.append(full)
+            elif aged(full):
+                # never committed: writer-protection clock (own mtime)
                 shutil.rmtree(full)
                 removed.append(full)
     return removed
