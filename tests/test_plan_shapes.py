@@ -178,3 +178,49 @@ def test_snapshot_diff_full_outer_smj_on_key(spark):
     physical = p.split("== Physical Plan ==")[-1]
     assert "SortMergeJoin" in physical and "FullOuter" in physical
     assert "CartesianProduct" not in physical and "BroadcastNestedLoopJoin" not in physical
+
+
+def test_runtime_bloom_filter_prefilters_large_join_side(spark, tmp_path):
+    """Runtime bloom-filter join pushdown (AQE runtime filters): when a
+    selective dim joins a big fact in the no-broadcast regime, Spark
+    builds a bloom filter from the dim keys and applies it to the fact
+    BEFORE the shuffle — rows that cannot match never leave the scan
+    stage.  At 100 TB this engages under the default thresholds (fact
+    scan >= 10 GB); the test scales the size threshold down to
+    test-size data, the mechanism is identical.  Guarded here so a
+    session-conf or plan refactor doesn't silently drop it."""
+    from pyspark.sql import functions as F
+
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(500_000).select(
+        (F.col("id") % 50_000).alias("k"), (F.col("id") * 2).alias("v")
+    ).write.mode("overwrite").parquet(fact_p)
+    spark.range(50_000).select(
+        F.col("id").alias("k"), F.lit("x").alias("attr")
+    ).write.mode("overwrite").parquet(dim_p)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("k") % 500 == 0)
+        j = fact.join(dim, "k")
+        n = len(j.collect())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan  # filter built from the dim keys
+    assert "might_contain" in plan  # ...and applied on the fact side
+    # 50_000//500 = 100 surviving dim keys x 10 fact rows per key
+    assert n == 1000  # correctness unchanged
