@@ -428,6 +428,47 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (corpus diversification): keep the top
+    20 documents per source by length, id-tiebroken — the RefinedWeb/
+    C4-style step that stops one boilerplate-heavy site from
+    dominating the training mix.  One domain-keyed shuffle; the cap
+    itself is what bounds hot domains at scale."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.domain_cap(
+        docs.select("doc_id", "source", "n_chars"),
+        "source",
+        k=20,
+        order_col="n_chars",
+    )
+
+
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: documents/tokens/chars per
+    (lang, source) cell plus each cell's integer basis-point share of
+    total tokens — the mixing table a token-budget curation run starts
+    from.  One grouped aggregate; the share join is a broadcast of the
+    single-row total."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    total = cells.agg(F.sum("n_tokens").alias("__total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.floor(F.col("n_tokens") * 10000 / F.col("__total")).alias("share_bp"),
+    )
+
+
 def q_vn_parse_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1-F4 — the Vietnamese parsing grammar on the reference's own
     golden corpus (reference tests/test_transform_logic.py); the oracle
@@ -1723,6 +1764,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_pairs": q_duplicate_pairs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_stats": q_text_stats,
+        "domain_cap": q_domain_cap,
+        "corpus_mix_report": q_corpus_mix_report,
         "vn_parse_literals": q_vn_parse_literals,
         "js_clean_literals": q_js_clean_literals,
         "trends_pipeline": q_trends_pipeline,
@@ -2888,6 +2931,26 @@ def oracle_sql() -> dict[str, str]:
                    LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS n_alpha_tokens,
                    LEN(REGEXP_EXTRACT_ALL(text, '\\bthe\\b')) AS n_the
             FROM documents
+        """,
+        "domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id) AS rk
+                FROM documents
+            ) WHERE rk <= 20
+        """,
+        "corpus_mix_report": """
+            WITH cells AS (
+                SELECT lang, source,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+                       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars
+                FROM documents GROUP BY lang, source
+            )
+            SELECT lang, source, n_docs, n_tokens, n_chars,
+                   CAST(FLOOR(n_tokens * 10000.0 / (SELECT SUM(n_tokens) FROM cells)) AS BIGINT) AS share_bp
+            FROM cells
         """,
         "vn_parse_literals": """
             SELECT * FROM (VALUES

@@ -182,3 +182,24 @@ def test_golden_join_skewed_fact_salted_fallback_matches(spark):
     assert got == expected
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # join really ran on (product_id, salt)
+
+
+def test_domain_cap_deterministic_and_bounded(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", 100 - (i % 7)) for i in range(60)],
+        "doc_id: long, source: string, n_chars: long",
+    )
+    capped = sampling.domain_cap(df, "source", k=5, order_col="n_chars")
+    rows = capped.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append((r.n_chars, r.doc_id))
+    assert all(len(v) == 5 for v in per.values())
+    # deterministic: re-run yields the identical selection
+    again = {(r.doc_id) for r in sampling.domain_cap(df, "source", 5, "n_chars").collect()}
+    assert {r.doc_id for r in rows} == again
+    # keeps the LARGEST docs per domain
+    for v in per.values():
+        assert min(c for c, _ in v) >= 99  # top chars are 100/99 repeats

