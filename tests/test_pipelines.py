@@ -1,0 +1,301 @@
+"""Orchestration layer: runner semantics (retries, trigger rules,
+resume, locking, timeout) plus the four reference pipelines end-to-end
+on the deterministic fixtures.
+
+Reference behavior mirrored: dags/tiki_dag.py:17-20 (retries),
+analytics_dag.py:336-355 (all_success gating), tiki_dag.py:34
+(max_active_runs=1), trends_dag.py:687 / fx_rate_dag.py:472 (chains).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from tiki_e_commerce_analytics_etl_spark import acid
+from tiki_e_commerce_analytics_etl_spark.pipelines import (
+    Pipeline,
+    PipelineLocked,
+    Task,
+    analytics_pipeline,
+    fx_pipeline,
+    tiki_pipeline,
+    trends_pipeline,
+)
+
+DS = "2024-03-01"  # the fixture batch's extracted_at date
+
+
+# ---------------------------------------------------------------- runner
+
+
+def test_cycle_detection():
+    p = Pipeline("cyc")
+    p.add(Task("a", lambda ctx: None, upstream=("b",)))
+    p.add(Task("b", lambda ctx: None, upstream=("a",)))
+    with pytest.raises(ValueError, match="cycle"):
+        p.run(ds=DS)
+
+
+def test_unknown_upstream():
+    p = Pipeline("bad")
+    p.add(Task("a", lambda ctx: None, upstream=("ghost",)))
+    with pytest.raises(ValueError, match="unknown"):
+        p.run(ds=DS)
+
+
+def test_retry_then_success_records_delays():
+    calls = {"n": 0}
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    slept: list[float] = []
+    p = Pipeline("flaky")
+    p.add(Task("t", flaky, retries=2, retry_delay=300.0))
+    res = p.run(ds=DS, sleep=slept.append)
+    assert res["t"].state == "success"
+    assert res["t"].attempts == 3
+    assert slept == [300.0, 300.0]  # tiki_dag.py:19 retry_delay=5min
+
+
+def test_retries_exhausted_fails():
+    p = Pipeline("dead")
+    p.add(Task("t", lambda ctx: 1 / 0, retries=1))
+    res = p.run(ds=DS, sleep=lambda s: None)
+    assert res["t"].state == "failed"
+    assert res["t"].attempts == 2
+    assert "ZeroDivisionError" in res["t"].error
+
+
+def test_trigger_rules_gate_downstream():
+    ran: list[str] = []
+    p = Pipeline("gate")
+    p.add(Task("boom", lambda ctx: 1 / 0))
+    p.add(Task("gated", lambda ctx: ran.append("gated"), upstream=("boom",)))
+    p.add(
+        Task(
+            "cleanup",
+            lambda ctx: ran.append("cleanup"),
+            upstream=("boom",),
+            trigger_rule="all_done",
+        )
+    )
+    p.add(Task("transitive", lambda ctx: ran.append("transitive"), upstream=("gated",)))
+    res = p.run(ds=DS)
+    assert res["boom"].state == "failed"
+    assert res["gated"].state == "skipped"
+    assert res["transitive"].state == "skipped"  # skip propagates
+    assert res["cleanup"].state == "success"
+    assert ran == ["cleanup"]
+
+
+def test_xcom_passing():
+    p = Pipeline("xcom")
+    p.add(Task("produce", lambda ctx: {"path": "/tmp/x", "rows": 5}))
+    p.add(
+        Task(
+            "consume",
+            lambda ctx: ctx.xcom["produce"]["rows"] * 2,
+            upstream=("produce",),
+        )
+    )
+    res = p.run(ds=DS)
+    assert res["consume"].state == "success"
+
+
+def test_resume_skips_succeeded_tasks(tmp_path):
+    counts = {"a": 0, "b": 0}
+    fail_b = {"on": True}
+
+    def a(ctx):
+        counts["a"] += 1
+        return {"v": 1}
+
+    def b(ctx):
+        counts["b"] += 1
+        if fail_b["on"]:
+            raise RuntimeError("first run fails")
+        return ctx.xcom["a"]["v"] + 1
+
+    p = Pipeline("resume", state_dir=str(tmp_path))
+    p.add(Task("a", a))
+    p.add(Task("b", b, upstream=("a",)))
+    r1 = p.run(ds=DS)
+    assert r1["a"].state == "success" and r1["b"].state == "failed"
+
+    fail_b["on"] = False
+    r2 = p.run(ds=DS)
+    assert r2["a"].state == "resumed"
+    assert r2["b"].state == "success"
+    assert counts == {"a": 1, "b": 2}  # a not re-executed
+
+    # A DIFFERENT logical date runs everything fresh.
+    r3 = p.run(ds="2024-03-02")
+    assert r3["a"].state == "success"
+    assert counts["a"] == 2
+
+
+def test_unserializable_xcom_reexecutes_on_resume(tmp_path):
+    counts = {"a": 0}
+
+    def a(ctx):
+        counts["a"] += 1
+        return object()  # not JSON-serializable → no recorded xcom
+
+    p = Pipeline("unser", state_dir=str(tmp_path))
+    p.add(Task("a", a))
+    p.run(ds=DS)
+    p.run(ds=DS)
+    assert counts["a"] == 2
+
+
+def test_lock_blocks_second_run(tmp_path):
+    p = Pipeline("locked", state_dir=str(tmp_path))
+    p.add(Task("a", lambda ctx: None))
+    lock = tmp_path / "locked.lock"
+    lock.write_text(str(os.getpid()))  # a live pid holds the lock
+    with pytest.raises(PipelineLocked):
+        p.run(ds=DS)
+    # Stale lock (dead pid) is reclaimed; the run proceeds.
+    lock.write_text("999999999")
+    res = p.run(ds=DS)
+    assert res["a"].state == "success"
+    assert not lock.exists()  # released afterwards
+
+
+def test_timeout_fails_task():
+    p = Pipeline("slow")
+    p.add(Task("t", lambda ctx: time.sleep(5), timeout=0.2))
+    res = p.run(ds=DS)
+    assert res["t"].state == "failed"
+    assert "TimeoutError" in res["t"].error
+
+
+# ------------------------------------------------- reference pipelines
+
+
+def _trends_fixture(spark, ds, keywords):
+    rows = [
+        ("2024-03-01", 80, 35, False),
+        ("2024-02-29", 70, 30, False),
+    ]
+    return spark.createDataFrame(rows, "date string, iphone string, `tai nghe` string, isPartial string")
+
+
+def _keyword_mapping(spark, active=True):
+    rows = [
+        (1789, "iphone", active),
+        (8318, "tai nghe", active),
+        (1883, "noi chien", active),
+    ]
+    return spark.createDataFrame(
+        rows, "tiki_category_id long, trend_keyword string, is_active boolean"
+    )
+
+
+@pytest.fixture()
+def platform_dirs(tmp_path):
+    data_dir = str(tmp_path / "data")
+    state_dir = str(tmp_path / "state")
+    return data_dir, state_dir
+
+
+def _run_all(spark, data_dir, state_dir, active_mapping=True):
+    km_path = os.path.join(data_dir, "conf", "keyword_mapping")
+    _keyword_mapping(spark, active=active_mapping).write.mode("overwrite").parquet(km_path)
+
+    fx = fx_pipeline(state_dir)
+    r_fx = fx.run(ds=DS, spark=spark, params={"data_dir": data_dir})
+
+    tr = trends_pipeline(state_dir)
+    r_tr = tr.run(
+        ds=DS,
+        spark=spark,
+        params={"data_dir": data_dir, "keywords": ["iphone", "tai nghe"], "trends_fetch": _trends_fixture},
+    )
+
+    tk = tiki_pipeline(state_dir)
+    r_tk = tk.run(ds=DS, spark=spark, params={"data_dir": data_dir})
+
+    an = analytics_pipeline(state_dir)
+    r_an = an.run(
+        ds=DS,
+        spark=spark,
+        params={"data_dir": data_dir, "keyword_mapping_path": km_path},
+    )
+    return r_fx, r_tr, r_tk, r_an
+
+
+def test_platform_end_to_end(spark, platform_dirs):
+    data_dir, state_dir = platform_dirs
+    r_fx, r_tr, r_tk, r_an = _run_all(spark, data_dir, state_dir)
+
+    for res in (r_fx, r_tr, r_tk):
+        assert all(t.state == "success" for t in res.values()), res
+    assert r_an["build_daily_mart"].state == "success"
+    assert r_an["check_data_quality"].state == "success"
+    assert r_an["log_summary"].state == "success"
+
+    summary = None  # log_summary's value lives in the saved state; re-read via mart
+    mart = acid.read_atomic(spark, os.path.join(data_dir, "warehouse", "mart_daily_analytics"))
+    rows = mart.collect()
+    # 3 valid fixture products (101 deduped, 102, 103); ghost/freebie rejected.
+    assert len(rows) == 3
+    by_id = {int(r["product_id"]): r for r in rows}
+    # The iphone row found Full trend data and the fetched fx fallback rate.
+    assert by_id[101]["trend_signal_status"] == "Full Data"
+    assert by_id[101]["fx_rate"] == pytest.approx(25400.0)
+    assert summary is None
+
+    # Re-trigger the SAME ds: every task resumes (no re-execution), and
+    # the warehouse is unchanged — the idempotency the reference gets
+    # from BigQuery MERGE / partition truncation.
+    tk2 = tiki_pipeline(state_dir)
+    r2 = tk2.run(ds=DS, spark=spark, params={"data_dir": data_dir})
+    assert all(t.state == "resumed" for t in r2.values()), r2
+    fact = acid.read_atomic(spark, os.path.join(data_dir, "warehouse", "fact_daily_snapshot"))
+    assert fact.count() == 3
+
+
+def test_quality_gate_skips_summary_on_bad_mart(spark, platform_dirs):
+    data_dir, state_dir = platform_dirs
+    # All keyword mappings inactive → every mart row lands in the
+    # 'No Trend Data' arm → the some_full_trend_data ASSERT fails
+    # (analytics_dag.py:328-347): check fails, summary is SKIPPED.
+    *_, r_an = _run_all(spark, data_dir, state_dir, active_mapping=False)
+    assert r_an["build_daily_mart"].state == "success"
+    assert r_an["check_data_quality"].state == "failed"
+    assert "QualityCheckError" in r_an["check_data_quality"].error
+    assert r_an["log_summary"].state == "skipped"
+
+
+def test_fact_load_is_partition_scoped(spark, platform_dirs):
+    """A second day's run must not clobber the first day's partition."""
+    data_dir, state_dir = platform_dirs
+    tk = tiki_pipeline(state_dir)
+    tk.run(ds=DS, spark=spark, params={"data_dir": data_dir})
+
+    # Day 2 uses the same fixture batch; the raw path and warehouse
+    # partition are keyed by snapshot_date (from the data), so we shift
+    # the crawl source's extracted_at to fake a second day.
+    from pyspark.sql import functions as F
+    from tiki_e_commerce_analytics_etl_spark.plans import fixtures
+
+    def day2(spark_, ds_):
+        return fixtures.raw_products_fixture(spark_).withColumn(
+            "_extracted_at",
+            F.regexp_replace("_extracted_at", "2024-03-01", "2024-03-02"),
+        )
+
+    tk2 = tiki_pipeline(state_dir)
+    tk2.run(ds="2024-03-02", spark=spark, params={"data_dir": data_dir, "crawl_source": day2})
+
+    fact = acid.read_atomic(spark, os.path.join(data_dir, "warehouse", "fact_daily_snapshot"))
+    per_day = {str(r["snapshot_date"]): r["n"] for r in fact.groupBy("snapshot_date").agg(F.count("*").alias("n")).collect()}
+    assert per_day == {"2024-03-01": 3, "2024-03-02": 3}

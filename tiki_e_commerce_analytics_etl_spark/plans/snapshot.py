@@ -56,13 +56,19 @@ RENAME_MAP = {
 }
 
 
-def read_raw(spark: SparkSession, path: str) -> DataFrame:
+def read_raw(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
     """S1 — raw-zone JSON scan with the explicit crawler schema;
     multiLine handles array-of-objects files (transform_tiki.py:124-142,
-    372-408)."""
+    372-408).
+
+    ``multiline=False`` reads JSON-lines instead — the format the
+    engine's own pipelines write to the raw zone (splittable, so a
+    100 TB raw day parallelizes per-block; a multiLine array file is
+    one task per file).
+    """
     return (
         spark.read.schema(schemas.RAW_PRODUCT_SCHEMA)
-        .option("multiLine", True)
+        .option("multiLine", multiline)
         .option("pathGlobFilter", "*.json")
         .json(path)
     )
