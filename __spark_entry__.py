@@ -414,6 +414,16 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(docs, "text", "doc_id").select("doc_id", "content_hash")
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (chunk-level) duplication per document: word
+    10-tiles hashed with md5; a tile is duplicated iff ≥2 distinct
+    docs contain it (Lee et al. 2021 relationally — see
+    dedup.duplicate_chunk_stats).  Inverted-index shape: no pairwise
+    expansion, uniform hash keys."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_chunk_stats(docs, "text", "doc_id", chunk=10)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: char/word/token counts per document
     (training-data pipeline op)."""
@@ -909,6 +919,20 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent word bigrams via bounded-memory per-partition
+    Misra-Gries summaries + exact candidate recount
+    (text.heavy_hitters_ngrams) — executor state ≤ cap counters
+    regardless of vocabulary size.  Output is the exact top-20 (the MG
+    guarantee covers every gram above total/(cap+1); the k-th bigram's
+    frequency clears that bound ≥5× at every shipped scale factor), so
+    the oracle compares bit-exact."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.heavy_hitters_ngrams(docs, "text", "doc_id", n=2, k=20, cap=4096)
 
 
 def _fixture_base() -> str:
@@ -1763,6 +1787,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_sales": q_cube_sales,
         "duplicate_pairs": q_duplicate_pairs,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "chunk_dedup": q_chunk_dedup,
         "text_stats": q_text_stats,
         "domain_cap": q_domain_cap,
         "corpus_mix_report": q_corpus_mix_report,
@@ -1782,6 +1807,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_stats": q_catalog_stats,
         "neardup_clusters": q_neardup_clusters,
         "vocab_top_ngrams": q_vocab_top_ngrams,
+        "heavy_hitters": q_heavy_hitters,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
         "twap_daily": q_twap_daily,
@@ -2496,6 +2522,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
         "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
+        # Same exact-SQL twin as the vocab builder, k=20: the MG
+        # candidate pass is invisible when coverage holds (see
+        # q_heavy_hitters docstring for the margin argument).
+        "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "bm25_search": _bm25_oracle(),
         "semdedup_coverage": f"""
             SELECT COUNT(*) AS n_exact, TRUE AS coverage_ok
@@ -2584,6 +2614,25 @@ def oracle_sql() -> dict[str, str]:
                    0.0e0 + bin * (100000.0e0 - 0.0e0) / 20 AS bin_lo,
                    COUNT(*) AS n
             FROM b GROUP BY bin
+        """,
+        "chunk_dedup": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            c AS (
+                SELECT doc_id,
+                       CASE WHEN len(ws) >= 10 THEN
+                           list_transform(range(1, len(ws) - 8, 10),
+                                          i -> md5(array_to_string(ws[i:i+9], ' ')))
+                       ELSE [md5(array_to_string(ws, ' '))] END AS chunks
+                FROM w
+            ),
+            e AS (SELECT doc_id, unnest(chunks) AS h FROM c),
+            d AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY h)
+            SELECT e.doc_id,
+                   COUNT(*) AS n_chunks,
+                   COUNT(*) FILTER (d.n_docs >= 2) AS dup_chunks,
+                   (COUNT(*) FILTER (d.n_docs >= 2)) / COUNT(*) AS dup_fraction
+            FROM e JOIN d USING (h)
+            GROUP BY e.doc_id
         """,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,

@@ -491,3 +491,61 @@ def test_table_diff_raises_on_schema_drift(spark):
     # keys-only tables are rejected in default mode
     with pytest.raises(ValueError, match="no non-key columns"):
         table_diff(left.select("k"), right.select("k"), ["k"])
+
+
+def test_duplicate_chunk_stats(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import duplicate_chunk_stats
+
+    run = " ".join(f"w{i}" for i in range(10))  # one exact 10-word tile
+    docs = spark.createDataFrame(
+        [
+            (1, run + " unique tail one two three four five six seven eight"),  # 2 tiles, 1 dup
+            (2, run),                                                     # 1 tile, dup
+            (3, "totally different words that never repeat anywhere at all ok"),
+            (4, "short doc"),                                             # < chunk → whole-text tile
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_chunk_stats(docs, "text", "doc_id", chunk=10).collect()}
+    assert (out[1].n_chunks, out[1].dup_chunks) == (2, 1)
+    assert out[1].dup_fraction == 0.5
+    assert (out[2].n_chunks, out[2].dup_chunks) == (1, 1)
+    assert out[3].dup_chunks == 0
+    assert (out[4].n_chunks, out[4].dup_chunks) == (1, 0)
+
+
+def test_duplicate_chunk_stats_stride_detects_unaligned_run(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import duplicate_chunk_stats
+
+    run = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, run),                 # run starts at word 0
+            (2, "offset " + run),     # same run shifted by 1 word
+        ],
+        "doc_id int, text string",
+    )
+    # Tiling misses the unaligned copy...
+    tiled = {r.doc_id: r.dup_chunks for r in duplicate_chunk_stats(docs, chunk=10).collect()}
+    assert tiled == {1: 0, 2: 0}
+    # ...sliding windows (stride=1) catch it.
+    slid = {r.doc_id: r.dup_chunks for r in duplicate_chunk_stats(docs, chunk=10, stride=1).collect()}
+    assert slid[1] >= 1 and slid[2] >= 1
+
+
+def test_heavy_hitters_with_decrement_pressure(spark):
+    """Vocabulary ≫ cap forces real Misra-Gries prunes; the heavy gram
+    must still surface with its EXACT count (candidate recount)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.text import heavy_hitters_ngrams
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta " * 12))            # heavy bigrams
+    for i in range(40, 240):
+        rows.append((i, f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string").repartition(4)
+    out = heavy_hitters_ngrams(docs, "text", "doc_id", n=2, k=3, cap=8).collect()
+    got = {r.gram: (r.tf, r.doc_freq) for r in out}
+    # "alpha beta " * 12 → 23 bigrams/doc: 12× "alpha beta", 11× "beta alpha".
+    assert got["alpha beta"] == (12 * 40, 40)
+    assert got["beta alpha"] == (11 * 40, 40)

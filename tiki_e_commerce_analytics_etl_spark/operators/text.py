@@ -212,3 +212,72 @@ def top_ngrams(df, text_col: str = "text", id_col: str = "doc_id", n: int = 2, k
         .orderBy(F.desc("tf"), F.asc("gram"))
         .limit(k)
     )
+
+
+def heavy_hitters_ngrams(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 20,
+    cap: int = 4096,
+):
+    """Exact top-``k`` frequent word ``n``-grams computed through a
+    bounded-memory sketch: per-partition weighted MISRA-GRIES summaries
+    (≤ ``cap`` counters each, vectorized pandas merge), candidates
+    unioned, then ONE exact recount restricted to the candidates.
+
+    Why not ``top_ngrams``?  Its hash aggregate holds the whole vocab
+    in the agg hash map; at 100 TB a gram vocabulary in the billions
+    spills every partition.  Here executor state is bounded at ``cap``
+    counters regardless of vocabulary size, and the exact recount's
+    aggregate is keyed on ≤ ``cap × partitions`` candidate grams
+    semi-joined before the shuffle.
+
+    Guarantee (Misra-Gries + mergeable-summaries): every gram with
+    true frequency > total_grams/(cap+1) survives into the candidate
+    set, so the recounted top-k equals the exact top-k whenever the
+    k-th frequency clears that bound — at which point the output is
+    BIT-IDENTICAL to the exact query (deterministic (tf desc, gram asc)
+    order), which is how the oracle checks it.
+    """
+    import pandas as pd
+
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import shingles_from_words
+
+    exploded = (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__words"))
+        .select(id_col, F.explode(shingles_from_words(F.col("__words"), n)).alias("gram"))
+    )
+
+    def mg(batches):
+        counters = pd.Series(dtype="float64")
+        for pdf in batches:
+            counters = counters.add(pdf["gram"].value_counts(), fill_value=0.0)
+            if len(counters) > cap:
+                # MG prune: subtract the (cap+1)-st largest count from
+                # every counter, drop the non-positive — ≤ cap survive,
+                # each true count undercounted by at most Σ deltas ≤
+                # total/(cap+1).
+                delta = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters[counters > delta] - delta
+        yield pd.DataFrame(
+            {"gram": counters.index.astype(str), "partial": counters.values.astype("int64")}
+        )
+
+    candidates = (
+        exploded.select("gram")
+        .mapInPandas(mg, "gram string, partial long")
+        .select("gram")
+        .distinct()
+    )
+    return (
+        exploded.join(F.broadcast(candidates), "gram")  # candidate recount only
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .orderBy(F.desc("tf"), F.asc("gram"))
+        .limit(k)
+    )
