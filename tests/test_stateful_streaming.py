@@ -289,3 +289,92 @@ def test_atomic_upsert_sink_streaming_end_to_end(spark, tmp_path):
         (2, "B"),
         (3, "c"),
     }
+
+
+def test_stream_stream_interval_join_inner(spark, tmp_path):
+    """Click attribution: conversions join their impression iff within
+    the event-time window; both sides watermarked (bounded state)."""
+    from tiki_e_commerce_analytics_etl_spark.streaming import joins
+
+    imp_src = str(tmp_path / "imps")
+    conv_src = str(tmp_path / "convs")
+    imps = spark.createDataFrame(
+        [("k1", _ts(0)), ("k2", _ts(5)), ("k3", _ts(10))], "event_key string, ts timestamp"
+    )
+    convs = spark.createDataFrame(
+        [
+            ("k1", _ts(20)),   # 20 min after imp → inside 1h window
+            ("k2", _ts(4)),    # BEFORE the impression → no match
+            ("k9", _ts(30)),   # unknown key → no match
+        ],
+        "event_key string, ts timestamp",
+    )
+    imps.coalesce(1).write.parquet(imp_src)
+    convs.coalesce(1).write.parquet(conv_src)
+
+    out = joins.attribute_events(
+        spark.readStream.schema(imps.schema).parquet(imp_src),
+        spark.readStream.schema(convs.schema).parquet(conv_src),
+        max_delay="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_inner")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_key, delay_seconds FROM attrib_inner").collect()
+    assert {(r.event_key, r.delay_seconds) for r in rows} == {("k1", 1200)}
+
+
+def test_stream_stream_interval_join_outer_emits_unconverted(spark, tmp_path):
+    """Left-outer: impressions with no conversion inside the window
+    emit null-padded once the watermark passes the window."""
+    import time as _time
+
+    from tiki_e_commerce_analytics_etl_spark.streaming import joins
+
+    imp_src = str(tmp_path / "imps")
+    conv_src = str(tmp_path / "convs")
+    schema = "event_key string, ts timestamp"
+    spark.createDataFrame([("k1", _ts(0)), ("k2", _ts(1))], schema).coalesce(1).write.parquet(imp_src)
+    spark.createDataFrame([("k1", _ts(10))], schema).coalesce(1).write.parquet(conv_src)
+
+    out = joins.attribute_events(
+        spark.readStream.schema(
+            spark.read.parquet(imp_src).schema
+        ).parquet(imp_src),
+        spark.readStream.schema(spark.read.parquet(conv_src).schema).parquet(conv_src),
+        max_delay="10 minutes",
+        watermark="10 minutes",
+        include_unconverted=True,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    # Advance the watermark far past every open window on BOTH sides so
+    # the unmatched imp (k2) must be emitted null-padded.
+    _time.sleep(3)
+    spark.createDataFrame([("flushA", _ts(50))], schema).coalesce(1).write.mode("append").parquet(imp_src)
+    spark.createDataFrame([("flushB", _ts(50))], schema).coalesce(1).write.mode("append").parquet(conv_src)
+
+    deadline = _time.time() + 90
+    got = {}
+    while _time.time() < deadline:
+        rows = spark.sql("SELECT event_key, delay_seconds FROM attrib_outer").collect()
+        got = {r.event_key: r.delay_seconds for r in rows}
+        if "k2" in got and "k1" in got:
+            break
+        _time.sleep(1)
+    q.stop()
+    assert got.get("k1") == 600
+    assert "k2" in got and got["k2"] is None
