@@ -921,6 +921,21 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (l_partkey, l_suppkey) —
+    the layout primitive behind acid's zone-map file skipping
+    (functions/layout.py).  Pure shift/mask codegen expression,
+    bit-identical to the unrolled SQL twin."""
+    from tiki_e_commerce_analytics_etl_spark.functions.layout import zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(["l_partkey", "l_suppkey"], bits=16).alias("z"),
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent word bigrams via bounded-memory per-partition
     Misra-Gries summaries + exact candidate recount
@@ -1808,6 +1823,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
+        "zorder_key": q_zorder_key,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
         "twap_daily": q_twap_daily,
@@ -2017,6 +2033,15 @@ _VOCAB_TOP_NGRAMS_ORACLE = f"""
     ORDER BY tf DESC, gram ASC
     LIMIT 100
 """
+
+
+def _zorder_oracle() -> str:
+    """DuckDB twin of q_zorder_key: the same unrolled Morton terms,
+    generated by the same function."""
+    from tiki_e_commerce_analytics_etl_spark.functions.layout import zorder_key_sql
+
+    z = zorder_key_sql(["l_partkey", "l_suppkey"], bits=16)
+    return f"SELECT l_orderkey, l_linenumber, {z} AS z FROM lineitem"
 
 
 def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
@@ -2526,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate pass is invisible when coverage holds (see
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
+        "zorder_key": _zorder_oracle(),
         "bm25_search": _bm25_oracle(),
         "semdedup_coverage": f"""
             SELECT COUNT(*) AS n_exact, TRUE AS coverage_ok

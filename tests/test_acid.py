@@ -498,3 +498,75 @@ def test_partition_pruning_hive_escaped_values(spark, tmp_path):
     rows = pruned.collect()
     assert [r.k for r in rows] == [1]
     assert rows[0].p == "2024-01-01 10:00"
+
+
+# ---------------------------------------------------------------- zone maps
+
+
+def test_zone_map_file_skipping_with_zorder(spark, tmp_path):
+    """Z-ordered write + stat_cols → range reads on EITHER column skip
+    most files, and the pruned read returns exactly the full-scan rows."""
+    from tiki_e_commerce_analytics_etl_spark.functions.layout import zorder_layout
+
+    path = str(tmp_path / "zt")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    laid = zorder_layout(df, ["x", "y"], bits=8, n_files=16)
+    acid.atomic_overwrite_partitions(laid, path, stat_cols=["x", "y"])
+
+    total = len(acid.snapshot_files(path))
+    assert total >= 8  # layout actually produced multiple files
+
+    for col in ("x", "y"):
+        touched = len(acid.snapshot_files(path, ranges={col: (10, 13)}))
+        assert touched < total / 2, (col, touched, total)
+        got = (
+            acid.read_atomic(spark, path, ranges={col: (10, 13)})
+            .filter(F.col(col).between(10, 13))
+        )
+        exact = df.filter(F.col(col).between(10, 13))
+        assert got.count() == exact.count()
+        assert got.exceptAll(exact).count() == 0
+
+
+def test_zone_map_conservative_without_stats(spark, tmp_path):
+    """Writes without stat_cols keep every file under ranges=; a
+    predicate provably matching nothing still returns a schema'd empty
+    result after the caller's filter."""
+    path = str(tmp_path / "plain")
+    df = spark.range(0, 100).select(F.col("id").alias("x"))
+    acid.atomic_overwrite_partitions(df.repartition(4), path)
+    assert len(acid.snapshot_files(path, ranges={"x": (5, 6)})) == len(acid.snapshot_files(path))
+
+    stat_path = str(tmp_path / "stat")
+    acid.atomic_overwrite_partitions(
+        df.repartitionByRange(4, "x").sortWithinPartitions("x"), stat_path, stat_cols=["x"]
+    )
+    # out-of-domain predicate skips EVERY file; read still has schema
+    out = acid.read_atomic(spark, stat_path, ranges={"x": (1000, 2000)})
+    assert out.filter(F.col("x").between(1000, 2000)).count() == 0
+    assert "x" in out.columns
+
+
+def test_zone_maps_survive_partition_merge(spark, tmp_path):
+    """Stats carry forward for untouched partitions across commits and
+    replaced files' stale stats are pruned from the manifest."""
+    path = str(tmp_path / "pt")
+    day1 = spark.createDataFrame([("d1", 1), ("d1", 2)], "ds string, v int")
+    day2 = spark.createDataFrame([("d2", 100), ("d2", 200)], "ds string, v int")
+    acid.atomic_overwrite_partitions(day1.repartition(1), path, ["ds"], stat_cols=["v"])
+    acid.atomic_overwrite_partitions(day2.repartition(1), path, ["ds"], stat_cols=["v"])
+    # v<=2 can only live in d1's file: d2's file is skipped via stats
+    files = acid.snapshot_files(path, ranges={"v": (None, 2)})
+    assert len(files) == 1 and "ds=d1" in files[0]
+
+    # replacing d1 re-stats its new file and drops the old entry
+    day1b = spark.createDataFrame([("d1", 50)], "ds string, v int")
+    acid.atomic_overwrite_partitions(day1b.repartition(1), path, ["ds"], stat_cols=["v"])
+    manifest = json.load(open(acid._manifest_path(path, acid.latest_version(path))))
+    live = {f for fs in manifest["partitions"].values() for f in fs}
+    assert set(manifest["file_stats"]) <= live
+    assert len(acid.snapshot_files(path, ranges={"v": (None, 2)})) == 0

@@ -139,6 +139,57 @@ def _relative_parquet_files(root: str) -> dict[str, list[str]]:
     return out
 
 
+def _json_stat(value):
+    """Parquet-footer statistic → JSON-native, ORDER-PRESERVING value.
+    ints/floats/strs pass through; bytes decode utf-8; date/datetime
+    become ISO strings (lexicographic == chronological).  Returns None
+    for kinds we can't order portably (stat dropped, file kept)."""
+    import datetime
+
+    if isinstance(value, bytes):
+        try:
+            return value.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()
+    if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+        return None
+    return value
+
+
+def _file_column_stats(abs_path: str, cols: list[str]) -> dict[str, list]:
+    """Per-column [min, max] for ``cols`` from the file's parquet
+    footer (row-group statistics aggregated) — metadata-only, no data
+    read.  Columns without usable stats are omitted (reader keeps the
+    file conservatively)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for col in cols:
+        idx = name_to_idx.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _json_stat(st.min), _json_stat(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[col] = [lo, hi]
+    return out
+
+
 def atomic_overwrite_partitions(
     df: DataFrame,
     path: str,
@@ -148,6 +199,7 @@ def atomic_overwrite_partitions(
     txn_app: str | None = None,
     txn_version: int | None = None,
     expected_base_version: int | None = None,
+    stat_cols: list[str] | tuple[str, ...] = (),
 ) -> int:
     """Replace (``mode='overwrite'``) or extend (``mode='append'``)
     the partitions present in ``df`` — the whole table when
@@ -216,6 +268,18 @@ def atomic_overwrite_partitions(
     except ImportError:  # pragma: no cover - pyarrow is baked in
         new_rows = {}
 
+    # Per-FILE zone maps for the requested columns (footer metadata
+    # only): read_atomic(ranges=...) skips whole files by [min, max] —
+    # the file-level data skipping Delta/Iceberg keep in their
+    # manifests, most selective after a z-order/sort layout.
+    new_file_stats: dict[str, dict[str, list]] = {}
+    if stat_cols:
+        for files in new_parts.values():
+            for rel in files:
+                st = _file_column_stats(os.path.join(path, rel), list(stat_cols))
+                if st:
+                    new_file_stats[rel] = st
+
     def _abort(exc: Exception):
         # a staged-but-never-committed txn is pure garbage the moment
         # we raise: reclaim it now rather than pinning a full table
@@ -262,6 +326,14 @@ def atomic_overwrite_partitions(
             merged = dict(new_parts)  # unpartitioned: full replace
             merged_rows = dict(new_rows)
         next_v = (versions[-1] + 1) if versions else 0
+        # Zone maps: carry forward the base's per-file stats, overlay
+        # this txn's, and prune entries for files no longer referenced.
+        live = {f for files in merged.values() for f in files}
+        merged_stats = {
+            rel: st
+            for rel, st in {**base.get("file_stats", {}), **new_file_stats}.items()
+            if rel in live
+        }
         manifest = {
             "version": next_v,
             "txn": txn,
@@ -269,6 +341,7 @@ def atomic_overwrite_partitions(
             "partitions": merged,
             "partition_rows": merged_rows,
             "app_versions": app_versions,
+            "file_stats": merged_stats,
         }
         payload = json.dumps(manifest, sort_keys=True).encode()
         # THE commit point — and it must be CONTENT-atomic, not just
@@ -301,34 +374,14 @@ def atomic_overwrite_partitions(
     ))
 
 
-def read_atomic(
-    spark: SparkSession,
-    path: str,
-    version: int | None = None,
-    partitions: dict[str, str] | None = None,
-) -> DataFrame:
-    """Read a committed snapshot (latest by default; ``version=`` for
-    time travel).  Only files named by that manifest are opened, so a
-    concurrent commit can never tear the result.
-
-    ``partitions={"snapshot_date": "2024-01-01"}`` prunes at the
-    MANIFEST level — only the matching partitions' files are even
-    listed, the metadata-side pruning BigQuery's partition decorators
-    gave the reference (and what Catalyst would do from directory
-    names, done here without touching the filesystem at all).
-
-    Partitioned snapshots may span several transactions (each partition
-    keeps the files of the txn that last replaced it); files are read
-    per-transaction with that txn's directory as ``basePath`` so Spark
-    re-derives the Hive partition columns, then unioned by name — scan
-    count is bounded by the number of live transactions (≤ number of
-    partitions, typically far fewer), not by file count.
-    """
-    if version is None:
-        version = latest_version(path)
-        if version is None:
-            raise FileNotFoundError(f"no committed snapshot under {path}")
-    manifest = _read_manifest(path, version)
+def _select_files(
+    manifest: dict,
+    partitions: dict[str, str] | None,
+    ranges: dict[str, tuple] | None,
+) -> tuple[list[str], list[str]]:
+    """(kept, zone_map_skipped) relative file lists for a snapshot
+    under partition- and range-pruning.  Shared by ``read_atomic`` and
+    ``snapshot_files``."""
     part_map = manifest["partitions"]
     if partitions:
         cols = manifest.get("partition_cols") or []
@@ -346,11 +399,91 @@ def read_atomic(
             if wanted <= set(part.split(os.sep))
         }
     all_files = [f for files in part_map.values() for f in files]
-    if not all_files:
+    if not ranges:
+        return all_files, []
+    stats = manifest.get("file_stats", {})
+
+    def _may_match(rel: str) -> bool:
+        st = stats.get(rel)
+        if not st:
+            return True  # no zone map → keep conservatively
+        for col, (lo, hi) in ranges.items():
+            if col not in st:
+                continue
+            fmin, fmax = st[col]
+            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                return False
+        return True
+
+    kept = [f for f in all_files if _may_match(f)]
+    return kept, [f for f in all_files if f not in set(kept)]
+
+
+def snapshot_files(
+    path: str,
+    version: int | None = None,
+    partitions: dict[str, str] | None = None,
+    ranges: dict[str, tuple] | None = None,
+) -> list[str]:
+    """Relative data files a ``read_atomic`` with the same arguments
+    would open — scan-planning introspection (how many files does this
+    predicate touch?) without starting a Spark job."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+    kept, _ = _select_files(_read_manifest(path, version), partitions, ranges)
+    return kept
+
+
+def read_atomic(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partitions: dict[str, str] | None = None,
+    ranges: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Read a committed snapshot (latest by default; ``version=`` for
+    time travel).  Only files named by that manifest are opened, so a
+    concurrent commit can never tear the result.
+
+    ``partitions={"snapshot_date": "2024-01-01"}`` prunes at the
+    MANIFEST level — only the matching partitions' files are even
+    listed, the metadata-side pruning BigQuery's partition decorators
+    gave the reference (and what Catalyst would do from directory
+    names, done here without touching the filesystem at all).
+
+    Partitioned snapshots may span several transactions (each partition
+    keeps the files of the txn that last replaced it); files are read
+    per-transaction with that txn's directory as ``basePath`` so Spark
+    re-derives the Hive partition columns, then unioned by name — scan
+    count is bounded by the number of live transactions (≤ number of
+    partitions, typically far fewer), not by file count.
+
+    ``ranges={"col": (lo, hi)}`` prunes at the FILE level using the
+    zone maps recorded by ``stat_cols=`` at write time: a file is
+    skipped iff its [min, max] cannot intersect [lo, hi] (either bound
+    may be None for one-sided predicates).  CONSERVATIVE — files
+    without stats for a queried column are kept, and the caller still
+    applies the actual row filter; pruning only shrinks the scan.
+    Most selective after ``zorder_layout`` (multi-column) or a plain
+    range sort (single-column) clustered the write.
+    """
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+    manifest = _read_manifest(path, version)
+    all_files, skipped = _select_files(manifest, partitions, ranges)
+    if not all_files and not skipped:
         raise ValueError(
             f"snapshot v{version} of {path} is empty"
             + (f" for partitions {partitions}" if partitions else "")
         )
+    # Every file zone-map-skipped: the predicate provably selects zero
+    # rows, but we still need the snapshot's schema — read one file and
+    # let the caller's filter produce the empty result.
+    all_files = all_files or skipped[:1]
     by_txn: dict[str, list[str]] = {}
     for rel in all_files:
         # rel = data/txn-<id>/[<part dirs>/]file.parquet
