@@ -921,6 +921,43 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: md5-seeded shard + within-
+    shard position, no global sort (sampling.shuffle_shards)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.shuffle_shards(docs.select("doc_id"), "doc_id", n_shards=16, seed=7)
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: aggregate history (< cutoff),
+    fold the newer rows in as a DELTA via partial re-aggregation
+    (merge.combine_aggregates) — never re-reading history.  The result
+    is definitionally the full aggregate, which is exactly what the
+    oracle recomputes."""
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import combine_aggregates
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn("qty", _dec("l_quantity"))
+    cutoff = F.lit("1997-01-01").cast("date")
+    keys = ["l_returnflag", "l_linestatus"]
+    existing = combine_aggregates(
+        None, li.filter(F.col("l_shipdate") < cutoff), keys,
+        sums=["qty"], counts=["qty"], mins=["qty"], maxs=["qty"],
+    )
+    merged = combine_aggregates(
+        existing, li.filter(F.col("l_shipdate") >= cutoff), keys,
+        sums=["qty"], counts=["qty"], mins=["qty"], maxs=["qty"],
+    )
+    return merged.select(
+        *keys,
+        F.col("qty_sum").cast("double").alias("sum_qty"),
+        F.col("qty_count").alias("n_qty"),
+        F.col("qty_min").cast("double").alias("min_qty"),
+        F.col("qty_max").cast("double").alias("max_qty"),
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) clustering key over (l_partkey, l_suppkey) —
     the layout primitive behind acid's zone-map file skipping
@@ -1824,6 +1861,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
         "zorder_key": q_zorder_key,
+        "shuffle_shards": q_shuffle_shards,
+        "incremental_agg": q_incremental_agg,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
         "twap_daily": q_twap_daily,
@@ -2552,6 +2591,30 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "zorder_key": _zorder_oracle(),
+        "shuffle_shards": """
+            WITH h AS (
+                SELECT doc_id, md5('7|' || CAST(doc_id AS VARCHAR)) AS hh
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, hh,
+                       CAST(CAST(('0x' || substr(hh, 1, 4)) AS INTEGER) % 16 AS INTEGER) AS shard
+                FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS INTEGER) AS pos
+            FROM b
+        """,
+        # The incremental fold is definitionally the full aggregate —
+        # the oracle recomputes it from scratch.
+        "incremental_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(l_quantity) AS n_qty,
+                   CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+                   CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
         "bm25_search": _bm25_oracle(),
         "semdedup_coverage": f"""
             SELECT COUNT(*) AS n_exact, TRUE AS coverage_ok

@@ -549,3 +549,40 @@ def test_heavy_hitters_with_decrement_pressure(spark):
     # "alpha beta " * 12 → 23 bigrams/doc: 12× "alpha beta", 11× "beta alpha".
     assert got["alpha beta"] == (12 * 40, 40)
     assert got["beta alpha"] == (11 * 40, 40)
+
+
+def test_shuffle_shards_deterministic_and_contiguous(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    a = shuffle_shards(df, "doc_id", n_shards=8, seed=1).collect()
+    b = shuffle_shards(df, "doc_id", n_shards=8, seed=1).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in a} == {(r.doc_id, r.shard, r.pos) for r in b}
+    # every shard's positions are 1..len (contiguous serving order)
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    assert len(by_shard) == 8  # 500 rows across 8 shards: all populated
+    # a different seed produces a different order
+    c = shuffle_shards(df, "doc_id", n_shards=8, seed=2).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in c} != {(r.doc_id, r.shard, r.pos) for r in a}
+
+
+def test_combine_aggregates_matches_full_recompute(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import combine_aggregates
+
+    rows = [(i % 3, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    hist, delta = df.filter("v < 70"), df.filter("v >= 70")
+    existing = combine_aggregates(None, hist, ["k"], sums=["v"], counts=["v"], mins=["v"], maxs=["v"])
+    merged = combine_aggregates(existing, delta, ["k"], sums=["v"], counts=["v"], mins=["v"], maxs=["v"])
+    full = combine_aggregates(None, df, ["k"], sums=["v"], counts=["v"], mins=["v"], maxs=["v"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # delta containing a NEW key appears in the fold
+    delta2 = spark.createDataFrame([(99, 1.0)], "k int, v double")
+    merged2 = combine_aggregates(merged, delta2, ["k"], sums=["v"], counts=["v"], mins=["v"], maxs=["v"])
+    assert merged2.filter("k = 99").count() == 1
+    with pytest.raises(ValueError, match="no aggregate"):
+        combine_aggregates(None, df, ["k"])

@@ -146,3 +146,50 @@ def scd2_from_history(
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
     )
+
+
+def combine_aggregates(
+    existing: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    sums: list[str] = (),
+    counts: list[str] = (),
+    mins: list[str] = (),
+    maxs: list[str] = (),
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: fold a DELTA
+    batch into an existing aggregate table without re-reading history.
+
+    ``delta`` is raw rows; ``existing`` is a prior output of this
+    function (or None on the first run).  The combine is re-aggregation
+    of partials — union the existing aggregate rows with the delta's
+    partial aggregate and aggregate again (sum-of-sums, min-of-mins,
+    ...), the standard decomposable-aggregate identity.  One shuffle
+    on the keys; the existing side contributes one row per key, so the
+    cost is O(delta + |keys|) however large the history.  AVG callers
+    store sum+count and divide at read time; non-decomposable
+    aggregates (exact median/distinct) need sketches instead
+    (sketch_summary).
+
+    Output columns: keys, then ``{c}_sum``, ``{c}_count``, ``{c}_min``,
+    ``{c}_max``.  Sum columns should be decimal-cast upstream when
+    bit-exact cross-engine totals matter (see __spark_entry__._dec).
+    """
+    aggs = (
+        [F.sum(c).alias(f"{c}_sum") for c in sums]
+        + [F.count(c).alias(f"{c}_count") for c in counts]
+        + [F.min(c).alias(f"{c}_min") for c in mins]
+        + [F.max(c).alias(f"{c}_max") for c in maxs]
+    )
+    if not aggs:
+        raise ValueError("no aggregate columns requested")
+    partial = delta.groupBy(*keys).agg(*aggs)
+    if existing is None:
+        return partial
+    re_aggs = (
+        [F.sum(f"{c}_sum").alias(f"{c}_sum") for c in sums]
+        + [F.sum(f"{c}_count").alias(f"{c}_count") for c in counts]
+        + [F.min(f"{c}_min").alias(f"{c}_min") for c in mins]
+        + [F.max(f"{c}_max").alias(f"{c}_max") for c in maxs]
+    )
+    return existing.unionByName(partial).groupBy(*keys).agg(*re_aggs)

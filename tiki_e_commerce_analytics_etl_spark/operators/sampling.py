@@ -191,3 +191,30 @@ def domain_cap(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` in [0, n_shards) and a ``pos`` giving its serving order
+    within the shard — the (shard, pos) pair a data loader reads back
+    sequentially for an epoch.  Changing ``seed`` reshuffles; the same
+    seed reproduces the exact order on any engine (md5-keyed).
+
+    Scale shape: NO global sort — the permutation is realized as a
+    per-shard ``row_number`` over the md5 order, i.e. one hash shuffle
+    on the shard key and ``n_shards`` independent local sorts.  Writers
+    ``partitionBy(shard)`` + sort by ``pos``; a reader streaming shard
+    files in pos order sees the same epoch order as a single global
+    md5 sort, interleaved round-robin across shards.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    out = df.withColumn("__h", h).withColumn(
+        "shard", F.pmod(F.conv(F.substring("__h", 1, 4), 16, 10).cast("long"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return out.withColumn("pos", F.row_number().over(w)).drop("__h")
