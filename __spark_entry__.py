@@ -921,6 +921,16 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: chained per-user conditional
+    MIN-ts aggregations (operators/funnel.py) — every stage keyed on
+    user_id, state shrinks monotonically, no event arrays collected."""
+    from tiki_e_commerce_analytics_etl_spark.operators.funnel import funnel_counts
+
+    events = read_table(spark, sf_dir, "events")
+    return funnel_counts(events, ["view", "click", "purchase"])
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: md5-seeded shard + within-
     shard position, no global sort (sampling.shuffle_shards)."""
@@ -1862,6 +1872,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "zorder_key": q_zorder_key,
         "shuffle_shards": q_shuffle_shards,
+        "funnel": q_funnel,
         "incremental_agg": q_incremental_agg,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
@@ -2591,6 +2602,29 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "zorder_key": _zorder_oracle(),
+        "funnel": """
+            WITH s0 AS (
+                SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+                SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+                JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s0.t0
+                GROUP BY e.user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            )
+            SELECT 0 AS step_index, 'view' AS step, (SELECT COUNT(*) FROM s0) AS users
+            UNION ALL
+            SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+            UNION ALL
+            SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+        """,
         "shuffle_shards": """
             WITH h AS (
                 SELECT doc_id, md5('7|' || CAST(doc_id AS VARCHAR)) AS hh

@@ -78,6 +78,12 @@ HEADLINE = [
     "interval_overlap",
     "time_rollup",
     "hierarchy_roots",
+    # round-4 additions
+    "chunk_dedup",
+    "heavy_hitters",
+    "zorder_key",
+    "shuffle_shards",
+    "incremental_agg",
 ]
 
 

@@ -586,3 +586,26 @@ def test_combine_aggregates_matches_full_recompute(spark):
     assert merged2.filter("k = 99").count() == 1
     with pytest.raises(ValueError, match="no aggregate"):
         combine_aggregates(None, df, ["k"])
+
+
+def test_funnel_counts_order_and_window(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.funnel import funnel_counts
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, "view", t(0)), (1, "click", t(5)), (1, "purchase", t(10)),
+        # u2 clicks BEFORE viewing → stops at view
+        (2, "click", t(0)), (2, "view", t(5)),
+        # u3 view→click, purchase too late for a 10-min window
+        (3, "view", t(0)), (3, "click", t(2)), (3, "purchase", t(30)),
+        # u4 never views
+        (4, "purchase", t(1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp")
+    steps = ["view", "click", "purchase"]
+    got = {r.step: r.users for r in funnel_counts(df, steps).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 2}
+    windowed = {r.step: r.users for r in funnel_counts(df, steps, within_seconds=600).collect()}
+    assert windowed == {"view": 3, "click": 2, "purchase": 1}
