@@ -299,3 +299,29 @@ def test_fact_load_is_partition_scoped(spark, platform_dirs):
     fact = acid.read_atomic(spark, os.path.join(data_dir, "warehouse", "fact_daily_snapshot"))
     per_day = {str(r["snapshot_date"]): r["n"] for r in fact.groupBy("snapshot_date").agg(F.count("*").alias("n")).collect()}
     assert per_day == {"2024-03-01": 3, "2024-03-02": 3}
+
+
+def test_maintenance_pipeline_compacts_and_vacuums(spark, platform_dirs):
+    from tiki_e_commerce_analytics_etl_spark.pipelines import maintenance_pipeline
+
+    data_dir, state_dir = platform_dirs
+    path = os.path.join(data_dir, "warehouse", "appendy")
+    for i in range(4):  # many small append transactions
+        batch = spark.createDataFrame([(i, f"v{i}")], "k int, v string").repartition(2)
+        acid.atomic_overwrite_partitions(batch, path, mode="append")
+    files_before = len(acid.snapshot_files(path))
+    v_before = acid.latest_version(path)
+
+    mp = maintenance_pipeline(state_dir)
+    res = mp.run(
+        ds="2024-03-05",
+        spark=spark,
+        params={"data_dir": data_dir, "keep_versions": 1, "grace_seconds": 0.0, "compact_target_partitions": 1},
+    )
+    assert all(t.state == "success" for t in res.values()), res
+    assert acid.latest_version(path) == v_before + 1          # compaction committed
+    assert len(acid.snapshot_files(path)) < files_before       # fewer files
+    got = sorted(tuple(r) for r in acid.read_atomic(spark, path).collect())
+    assert got == [(i, f"v{i}") for i in range(4)]              # data intact
+    # old manifests vacuumed to retention
+    assert acid._list_versions(path) == [acid.latest_version(path)]

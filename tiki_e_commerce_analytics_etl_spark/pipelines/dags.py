@@ -281,3 +281,49 @@ def fx_pipeline(state_dir: str | None = None, retry_delay: float = 0.0) -> Pipel
         return {"rows": df.count(), "version": version}
 
     return p
+
+
+def maintenance_pipeline(state_dir: str | None = None, retry_delay: float = 0.0) -> Pipeline:
+    """Table maintenance the reference never needed (BigQuery does it
+    server-side): per-table COMPACT (small-file remedy for streaming /
+    per-day appends) then VACUUM (drop superseded versions past the
+    retention grace).  Runs as a retryable DAG so a conflict-aborted
+    compaction (a writer landed mid-rewrite → ``CommitConflict``) is
+    retried from the fresh snapshot by the runner.
+
+    params:
+      data_dir       — warehouse root; every table under warehouse/ with
+                       a committed manifest is maintained
+      keep_versions  — vacuum retention (default 3)
+      grace_seconds  — vacuum in-flight grace (default 3600)
+    """
+    p = Pipeline("maintenance_pipeline", state_dir)
+
+    @p.task("discover_tables", retries=0)
+    def discover(ctx: Context) -> list[str]:
+        root = os.path.join(ctx.params["data_dir"], "warehouse")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            t for t in os.listdir(root)
+            if acid.latest_version(os.path.join(root, t)) is not None
+        )
+
+    @p.task("compact_tables", upstream=("discover_tables",), retries=RETRIES, retry_delay=retry_delay)
+    def compact(ctx: Context) -> dict:
+        target = ctx.params.get("compact_target_partitions")
+        versions = {}
+        for t in ctx.xcom["discover_tables"]:
+            versions[t] = acid.compact(ctx.spark, _warehouse(ctx, t), target_partitions=target)
+        return versions
+
+    @p.task("vacuum_tables", upstream=("compact_tables",), retries=RETRIES, retry_delay=retry_delay)
+    def vac(ctx: Context) -> dict:
+        keep = int(ctx.params.get("keep_versions", 3))
+        grace = float(ctx.params.get("grace_seconds", 3600.0))
+        return {
+            t: len(acid.vacuum(_warehouse(ctx, t), keep_versions=keep, grace_seconds=grace))
+            for t in ctx.xcom["discover_tables"]
+        }
+
+    return p
