@@ -807,15 +807,24 @@ def duplicate_chunk_stats(
         .select(F.col(id_col), chunk_hashes_from(F.col("__ws"), chunk, stride).alias("__chunks"))
         .select(F.col(id_col), F.explode("__chunks").alias("chunk_hash"))
     )
-    per_hash = chunks.groupBy("chunk_hash").agg(
-        F.count_distinct(F.col(id_col)).alias("__n_docs")
-    )
+    # Single computation of the hash front-end: collapse within-doc
+    # instances first (hash, doc, cnt), count distinct docs per hash
+    # with an unordered window over the hash partition (no join back —
+    # a join-back formulation re-evaluates the whole tokenize→hash
+    # explode subtree on its second side), then fold per doc.  Window
+    # partitions are one row per DISTINCT doc holding the hash, so a
+    # boilerplate chunk shared by a million docs costs a million rows
+    # in one partition, never a collected array.
+    per_doc_hash = chunks.groupBy("chunk_hash", id_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy("chunk_hash")
     return (
-        chunks.join(per_hash, "chunk_hash")
+        per_doc_hash.withColumn("__n_docs", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.count_if(F.col("__n_docs") >= 2).alias("dup_chunks"),
+            F.sum("__cnt").alias("n_chunks"),
+            F.sum(F.when(F.col("__n_docs") >= 2, F.col("__cnt")).otherwise(F.lit(0))).alias(
+                "dup_chunks"
+            ),
         )
         .withColumn("dup_fraction", F.col("dup_chunks") / F.col("n_chunks"))
     )
