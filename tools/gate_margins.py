@@ -98,6 +98,24 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     ):
         err = abs(float(a) - float(e)) / float(e)
         out.append((label, err, bound, (bound - err) / bound))
+
+    # heavy_hitters: the MG retention guarantee covers every gram with
+    # tf > total/(cap+1); the oracle comparison is bit-exact only while
+    # the k-th gram's frequency clears that bound.  margin = how far
+    # the k-th frequency sits above it.
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    exact_top = text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=20)
+    row = exact_top.agg(F.min("tf").alias("kth"), F.sum(F.lit(0)).alias("z")).collect()[0]
+    total = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+        .count()
+        - docs.count()  # bigrams per doc = words - 1
+    )
+    bound = total / (4096 + 1)
+    kth = float(row["kth"])
+    out.append(("heavy_hitters.kth_vs_mg_bound", kth, bound, (kth - bound) / bound))
     return out
 
 
