@@ -325,3 +325,46 @@ def test_maintenance_pipeline_compacts_and_vacuums(spark, platform_dirs):
     assert got == [(i, f"v{i}") for i in range(4)]              # data intact
     # old manifests vacuumed to retention
     assert acid._list_versions(path) == [acid.latest_version(path)]
+
+
+def test_parallel_execution_overlaps_independent_tasks():
+    p = Pipeline("par")
+    for name in ("a", "b", "c"):
+        p.add(Task(name, lambda ctx: time.sleep(0.5)))
+    p.add(Task("join", lambda ctx: "done", upstream=("a", "b", "c")))
+    start = time.perf_counter()
+    res = p.run(ds=DS, max_workers=4)
+    wall = time.perf_counter() - start
+    assert all(r.state == "success" for r in res.values())
+    assert wall < 1.2  # 3 × 0.5s overlapped, not serialized
+
+
+def test_parallel_mode_preserves_trigger_semantics(tmp_path):
+    p = Pipeline("par_gate", state_dir=str(tmp_path))
+    p.add(Task("ok", lambda ctx: 1))
+    p.add(Task("boom", lambda ctx: 1 / 0))
+    p.add(Task("gated", lambda ctx: 2, upstream=("boom", "ok")))
+    p.add(Task("cleanup", lambda ctx: 3, upstream=("boom",), trigger_rule="all_done"))
+    res = p.run(ds=DS, max_workers=4)
+    assert res["ok"].state == "success"
+    assert res["boom"].state == "failed"
+    assert res["gated"].state == "skipped"
+    assert res["cleanup"].state == "success"
+    # resume in parallel mode: succeeded tasks come back RESUMED
+    res2 = p.run(ds=DS, max_workers=4)
+    assert res2["ok"].state == "resumed"
+    assert res2["cleanup"].state == "resumed"
+    assert res2["boom"].state == "failed"
+
+
+def test_backfill_runs_oldest_first_and_resumes(tmp_path):
+    seen = []
+    p = Pipeline("bf", state_dir=str(tmp_path))
+    p.add(Task("t", lambda ctx: seen.append(ctx.ds) or {"ds": ctx.ds}))
+    out = p.backfill(["2024-03-03", "2024-03-01", "2024-03-02"])
+    assert seen == ["2024-03-01", "2024-03-02", "2024-03-03"]
+    assert all(r["t"].state == "success" for r in out.values())
+    out2 = p.backfill(["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"])
+    assert seen == ["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"]
+    assert out2["2024-03-02"]["t"].state == "resumed"
+    assert out2["2024-03-04"]["t"].state == "success"

@@ -225,40 +225,81 @@ class Pipeline:
         spark: Any = None,
         params: dict[str, Any] | None = None,
         sleep: Callable[[float], None] = time.sleep,
+        max_workers: int = 1,
     ) -> dict[str, TaskResult]:
         """Execute the DAG for logical date ``ds``; returns per-task results.
 
         ``sleep`` is injectable so tests can assert retry delays without
-        waiting for them.
+        waiting for them.  ``max_workers > 1`` runs READY tasks (all
+        upstreams terminal) concurrently on a thread pool — Spark
+        schedules concurrently-submitted jobs fairly, so independent
+        Spark-heavy tasks overlap their idle stages like Airflow's
+        parallel task instances; state saves serialize on a lock.
         """
         order = self.topo_order()
         lock = self._acquire_lock()
         try:
             ctx = Context(ds=ds, spark=spark, params=dict(params or {}))
             state = self._load_state(ds)
+            state_lock = threading.Lock()
             results: dict[str, TaskResult] = {}
-            for task in order:
+
+            def record_success(name: str) -> None:
+                entry: dict[str, Any] = {"state": SUCCESS}
+                try:
+                    entry["xcom"] = json.loads(json.dumps(ctx.xcom[name]))
+                except (TypeError, ValueError):
+                    pass  # unserializable result → re-execute on resume
+                with state_lock:
+                    state[name] = entry
+                    self._save_state(ds, state)
+
+            def pre_state(task: Task) -> str | None:
+                """Terminal state decidable WITHOUT executing, else None."""
                 prior = state.get(task.name)
-                if prior is not None and prior.get("state") == SUCCESS and (
-                    "xcom" in prior
-                ):
+                if prior is not None and prior.get("state") == SUCCESS and "xcom" in prior:
                     ctx.xcom[task.name] = prior["xcom"]
-                    results[task.name] = TaskResult(state=RESUMED)
-                    continue
+                    return RESUMED
                 if task.trigger_rule == "all_success" and any(
                     results[u].state in (FAILED, SKIPPED) for u in task.upstream
                 ):
-                    results[task.name] = TaskResult(state=SKIPPED)
-                    continue
-                results[task.name] = self._run_one(task, ctx, sleep)
-                if results[task.name].state == SUCCESS:
-                    entry: dict[str, Any] = {"state": SUCCESS}
-                    try:
-                        entry["xcom"] = json.loads(json.dumps(ctx.xcom[task.name]))
-                    except (TypeError, ValueError):
-                        pass  # unserializable result → re-execute on resume
-                    state[task.name] = entry
-                    self._save_state(ds, state)
+                    return SKIPPED
+                return None
+
+            if max_workers <= 1:
+                for task in order:
+                    decided = pre_state(task)
+                    if decided is not None:
+                        results[task.name] = TaskResult(state=decided)
+                        continue
+                    results[task.name] = self._run_one(task, ctx, sleep)
+                    if results[task.name].state == SUCCESS:
+                        record_success(task.name)
+                return results
+
+            from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+            remaining = {t.name: t for t in order}
+            futures = {}
+            with ThreadPoolExecutor(max_workers=max_workers) as pool:
+                while remaining or futures:
+                    for name in [n for n, t in remaining.items() if all(
+                        u in results for u in t.upstream
+                    )]:
+                        task = remaining.pop(name)
+                        decided = pre_state(task)
+                        if decided is not None:
+                            results[name] = TaskResult(state=decided)
+                            continue
+                        futures[pool.submit(self._run_one, task, ctx, sleep)] = name
+                    if not futures:
+                        continue  # newly-decided states may unblock more
+                    done, _ = wait(futures, return_when=FIRST_COMPLETED)
+                    for fut in done:
+                        name = futures.pop(fut)
+                        results[name] = fut.result()
+                        if results[name].state == SUCCESS:
+                            record_success(name)
             return results
         finally:
             if lock is not None:
@@ -266,6 +307,23 @@ class Pipeline:
                     os.unlink(lock)
                 except OSError:
                     pass
+
+    def backfill(
+        self,
+        dates: list[str],
+        spark: Any = None,
+        params: dict[str, Any] | None = None,
+        sleep: Callable[[float], None] = time.sleep,
+        max_workers: int = 1,
+    ) -> dict[str, dict[str, TaskResult]]:
+        """Run the DAG once per logical date, oldest first — the manual
+        form of Airflow's catchup.  Dates whose state records every task
+        succeeded resume instantly, so re-running a backfill after a
+        partial failure only executes what's missing."""
+        return {
+            ds: self.run(ds, spark=spark, params=params, sleep=sleep, max_workers=max_workers)
+            for ds in sorted(dates)
+        }
 
     def _run_one(
         self, task: Task, ctx: Context, sleep: Callable[[float], None]
