@@ -921,6 +921,17 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
 
 
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth deciles of l_extendedprice: per-bin count/min/max
+    (quality.equidepth_bins) — boundary scalars via exact percentile
+    (≡ DuckDB quantile_cont bit-for-bit), assignment via codegen
+    comparisons, one hash aggregate."""
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import equidepth_bins
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return equidepth_bins(li, "l_extendedprice", n_bins=10)
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: chained per-user conditional
     MIN-ts aggregations (operators/funnel.py) — every stage keyed on
@@ -1873,6 +1884,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "shuffle_shards": q_shuffle_shards,
         "funnel": q_funnel,
+        "equidepth_bins": q_equidepth_bins,
         "incremental_agg": q_incremental_agg,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
@@ -2602,6 +2614,21 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "zorder_key": _zorder_oracle(),
+        "equidepth_bins": """
+            WITH b AS (
+                SELECT quantile_cont(l_extendedprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                FROM lineitem
+            )
+            SELECT CAST(list_sum(list_transform(bs,
+                       x -> CASE WHEN l_extendedprice > x THEN 1 ELSE 0 END)) AS INTEGER) AS bin,
+                   COUNT(*) AS n,
+                   MIN(l_extendedprice) AS lo,
+                   MAX(l_extendedprice) AS hi
+            FROM lineitem, b
+            WHERE l_extendedprice IS NOT NULL
+            GROUP BY bin
+        """,
         "funnel": """
             WITH s0 AS (
                 SELECT user_id, MIN(ts) AS t0 FROM events

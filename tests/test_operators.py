@@ -609,3 +609,16 @@ def test_funnel_counts_order_and_window(spark):
     assert got == {"view": 3, "click": 2, "purchase": 2}
     windowed = {r.step: r.users for r in funnel_counts(df, steps, within_seconds=600).collect()}
     assert windowed == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_equidepth_bins_balanced(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import equidepth_bins
+
+    df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+    rows = {r.bin: r for r in equidepth_bins(df, "v", n_bins=4).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert all(abs(rows[b].n - 25) <= 1 for b in rows)  # equi-depth
+    assert rows[0].lo == 0.0 and rows[3].hi == 99.0
+    # approx path: same shape, boundaries within tolerance
+    arows = {r.bin: r.n for r in equidepth_bins(df, "v", n_bins=4, exact=False).collect()}
+    assert sum(arows.values()) == 100

@@ -256,3 +256,46 @@ def histogram(
             "n",
         )
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: per-bin count/min/max with
+    boundaries at the i/n_bins percentiles — the profiling complement
+    of ``histogram`` (equi-width).
+
+    Two passes, no global sort: one aggregation for the n_bins-1
+    boundary scalars (collected to the driver like zscore's closed-form
+    stats — they are literals thereafter), then bin assignment as a
+    chain of codegen comparisons feeding ONE hash aggregate.  A value
+    equal to a boundary lands in the lower bin (strict >).
+
+    ``exact=True`` uses exact ``percentile`` — single-reducer by
+    nature, the verification-grade path that DuckDB's quantile_cont
+    reproduces bit-for-bit.  At 100 TB pass ``exact=False`` for
+    ``approx_percentile`` (t-digest, partial-aggregating) with
+    ``accuracy``; bins are then approximate at the boundaries only.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
+    bounds = df.agg(F.expr(f"{fn}({col}, {arr}{extra})").alias("bs")).collect()[0]["bs"]
+    bin_expr = None
+    for b in bounds:
+        term = F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
+        bin_expr = term if bin_expr is None else bin_expr + term
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )
