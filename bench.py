@@ -84,6 +84,8 @@ HEADLINE = [
     "zorder_key",
     "shuffle_shards",
     "incremental_agg",
+    "funnel",
+    "equidepth_bins",
 ]
 
 
