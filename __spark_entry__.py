@@ -921,6 +921,28 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling: keep probability
+    0.2 × min(len/500, 2) decided by md5 bucket — reproducible
+    importance sampling, pure narrow filter
+    (sampling.weighted_hash_sample)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.least(F.length("text") / F.lit(500.0), F.lit(2.0))
+    return sampling.weighted_hash_sample(docs, "doc_id", w, 0.2).select("doc_id")
+
+
+def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-variant discovery: distinct part names within edit
+    distance 4, prefix-2 blocked (operators/fuzzy.py) — equi-join
+    candidates + codegen levenshtein rerank, no cross product."""
+    from tiki_e_commerce_analytics_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    part = read_table(spark, sf_dir, "part")
+    return fuzzy_self_join(part.select(F.col("p_name")), "p_name", max_dist=4, block_prefix=2)
+
+
 def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth deciles of l_extendedprice: per-bin count/min/max
     (quality.equidepth_bins) — boundary scalars via exact percentile
@@ -1885,6 +1907,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "funnel": q_funnel,
         "equidepth_bins": q_equidepth_bins,
+        "fuzzy_names": q_fuzzy_names,
+        "weighted_sample": q_weighted_sample,
         "incremental_agg": q_incremental_agg,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
@@ -2614,6 +2638,24 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "zorder_key": _zorder_oracle(),
+        "weighted_sample": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS b,
+                       FLOOR(LEAST(0.2 * LEAST(length(text) / 500.0, 2.0), 1.0) * 65536) AS thr
+                FROM documents
+            ) WHERE b < thr
+        """,
+        "fuzzy_names": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS a, b.p_name AS b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+            FROM n a JOIN n b
+              ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+             AND abs(length(a.p_name) - length(b.p_name)) <= 4
+            WHERE levenshtein(a.p_name, b.p_name) <= 4
+              AND a.p_name < b.p_name
+        """,
         "equidepth_bins": """
             WITH b AS (
                 SELECT quantile_cont(l_extendedprice,

@@ -622,3 +622,35 @@ def test_equidepth_bins_balanced(spark):
     # approx path: same shape, boundaries within tolerance
     arows = {r.bin: r.n for r in equidepth_bins(df, "v", n_bins=4, exact=False).collect()}
     assert sum(arows.values()) == 100
+
+
+def test_fuzzy_self_join_blocks_and_reranks(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    df = spark.createDataFrame(
+        [("cold ring",), ("cold rod",), ("cold ring",), ("warm ring",), ("zebra",)],
+        "name string",
+    )
+    pairs = {(r.a, r.b): r.dist for r in fuzzy_self_join(df, "name", max_dist=4).collect()}
+    assert pairs[("cold ring", "cold rod")] == 3
+    # "cold ring"/"warm ring" share no 2-char prefix → blocked out even
+    # though dist 4 — the documented recall caveat of prefix blocking.
+    assert ("cold ring", "warm ring") not in pairs
+    # exact dupes collapse: no dist-0 pairs
+    assert all(d >= 1 for d in pairs.values())
+
+
+def test_weighted_hash_sample_rate_scales_with_weight(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    lo = sampling.weighted_hash_sample(df, "k", F.lit(0.5), 0.2).count()
+    hi = sampling.weighted_hash_sample(df, "k", F.lit(2.0), 0.2).count()
+    assert abs(lo / 4000 - 0.1) < 0.03
+    assert abs(hi / 4000 - 0.4) < 0.04
+    # clamped at 1.0
+    assert sampling.weighted_hash_sample(df, "k", F.lit(100.0), 0.2).count() == 4000
+    # deterministic and nested: the lighter sample is a subset
+    lo_ids = {r.k for r in sampling.weighted_hash_sample(df, "k", F.lit(0.5), 0.2).collect()}
+    hi_ids = {r.k for r in sampling.weighted_hash_sample(df, "k", F.lit(2.0), 0.2).collect()}
+    assert lo_ids <= hi_ids

@@ -218,3 +218,25 @@ def shuffle_shards(
     )
     w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
     return out.withColumn("pos", F.row_number().over(w)).drop("__h")
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    base_fraction: float,
+) -> DataFrame:
+    """Deterministic IMPORTANCE sampling: each row is kept with
+    probability ``base_fraction × weight`` (clamped to 1), decided by
+    the row's md5 bucket — so membership is reproducible across runs,
+    engines, and appends (a row's fate never depends on the rest of
+    the data), and a weight-2 row is kept at exactly twice the rate of
+    a weight-1 row.  The curation use: sample longer / higher-quality
+    documents preferentially while keeping the pipeline re-runnable.
+
+    Pure narrow filter — no shuffle, no state; the threshold is
+    FLOOR-ed onto the integer bucket grid so any engine computing the
+    same expression keeps the identical row set.
+    """
+    thr = F.floor(F.least(F.lit(base_fraction) * weight, F.lit(1.0)) * _BUCKETS)
+    return df.filter(hash_bucket(F.col(key_col)) < thr)
