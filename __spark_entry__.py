@@ -921,6 +921,16 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.top_ngrams(docs, "text", "doc_id", n=2, k=100)
 
 
+def q_split_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage chunking: 64-word windows advancing by 48 (16-word
+    overlap), stable (doc_id, passage_idx) keys — narrow plan, no
+    shuffle (text.split_passages)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.split_passages(docs, "text", "doc_id", max_words=64, overlap=16)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted deterministic sampling: keep probability
     0.2 × min(len/500, 2) decided by md5 bucket — reproducible
@@ -1909,6 +1919,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_bins": q_equidepth_bins,
         "fuzzy_names": q_fuzzy_names,
         "weighted_sample": q_weighted_sample,
+        "split_passages": q_split_passages,
         "incremental_agg": q_incremental_agg,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
@@ -2638,6 +2649,19 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "zorder_key": _zorder_oracle(),
+        "split_passages": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            s AS (
+                SELECT doc_id, ws,
+                       unnest(range(1, greatest(len(ws) - 16, 1) + 1, 48)) AS st
+                FROM w
+            )
+            SELECT doc_id,
+                   CAST((st - 1) / 48 AS INTEGER) AS passage_idx,
+                   array_to_string(ws[st:st+63], ' ') AS passage,
+                   CAST(least(64, len(ws) - st + 1) AS INTEGER) AS n_words
+            FROM s
+        """,
         "weighted_sample": """
             SELECT doc_id FROM (
                 SELECT doc_id,

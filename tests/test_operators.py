@@ -654,3 +654,28 @@ def test_weighted_hash_sample_rate_scales_with_weight(spark):
     lo_ids = {r.k for r in sampling.weighted_hash_sample(df, "k", F.lit(0.5), 0.2).collect()}
     hi_ids = {r.k for r in sampling.weighted_hash_sample(df, "k", F.lit(2.0), 0.2).collect()}
     assert lo_ids <= hi_ids
+
+
+def test_split_passages_coverage_and_overlap(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.text import split_passages
+
+    text_150 = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text_150), (2, "short doc only")], "doc_id int, text string")
+    rows = sorted(
+        split_passages(df, max_words=64, overlap=16).collect(),
+        key=lambda r: (r.doc_id, r.passage_idx),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.passage_idx for r in d1] == [0, 1, 2]
+    assert d1[0].n_words == 64 and d1[1].n_words == 64 and d1[2].n_words == 150 - 96
+    # adjacent passages share exactly the 16-word overlap
+    p0, p1 = d1[0].passage.split(" "), d1[1].passage.split(" ")
+    assert p0[-16:] == p1[:16]
+    # every source word appears in some passage, in order
+    merged = p0 + p1[16:] + d1[2].passage.split(" ")[16:]
+    assert merged == text_150.split(" ")
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].passage == "short doc only"
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        split_passages(df, max_words=8, overlap=8)

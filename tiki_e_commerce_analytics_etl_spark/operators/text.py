@@ -281,3 +281,47 @@ def heavy_hitters_ngrams(
         .orderBy(F.desc("tf"), F.asc("gram"))
         .limit(k)
     )
+
+
+def split_passages(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = 64,
+    overlap: int = 16,
+):
+    """RAG-style passage chunking: cut each document into word windows
+    of ``max_words`` advancing by ``max_words - overlap``, so adjacent
+    passages share ``overlap`` words of context.  Output one row per
+    passage: (id, passage_idx, passage, n_words) with passage_idx
+    0-based in document order — (id, passage_idx) is the stable
+    passage key retrieval indexes use.
+
+    The final window is the tail from the last start offset (shorter
+    than ``max_words``); a start offset that would produce a window
+    fully contained in the previous one is not emitted (no duplicate
+    tails).  Pure narrow plan: materialized word array → index
+    sequence → slice per index → posexplode.  No shuffle; a 100 TB
+    corpus chunks embarrassingly parallel.
+    """
+    if overlap >= max_words:
+        raise ValueError("overlap must be smaller than max_words")
+    step = max_words - overlap
+    ws = F.col("__ws")
+    n = F.size(ws)
+    # Start offsets 1, 1+step, ... while start <= n - overlap (a start
+    # beyond that yields a window fully inside the previous one); a
+    # doc shorter than max_words is exactly one passage.
+    last_start = F.greatest(n - F.lit(overlap), F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(step))
+    passages = F.transform(starts, lambda i: F.slice(ws, i, max_words))
+    return (
+        df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+        .select(F.col(id_col), F.posexplode(passages).alias("passage_idx", "__p"))
+        .select(
+            F.col(id_col),
+            "passage_idx",
+            F.concat_ws(" ", F.col("__p")).alias("passage"),
+            F.size("__p").alias("n_words"),
+        )
+    )
