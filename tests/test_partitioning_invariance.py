@@ -35,6 +35,20 @@ QUERIES = [
     "snapshot_diff",
     "length_stratified_sample",
     "neardup_clusters",
+    # round-4 additions: MG candidate sets vary with partitioning (the
+    # exact recount must erase that), per-hash window counts, per-shard
+    # row_number tiebreaks, chained funnel joins, boundary-scalar bins,
+    # incremental fold, z-order bit math, blocked levenshtein pairs
+    "heavy_hitters",
+    "chunk_dedup",
+    "shuffle_shards",
+    "funnel",
+    "equidepth_bins",
+    "incremental_agg",
+    "zorder_key",
+    "fuzzy_names",
+    "weighted_sample",
+    "split_passages",
 ]
 
 
