@@ -953,6 +953,19 @@ def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(part.select(F.col("p_name")), "p_name", max_dist=4, block_prefix=2)
 
 
+def q_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy name pairs → connected
+    components → canonical variant clusters (min-name labeling) — the
+    composition a catalog-normalization pipeline runs.  Same
+    pointer-jumping CC as neardup_clusters, over levenshtein edges."""
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+    from tiki_e_commerce_analytics_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    part = read_table(spark, sf_dir, "part")
+    pairs = fuzzy_self_join(part.select("p_name"), "p_name", max_dist=4, block_prefix=2)
+    return graph.connected_components(pairs, "a", "b")
+
+
 def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth deciles of l_extendedprice: per-bin count/min/max
     (quality.equidepth_bins) — boundary scalars via exact percentile
@@ -1918,6 +1931,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "equidepth_bins": q_equidepth_bins,
         "fuzzy_names": q_fuzzy_names,
+        "name_clusters": q_name_clusters,
         "weighted_sample": q_weighted_sample,
         "split_passages": q_split_passages,
         "incremental_agg": q_incremental_agg,
@@ -2669,6 +2683,24 @@ def oracle_sql() -> dict[str, str]:
                        FLOOR(LEAST(0.2 * LEAST(length(text) / 500.0, 2.0), 1.0) * 65536) AS thr
                 FROM documents
             ) WHERE b < thr
+        """,
+        "name_clusters": """
+            WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+            pairs AS (
+                SELECT a.p_name AS a, b.p_name AS b
+                FROM n a JOIN n b
+                  ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+                 AND abs(length(a.p_name) - length(b.p_name)) <= 4
+                WHERE levenshtein(a.p_name, b.p_name) <= 4
+                  AND a.p_name < b.p_name
+            ),
+            bidir AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach AS (
+                SELECT a AS node, b AS peer FROM bidir
+                UNION
+                SELECT r.node, e.b FROM reach r JOIN bidir e ON r.peer = e.a
+            )
+            SELECT node, LEAST(node, MIN(peer)) AS component FROM reach GROUP BY node
         """,
         "fuzzy_names": """
             WITH n AS (SELECT DISTINCT p_name FROM part)
