@@ -224,3 +224,27 @@ def test_runtime_bloom_filter_prefilters_large_join_side(spark, tmp_path):
     assert "might_contain" in plan  # ...and applied on the fact side
     # 50_000//500 = 100 surviving dim keys x 10 fact rows per key
     assert n == 1000  # correctness unchanged
+
+
+def test_round4_plan_shapes(spark):
+    """Scale-critical plan properties of the round-4 operators."""
+    plans = {n: _plan(spark, n) for n in (
+        "chunk_dedup", "funnel", "heavy_hitters", "split_passages", "weighted_sample"
+    )}
+    # chunk_dedup: window formulation — NO join (a join-back would
+    # re-evaluate the md5 front-end twice).
+    p = plans["chunk_dedup"]
+    assert "Join" not in p
+    # funnel: survivor sets broadcast, never sort-merge.
+    p = plans["funnel"]
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # heavy_hitters: candidate recount joins against a BROADCAST
+    # candidate set (the corpus-side grams never shuffle for the join).
+    p = plans["heavy_hitters"]
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # narrow ops: zero exchanges of any kind.
+    for name in ("split_passages", "weighted_sample"):
+        assert "Exchange" not in plans[name], name
+    # weighted_sample: the bucket threshold filter reaches the scan's
+    # row-group level as a data filter (codegen Filter over the scan).
+    assert "Filter" in plans["weighted_sample"]
