@@ -224,7 +224,7 @@ def test_atomic_upsert_sink_exactly_once_replay(spark, tmp_path):
     )
 
     target = str(tmp_path / "t")
-    sink = foreach_batch_upsert_atomic(target, ["id"], app_id="q1")
+    sink = foreach_batch_upsert_atomic(target, ["id"], app_id="q1", stat_cols=["id"])
 
     b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
     sink(b0, 0)
@@ -243,6 +243,10 @@ def test_atomic_upsert_sink_exactly_once_replay(spark, tmp_path):
     # next batch still lands
     sink(spark.createDataFrame([(4, "d")], "id: long, v: string"), 2)
     assert acid.last_txn_version(target, "q1") == 2
+
+    # the continuously-updated sink keeps zone maps current: an
+    # out-of-range predicate skips every file
+    assert len(acid.snapshot_files(target, ranges={"id": (100, 200)})) == 0
     assert acid.read_atomic(spark, target).count() == 4
 
 

@@ -97,6 +97,7 @@ def foreach_batch_upsert_atomic(
     target_path: str,
     keys: list[str],
     app_id: str,
+    stat_cols: list[str] = (),
 ) -> Callable[[DataFrame, int], None]:
     """Exactly-once foreachBatch MERGE sink on the acid manifest
     commit: each micro-batch MERGEs into the latest committed snapshot
@@ -122,8 +123,11 @@ def foreach_batch_upsert_atomic(
             merged = batch
         else:
             merged = merge_upsert(target, batch, keys)
+        # stat_cols: the continuously-updated table keeps per-file zone
+        # maps current, so readers range-prune against the live sink.
         acid.atomic_overwrite_partitions(
-            merged, target_path, txn_app=app_id, txn_version=batch_id
+            merged, target_path, txn_app=app_id, txn_version=batch_id,
+            stat_cols=list(stat_cols),
         )
 
     return apply
