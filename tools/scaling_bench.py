@@ -57,6 +57,10 @@ QUERIES = [
     "curation_pipeline",
     "neardup_clusters",
     "bm25_search",
+    # round-4 heavies
+    "chunk_dedup",
+    "heavy_hitters",
+    "funnel",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
