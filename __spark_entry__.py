@@ -1024,6 +1024,45 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental approx-distinct via mergeable HLL sketches
+    (merge.incremental_distinct): history sketch + delta sketch union.
+    Gate per key: (a) estimate within 5% of exact countDistinct
+    (standard HLL error at lg_k=12 is ~1.6%), (b) the two-step fold's
+    estimate agrees with the one-shot sketch's within 5% (the union
+    promotes the sketch representation, so the estimates are close but
+    not identical — each is within one HLL error of exact, bounding
+    their disagreement by ~2 errors).  The oracle asserts both TRUE."""
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import incremental_distinct
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("date")
+    keys = ["l_returnflag"]
+    hist = incremental_distinct(None, li.filter(F.col("l_shipdate") < cutoff), keys, "l_partkey")
+    folded = incremental_distinct(hist, li.filter(F.col("l_shipdate") >= cutoff), keys, "l_partkey")
+    oneshot = incremental_distinct(None, li, keys, "l_partkey").select(
+        "l_returnflag", F.col("l_partkey_approx_distinct").alias("one_est")
+    )
+    exact = li.groupBy(*keys).agg(F.count_distinct("l_partkey").alias("exact_n"))
+    return (
+        folded.join(exact, keys)
+        .join(oneshot, keys)
+        .select(
+            "l_returnflag",
+            (
+                F.abs(F.col("l_partkey_approx_distinct") - F.col("exact_n"))
+                / F.col("exact_n")
+                <= 0.05
+            ).alias("within_bounds"),
+            (
+                F.abs(F.col("l_partkey_approx_distinct") - F.col("one_est"))
+                / F.col("one_est")
+                <= 0.05
+            ).alias("fold_matches"),
+        )
+    )
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (z-order) clustering key over (l_partkey, l_suppkey) —
     the layout primitive behind acid's zone-map file skipping
@@ -1935,6 +1974,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "split_passages": q_split_passages,
         "incremental_agg": q_incremental_agg,
+        "incremental_distinct": q_incremental_distinct,
         "bm25_search": q_bm25_search,
         "semdedup_coverage": q_semdedup_coverage,
         "twap_daily": q_twap_daily,
@@ -2773,6 +2813,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
                    CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # Bounded-error + fold-equivalence gate (the HLL state itself
+        # is engine-internal; the oracle asserts the gate booleans).
+        "incremental_distinct": """
+            SELECT l_returnflag, TRUE AS within_bounds, TRUE AS fold_matches
+            FROM lineitem GROUP BY l_returnflag
         """,
         "bm25_search": _bm25_oracle(),
         "semdedup_coverage": f"""

@@ -679,3 +679,21 @@ def test_split_passages_coverage_and_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="overlap"):
         split_passages(df, max_words=8, overlap=8)
+
+
+def test_incremental_distinct_folds_and_estimates(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import incremental_distinct
+
+    rows = [(i % 2, f"v{i % 500}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "k int, v string")
+    hist, delta = df.filter("v < 'v3'"), df.filter("v >= 'v3'")  # lexicographic split
+    h = incremental_distinct(None, hist, ["k"], "v")
+    folded = incremental_distinct(h, delta, ["k"], "v")
+    got = {r.k: r.v_approx_distinct for r in folded.collect()}
+    # i%2 and i%500 correlate: each k sees 250 distinct v values
+    for k in (0, 1):
+        assert abs(got[k] - 250) / 250 < 0.05
+    # a delta introducing a brand-new key appears
+    extra = spark.createDataFrame([(9, "z1"), (9, "z2")], "k int, v string")
+    f2 = {r.k: r.v_approx_distinct for r in incremental_distinct(folded, extra, ["k"], "v").collect()}
+    assert abs(f2[9] - 2) < 0.5 and abs(f2[0] - 250) / 250 < 0.05

@@ -193,3 +193,36 @@ def combine_aggregates(
         + [F.max(f"{c}_max").alias(f"{c}_max") for c in maxs]
     )
     return existing.unionByName(partial).groupBy(*keys).agg(*re_aggs)
+
+
+def incremental_distinct(
+    existing: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Incremental APPROX-DISTINCT maintenance — the aggregate
+    ``combine_aggregates`` cannot fold (distinct is not decomposable
+    into scalar partials) becomes foldable as a mergeable DataSketches
+    HLL state: the delta aggregates to one sketch per key
+    (``hll_sketch_agg``), existing sketch rows union in
+    (``hll_union_agg``), and the estimate is read with
+    ``hll_sketch_estimate`` WITHOUT consuming the state.
+
+    Output: keys + ``{col}_hll`` (binary, feed back as ``existing``) +
+    ``{col}_approx_distinct``.  Standard HLL error ~1.04/sqrt(2^lg_k)
+    (~1.6% at lg_k=12).  Union of sketches is exactly the sketch of
+    the union, so a year of daily refreshes drifts no further than a
+    one-shot aggregate.  O(delta + keys·2^lg_k) per refresh.
+    """
+    sk = f"{col}_hll"
+    partial = delta.groupBy(*keys).agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias(sk))
+    if existing is not None:
+        partial = (
+            existing.select(*keys, sk)
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg(sk).alias(sk))
+        )
+    return partial.withColumn(f"{col}_approx_distinct", F.hll_sketch_estimate(sk))
