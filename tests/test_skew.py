@@ -203,3 +203,22 @@ def test_domain_cap_deterministic_and_bounded(spark):
     # keeps the LARGEST docs per domain
     for v in per.values():
         assert min(c for c, _ in v) >= 99  # top chars are 100/99 repeats
+
+
+def test_chunk_dedup_hot_chunk_bounded(spark):
+    """A boilerplate tile shared by EVERY document (license-header
+    shape) must neither blow up pair-wise nor skew results: the window
+    formulation counts it with one row per distinct holder."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import duplicate_chunk_stats
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [(i, boiler + " " + " ".join(f"u{i}w{j}" for j in range(10))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(8)
+    out = duplicate_chunk_stats(df, "text", "doc_id", chunk=10)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("dup_chunks").alias("dups"),
+        F.sum("n_chunks").alias("chunks"),
+    ).collect()[0]
+    # every doc: 2 tiles, exactly 1 (the boilerplate) duplicated
+    assert agg.docs == 2000 and agg.chunks == 4000 and agg.dups == 2000
