@@ -570,3 +570,25 @@ def test_zone_maps_survive_partition_merge(spark, tmp_path):
     live = {f for fs in manifest["partitions"].values() for f in fs}
     assert set(manifest["file_stats"]) <= live
     assert len(acid.snapshot_files(path, ranges={"v": (None, 2)})) == 0
+
+
+def test_compact_preserves_zone_maps(spark, tmp_path):
+    """Compaction must re-record file stats for every column the table
+    was tracking — data skipping survives the rewrite."""
+    path = str(tmp_path / "zc")
+    for lo in (0, 100, 200, 300):
+        batch = spark.range(lo, lo + 100).select(F.col("id").alias("x")).coalesce(1)
+        acid.atomic_overwrite_partitions(batch, path, mode="append", stat_cols=["x"])
+    assert len(acid.snapshot_files(path, ranges={"x": (0, 50)})) == 1
+    # plain compaction: stats re-recorded (round-robin layout, so they
+    # exist but span the domain)
+    acid.compact(spark, path, target_partitions=4)
+    m = acid._read_manifest(path, acid.latest_version(path))
+    assert m["file_stats"] and all("x" in st for st in m["file_stats"].values())
+    # clustered compaction: tight per-file ranges -> pruning works again
+    acid.compact(spark, path, target_partitions=4, cluster_by=["x"])
+    total = len(acid.snapshot_files(path))
+    pruned = len(acid.snapshot_files(path, ranges={"x": (0, 20)}))
+    assert pruned < total
+    got = acid.read_atomic(spark, path, ranges={"x": (0, 20)}).filter("x <= 20").count()
+    assert got == 21

@@ -529,6 +529,7 @@ def compact(
     path: str,
     target_partitions: int | None = None,
     max_conflict_retries: int = 5,
+    cluster_by: list[str] | tuple[str, ...] = (),
 ) -> int:
     """Rewrite the latest snapshot's files into a fresh transaction and
     commit it as a new version — the small-files remedy for tables fed
@@ -552,14 +553,28 @@ def compact(
             raise FileNotFoundError(f"no committed snapshot under {path}")
         manifest = _read_manifest(path, version)
         df = read_atomic(spark, path, version=version)
-        if target_partitions:
+        if cluster_by:
+            # Delta OPTIMIZE-style clustering: range-partition + sort so
+            # each output file covers a tight range of the cluster
+            # columns — the layout that makes the re-recorded zone maps
+            # actually selective (a plain round-robin repartition gives
+            # every file the full value domain).
+            df = df.repartitionByRange(
+                *( [target_partitions] if target_partitions else [] ), *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        elif target_partitions:
             df = df.repartition(target_partitions)
+        # Carry the zone maps through the rewrite: re-record stats for
+        # every column any current file tracks — otherwise compaction
+        # silently drops the table's data-skipping capability.
+        stat_cols = sorted({c for st in manifest.get("file_stats", {}).values() for c in st})
         try:
             return atomic_overwrite_partitions(
                 df,
                 path,
                 manifest.get("partition_cols") or (),
                 expected_base_version=version,
+                stat_cols=stat_cols,
             )
         except CommitConflict:
             continue  # someone committed meanwhile; recompact their data
