@@ -312,9 +312,15 @@ def maintenance_pipeline(state_dir: str | None = None, retry_delay: float = 0.0)
     @p.task("compact_tables", upstream=("discover_tables",), retries=RETRIES, retry_delay=retry_delay)
     def compact(ctx: Context) -> dict:
         target = ctx.params.get("compact_target_partitions")
+        cluster = ctx.params.get("cluster_by", {})  # {table: [cols]}
         versions = {}
         for t in ctx.xcom["discover_tables"]:
-            versions[t] = acid.compact(ctx.spark, _warehouse(ctx, t), target_partitions=target)
+            versions[t] = acid.compact(
+                ctx.spark,
+                _warehouse(ctx, t),
+                target_partitions=target,
+                cluster_by=cluster.get(t, ()),
+            )
         return versions
 
     @p.task("vacuum_tables", upstream=("compact_tables",), retries=RETRIES, retry_delay=retry_delay)
