@@ -242,7 +242,15 @@ def test_platform_end_to_end(spark, platform_dirs):
     assert r_an["check_data_quality"].state == "success"
     assert r_an["log_summary"].state == "success"
 
-    summary = None  # log_summary's value lives in the saved state; re-read via mart
+    # log_summary's payload persists in the run-state sidecar — verify
+    # the xcom wiring actually carried the mart rows and check booleans.
+    import json as _json
+
+    state = _json.load(open(os.path.join(state_dir, f"analytics_pipeline__{DS}.json")))
+    summary = state["log_summary"]["xcom"]
+    assert summary["ds"] == DS and summary["mart_rows"] == 3
+    assert all(summary["checks"].values())
+
     mart = acid.read_atomic(spark, os.path.join(data_dir, "warehouse", "mart_daily_analytics"))
     rows = mart.collect()
     # 3 valid fixture products (101 deduped, 102, 103); ghost/freebie rejected.
@@ -251,7 +259,6 @@ def test_platform_end_to_end(spark, platform_dirs):
     # The iphone row found Full trend data and the fetched fx fallback rate.
     assert by_id[101]["trend_signal_status"] == "Full Data"
     assert by_id[101]["fx_rate"] == pytest.approx(25400.0)
-    assert summary is None
 
     # Re-trigger the SAME ds: every task resumes (no re-execution), and
     # the warehouse is unchanged — the idempotency the reference gets
@@ -368,3 +375,31 @@ def test_backfill_runs_oldest_first_and_resumes(tmp_path):
     assert seen == ["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"]
     assert out2["2024-03-02"]["t"].state == "resumed"
     assert out2["2024-03-04"]["t"].state == "success"
+
+
+def test_empty_or_corrupt_lock_is_reaped(tmp_path):
+    """A lock with no/garbage pid (crash between create and write under
+    the old protocol, manual touch, disk corruption) must be treated as
+    stale — NOT parsed as pid 0, which kill(0,0) reports alive forever."""
+    p = Pipeline("reap", state_dir=str(tmp_path))
+    p.add(Task("a", lambda ctx: "ok"))
+    (tmp_path / "reap.lock").write_text("")
+    assert p.run(ds=DS)["a"].state == "success"
+    (tmp_path / "reap.lock").write_text("not-a-pid")
+    assert p.run(ds=DS)["a"].state == "resumed"
+    assert not (tmp_path / "reap.lock").exists()
+
+
+def test_keyboard_interrupt_aborts_run_not_retried():
+    calls = {"n": 0}
+
+    def interrupted(ctx):
+        calls["n"] += 1
+        raise KeyboardInterrupt
+
+    p = Pipeline("ctrlc")
+    p.add(Task("t", interrupted, retries=3, retry_delay=300.0))
+    slept = []
+    with pytest.raises(KeyboardInterrupt):
+        p.run(ds=DS, sleep=slept.append)
+    assert calls["n"] == 1 and slept == []  # no retry, no sleep

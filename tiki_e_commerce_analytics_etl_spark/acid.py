@@ -415,8 +415,10 @@ def _select_files(
                 return False
         return True
 
-    kept = [f for f in all_files if _may_match(f)]
-    return kept, [f for f in all_files if f not in set(kept)]
+    kept, skipped = [], []
+    for f in all_files:
+        (kept if _may_match(f) else skipped).append(f)
+    return kept, skipped
 
 
 def snapshot_files(

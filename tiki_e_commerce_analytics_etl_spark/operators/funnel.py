@@ -35,8 +35,17 @@ def funnel_times(
 ) -> list[DataFrame]:
     """Per-step DataFrames of (user, t_i): the user's FIRST completion
     time of step i given steps 0..i-1 were completed in order (strictly
-    increasing timestamps).  ``within_seconds`` additionally bounds each
-    step's delay after the previous one (conversion-window funnels)."""
+    increasing timestamps).  Without a window, greedy-earliest anchoring
+    is provably equivalent to "does ANY in-order chain exist" (an
+    earlier anchor only widens later steps' candidate sets).
+
+    ``within_seconds`` bounds each step's delay after the previous
+    step's ANCHORED time — the first-touch conversion-window semantics
+    (product-analytics funnels measure from the user's first qualifying
+    touch).  Note this is NOT any-chain existence: a user whose first
+    'view' is stale but who views again later and converts in-window
+    counts as NOT converted, by design — re-engagement shows up by
+    running the funnel on a sliding analysis period instead."""
     if not steps:
         raise ValueError("steps must be non-empty")
     cur = (
@@ -72,7 +81,9 @@ def funnel_counts(
     within_seconds: int | None = None,
 ) -> DataFrame:
     """One row per funnel step: (step_index, step, users) where
-    ``users`` counts users who completed steps 0..i in order."""
+    ``users`` counts users who completed steps 0..i in order (first-
+    touch anchored when ``within_seconds`` is set — see
+    :func:`funnel_times`)."""
     stages = funnel_times(df, steps, user_col, event_col, ts_col, within_seconds)
     out = None
     for i, (step, stage) in enumerate(zip(steps, stages)):

@@ -30,11 +30,13 @@ def fuzzy_join(
     block_prefix: int = 2,
     right_col: str | None = None,
 ) -> DataFrame:
-    """Pairs (a, b, dist) with ``levenshtein(a, b) <= max_dist``,
-    candidate-blocked on the first ``block_prefix`` characters.
-    ``left``/``right`` must each expose the string column (``col`` /
-    ``right_col``); all other columns are carried through with ``a_``
-    / ``b_`` prefixes dropped (callers select what they need first)."""
+    """Pairs (a, b, dist) over the DISTINCT values of the two string
+    columns with ``levenshtein(a, b) <= max_dist``, candidate-blocked
+    on the first ``block_prefix`` characters.  Output columns are
+    exactly (a, b, dist) — a VALUE-level match table; join it back to
+    the row level on the string columns to carry other attributes
+    (matching on values, not rows, is what keeps duplicate-heavy
+    columns from exploding the candidate join)."""
     rc = right_col or col
     a = left.select(F.col(col).alias("a")).distinct()
     b = right.select(F.col(rc).alias("b")).distinct()

@@ -281,15 +281,22 @@ def equidepth_bins(
     ``approx_percentile`` (t-digest, partial-aggregating) with
     ``accuracy``; bins are then approximate at the boundaries only.
     """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
     qs = [i / n_bins for i in range(1, n_bins)]
-    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
-    fn = "percentile" if exact else "approx_percentile"
-    extra = "" if exact else f", {accuracy}"
-    bounds = df.agg(F.expr(f"{fn}({col}, {arr}{extra})").alias("bs")).collect()[0]["bs"]
-    bin_expr = None
+    bounds = []
+    if qs:
+        arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+        fn = "percentile" if exact else "approx_percentile"
+        extra = "" if exact else f", {accuracy}"
+        bounds = df.agg(F.expr(f"{fn}({col}, {arr}{extra})").alias("bs")).collect()[0]["bs"]
+        # Empty/all-null input: percentile returns NULL — there are no
+        # rows to bin, so any bin expression works (the groupBy below
+        # yields zero rows); n_bins=1 likewise has no boundaries.
+        bounds = bounds or []
+    bin_expr = F.lit(0)
     for b in bounds:
-        term = F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
-        bin_expr = term if bin_expr is None else bin_expr + term
+        bin_expr = bin_expr + F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(bin_expr.alias("bin"))

@@ -31,6 +31,7 @@ import os
 import threading
 import time
 import traceback
+import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -179,21 +180,50 @@ class Pipeline:
             return None
         os.makedirs(self.state_dir, exist_ok=True)
         lock = os.path.join(self.state_dir, f"{self.name}.lock")
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # Stale-lock recovery: a crashed runner leaves its pid behind.
+        for _ in range(8):
+            # Write the pid to a private file FIRST, then publish with
+            # link(2): the lock is never observable empty (a crash
+            # between create and write would otherwise leave a lock
+            # parsing as pid 0 — and kill(0, 0) signals our own process
+            # group, i.e. "alive" forever).
+            tmp = f"{lock}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                f.write(str(os.getpid()))
+            try:
+                os.link(tmp, lock)
+                return lock
+            except FileExistsError:
+                pass
+            finally:
+                os.unlink(tmp)
+            # Lock exists: decide live vs stale.
             try:
                 with open(lock) as f:
-                    pid = int(f.read().strip() or "0")
-                os.kill(pid, 0)  # raises if pid is gone
-                raise PipelineLocked(f"{self.name}: run already active (pid {pid})")
-            except (ValueError, ProcessLookupError, PermissionError):
-                os.unlink(lock)
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-        return lock
+                    pid = int(f.read().strip())
+            except (OSError, ValueError):
+                pid = None  # vanished or corrupt → treat as stale
+            if pid is not None and pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    raise PipelineLocked(f"{self.name}: run already active (pid {pid})")
+                except ProcessLookupError:
+                    pass  # dead → stale
+                except PermissionError:
+                    # The process EXISTS (owned by another user) — that
+                    # is a live lock, not a stale one.
+                    raise PipelineLocked(
+                        f"{self.name}: run already active (pid {pid}, other user)"
+                    )
+            # Reap the stale lock via rename — atomic, so exactly ONE
+            # contender wins the reap (unlink+recreate would let a loser
+            # delete the winner's FRESH lock: the classic TOCTOU).
+            reaped = f"{lock}.stale.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(lock, reaped)
+                os.unlink(reaped)
+            except FileNotFoundError:
+                pass  # another contender reaped it first; retry acquire
+        raise PipelineLocked(f"{self.name}: could not acquire lock after retries")
 
     # -- execution -----------------------------------------------------
 
@@ -334,7 +364,9 @@ class Pipeline:
             start = time.perf_counter()
             try:
                 value = self._call_with_timeout(task, ctx)
-            except BaseException:  # noqa: BLE001 - recorded, not swallowed silently
+            except Exception:  # KeyboardInterrupt/SystemExit must ABORT
+                # the run, not be recorded-and-retried (a Ctrl-C would
+                # otherwise sleep retry_delay and rerun the task).
                 res.duration += time.perf_counter() - start
                 res.error = traceback.format_exc(limit=8)
                 if attempt < task.retries:
