@@ -23,10 +23,12 @@ from tiki_e_commerce_analytics_etl_spark.functions import (
     parse_sales_volume,
 )
 from tiki_e_commerce_analytics_etl_spark.io import read_table
+from tiki_e_commerce_analytics_etl_spark.operators import bloom as bloom_ops
 from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
 from tiki_e_commerce_analytics_etl_spark.operators import merge as merge_ops
 from tiki_e_commerce_analytics_etl_spark.operators import quality as quality_ops
 from tiki_e_commerce_analytics_etl_spark.operators import reshape as reshape_ops
+from tiki_e_commerce_analytics_etl_spark.operators import sketch as sketch_ops
 from tiki_e_commerce_analytics_etl_spark.plans import testdata_mapping as tdm
 from tiki_e_commerce_analytics_etl_spark.plans.golden_join import golden_join
 
@@ -412,6 +414,59 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest doc_id survives (training-data pipeline op)."""
     docs = read_table(spark, sf_dir, "documents")
     return dedup_ops.exact_dedup(docs, "text", "doc_id").select("doc_id", "content_hash")
+
+
+def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest membership screen: the historical corpus
+    (90% of documents) is summarized once into a relational Bloom
+    bitmap (operators/bloom.py); the new batch (10%) probes the
+    BROADCAST bitmap — no history row moves.  maybe_seen=False is a
+    guaranteed true negative (the bloom has no false negatives);
+    actually_seen is the exact-join ground truth, which at 100 TB only
+    the maybe_seen survivors would pay for."""
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("hk")
+    )
+    history = hashed.where(F.col("doc_id") % 10 != 0)
+    batch = hashed.where(F.col("doc_id") % 10 == 0)
+    words = bloom_ops.bloom_build(history, "hk", m_bits=1 << 15, k=4)
+    flags = bloom_ops.bloom_probe(batch, words, "hk", m_bits=1 << 15, k=4)
+    seen = history.select("hk").distinct().withColumn("actually_seen", F.lit(True))
+    return (
+        batch.join(flags, "hk")
+        .join(seen, "hk", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce("actually_seen", F.lit(False)).alias("actually_seen"),
+        )
+    )
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py): a 4×1024 mergeable
+    frequency summary over every normalized word occurrence in
+    documents, point-queried for the 30 highest exact-count tokens
+    plus two absent sentinels.  Returns (token, est, exact); the CMS
+    overcount-only guarantee (est ≥ exact, absent → collisions only)
+    is bit-exact and oracle-verified."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("token")
+    ).where(F.col("token") != "")
+    cms = sketch_ops.cms_build(words, "token", depth=4, width=1024)
+    exact = words.groupBy("token").agg(F.count("*").alias("exact"))
+    top = exact.orderBy(F.desc("exact"), "token").limit(30)
+    probes = top.unionByName(
+        spark.createDataFrame(
+            [("__absent_a__", 0), ("__absent_b__", 0)], "token string, exact long"
+        )
+    )
+    est = sketch_ops.cms_estimate(probes.select("token"), cms, "token", depth=4, width=1024)
+    return probes.join(est, "token").select("token", "est", "exact")
 
 
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1945,6 +2000,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_pairs": q_duplicate_pairs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "chunk_dedup": q_chunk_dedup,
+        "bloom_screen": q_bloom_screen,
+        "cms_counts": q_cms_counts,
         "text_stats": q_text_stats,
         "domain_cap": q_domain_cap,
         "corpus_mix_report": q_corpus_mix_report,
@@ -2193,6 +2250,83 @@ def _zorder_oracle() -> str:
 
     z = zorder_key_sql(["l_partkey", "l_suppkey"], bits=16)
     return f"SELECT l_orderkey, l_linenumber, {z} AS z FROM lineitem"
+
+
+def _bloom_screen_oracle(m_bits: int = 1 << 15, k: int = 4, seed: int = 7) -> str:
+    """DuckDB twin of q_bloom_screen: identical md5-48 key hash,
+    identical seeded (a, b) position family, identical 63-bit words."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import (
+        portable_minhash_params,
+    )
+
+    a, b = portable_minhash_params(k, seed=seed)
+    poslist = ", ".join(f"({a[i]}*hv + {b[i]}) % {m_bits}" for i in range(k))
+    return f"""
+    WITH n AS (SELECT doc_id,
+                      MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS hk
+               FROM documents),
+    hh AS (SELECT doc_id, hk,
+                  CAST('0x' || substr(md5(hk), 1, 12) AS BIGINT) AS hv
+           FROM n),
+    hist AS (SELECT * FROM hh WHERE doc_id % 10 <> 0),
+    batch AS (SELECT * FROM hh WHERE doc_id % 10 = 0),
+    bpos AS (SELECT unnest([{poslist}]) AS p FROM hist),
+    words AS (SELECT p // 63 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS word
+              FROM bpos GROUP BY 1),
+    ppos AS (SELECT doc_id, hk, unnest([{poslist}]) AS p FROM batch),
+    flags AS (
+        SELECT pp.doc_id, pp.hk,
+               BOOL_AND(w.word IS NOT NULL AND
+                        (w.word & (CAST(1 AS BIGINT) << CAST(pp.p % 63 AS INTEGER))) <> 0)
+                   AS maybe_seen
+        FROM (SELECT doc_id, hk, p, p // 63 AS word_idx FROM ppos) pp
+        LEFT JOIN words w USING (word_idx)
+        GROUP BY pp.doc_id, pp.hk
+    )
+    SELECT f.doc_id, f.maybe_seen,
+           EXISTS (SELECT 1 FROM hist h WHERE h.hk = f.hk) AS actually_seen
+    FROM flags f
+"""
+
+
+def _cms_counts_oracle(depth: int = 4, width: int = 1024, seed: int = 11) -> str:
+    """DuckDB twin of q_cms_counts: identical sketch cells (same hash
+    family), identical top-30 probe set, identical min-estimate."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import (
+        portable_minhash_params,
+    )
+
+    a, b = portable_minhash_params(depth, seed=seed)
+    cols = ", ".join(f"({a[i]}*hv + {b[i]}) % {width}" for i in range(depth))
+    rows = ", ".join(str(i) for i in range(depth))
+    return f"""
+    WITH t AS (SELECT unnest({_NORM_WORDS_SQL}) AS token FROM documents),
+    tk AS (SELECT token FROM t WHERE token <> ''),
+    hv AS (SELECT token,
+                  CAST('0x' || substr(md5(token), 1, 12) AS BIGINT) AS hv
+           FROM tk),
+    cells AS (
+        SELECT row_i, col_i, COUNT(*) AS cnt FROM (
+            SELECT unnest([{rows}]) AS row_i, unnest([{cols}]) AS col_i FROM hv
+        ) GROUP BY row_i, col_i
+    ),
+    exact AS (SELECT token, COUNT(*) AS exact FROM tk GROUP BY token),
+    top AS (SELECT token, exact FROM exact ORDER BY exact DESC, token LIMIT 30),
+    probes AS (
+        SELECT token, exact FROM top
+        UNION ALL SELECT '__absent_a__', CAST(0 AS BIGINT)
+        UNION ALL SELECT '__absent_b__', CAST(0 AS BIGINT)
+    ),
+    pe AS (SELECT token, exact, unnest([{rows}]) AS row_i, unnest([{cols}]) AS col_i
+           FROM (SELECT token, exact,
+                        CAST('0x' || substr(md5(token), 1, 12) AS BIGINT) AS hv
+                 FROM probes)),
+    est AS (SELECT pe.token, pe.exact, MIN(COALESCE(c.cnt, 0)) AS est
+            FROM pe LEFT JOIN cells c USING (row_i, col_i)
+            GROUP BY pe.token, pe.exact)
+    SELECT token, est, exact FROM est
+"""
 
 
 def _minhash_portable_oracle(num_hashes: int = 16, bands: int = 4) -> str:
@@ -2928,6 +3062,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN d USING (h)
             GROUP BY e.doc_id
         """,
+        "bloom_screen": _bloom_screen_oracle(),
+        "cms_counts": _cms_counts_oracle(),
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

@@ -86,6 +86,8 @@ HEADLINE = [
     "incremental_agg",
     "funnel",
     "equidepth_bins",
+    "bloom_screen",
+    "cms_counts",
 ]
 
 

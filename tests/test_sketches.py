@@ -1,0 +1,105 @@
+"""Property tests for the relational Bloom filter (operators/bloom.py)
+and count-min sketch (operators/sketch.py): the classic guarantees hold
+on arbitrary key sets, and shard-merge equals the one-shot build."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark.operators import bloom, sketch
+
+M = 1 << 12
+K = 4
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k string")
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    rng = random.Random(42)
+    history = [f"doc-{rng.randrange(10_000)}" for _ in range(400)]
+    batch_seen = rng.sample(history, 50)
+    batch_new = [f"new-{i}" for i in range(50)]
+    return history, batch_seen, batch_new
+
+
+def test_bloom_no_false_negatives(spark, corpora):
+    history, batch_seen, batch_new = corpora
+    words = bloom.bloom_build(_keys_df(spark, history), "k", m_bits=M, k=K)
+    flags = {
+        r["k"]: r["maybe_seen"]
+        for r in bloom.bloom_probe(
+            _keys_df(spark, batch_seen + batch_new), words, "k", m_bits=M, k=K
+        ).collect()
+    }
+    # Hard guarantee: every key fed to the build probes positive.
+    assert all(flags[k] for k in batch_seen)
+    # Statistical check: most genuinely-new keys screen out.  With
+    # ~400 distinct keys in 4096 bits the per-key FP rate is far below
+    # 50%; 50 trials at even p=0.5 all-positive is 2^-50.
+    assert sum(not flags[k] for k in batch_new) > 25
+
+
+def test_bloom_merge_equals_single_build(spark, corpora):
+    history, _, _ = corpora
+    cut = len(history) // 3
+    single = bloom.bloom_build(_keys_df(spark, history), "k", m_bits=M, k=K)
+    merged = bloom.bloom_merge(
+        bloom.bloom_build(_keys_df(spark, history[:cut]), "k", m_bits=M, k=K),
+        bloom.bloom_build(_keys_df(spark, history[cut:]), "k", m_bits=M, k=K),
+    )
+    assert sorted(map(tuple, single.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_bloom_word_count_bounded(spark, corpora):
+    history, _, _ = corpora
+    words = bloom.bloom_build(_keys_df(spark, history), "k", m_bits=M, k=K)
+    assert words.count() <= (M + bloom.BITS_PER_WORD - 1) // bloom.BITS_PER_WORD
+    # No mask touches the sign bit: every word is non-negative.
+    assert words.where(F.col("word") < 0).count() == 0
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    rng = random.Random(7)
+    # Zipf-ish: key i appears ~ 200//(i+1) times.
+    rows = [(f"key-{i}",) for i in range(60) for _ in range(200 // (i + 1))]
+    rng.shuffle(rows)
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_overcounts_only(spark, stream):
+    cms = sketch.cms_build(stream, "k", depth=4, width=256)
+    exact = {r["k"]: r["n"] for r in stream.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    probes = _keys_df(spark, list(exact) + ["absent-x", "absent-y"])
+    est = {r["k"]: r["est"] for r in sketch.cms_estimate(probes, cms, "k", depth=4, width=256).collect()}
+    for k, n in exact.items():
+        assert est[k] >= n
+    # Total mass bound: estimate error is bounded by collisions, which
+    # cannot exceed the stream size.
+    n_total = sum(exact.values())
+    assert all(v <= n_total for v in est.values())
+
+
+def test_cms_merge_equals_single_build(spark, stream):
+    a = stream.where(F.crc32(F.col("k")) % 2 == 0)
+    b = stream.where(F.crc32(F.col("k")) % 2 == 1)
+    single = sketch.cms_build(stream, "k", depth=4, width=256)
+    merged = sketch.cms_merge(
+        sketch.cms_build(a, "k", depth=4, width=256),
+        sketch.cms_build(b, "k", depth=4, width=256),
+    )
+    assert sorted(map(tuple, single.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 3), ("b", 2)], "k string, w int")
+    cms = sketch.cms_build(df, "k", weight_col="w", depth=4, width=64)
+    est = {
+        r["k"]: r["est"]
+        for r in sketch.cms_estimate(_keys_df(spark, ["a", "b"]), cms, "k", depth=4, width=64).collect()
+    }
+    assert est["a"] >= 8 and est["b"] >= 2

@@ -1,0 +1,105 @@
+"""Count-min sketch as a relational aggregate: bounded-size frequency
+summaries built, merged, and queried with pure DataFrame expressions.
+
+Complements the existing frequency machinery: ``text.heavy_hitters_ngrams``
+(Misra-Gries) answers "which keys are frequent"; the CMS answers
+"roughly how often does THIS key occur" for any key, from a summary of
+fixed size ``depth × width`` — independent of vocabulary size.  Like
+``merge.incremental_distinct`` (HLL) it makes a non-decomposable
+statistic foldable: sketches over corpus shards merge by cell-wise SUM
+into exactly the sketch of the union, so per-day/per-shard sketches
+roll up without touching raw data again.
+
+Guarantees (classic Cormode-Muthukrishnan): estimate ≥ true count
+always (only overcounts from collisions), and ≤ true + εN with
+probability 1-δ for width = ⌈e/ε⌉, depth = ⌈ln 1/δ⌉.
+
+Portability: rows use the same seeded universal-hash family over the
+portable 48-bit md5 key hash as ``operators.bloom`` /
+``dedup.minhash_lsh_candidates_portable`` — every cell and every
+estimate is bit-exact reproducible in any SQL engine, which is how the
+``cms_counts`` query's DuckDB oracle verifies it.
+
+Scale notes: the build is one scan + one hash aggregation onto at most
+depth·width uniform cells (partial agg collapses each partition to
+≤ depth·width rows before the shuffle); estimates broadcast the sketch
+(depth·width rows — KBs) so querying N keys is a narrow pass over the
+keys.  Nothing about the corpus is retained or re-shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .bloom import md5_48
+from .dedup import portable_minhash_params
+
+
+def _cols(key: Column, width: int, depth: int, seed: int) -> list[Column]:
+    """The per-row column index for each of the `depth` hash rows."""
+    a, b = portable_minhash_params(depth, seed=seed)
+    h = md5_48(key)
+    return [(F.lit(a[i]) * h + F.lit(b[i])) % F.lit(width) for i in range(depth)]
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 11,
+) -> DataFrame:
+    """Sketch the (weighted) frequency of ``key_col`` values.
+
+    Returns ``(row_i: int, col_i: long, cnt: long)`` — at most
+    depth·width rows.  Null keys are ignored; ``weight_col`` defaults
+    to 1 per row.  Sketches over disjoint data merge with
+    ``cms_merge`` (cell-wise sum ≡ sketch of the union, exactly).
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = F.posexplode(F.array(*_cols(F.col(key_col), width, depth, seed)))
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(rows.alias("row_i", "col_i"), w.alias("__w"))
+        .groupBy("row_i", "col_i")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches built with identical parameters."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row_i", "col_i").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 11,
+    est_col: str = "est",
+) -> DataFrame:
+    """Point-query the sketch: one row per input key with the CMS
+    estimate (min over the depth rows; a missing cell reads 0, which
+    can only happen for keys absent from the build).
+
+    Plan: explode depth probes per key, broadcast-join the sketch
+    cells, groupBy the key taking the min — the sketch never shuffles,
+    the groupBy is on the caller's own keys.
+    """
+    probes = F.posexplode(F.array(*_cols(F.col(key_col), width, depth, seed)))
+    exploded = keys.where(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__key"), probes.alias("row_i", "col_i")
+    )
+    joined = exploded.join(F.broadcast(cms), ["row_i", "col_i"], "left")
+    return (
+        joined.groupBy("__key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col))
+        .withColumnRenamed("__key", key_col)
+    )
