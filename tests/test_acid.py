@@ -592,3 +592,69 @@ def test_compact_preserves_zone_maps(spark, tmp_path):
     assert pruned < total
     got = acid.read_atomic(spark, path, ranges={"x": (0, 20)}).filter("x <= 20").count()
     assert got == 21
+
+
+def _feed(spark, path, v_from, v_to=None, **kw):
+    df = acid.changes_between(spark, path, v_from, v_to, **kw)
+    return sorted((r.k, r.payload, r.p, r._change_type) for r in df.collect())
+
+
+def test_changes_between_append_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = acid.atomic_overwrite_partitions(_mk(spark, "base", n=4), path, ["p"])
+    v1 = acid.atomic_overwrite_partitions(
+        _mk(spark, "delta", n=2), path, ["p"], mode="append"
+    )
+    feed = _feed(spark, path, v0, v1)
+    assert feed == [(0, "delta", "a", "insert"), (1, "delta", "b", "insert")]
+    # file-level shortcut agrees on append-only histories
+    assert feed == _feed(spark, path, v0, v1, row_level=False)
+
+
+def test_changes_between_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = acid.atomic_overwrite_partitions(_mk(spark, "old", n=4), path, ["p"])
+    new_a = _mk(spark, "new", n=4).filter(F.col("p") == "a")
+    v1 = acid.atomic_overwrite_partitions(new_a, path, ["p"])
+    feed = _feed(spark, path, v0, v1)
+    # partition a replaced: its old rows deleted, new rows inserted;
+    # partition b untouched -> absent from the feed entirely
+    assert feed == [
+        (0, "new", "a", "insert"),
+        (0, "old", "a", "delete"),
+        (2, "new", "a", "insert"),
+        (2, "old", "a", "delete"),
+    ]
+
+
+def test_changes_between_compaction_is_silent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = acid.atomic_overwrite_partitions(_mk(spark, "x", n=6), path, ["p"])
+    acid.atomic_overwrite_partitions(_mk(spark, "y", n=2), path, ["p"], mode="append")
+    v2 = acid.compact(spark, path)
+    # physical rewrite, identical content: row-level feed vs the
+    # pre-compaction version carries only the real append
+    feed = _feed(spark, path, v0, v2)
+    assert feed == [(0, "y", "a", "insert"), (1, "y", "b", "insert")]
+    # ...and v1 -> v2 (pure compaction) is EMPTY row-level, non-empty file-level
+    assert _feed(spark, path, 1, v2) == []
+    assert len(_feed(spark, path, 1, v2, row_level=False)) > 0
+
+
+def test_changes_between_bootstrap_and_noop(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = acid.atomic_overwrite_partitions(_mk(spark, "base", n=4), path, ["p"])
+    boot = _feed(spark, path, None, v0)
+    assert len(boot) == 4 and all(t == "insert" for *_, t in boot)
+    assert _feed(spark, path, v0, v0) == []
+
+
+def test_changes_between_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = acid.atomic_overwrite_partitions(_mk(spark, "base", n=2), path, ["p"])
+    widened = _mk(spark, "wide", n=2).withColumn("extra", F.lit(7))
+    v1 = acid.atomic_overwrite_partitions(widened, path, ["p"])
+    df = acid.changes_between(spark, path, v0, v1)
+    rows = {(r.k, r.payload, r.extra, r._change_type) for r in df.collect()}
+    assert (0, "wide", 7, "insert") in rows
+    assert (0, "base", None, "delete") in rows

@@ -670,3 +670,106 @@ def vacuum(path: str, keep_versions: int = 2, grace_seconds: float = 86400.0) ->
                 shutil.rmtree(full)
                 removed.append(full)
     return removed
+
+
+def _read_rel_files(spark: SparkSession, path: str, rel_files: list[str]) -> DataFrame | None:
+    """Union the given manifest-relative data files, per-transaction
+    with that txn's basePath so Hive partition columns are re-derived
+    (same recipe as read_atomic); None when the list is empty."""
+    by_txn: dict[str, list[str]] = {}
+    for rel in rel_files:
+        txn_root = os.path.join(*rel.split(os.sep)[:2])
+        by_txn.setdefault(txn_root, []).append(os.path.join(path, rel))
+    parts = None
+    for txn_root, files in sorted(by_txn.items()):
+        df = (
+            spark.read.option("basePath", os.path.join(path, txn_root))
+            .parquet(*sorted(files))
+        )
+        parts = df if parts is None else parts.unionByName(df, allowMissingColumns=True)
+    return parts
+
+
+def _align_columns(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project both frames onto the union of their columns (missing
+    columns read as NULL — add-column schema evolution), in one fixed
+    order so set operations line up positionally."""
+    cols = list(dict.fromkeys([*a.columns, *b.columns]))
+    types = {f.name: f.dataType for f in [*a.schema.fields, *b.schema.fields]}
+
+    def proj(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in cols
+            ]
+        )
+
+    return proj(a), proj(b)
+
+
+def changes_between(
+    spark: SparkSession,
+    path: str,
+    from_version: int | None,
+    to_version: int | None = None,
+    row_level: bool = True,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Change-data-feed between two committed snapshots: the rows you
+    must apply to the ``from_version`` snapshot to reach ``to_version``
+    — 'insert' rows to add, 'delete' rows to remove (an update surfaces
+    as a delete+insert pair; multiset semantics, so duplicate rows are
+    counted).  This is the incremental-consumer contract Delta's CDF /
+    BigQuery's APPENDS give the reference's downstream jobs: feed the
+    deltas to ``merge.combine_aggregates`` / ``bloom_merge`` /
+    ``cms_merge`` instead of recomputing from the full table.
+
+    Cost is proportional to the CHANGED data, never the table: the
+    file sets come from the two manifests (metadata only), and only
+    files added or removed between the versions are scanned.  With
+    ``row_level=True`` (default) the two sides are reconciled with
+    multiset EXCEPT ALL, so physical rewrites that preserve content —
+    compaction, re-clustering — produce an EMPTY feed (the shuffle for
+    that reconciliation carries only the changed files' rows).
+    ``row_level=False`` skips the reconciliation and returns the raw
+    file-level feed: every row of every added file as 'insert' and of
+    every removed file as 'delete' — cheaper, correct for append-only
+    histories.
+
+    ``from_version=None`` means "before the table existed": the whole
+    ``to_version`` snapshot comes back as inserts (bootstrap path).
+    """
+    if to_version is None:
+        to_version = latest_version(path)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed snapshot under {path}")
+    old_files: set[str] = set()
+    if from_version is not None:
+        old = _read_manifest(path, from_version)
+        old_files = {f for fs in old.get("partitions", {}).values() for f in fs}
+    new = _read_manifest(path, to_version)
+    new_files = {f for fs in new.get("partitions", {}).values() for f in fs}
+
+    df_add = _read_rel_files(spark, path, sorted(new_files - old_files))
+    df_rm = _read_rel_files(spark, path, sorted(old_files - new_files))
+
+    if df_add is None and df_rm is None:
+        base = read_atomic(spark, path, version=to_version).limit(0)
+        return base.withColumn(change_col, F.lit("insert"))
+    if df_add is not None and df_rm is not None:
+        df_add, df_rm = _align_columns(df_add, df_rm)
+        inserts, deletes = (
+            (df_add.exceptAll(df_rm), df_rm.exceptAll(df_add))
+            if row_level
+            else (df_add, df_rm)
+        )
+    else:
+        inserts, deletes = df_add, df_rm
+    out = None
+    for df, tag in ((inserts, "insert"), (deletes, "delete")):
+        if df is None:
+            continue
+        tagged = df.withColumn(change_col, F.lit(tag))
+        out = tagged if out is None else out.unionByName(tagged, allowMissingColumns=True)
+    return out
