@@ -444,6 +444,32 @@ def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based importance (graph.pagerank_integer): a directed
+    graph from lineitem — every order links to its parts, returned
+    items ('R') link back part→order — ranked by 3 rounds of the
+    bit-exact integer PageRank recurrence; top-100 parts by mass.
+    The centrality prior web-corpus curation uses for document
+    quality, here over the testdata's natural bipartite graph."""
+    from tiki_e_commerce_analytics_etl_spark.operators import graph as graph_ops
+
+    offset = 1_000_000_000
+    li = read_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_orderkey").alias("src"), (F.col("l_partkey") + offset).alias("dst")
+    )
+    back = li.where(F.col("l_returnflag") == "R").select(
+        (F.col("l_partkey") + offset).alias("src"), F.col("l_orderkey").alias("dst")
+    )
+    masses = graph_ops.pagerank_integer(fwd.unionByName(back), iters=3)
+    return (
+        masses.where(F.col("node") >= offset)
+        .select((F.col("node") - offset).alias("part_id"), "mass")
+        .orderBy(F.desc("mass"), "part_id")
+        .limit(100)
+    )
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketch.py): a 4×1024 mergeable
     frequency summary over every normalized word occurrence in
@@ -2002,6 +2028,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "bloom_screen": q_bloom_screen,
         "cms_counts": q_cms_counts,
+        "pagerank_parts": q_pagerank_parts,
         "text_stats": q_text_stats,
         "domain_cap": q_domain_cap,
         "corpus_mix_report": q_corpus_mix_report,
@@ -2250,6 +2277,40 @@ def _zorder_oracle() -> str:
 
     z = zorder_key_sql(["l_partkey", "l_suppkey"], bits=16)
     return f"SELECT l_orderkey, l_linenumber, {z} AS z FROM lineitem"
+
+
+def _pagerank_oracle(iters: int = 3, init_mass: int = 10**12, damping_pct: int = 85) -> str:
+    """DuckDB twin of q_pagerank_parts: the integer recurrence unrolled
+    iteration by iteration (m0..m{iters}), `//` ≡ Spark `div`."""
+    offset = 1_000_000_000
+    base = (init_mass * (100 - damping_pct)) // 100
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    m{t} AS (
+        SELECT n.node, CAST({base} + COALESCE(c.in_mass, 0) AS BIGINT) AS mass
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(({damping_pct} * m.mass) // (100 * od.outdeg)) AS in_mass
+            FROM e JOIN od USING (src) JOIN m{t-1} m ON m.node = e.src
+            GROUP BY e.dst
+        ) c ON c.node = n.node
+    )""")
+    return f"""
+    WITH e AS (
+        SELECT l_orderkey AS src, l_partkey + {offset} AS dst FROM lineitem
+        UNION ALL
+        SELECT l_partkey + {offset} AS src, l_orderkey AS dst
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    m0 AS (SELECT node, CAST({init_mass} AS BIGINT) AS mass FROM nodes),{",".join(steps)}
+    SELECT node - {offset} AS part_id, mass FROM m{iters}
+    WHERE node >= {offset}
+    ORDER BY mass DESC, part_id LIMIT 100
+"""
 
 
 def _bloom_screen_oracle(m_bits: int = 1 << 15, k: int = 4, seed: int = 7) -> str:
@@ -3064,6 +3125,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_screen": _bloom_screen_oracle(),
         "cms_counts": _cms_counts_oracle(),
+        "pagerank_parts": _pagerank_oracle(),
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

@@ -88,6 +88,7 @@ HEADLINE = [
     "equidepth_bins",
     "bloom_screen",
     "cms_counts",
+    "pagerank_parts",
 ]
 
 

@@ -658,3 +658,14 @@ def test_changes_between_schema_evolution(spark, tmp_path):
     rows = {(r.k, r.payload, r.extra, r._change_type) for r in df.collect()}
     assert (0, "wide", 7, "insert") in rows
     assert (0, "base", None, "delete") in rows
+
+
+def test_table_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    acid.atomic_overwrite_partitions(_mk(spark, "base", n=4), path, ["p"])
+    acid.atomic_overwrite_partitions(_mk(spark, "more", n=2), path, ["p"], mode="append")
+    hist = acid.table_history(path)
+    assert [h["version"] for h in hist] == [1, 0]
+    assert hist[0]["n_rows"] == 6 and hist[1]["n_rows"] == 4
+    assert hist[0]["n_partitions"] == 2
+    assert all(h["partition_cols"] == ["p"] for h in hist)

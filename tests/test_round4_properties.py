@@ -170,3 +170,33 @@ def test_shuffle_shards_is_a_permutation(spark, ids, n_shards):
         hashes = [h for _, h in ps]
         assert hashes == sorted(hashes)
         assert [p for p, _ in ps] == list(range(1, len(ps) + 1))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_pagerank_integer_matches_model(spark, edges, iters):
+    from tiki_e_commerce_analytics_etl_spark.operators.graph import pagerank_integer
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.mass for r in pagerank_integer(df, iters=iters).collect()}
+
+    # independent Python model of the integer recurrence
+    nodes = {n for e in edges for n in e}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    init, base = 10**12, (10**12 * 15) // 100
+    mass = {n: init for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * mass[s]) // (100 * outdeg[s])
+        mass = nxt
+    assert got == mass

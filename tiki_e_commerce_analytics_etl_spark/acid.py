@@ -773,3 +773,28 @@ def changes_between(
         tagged = df.withColumn(change_col, F.lit(tag))
         out = tagged if out is None else out.unionByName(tagged, allowMissingColumns=True)
     return out
+
+
+def table_history(path: str) -> list[dict]:
+    """Commit log of a table, newest first — the `DESCRIBE HISTORY`
+    / BQ INFORMATION_SCHEMA.SNAPSHOTS introspection surface: one dict
+    per committed version with its txn id, partition count, manifest
+    row count (None before row stats existed), file count, and the
+    transactional app cursors.  Metadata only: reads manifests, never
+    data files, so it is O(versions) regardless of table size."""
+    out = []
+    for v in sorted(_list_versions(path), reverse=True):
+        m = _read_manifest(path, v)
+        rows = m.get("partition_rows")
+        out.append(
+            {
+                "version": v,
+                "txn": m.get("txn"),
+                "partition_cols": m.get("partition_cols", []),
+                "n_partitions": len(m.get("partitions", {})),
+                "n_files": sum(len(fs) for fs in m.get("partitions", {}).values()),
+                "n_rows": sum(rows.values()) if rows else None,
+                "app_versions": m.get("app_versions", {}),
+            }
+        )
+    return out

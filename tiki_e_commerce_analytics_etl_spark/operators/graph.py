@@ -130,3 +130,73 @@ def keep_canonical(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    init_mass: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-based importance over a directed graph — the PageRank-style
+    centrality web-corpus curation uses as a document quality prior
+    (harmonic/PageRank centrality in Common Crawl derivatives) —
+    defined over INTEGER mass so the result is deterministic and
+    bit-exact reproducible in any engine (double-sum PageRank is
+    partition-order-sensitive; integer sums are not):
+
+        mass_0(v)   = init_mass
+        mass_t+1(v) = floor(init_mass * (100-damping_pct) / 100)
+                      + Σ_{u→v} floor(damping_pct * mass_t(u)
+                                      / (100 * outdeg(u)))
+
+    Dangling nodes absorb (their mass leaks, as in the common
+    "no dangling redistribution" simplification); floor rounding means
+    total mass is conserved only approximately — this operator's
+    contract is the exact integer recurrence above, which an unrolled
+    SQL twin reproduces bit-for-bit.
+
+    Scale shape: outdeg is one hash agg over the edges; each iteration
+    is one (edges ⋈ masses) hash join on src — masses has one row per
+    node, so for web-scale graphs both sides hash-partition on the
+    join key and nothing is ever collected — followed by one hash agg
+    on dst.  Rounds are fixed (``iters``), each truncated with an
+    eager ``localCheckpoint`` so round N's action does not re-execute
+    rounds 1..N-1 (same lineage discipline as connected_components).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ew = e.join(outdeg, "src").localCheckpoint(eager=False)
+    base = (init_mass * (100 - damping_pct)) // 100
+    masses = nodes.withColumn("mass", F.lit(init_mass).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(masses.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                # integer `div`, NOT `/`+floor: `/` on longs routes
+                # through double, whose rounding can land exactly on an
+                # integer the true quotient sits just below — breaking
+                # the bit-exact integer recurrence this operator promises
+                F.sum(
+                    F.expr(f"({damping_pct} * mass) div (100 * outdeg)")
+                ).alias("in_mass")
+            )
+        )
+        masses = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).cast("long").alias("mass"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return masses
