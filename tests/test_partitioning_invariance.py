@@ -49,6 +49,11 @@ QUERIES = [
     "fuzzy_names",
     "weighted_sample",
     "split_passages",
+    # round-4 late additions: bitmap word agg + broadcast probe,
+    # sketch-cell sums + min-estimate, iterative integer mass sums
+    "bloom_screen",
+    "cms_counts",
+    "pagerank_parts",
 ]
 
 

@@ -248,3 +248,23 @@ def test_round4_plan_shapes(spark):
     # weighted_sample: the bucket threshold filter reaches the scan's
     # row-group level as a data filter (codegen Filter over the scan).
     assert "Filter" in plans["weighted_sample"]
+
+
+def test_bloom_and_cms_probe_broadcast_the_sketch(spark):
+    """The membership/frequency sketches are the SMALL side by
+    construction (≤ m/63 words, ≤ depth·width cells): probes must
+    broadcast them — a sort-merge join would shuffle the batch against
+    a KB-sized summary."""
+    for name in ("bloom_screen", "cms_counts"):
+        p = _plan(spark, name)
+        assert "BroadcastHashJoin" in p, name
+    # the bloom probe side must never sort-merge against the bitmap
+    assert "SortMergeJoin" not in _plan(spark, "bloom_screen")
+
+
+def test_pagerank_no_cartesian_and_hash_joins_only(spark):
+    """Each PageRank round is an equi-join on src plus a hash agg on
+    dst; any nested-loop/cartesian product would be quadratic in the
+    edge count."""
+    p = _plan(spark, "pagerank_parts")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
