@@ -444,6 +444,77 @@ def q_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-free featurization (operators/features.py): hashing-
+    trick TF-IDF triples (doc_id, feature, weight) with rational idf
+    and decimal bucket sums — bit-exact, no driver state, the feature
+    side of a trainable corpus-quality classifier."""
+    from tiki_e_commerce_analytics_etl_spark.operators import features as feat_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return feat_ops.hashed_tfidf(docs, "text", "doc_id", dim=1024)
+
+
+def q_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ROW_NUMBER without a global sort (operators/ids.py):
+    range partition + per-shard sort + prefix-sum offsets + narrow
+    Arrow stamping.  Length-descending sample ids over documents —
+    the id assignment a length-batched training order needs."""
+    from tiki_e_commerce_analytics_etl_spark.operators import ids as ids_ops
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = ids_ops.assign_contiguous_ids(
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()], n_shards=16
+    )
+    return out.select("doc_id", "n_chars", "row_id")
+
+
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable classifier machinery gate (operators/ml.py): JVM
+    array_to_vector features, LogisticRegression on 4 of 5
+    deterministic vec_id folds, held-out accuracy gate.
+
+    The testdata's stored labels (embeddings.label, documents.lang)
+    are RANDOM relative to the features (measured: held-out accuracy
+    ≈ chance for every model), so the benchmark uses the standard
+    linearly-separable teacher construction: label = sign of a fixed
+    ±1-alternating projection of the embedding.  Recovering that
+    boundary from TRAIN folds and generalizing to the held-out fold
+    is a real end-to-end test of the distributed training path;
+    threshold 0.8 sits far above the 0.5 chance level and holds for
+    any regenerated embedding distribution (the boundary is
+    structural, not data-luck)."""
+    from pyspark.ml.functions import array_to_vector
+
+    from tiki_e_commerce_analytics_etl_spark.operators import ml as ml_ops
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    signs = F.transform(
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda i: F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+    teacher = (
+        F.aggregate(
+            F.zip_with(vec, signs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        > 0
+    ).cast("double")
+    df = emb.select(
+        "vec_id",
+        array_to_vector(vec).alias("features"),
+        teacher.alias("label"),
+    )
+    _, pred = ml_ops.train_eval_classifier(
+        df, "features", "label", split_key="vec_id", n_folds=5, test_fold=0
+    )
+    return ml_ops.accuracy_summary(pred, "label", threshold=0.8).select(
+        "n_test", "accuracy_ok"
+    )
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-based importance (graph.pagerank_integer): a directed
     graph from lineitem — every order links to its parts, returned
@@ -2029,6 +2100,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_screen": q_bloom_screen,
         "cms_counts": q_cms_counts,
         "pagerank_parts": q_pagerank_parts,
+        "hashed_tfidf": q_hashed_tfidf,
+        "contiguous_ids": q_contiguous_ids,
+        "classifier_eval": q_classifier_eval,
         "text_stats": q_text_stats,
         "domain_cap": q_domain_cap,
         "corpus_mix_report": q_corpus_mix_report,
@@ -2277,6 +2351,36 @@ def _zorder_oracle() -> str:
 
     z = zorder_key_sql(["l_partkey", "l_suppkey"], bits=16)
     return f"SELECT l_orderkey, l_linenumber, {z} AS z FROM lineitem"
+
+
+_HASHED_TFIDF_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, unnest({_NORM_WORDS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(term), 1, 12) AS BIGINT) % 1024 AS feature,
+               CAST(CAST(tf AS DOUBLE) * ((n_docs + 1.0) / (df + 1.0))
+                    AS DECIMAL(28,10)) AS wgt
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, feature, CAST(SUM(wgt) AS DOUBLE) AS weight
+    FROM w GROUP BY doc_id, feature
+"""
+
+
+_CONTIGUOUS_IDS_ORACLE = """
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS row_id
+    FROM documents
+"""
+
+
+_CLASSIFIER_EVAL_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test, TRUE AS accuracy_ok
+    FROM embeddings WHERE vec_id % 5 = 0
+"""
 
 
 def _pagerank_oracle(iters: int = 3, init_mass: int = 10**12, damping_pct: int = 85) -> str:
@@ -3126,6 +3230,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_screen": _bloom_screen_oracle(),
         "cms_counts": _cms_counts_oracle(),
         "pagerank_parts": _pagerank_oracle(),
+        "hashed_tfidf": _HASHED_TFIDF_ORACLE,
+        "contiguous_ids": _CONTIGUOUS_IDS_ORACLE,
+        "classifier_eval": _CLASSIFIER_EVAL_ORACLE,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

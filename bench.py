@@ -89,6 +89,9 @@ HEADLINE = [
     "bloom_screen",
     "cms_counts",
     "pagerank_parts",
+    "hashed_tfidf",
+    "contiguous_ids",
+    "classifier_eval",
 ]
 
 

@@ -54,6 +54,8 @@ QUERIES = [
     "bloom_screen",
     "cms_counts",
     "pagerank_parts",
+    "hashed_tfidf",
+    "contiguous_ids",
 ]
 
 
