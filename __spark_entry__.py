@@ -554,8 +554,13 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
         ).alias("token")
     ).where(F.col("token") != "")
-    cms = sketch_ops.cms_build(words, "token", depth=4, width=1024)
-    exact = words.groupBy("token").agg(F.count("*").alias("exact"))
+    # ONE corpus pass: the exact per-token counts feed the sketch as
+    # weights — cms(tokens, w=1) ≡ cms(distinct tokens, w=count) by
+    # the sketch's own mergeability, and the cells (hence the oracle)
+    # are identical while the second explode+agg over the raw token
+    # stream disappears.
+    exact = words.groupBy("token").agg(F.count(F.lit(1)).alias("exact"))
+    cms = sketch_ops.cms_build(exact, "token", weight_col="exact", depth=4, width=1024)
     top = exact.orderBy(F.desc("exact"), "token").limit(30)
     probes = top.unionByName(
         spark.createDataFrame(
@@ -563,7 +568,7 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = sketch_ops.cms_estimate(probes.select("token"), cms, "token", depth=4, width=1024)
-    return probes.join(est, "token").select("token", "est", "exact")
+    return probes.join(F.broadcast(est), "token").select("token", "est", "exact")
 
 
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
