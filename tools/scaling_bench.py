@@ -61,6 +61,12 @@ QUERIES = [
     "chunk_dedup",
     "heavy_hitters",
     "funnel",
+    # round-4 late additions
+    "bloom_screen",
+    "cms_counts",
+    "pagerank_parts",
+    "hashed_tfidf",
+    "contiguous_ids",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
