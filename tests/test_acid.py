@@ -669,3 +669,49 @@ def test_table_history(spark, tmp_path):
     assert hist[0]["n_rows"] == 6 and hist[1]["n_rows"] == 4
     assert hist[0]["n_partitions"] == 2
     assert all(h["partition_cols"] == ["p"] for h in hist)
+
+
+def test_refresh_from_feed_tracks_snapshot_aggregate(spark, tmp_path):
+    """CDC feed + refresh_from_feed == recompute from the new snapshot,
+    including after a partition overwrite that deletes rows."""
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import refresh_from_feed
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [Row(k=i, p="a" if i % 2 == 0 else "b", v=i * 10) for i in range(8)]
+    )
+    v0 = acid.atomic_overwrite_partitions(base, path, ["p"])
+
+    state = refresh_from_feed(
+        None,
+        acid.changes_between(spark, path, None, v0),
+        ["p"],
+        sums=["v"],
+    )
+
+    # replace partition a with fewer, different rows
+    repl = spark.createDataFrame([Row(k=100, p="a", v=7), Row(k=101, p="a", v=3)])
+    v1 = acid.atomic_overwrite_partitions(repl, path, ["p"])
+    state = refresh_from_feed(
+        state, acid.changes_between(spark, path, v0, v1), ["p"], sums=["v"]
+    )
+
+    want = {
+        (r.p): (r.s, r.n)
+        for r in acid.read_atomic(spark, path)
+        .groupBy("p")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r.p: (r.v_sum, r.n_rows) for r in state.collect()}
+    assert got == want
+
+    # wipe partition b entirely (overwrite with empty is not possible;
+    # overwrite b with one row then check keys drop when deleted)
+    only_b = spark.createDataFrame([Row(k=200, p="b", v=1)])
+    v2 = acid.atomic_overwrite_partitions(only_b, path, ["p"])
+    state = refresh_from_feed(
+        state, acid.changes_between(spark, path, v1, v2), ["p"], sums=["v"]
+    )
+    got = {r.p: (r.v_sum, r.n_rows) for r in state.collect()}
+    assert got[("b")] == (1, 1)

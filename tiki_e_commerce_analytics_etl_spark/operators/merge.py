@@ -226,3 +226,46 @@ def incremental_distinct(
             .agg(F.hll_union_agg(sk).alias(sk))
         )
     return partial.withColumn(f"{col}_approx_distinct", F.hll_sketch_estimate(sk))
+
+
+def refresh_from_feed(
+    existing: DataFrame | None,
+    feed: DataFrame,
+    keys: list[str],
+    sums: list[str] = (),
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Maintain a materialized SUM/COUNT aggregate from a change-data
+    feed (``acid.changes_between`` rows tagged 'insert'/'delete') —
+    the delete-capable sibling of ``combine_aggregates``: inserts fold
+    in positively, deletes NEGATIVELY, so partition overwrites and
+    row deletions keep the aggregate exact without re-reading history.
+
+    Output: keys, ``{c}_sum`` per sum column, and ``n_rows`` (the live
+    row count per key); keys whose rows are all deleted drop out
+    (n_rows = 0).  Only decomposable-with-inverse aggregates are
+    possible here — MIN/MAX have no inverse, so a feed with deletes
+    cannot maintain them incrementally (recompute affected keys from
+    the snapshot instead).
+
+    Cost: O(feed + |keys|) — one hash agg of the feed, one re-agg
+    against the one-row-per-key existing table.  Sum columns should be
+    decimal upstream when bit-exact totals matter.
+    """
+    if not sums:
+        raise ValueError("no sum columns requested")
+    sign = F.when(F.col(change_col) == "insert", F.lit(1)).otherwise(F.lit(-1))
+    partial = feed.groupBy(*keys).agg(
+        *[F.sum(F.col(c) * sign).alias(f"{c}_sum") for c in sums],
+        F.sum(sign).alias("n_rows"),
+    )
+    if existing is not None:
+        partial = (
+            existing.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                *[F.sum(f"{c}_sum").alias(f"{c}_sum") for c in sums],
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    return partial.where(F.col("n_rows") != 0)
