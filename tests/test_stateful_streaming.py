@@ -382,3 +382,36 @@ def test_stream_stream_interval_join_outer_emits_unconverted(spark, tmp_path):
     q.stop()
     assert got.get("k1") == 600
     assert "k2" in got and got["k2"] is None
+
+
+def test_bloom_merge_sink_maintains_membership(spark, tmp_path):
+    """Streaming bloom maintenance: micro-batches fold into the acid
+    word table; the merged bitmap has no false negatives over ALL
+    batches, replays are no-ops, and the bitmap equals a one-shot
+    build over the union (bit_or idempotence + merge identity)."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.operators import bloom
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_bloom_merge,
+    )
+
+    target = str(tmp_path / "bloom")
+    m = 1 << 12
+    sink = foreach_batch_bloom_merge(target, "k", app_id="qb", m_bits=m, k=4)
+
+    b0 = spark.createDataFrame([(f"doc-{i}",) for i in range(50)], "k string")
+    b1 = spark.createDataFrame([(f"doc-{i}",) for i in range(50, 90)], "k string")
+    sink(b0, 0)
+    sink(b1, 1)
+    v_after = acid.latest_version(target)
+    sink(b1, 1)  # crash-replay: skipped
+    assert acid.latest_version(target) == v_after
+
+    words = acid.read_atomic(spark, target)
+    flags = bloom.bloom_probe(
+        b0.unionByName(b1), words, "k", m_bits=m, k=4
+    ).collect()
+    assert all(r.maybe_seen for r in flags)
+
+    oneshot = bloom.bloom_build(b0.unionByName(b1), "k", m_bits=m, k=4)
+    assert sorted(map(tuple, words.collect())) == sorted(map(tuple, oneshot.collect()))

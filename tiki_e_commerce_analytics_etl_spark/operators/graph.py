@@ -177,6 +177,7 @@ def pagerank_integer(
     ew = e.join(outdeg, "src").localCheckpoint(eager=False)
     base = (init_mass * (100 - damping_pct)) // 100
     masses = nodes.withColumn("mass", F.lit(init_mass).cast("long"))
+    prev = None
     for _ in range(iters):
         contrib = (
             ew.join(masses.withColumnRenamed("node", "src"), "src")
@@ -199,4 +200,10 @@ def pagerank_integer(
             )
             .localCheckpoint(eager=True)
         )
+        # storage stays bounded at ONE round of masses (plus nodes/ew):
+        # the superseded round's checkpoint blocks are dead the moment
+        # the new one materializes
+        if prev is not None:
+            prev.unpersist()
+        prev = masses
     return masses

@@ -48,6 +48,12 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # surface as long nanos; io.read_table converts them to µs
         # timestamps with exact integer math.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Local mode runs executors inside the driver JVM; pyspark's
+        # default 1g heap is far below this machine's memory and OOMs
+        # 10x-scale harness runs (checkpointed iteration state + 32
+        # concurrent tasks).  Only effective before JVM launch — a
+        # driver-supplied session keeps its own setting.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"))
     )
 
 

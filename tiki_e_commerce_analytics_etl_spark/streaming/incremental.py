@@ -146,3 +146,44 @@ def start_upsert_stream(
         .foreachBatch(foreach_batch_upsert(target_path, keys, tmp_path))
         .start()
     )
+
+
+def foreach_batch_bloom_merge(
+    target_path: str,
+    key_col: str,
+    app_id: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: int = 7,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once streaming maintenance of the corpus membership
+    bitmap (operators/bloom.py): each micro-batch's keys fold into the
+    acid-committed word table with ``bit_or`` — the sketch equivalent
+    of the MERGE sink above, and the streaming half of the incremental
+    ingest-dedup story: a batch ingest probes the continuously-
+    maintained bitmap instead of joining ever-growing history.
+
+    Replayed batches are skipped by (app_id, batch_id) inside the
+    serialized commit, and bloom_merge is idempotent anyway (OR-ing a
+    batch twice sets the same bits) — belt and braces.  The commit
+    rewrites only the ≤ m/63-row word table, never the corpus.
+    """
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.operators import bloom
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if acid.last_txn_version(target_path, app_id) >= batch_id:
+            return
+        words = bloom.bloom_build(batch, key_col, m_bits=m_bits, k=k, seed=seed)
+        try:
+            existing = acid.read_atomic(spark, target_path)
+        except FileNotFoundError:
+            pass
+        else:
+            words = bloom.bloom_merge(existing, words)
+        acid.atomic_overwrite_partitions(
+            words, target_path, txn_app=app_id, txn_version=batch_id
+        )
+
+    return apply
