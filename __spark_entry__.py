@@ -481,7 +481,7 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1-alternating projection of the embedding.  Recovering that
     boundary from TRAIN folds and generalizing to the held-out fold
     is a real end-to-end test of the distributed training path;
-    threshold 0.8 sits far above the 0.5 chance level and holds for
+    threshold 0.7 sits far above the 0.5 chance level and holds for
     any regenerated embedding distribution (the boundary is
     structural, not data-luck)."""
     from pyspark.ml.functions import array_to_vector
@@ -510,7 +510,7 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, pred = ml_ops.train_eval_classifier(
         df, "features", "label", split_key="vec_id", n_folds=5, test_fold=0
     )
-    return ml_ops.accuracy_summary(pred, "label", threshold=0.8).select(
+    return ml_ops.accuracy_summary(pred, "label", threshold=0.7).select(
         "n_test", "accuracy_ok"
     )
 

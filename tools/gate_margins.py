@@ -116,6 +116,32 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     bound = total / (4096 + 1)
     kth = float(row["kth"])
     out.append(("heavy_hitters.kth_vs_mg_bound", kth, bound, (kth - bound) / bound))
+
+    # classifier_eval: held-out accuracy on the structural teacher
+    # boundary must clear 0.7 (chance 0.5).  The boundary is a
+    # property of the construction, not of a particular generation,
+    # but regenerated embeddings could in principle concentrate near
+    # the separating hyperplane — measure the actual margin (the gate
+    # query returns only the boolean, so recompute the raw accuracy).
+    from pyspark.ml.functions import array_to_vector
+
+    from tiki_e_commerce_analytics_etl_spark.operators import ml as ml_ops
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    signs = F.transform(
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda i: F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+    teacher = (
+        F.aggregate(F.zip_with(vec, signs, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+        > 0
+    ).cast("double")
+    df = emb.select("vec_id", array_to_vector(vec).alias("features"), teacher.alias("label"))
+    _, pred = ml_ops.train_eval_classifier(df, "features", "label", split_key="vec_id")
+    s = ml_ops.accuracy_summary(pred, "label", threshold=0.7).collect()[0]
+    acc = s.n_correct / s.n_test
+    out.append(("classifier_eval.accuracy", acc, 0.7, (acc - 0.7) / 0.7))
     return out
 
 
