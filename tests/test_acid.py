@@ -715,3 +715,50 @@ def test_refresh_from_feed_tracks_snapshot_aggregate(spark, tmp_path):
     )
     got = {r.p: (r.v_sum, r.n_rows) for r in state.collect()}
     assert got[("b")] == (1, 1)
+
+
+def test_tf_index_cdc_maintenance_serves_identical_bm25(spark, tmp_path):
+    """Persistent inverted index: build (doc,term,tf) from a v0 corpus
+    into an acid table, evolve the corpus (replace a partition), fold
+    the CDC feed into the index, and assert (a) the refreshed index
+    equals a from-scratch rebuild and (b) BM25 served from it equals
+    BM25 over the raw new corpus."""
+    from tiki_e_commerce_analytics_etl_spark.operators import ranking
+
+    corpus_path = str(tmp_path / "corpus")
+    docs0 = spark.createDataFrame(
+        [
+            Row(doc_id=1, p="a", text="spark shuffles data fast"),
+            Row(doc_id=2, p="a", text="slow full scans hurt"),
+            Row(doc_id=3, p="b", text="broadcast joins avoid shuffles"),
+            Row(doc_id=4, p="b", text="data skipping with zone maps"),
+        ]
+    )
+    v0 = acid.atomic_overwrite_partitions(docs0, corpus_path, ["p"])
+    tf0 = ranking.term_frequencies(
+        acid.read_atomic(spark, corpus_path), "text", "doc_id"
+    )
+
+    # corpus evolves: partition a replaced (doc 1 updated, doc 2 gone)
+    docs1 = spark.createDataFrame(
+        [Row(doc_id=1, p="a", text="spark shuffles data very very fast")]
+    )
+    v1 = acid.atomic_overwrite_partitions(docs1, corpus_path, ["p"])
+    feed = acid.changes_between(spark, corpus_path, v0, v1)
+    tf1 = ranking.refresh_tf_index(tf0, feed, "text", "doc_id")
+
+    rebuilt = ranking.term_frequencies(
+        acid.read_atomic(spark, corpus_path), "text", "doc_id"
+    )
+    assert sorted(map(tuple, tf1.collect())) == sorted(map(tuple, rebuilt.collect()))
+
+    queries = spark.createDataFrame(
+        [(0, "shuffles"), (0, "data"), (1, "zone")], "query_id long, term string"
+    )
+    from_index = ranking.bm25_from_tf(tf1, queries, k=3)
+    from_raw = ranking.bm25_topk(
+        acid.read_atomic(spark, corpus_path), queries, "text", "doc_id", k=3
+    )
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, from_raw.collect())
+    )
