@@ -80,13 +80,15 @@ def test_dense_features_roundtrip(spark):
 
 
 def test_train_eval_classifier_learns_linear_boundary(spark):
-    # 2-D linearly separable data; the held-out fold must classify
-    # near-perfectly.
+    # 2-D linearly separable data WITH A MARGIN (points exactly on the
+    # x+y=0 boundary predict by float-tiny sign and flip run to run);
+    # the held-out fold must classify near-perfectly.
     from pyspark.ml.functions import array_to_vector
 
     rows = [
         Row(i=i, x=float(i % 17) - 8.0, y=float((i * 7) % 13) - 6.0)
         for i in range(300)
+        if (i % 17) - 8 + (i * 7) % 13 - 6 != 0
     ]
     df = (
         spark.createDataFrame(rows)

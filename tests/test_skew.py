@@ -222,3 +222,36 @@ def test_chunk_dedup_hot_chunk_bounded(spark):
     ).collect()[0]
     # every doc: 2 tiles, exactly 1 (the boilerplate) duplicated
     assert agg.docs == 2000 and agg.chunks == 4000 and agg.dups == 2000
+
+
+def test_detect_hot_keys_finds_planted_hot_key(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import skew as skew_ops
+
+    rows = [(1, i) for i in range(20000)] + [(k, 0) for k in range(2, 2002)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    hot = [r.k for r in skew_ops.detect_hot_keys(
+        df, ["k"], sample_fraction=0.2, hot_share=0.05
+    ).collect()]
+    assert hot == [1]
+
+
+def test_hybrid_skew_join_equals_plain(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import skew as skew_ops
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(5000)] + [(k, k) for k in range(2, 300)],
+        "k long, lv long",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 300)] + [(1, 99)], "k long, rv long"
+    )
+    for how in ("inner", "left"):
+        got = skew_ops.hybrid_skew_join(left, right, ["k"], how=how)
+        want = left.join(right, ["k"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), how
+    # the hot arm must be a broadcast join and the hot set must route
+    # key 1 away from the shuffle arm
+    hot = skew_ops.detect_hot_keys(left, ["k"], sample_fraction=0.5, hot_share=0.05)
+    assert [r.k for r in hot.collect()] == [1]
+    plan = skew_ops.hybrid_skew_join(left, right, ["k"], hot_keys=hot)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

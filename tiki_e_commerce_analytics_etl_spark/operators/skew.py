@@ -68,3 +68,76 @@ def salted_join_left_skewed(
         "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
     )
     return l.join(r, [*keys, "__salt"]).drop("__salt")
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    keys: list[str],
+    sample_fraction: float = 0.01,
+    hot_share: float = 0.001,
+    max_hot: int = 1000,
+) -> DataFrame:
+    """Hot join keys from a deterministic hash SAMPLE: keys whose
+    sampled frequency exceeds ``hot_share`` of the sampled rows.  One
+    narrow filter + one small agg — never a full-table count per key.
+    The sample is md5-bucket deterministic (re-runs see the same
+    sample), and ``max_hot`` bounds the result so the hot set always
+    broadcasts.  Mirrors what AQE's skew statistics do at runtime,
+    usable ahead of time and across stages.
+
+    The bucket hashes ALL columns (not just keys) so rows of a hot key
+    sample independently — hashing only the key would sample whole
+    keys and miss the hot one entirely.  Fully-duplicate rows collapse
+    into one bucket; include a distinguishing column in ``df`` when
+    rows can be identical."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *[F.col(c) for c in df.columns])), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    n_buckets = 1 << 20
+    sampled = df.select(*keys).where(
+        bucket % n_buckets < int(n_buckets * sample_fraction)
+    )
+    counts = sampled.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("__n") >= F.col("__t") * hot_share)
+        .orderBy(F.desc("__n"), *keys)
+        .limit(max_hot)
+        .select(*keys)
+    )
+
+
+def hybrid_skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    hot_keys: DataFrame | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """The classic skew-hint hybrid join: route HOT keys through a
+    broadcast join (the right side's hot-key slice is small enough to
+    broadcast precisely BECAUSE keys are few), cold keys through the
+    ordinary shuffle join — so no reducer ever receives a hot key's
+    full row set, without inflating the whole right side the way
+    full-table salting does.
+
+    ``hot_keys`` defaults to ``detect_hot_keys(left, keys)``.  Result
+    equals the plain join exactly (each row is routed to exactly one
+    arm by a semi/anti split on the same hot set).  Supports 'inner'
+    and 'left' joins (outer-right would need the arms to agree on
+    unmatched right rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left, keys)
+    hot = F.broadcast(hot_keys.select(*keys).distinct())
+    left_hot = left.join(hot, keys, "left_semi")
+    left_cold = left.join(hot, keys, "left_anti")
+    right_hot = right.join(hot, keys, "left_semi")
+    hot_arm = left_hot.join(F.broadcast(right_hot), keys, how)
+    cold_arm = left_cold.join(right, keys, how)
+    return hot_arm.unionByName(cold_arm)
