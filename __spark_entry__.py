@@ -515,6 +515,63 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (sketch.quantile_histogram): fixed-
+    width histogram of l_extendedprice, quantiles read from cumulative
+    bins with integer selection — est vs percentile_disc exact, with
+    the one-bin-width error bound asserted per quantile.  The
+    cross-shard foldable complement of exact/approx percentile."""
+    lo, hi, n_bins = 0.0, 105000.0, 1024
+    q_pcts = [25, 50, 75, 90, 99]
+    li = read_table(spark, sf_dir, "lineitem")
+    hist = sketch_ops.quantile_histogram(li, "l_extendedprice", lo, hi, n_bins)
+    est = sketch_ops.histogram_quantiles(hist, q_pcts, lo, hi, n_bins)
+    li.createOrReplaceTempView("__qs_li")
+    exact = spark.sql(
+        "SELECT "
+        + ", ".join(
+            f"percentile_disc({q / 100}) WITHIN GROUP (ORDER BY l_extendedprice) AS e{q}"
+            for q in q_pcts
+        )
+        + " FROM __qs_li"
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(q) for q in q_pcts]),
+                F.array(*[F.col(f"e{q}") for q in q_pcts]),
+            )
+        ).alias("q_pct", "exact")
+    )
+    width = (hi - lo) / n_bins
+    return (
+        est.join(F.broadcast(exact), "q_pct")
+        .select(
+            "q_pct",
+            "est",
+            "exact",
+            (F.abs(F.col("est") - F.col("exact")) <= F.lit(width)).alias("within_bound"),
+        )
+    )
+
+
+def q_skew_join_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid skew join (skew.hybrid_skew_join): lineitem⋈part on
+    l_partkey with sampled hot-key detection routing hot keys through
+    a broadcast arm.  Result equals the plain join exactly — which is
+    precisely what the oracle asserts."""
+    from tiki_e_commerce_analytics_etl_spark.operators import skew as skew_ops
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_orderkey", "l_quantity"
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_name"
+    )
+    return skew_ops.hybrid_skew_join(li, part, ["partkey"]).select(
+        "partkey", "l_orderkey", "l_quantity", "p_name"
+    )
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-based importance (graph.pagerank_integer): a directed
     graph from lineitem — every order links to its parts, returned
@@ -2108,6 +2165,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_tfidf": q_hashed_tfidf,
         "contiguous_ids": q_contiguous_ids,
         "classifier_eval": q_classifier_eval,
+        "quantile_sketch": q_quantile_sketch,
+        "skew_join_hybrid": q_skew_join_hybrid,
         "text_stats": q_text_stats,
         "domain_cap": q_domain_cap,
         "corpus_mix_report": q_corpus_mix_report,
@@ -2379,6 +2438,41 @@ _CONTIGUOUS_IDS_ORACLE = """
     SELECT doc_id, n_chars,
            ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS row_id
     FROM documents
+"""
+
+
+def _quantile_sketch_oracle(lo=0.0, hi=105000.0, n_bins=1024, q_pcts=(25, 50, 75, 90, 99)) -> str:
+    """DuckDB twin: identical clamped binning, identical integer
+    cumulative selection, quantile_disc ≡ Spark percentile_disc."""
+    width = (hi - lo) / n_bins
+    qvals = ", ".join(f"({q})" for q in q_pcts)
+    exact = " UNION ALL ".join(
+        f"SELECT {q} AS q_pct, quantile_disc(l_extendedprice, {q / 100}) AS exact FROM lineitem"
+        for q in q_pcts
+    )
+    return f"""
+    WITH b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {lo!r})
+                   * ({float(n_bins)!r} / ({hi!r} - {lo!r}))) AS BIGINT), 0), {n_bins - 1}) AS bin
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum,
+                 SUM(cnt) OVER () AS total FROM h),
+    q(q_pct) AS (VALUES {qvals}),
+    sel AS (SELECT q_pct, MIN(bin) AS bb
+            FROM c CROSS JOIN q WHERE cum * 100 >= q_pct * total GROUP BY q_pct),
+    est AS (SELECT q_pct, {lo!r} + (bb + 1) * {width!r} AS est FROM sel),
+    ex AS ({exact})
+    SELECT est.q_pct, est.est, ex.exact,
+           ABS(est.est - ex.exact) <= {width!r} AS within_bound
+    FROM est JOIN ex USING (q_pct)
+"""
+
+
+_SKEW_JOIN_HYBRID_ORACLE = """
+    SELECT l.l_partkey AS partkey, l.l_orderkey, l.l_quantity, p.p_name
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 """
 
 
@@ -3238,6 +3332,8 @@ def oracle_sql() -> dict[str, str]:
         "hashed_tfidf": _HASHED_TFIDF_ORACLE,
         "contiguous_ids": _CONTIGUOUS_IDS_ORACLE,
         "classifier_eval": _CLASSIFIER_EVAL_ORACLE,
+        "quantile_sketch": _quantile_sketch_oracle(),
+        "skew_join_hybrid": _SKEW_JOIN_HYBRID_ORACLE,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

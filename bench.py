@@ -92,6 +92,8 @@ HEADLINE = [
     "hashed_tfidf",
     "contiguous_ids",
     "classifier_eval",
+    "quantile_sketch",
+    "skew_join_hybrid",
 ]
 
 

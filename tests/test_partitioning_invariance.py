@@ -56,6 +56,8 @@ QUERIES = [
     "pagerank_parts",
     "hashed_tfidf",
     "contiguous_ids",
+    "quantile_sketch",
+    "skew_join_hybrid",
 ]
 
 

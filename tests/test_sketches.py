@@ -103,3 +103,26 @@ def test_cms_weighted(spark):
         for r in sketch.cms_estimate(_keys_df(spark, ["a", "b"]), cms, "k", depth=4, width=64).collect()
     }
     assert est["a"] >= 8 and est["b"] >= 2
+
+
+def test_quantile_histogram_merge_and_bound(spark):
+    import random as _r
+
+    rng = _r.Random(3)
+    vals = [rng.uniform(0, 1000) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, nb = 0.0, 1000.0, 256
+    hist = sketch.quantile_histogram(df, "x", lo, hi, nb)
+    # shard-merge == one-shot
+    a = sketch.quantile_histogram(df.where(F.crc32(F.col("x").cast("string")) % 2 == 0), "x", lo, hi, nb)
+    b = sketch.quantile_histogram(df.where(F.crc32(F.col("x").cast("string")) % 2 == 1), "x", lo, hi, nb)
+    merged = sketch.quantile_merge(a, b)
+    assert sorted(map(tuple, hist.collect())) == sorted(map(tuple, merged.collect()))
+    # estimates within one bin width of the discrete quantile
+    est = {r.q_pct: r.est for r in sketch.histogram_quantiles(hist, [10, 50, 90], lo, hi, nb).collect()}
+    s = sorted(vals)
+    width = (hi - lo) / nb
+    import math
+    for q in (10, 50, 90):
+        exact = s[math.ceil(q * len(s) / 100) - 1]
+        assert abs(est[q] - exact) <= width, (q, est[q], exact)

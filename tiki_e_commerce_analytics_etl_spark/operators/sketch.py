@@ -103,3 +103,80 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(est_col))
         .withColumnRenamed("__key", key_col)
     )
+
+
+def quantile_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Mergeable quantile sketch: a fixed-width histogram over
+    [lo, hi] (tails clamped into the edge bins).  ``(bin, cnt)`` rows,
+    at most n_bins — merge shard histograms with ``quantile_merge``
+    (cell-wise sum ≡ histogram of the union, exactly), then estimate
+    any quantile with ``histogram_quantiles`` to within one bin width
+    (for in-range values).  The incremental / cross-shard complement
+    of exact ``percentile`` and ``approx_percentile`` — those answer
+    one dataset; this folds forever, like the HLL (incremental_distinct)
+    and CMS neighbours.
+
+    Scale: one scan + one hash agg onto uniform integer bins; the
+    summary is KBs regardless of data volume.
+    """
+    x = F.col(col).cast("double")
+    width_inv = F.lit(float(n_bins)) / F.lit(hi - lo)
+    bin_ = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) * width_inv).cast("long"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.where(x.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_merge(*hists: DataFrame) -> DataFrame:
+    """Cell-wise sum of histograms built with identical (lo, hi, bins)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    q_pcts: list[int],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Quantile estimates from the sketch: for each integer percent in
+    ``q_pcts``, the upper edge of the first bin whose cumulative count
+    reaches q% of the total — INTEGER comparison (cum·100 ≥ q·total),
+    no float threshold, so the selection is bit-exact in any engine.
+    Max error one bin width for in-range data (clamped tails pin to
+    the edge bins).  The window/cross ops below run over the
+    ≤ n_bins-row sketch, not data."""
+    from pyspark.sql import Window
+
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    qs = hist.sparkSession.createDataFrame([(q,) for q in q_pcts], "q_pct int")
+    width = (hi - lo) / n_bins
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cum") * 100 >= F.col("q_pct").cast("long") * F.col("total"))
+        .groupBy("q_pct")
+        .agg(F.min("bin").alias("__bin"))
+        .select(
+            "q_pct",
+            (F.lit(lo) + (F.col("__bin") + 1) * F.lit(width)).alias("est"),
+        )
+    )
