@@ -572,6 +572,17 @@ def q_skew_join_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming radius 3 via the Manku
+    pigeonhole multi-index (dedup.simhash_hamming_pairs): chunk
+    equi-join candidates + exact bit_count rerank — never an all-pairs
+    XOR.  Bit-exact oracle: same portable signatures, same chunks,
+    same distance in SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = dedup_ops.simhash_portable_df(docs, "text", "doc_id")
+    return dedup_ops.simhash_hamming_pairs(sigs, radius=3)
+
+
 def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-based importance (graph.pagerank_integer): a directed
     graph from lineitem — every order links to its parts, returned
@@ -2167,6 +2178,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": q_classifier_eval,
         "quantile_sketch": q_quantile_sketch,
         "skew_join_hybrid": q_skew_join_hybrid,
+        "simhash_hamming": q_simhash_hamming,
         "text_stats": q_text_stats,
         "domain_cap": q_domain_cap,
         "corpus_mix_report": q_corpus_mix_report,
@@ -2658,6 +2670,37 @@ _SIMHASH_PORTABLE_ORACLE = f"""
 # without running ANN: TRUE per query id.  A hash-family / quantizer /
 # plane-sizing regression drops recall below the threshold and flips
 # rows to FALSE → driver hash mismatch.
+_SIMHASH_HAMMING_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    e AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(word), 1, 12)) AS BIGINT) AS hw
+          FROM e),
+    v AS (
+        SELECT doc_id, t.j,
+               SUM(CASE WHEN (hw >> CAST(t.j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM h CROSS JOIN range(48) t(j)
+        GROUP BY doc_id, t.j
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN vote > 0
+                             THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+        FROM v GROUP BY doc_id
+    ),
+    c AS (SELECT doc_id, s, t.ci,
+                 s & (CAST(4095 AS BIGINT) << CAST(t.ci * 12 AS INTEGER)) AS cv
+          FROM sig CROSS JOIN range(4) t(ci)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.s AS sa, b.s AS sb
+             FROM c a JOIN c b ON a.ci = b.ci AND a.cv = b.cv
+                              AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 _ANN_RECALL_ORACLE = """
     SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 5
@@ -3334,6 +3377,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": _CLASSIFIER_EVAL_ORACLE,
         "quantile_sketch": _quantile_sketch_oracle(),
         "skew_join_hybrid": _SKEW_JOIN_HYBRID_ORACLE,
+        "simhash_hamming": _SIMHASH_HAMMING_ORACLE,
         "minhash_pairs": _minhash_portable_oracle(),
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,

@@ -94,6 +94,7 @@ HEADLINE = [
     "classifier_eval",
     "quantile_sketch",
     "skew_join_hybrid",
+    "simhash_hamming",
 ]
 
 

@@ -58,6 +58,7 @@ QUERIES = [
     "contiguous_ids",
     "quantile_sketch",
     "skew_join_hybrid",
+    "simhash_hamming",
 ]
 
 

@@ -200,3 +200,30 @@ def test_pagerank_integer_matches_model(spark, edges, iters):
             nxt[d] += (85 * mass[s]) // (100 * outdeg[s])
         mass = nxt
     assert got == mass
+
+
+@given(st.lists(st.integers(0, (1 << 48) - 1), min_size=2, max_size=25, unique=True))
+@settings(max_examples=8, deadline=None)
+def test_simhash_hamming_pairs_complete_and_exact(spark, sigs):
+    """Pigeonhole completeness: EVERY pair within the radius is found
+    (no false negatives), distances are exact, nothing above the
+    radius leaks through."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    radius = 3
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash48 long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_pairs(df, radius=radius).collect()
+    }
+    want = {}
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            d = bin(a ^ sigs[j]).count("1")
+            if d <= radius:
+                want[(i, j)] = d
+    assert got == want

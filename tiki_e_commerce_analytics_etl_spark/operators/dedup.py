@@ -828,3 +828,57 @@ def duplicate_chunk_stats(
         )
         .withColumn("dup_fraction", F.col("dup_chunks") / F.col("n_chunks"))
     )
+
+
+def simhash_hamming_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash48",
+    bits: int = 48,
+    radius: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``radius`` of each other's
+    SimHash — the MISSING HALF of a SimHash pipeline (the signature
+    alone ranks nothing): the pigeonhole multi-index of Manku et al.
+    (WWW'07, the Google near-dup crawler design).  Split the signature
+    into ``radius + 1`` disjoint chunks; two signatures within
+    ``radius`` bit flips MUST agree exactly on at least one chunk
+    (pigeonhole), so candidates come from an EQUI-join on
+    (chunk_idx, chunk_bits) — never an all-pairs XOR — and the exact
+    ``bit_count(a XOR b) <= radius`` check reranks only candidates.
+
+    Scale shape: one narrow chunk-explode of the signature table
+    (radius+1 rows/doc), one hash join on uniform chunk keys, distinct
+    on the surviving pairs.  Hot buckets arise only when many docs
+    share a chunk — i.e. genuinely similar docs, the same bounded-
+    bucket argument as MinHash banding.  Emits each unordered pair
+    once (id_a < id_b).
+    """
+    n_chunks = radius + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+
+    def chunks(side: str) -> DataFrame:
+        sig = F.col(sig_col)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    sig.bitwiseAND(F.lit(mask << (i * chunk_bits))).alias("cv"),
+                )
+                for i in range(n_chunks)
+            ]
+        )
+        return signatures.select(
+            F.col(id_col).alias(f"id_{side}"), sig.alias(f"sig_{side}"),
+            F.explode(arr).alias("__c"),
+        ).select(f"id_{side}", f"sig_{side}", "__c.ci", "__c.cv")
+
+    a, b = chunks("a"), chunks("b")
+    cand = a.join(b, ["ci", "cv"]).where(F.col("id_a") < F.col("id_b"))
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.where(dist <= radius)
+        .select("id_a", "id_b", dist.alias("hamming"))
+        .distinct()
+    )
