@@ -403,3 +403,47 @@ def test_keyboard_interrupt_aborts_run_not_retried():
     with pytest.raises(KeyboardInterrupt):
         p.run(ds=DS, sleep=slept.append)
     assert calls["n"] == 1 and slept == []  # no retry, no sleep
+
+
+def test_incremental_ingest_dedups_across_batches_exactly_once(spark, tmp_path):
+    """The bloom-gated ingest pipeline: in-batch dups collapse,
+    cross-batch dups are rejected via the maybe-seen exact check,
+    definitely-new rows skip the exact join (no false negatives ==
+    nothing new is ever dropped), replays are whole-batch no-ops, and
+    the final corpus is exactly the distinct content set."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import (
+        IngestStore,
+        ingest_batch,
+    )
+
+    store = IngestStore(str(tmp_path / "corpus_root"), m_bits=1 << 12)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  BETA")],  # 3 ~ 1
+        "doc_id long, text string",
+    )
+    r0 = ingest_batch(spark, store, b0, 0)
+    assert r0["admitted"] == 2 and r0["in_batch_dups"] == 1
+
+    b1 = spark.createDataFrame(
+        [(4, "gamma delta"), (5, "epsilon zeta")],  # 4 dups batch-0 content
+        "doc_id long, text string",
+    )
+    r1 = ingest_batch(spark, store, b1, 1)
+    assert r1["admitted"] == 1
+    # the cross-batch dup had to take the maybe-seen path (no FN)
+    assert r1["maybe_seen"] >= 1
+
+    # replay of batch 1: skipped whole
+    assert ingest_batch(spark, store, b1, 1) == {"replay_skipped": True}
+
+    corpus = acid.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 5]
+    hashes = acid.read_atomic(spark, store.hashes)
+    assert hashes.count() == 3 == hashes.distinct().count()
+
+    # a third batch of entirely new content: everything admitted
+    b2 = spark.createDataFrame([(6, "eta theta")], "doc_id long, text string")
+    r2 = ingest_batch(spark, store, b2, 2)
+    assert r2["admitted"] == 1
+    assert acid.read_atomic(spark, store.corpus).count() == 4

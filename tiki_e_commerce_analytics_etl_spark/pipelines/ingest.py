@@ -1,0 +1,137 @@
+"""Incremental corpus ingest with history-wide exact dedup at
+bloom-filter cost — the composite the round-4 storage/sketch layers
+exist for.
+
+The problem at 100 TB: every ingest batch must answer "which of these
+documents are already in the corpus?"  A join against all history is
+a full-corpus shuffle per batch.  This pipeline keeps three acid
+tables that together answer it in O(batch):
+
+- ``corpus``   — the documents themselves (append-only);
+- ``hashes``   — one row per content hash ever admitted (the exact
+                 side; grows with the corpus but holds ONE short row
+                 per doc);
+- ``bloom``    — the fixed-size bitmap summary of ``hashes``.
+
+Per batch: (1) hash + in-batch dedup (first occurrence wins);
+(2) probe the BROADCAST bloom — rows probing negative are DEFINITELY
+new (the bloom has no false negatives) and skip the exact check
+entirely; (3) only the "maybe seen" sliver joins the hash table;
+(4) survivors append to ``corpus`` + ``hashes``, and their bits fold
+into ``bloom`` — each commit transactional with the (app, batch) txn
+id, so crash-replayed batches are skipped and the pipeline is
+exactly-once end to end.
+
+With a healthy bloom sizing the exact join probes a few percent of
+each batch against an indexed one-column table; nothing about the
+corpus body is ever re-read or re-shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark import acid
+from tiki_e_commerce_analytics_etl_spark.operators import bloom as bloom_ops
+
+
+class IngestStore:
+    """Paths of the three acid tables backing one corpus."""
+
+    def __init__(self, root: str, m_bits: int = 1 << 20, k: int = 4) -> None:
+        self.corpus = f"{root}/corpus"
+        self.hashes = f"{root}/hashes"
+        self.bloom = f"{root}/bloom"
+        self.m_bits = m_bits
+        self.k = k
+
+
+def _hashed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return batch.withColumn(
+        "content_hash",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))),
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    store: IngestStore,
+    batch: DataFrame,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "ingest",
+) -> dict:
+    """Admit the batch's content-new documents; returns counts
+    {'batch', 'in_batch_dups', 'definitely_new', 'maybe_seen',
+    'admitted'}.  Exactly-once per (app_id, batch_id): replays are
+    detected via the corpus table's txn cursor and skipped whole.
+    """
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        return {"replay_skipped": True}
+
+    hashed = _hashed(batch, text_col, id_col)
+    n_batch = hashed.count()
+    # in-batch dedup: smallest id wins per content hash
+    first = hashed.groupBy("content_hash").agg(
+        F.min_by(F.struct(*hashed.columns), F.col(id_col)).alias("r")
+    ).select("r.*")
+
+    try:
+        words = acid.read_atomic(spark, store.bloom)
+    except FileNotFoundError:
+        words = None
+
+    if words is None:
+        definitely_new, maybe = first, first.limit(0)
+    else:
+        flags = bloom_ops.bloom_probe(
+            first, words, "content_hash", m_bits=store.m_bits, k=store.k
+        )
+        with_flag = first.join(flags, "content_hash")
+        definitely_new = with_flag.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = with_flag.where(F.col("maybe_seen")).drop("maybe_seen")
+
+    # exact check ONLY for the maybe-seen sliver
+    try:
+        seen = acid.read_atomic(spark, store.hashes)
+    except FileNotFoundError:
+        confirmed_new = maybe
+    else:
+        confirmed_new = maybe.join(seen, "content_hash", "left_anti")
+
+    admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    n_first = first.count()
+    n_maybe = maybe.count()
+    n_admitted = admitted.count()
+
+    acid.atomic_overwrite_partitions(
+        admitted, store.corpus, mode="append", txn_app=app_id, txn_version=batch_id
+    )
+    acid.atomic_overwrite_partitions(
+        admitted.select("content_hash"),
+        store.hashes,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    new_words = bloom_ops.bloom_build(
+        admitted, "content_hash", m_bits=store.m_bits, k=store.k
+    )
+    try:
+        existing = acid.read_atomic(spark, store.bloom)
+    except FileNotFoundError:
+        merged = new_words
+    else:
+        merged = bloom_ops.bloom_merge(existing, new_words)
+    acid.atomic_overwrite_partitions(
+        merged, store.bloom, txn_app=app_id, txn_version=batch_id
+    )
+    return {
+        "batch": n_batch,
+        "in_batch_dups": n_batch - n_first,
+        "definitely_new": n_first - n_maybe,
+        "maybe_seen": n_maybe,
+        "admitted": n_admitted,
+    }
