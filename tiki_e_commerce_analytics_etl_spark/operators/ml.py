@@ -74,7 +74,50 @@ def train_eval_classifier(
         regParam=reg_param,
     )
     model = lr.fit(train)
-    return model, model.transform(test)
+    return model, predictions_from_model(test, model, features_col)
+
+
+def predictions_from_model(
+    df: DataFrame,
+    model,
+    features_col: str,
+    prediction_col: str = "prediction",
+) -> DataFrame:
+    """Score with a fitted LogisticRegressionModel via PURE column
+    expressions over its coefficients (argmax of the linear margins)
+    instead of ``model.transform``.
+
+    Two reasons: (1) scale — the coefficients become codegen literals,
+    so scoring is a narrow whole-stage-codegen map with nothing
+    broadcast or pickled; (2) correctness — ``model.transform`` ships
+    the model object into the task closure, and the model's training
+    summary drags its SparkSession along, which is NOT serializable
+    once anything in the session has used ``df.observe`` (the
+    ObservationManager field) — i.e. transform breaks in any session
+    that also ran a write-time quality gate.  Decisions are identical:
+    argmax over margins ≡ argmax over softmax probabilities.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    cm = model.coefficientMatrix.toArray()
+    iv = model.interceptVector.toArray()
+    x = vector_to_array(F.col(features_col))
+
+    def margin(w, b) -> F.Column:
+        arr = F.array(*[F.lit(float(v)) for v in w])
+        dot = F.aggregate(
+            F.zip_with(x, arr, lambda a, c: a * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return dot + F.lit(float(b))
+
+    if cm.shape[0] == 1:  # binary: positive margin -> class 1
+        pred = (margin(cm[0], iv[0]) > 0).cast("double")
+    else:
+        margins = F.array(*[margin(cm[i], iv[i]) for i in range(cm.shape[0])])
+        pred = (F.array_position(margins, F.array_max(margins)) - 1).cast("double")
+    return df.withColumn(prediction_col, pred)
 
 
 def accuracy_summary(
