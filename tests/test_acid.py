@@ -762,3 +762,31 @@ def test_tf_index_cdc_maintenance_serves_identical_bm25(spark, tmp_path):
     assert sorted(map(tuple, from_index.collect())) == sorted(
         map(tuple, from_raw.collect())
     )
+
+
+def test_next_changes_cursor_lifecycle(spark, tmp_path):
+    """Cursor consumption: first call sees the bootstrap feed, commit
+    advances the cursor, no-new-commits returns None, a crash before
+    commit replays the same window, independent consumers track
+    independently."""
+    path = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursors.json")
+    acid.atomic_overwrite_partitions(_mk(spark, "base", n=4), path, ["p"])
+
+    feed, commit = acid.next_changes(spark, path, cursor)
+    assert feed is not None and feed.count() == 4
+    # crash before commit: the same window replays
+    feed2, commit2 = acid.next_changes(spark, path, cursor)
+    assert feed2.count() == 4
+    commit2()
+    assert acid.next_changes(spark, path, cursor)[0] is None
+
+    acid.atomic_overwrite_partitions(_mk(spark, "more", n=2), path, ["p"], mode="append")
+    feed3, commit3 = acid.next_changes(spark, path, cursor)
+    assert feed3.count() == 2
+    # a second consumer still sees everything from the start
+    feed_b, commit_b = acid.next_changes(spark, path, cursor, consumer="b")
+    assert feed_b.count() == 6
+    commit3(); commit_b()
+    assert acid.next_changes(spark, path, cursor)[0] is None
+    assert acid.next_changes(spark, path, cursor, consumer="b")[0] is None

@@ -447,3 +447,34 @@ def test_incremental_ingest_dedups_across_batches_exactly_once(spark, tmp_path):
     r2 = ingest_batch(spark, store, b2, 2)
     assert r2["admitted"] == 1
     assert acid.read_atomic(spark, store.corpus).count() == 4
+
+
+def test_forget_makes_content_admissible_again(spark, tmp_path):
+    """GDPR deletion over the ingest store: forgotten docs leave the
+    corpus AND their content becomes admissible again (hash + bloom
+    rebuilt); replays are no-ops."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import (
+        IngestStore,
+        forget,
+        ingest_batch,
+    )
+
+    store = IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = spark.createDataFrame(
+        [(1, "to be forgotten"), (2, "kept content")], "doc_id long, text string"
+    )
+    assert ingest_batch(spark, store, b0, 0)["admitted"] == 2
+
+    gone = spark.createDataFrame([(1,)], "doc_id long")
+    assert forget(spark, store, gone, 1) == {"removed": 1}
+    assert forget(spark, store, gone, 1) == {"replay_skipped": True}
+    assert sorted(r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()) == [2]
+
+    # the same content re-ingests successfully; the kept content stays deduped
+    b1 = spark.createDataFrame(
+        [(9, "to be  FORGOTTEN"), (10, "kept content")], "doc_id long, text string"
+    )
+    r = ingest_batch(spark, store, b1, 2)
+    assert r["admitted"] == 1
+    assert sorted(r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()) == [2, 9]

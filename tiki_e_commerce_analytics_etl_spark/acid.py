@@ -798,3 +798,49 @@ def table_history(path: str) -> list[dict]:
             }
         )
     return out
+
+
+def next_changes(
+    spark: SparkSession,
+    path: str,
+    cursor_path: str,
+    consumer: str = "default",
+    row_level: bool = True,
+):
+    """Cursor-managed incremental consumption: returns ``(feed_df |
+    None, commit_fn)`` for everything committed since this consumer's
+    last acknowledged version.  ``commit_fn()`` persists the new
+    cursor AFTER the consumer has durably applied the feed — crash
+    between apply and ack replays the same window (at-least-once;
+    consumers that fold into acid tables get exactly-once via their
+    own txn ids).  The scheduled-job face of ``changes_between`` —
+    what a daily DAG task calls instead of tracking versions by hand.
+
+    The cursor file is JSON {consumer: last_version} under
+    ``cursor_path``; written atomically (temp + rename).
+    """
+    latest = latest_version(path)
+    cursors: dict = {}
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cursors = json.load(f)
+    last = cursors.get(consumer)
+    if latest is None or (last is not None and last >= latest):
+        return None, lambda: None
+
+    feed = changes_between(spark, path, last, latest, row_level=row_level)
+
+    def commit() -> None:
+        cur: dict = {}
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                cur = json.load(f)
+        cur[consumer] = latest
+        tmp = f"{cursor_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cursor_path)
+
+    return feed, commit

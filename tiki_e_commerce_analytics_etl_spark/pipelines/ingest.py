@@ -135,3 +135,49 @@ def ingest_batch(
         "maybe_seen": n_maybe,
         "admitted": n_admitted,
     }
+
+
+def forget(
+    spark: SparkSession,
+    store: IngestStore,
+    doc_ids: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+    app_id: str = "forget",
+) -> dict:
+    """Right-to-be-forgotten over the ingest store: remove the given
+    documents from ``corpus`` and ``hashes`` and REBUILD the bloom
+    bitmap from the surviving hashes.
+
+    The bitmap cannot subtract (bits are shared), but the hash table
+    holds exactly ONE short row per admitted document — so the rebuild
+    costs O(#documents) hash rows, never a corpus-body scan.  Because
+    ingest admits one doc per content hash, a removed doc's hash has
+    no other owner and must go too (otherwise a re-ingest of the same
+    content would be wrongly rejected — the forgotten content becomes
+    admissible again, which is exactly what deletion means).
+
+    Exactly-once per (app_id, batch_id) like ingest_batch; replays
+    are whole-batch no-ops.  Returns {'removed': n}.
+    """
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        return {"replay_skipped": True}
+    keys = F.broadcast(doc_ids.select(id_col).distinct())
+    corpus = acid.read_atomic(spark, store.corpus)
+    removed = corpus.join(keys, id_col, "left_semi").localCheckpoint(eager=True)
+    n_removed = removed.count()
+    keep = corpus.join(keys, id_col, "left_anti").localCheckpoint(eager=True)
+    acid.atomic_overwrite_partitions(
+        keep, store.corpus, txn_app=app_id, txn_version=batch_id
+    )
+    kept_hashes = keep.select("content_hash")
+    acid.atomic_overwrite_partitions(
+        kept_hashes, store.hashes, txn_app=app_id, txn_version=batch_id
+    )
+    rebuilt = bloom_ops.bloom_build(
+        kept_hashes, "content_hash", m_bits=store.m_bits, k=store.k
+    )
+    acid.atomic_overwrite_partitions(
+        rebuilt, store.bloom, txn_app=app_id, txn_version=batch_id
+    )
+    return {"removed": n_removed}
