@@ -518,27 +518,32 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (sketch.quantile_histogram): fixed-
     width histogram of l_extendedprice, quantiles read from cumulative
-    bins with integer selection — est vs percentile_disc exact, with
-    the one-bin-width error bound asserted per quantile.  The
-    cross-shard foldable complement of exact/approx percentile."""
+    bins with integer selection — est vs ONE-PASS exact `percentile`
+    (continuous, ≡ DuckDB quantile_cont bit-exact, the mad_outliers
+    pattern), with the one-bin-width error bound asserted per quantile
+    (interpolation sits between adjacent order stats, far inside the
+    bin width at this density; the oracle computes the identical
+    boolean either way).  The cross-shard foldable complement of
+    exact/approx percentile.  One array-argument aggregate buffer, not
+    five independent percentile_disc buffers (which each collected the
+    full column and made this the slowest headline query, 12-14 s →
+    ~3 s at sf0.1)."""
     lo, hi, n_bins = 0.0, 105000.0, 1024
     q_pcts = [25, 50, 75, 90, 99]
     li = read_table(spark, sf_dir, "lineitem")
     hist = sketch_ops.quantile_histogram(li, "l_extendedprice", lo, hi, n_bins)
     est = sketch_ops.histogram_quantiles(hist, q_pcts, lo, hi, n_bins)
-    li.createOrReplaceTempView("__qs_li")
-    exact = spark.sql(
-        "SELECT "
-        + ", ".join(
-            f"percentile_disc({q / 100}) WITHIN GROUP (ORDER BY l_extendedprice) AS e{q}"
-            for q in q_pcts
-        )
-        + " FROM __qs_li"
+    exact = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(str(q / 100) for q in q_pcts)
+            + "))"
+        ).alias("ex")
     ).select(
         F.explode(
             F.map_from_arrays(
                 F.array(*[F.lit(q) for q in q_pcts]),
-                F.array(*[F.col(f"e{q}") for q in q_pcts]),
+                F.col("ex"),
             )
         ).alias("q_pct", "exact")
     )
@@ -2455,12 +2460,15 @@ _CONTIGUOUS_IDS_ORACLE = """
 
 def _quantile_sketch_oracle(lo=0.0, hi=105000.0, n_bins=1024, q_pcts=(25, 50, 75, 90, 99)) -> str:
     """DuckDB twin: identical clamped binning, identical integer
-    cumulative selection, quantile_disc ≡ Spark percentile_disc."""
+    cumulative selection, list-form quantile_cont ≡ Spark's one-pass
+    array-argument `percentile` (bit-exact, the mad_outliers pattern)."""
     width = (hi - lo) / n_bins
     qvals = ", ".join(f"({q})" for q in q_pcts)
-    exact = " UNION ALL ".join(
-        f"SELECT {q} AS q_pct, quantile_disc(l_extendedprice, {q / 100}) AS exact FROM lineitem"
-        for q in q_pcts
+    pct_list = ", ".join(str(q / 100) for q in q_pcts)
+    pct_keys = ", ".join(str(q) for q in q_pcts)
+    exact = (
+        f"SELECT UNNEST([{pct_keys}]) AS q_pct, "
+        f"UNNEST(quantile_cont(l_extendedprice, [{pct_list}])) AS exact FROM lineitem"
     )
     return f"""
     WITH b AS (
