@@ -1217,6 +1217,47 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(events, ["view", "click", "purchase"])
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day distinct actives per observed day.  Spark
+    windows can't express COUNT(DISTINCT) OVER RANGE; the bounded
+    explode-dedupe-count rewrite is the scale path
+    (operators/engagement.rolling_active_users)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    events = read_table(spark, sf_dir, "events")
+    return engagement.rolling_active_users(events, "user_id", "ts", window_days=7)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle over orders: distinct customers per
+    (first-order month, months-since) cell — integer month arithmetic,
+    two shuffles (engagement.cohort_retention)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    orders = read_table(spark, sf_dir, "orders")
+    return engagement.cohort_retention(orders, "o_custkey", "o_orderdate")
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary with
+    quintile scores assigned by percentile-boundary comparison — no
+    ntile global sort; ties score equal (engagement.rfm_scores)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    orders = read_table(spark, sf_dir, "orders")
+    return engagement.rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice")
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over lineitem: item pairs sharing an
+    order, with exact-integer support/lift in ppm — per-basket
+    self-equi-join, never cross-basket (engagement.basket_pairs)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return engagement.basket_pairs(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: md5-seeded shard + within-
     shard position, no global sort (sampling.shuffle_shards)."""
@@ -2259,6 +2300,10 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_windows": q_event_windows,
         "quality_checks": q_quality_checks,
+        "rolling_active_users": q_rolling_active_users,
+        "cohort_retention": q_cohort_retention,
+        "rfm_segments": q_rfm_segments,
+        "basket_pairs": q_basket_pairs,
     }
 
 
@@ -3825,5 +3870,92 @@ def oracle_sql() -> dict[str, str]:
             FROM dates d
             CROSS JOIN kws k
             LEFT JOIN scores s ON s.date = d.date AND s.keyword = k.keyword
+        """,
+        "rolling_active_users": """
+            WITH pairs AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS usr FROM events
+            ),
+            dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day),
+            rolled AS (
+                SELECT d.day AS day, COUNT(DISTINCT p.usr) AS active_7d
+                FROM dau d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+                GROUP BY d.day
+            )
+            SELECT dau.day, dau.dau, rolled.active_7d
+            FROM dau JOIN rolled ON dau.day = rolled.day
+        """,
+        "cohort_retention": """
+            WITH base AS (
+                SELECT o_custkey AS usr,
+                       CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS m
+                FROM orders
+            ),
+            first AS (SELECT usr, MIN(m) AS cm FROM base GROUP BY usr)
+            SELECT make_date(CAST(cm // 12 AS INT), CAST(cm % 12 AS INT) + 1, 1)
+                       AS cohort_month,
+                   b.m - f.cm AS month_age,
+                   COUNT(DISTINCT b.usr) AS n_customers
+            FROM base b JOIN first f ON b.usr = f.usr
+            GROUP BY f.cm, b.m - f.cm
+        """,
+        "rfm_segments": """
+            WITH per AS (
+                SELECT o_custkey AS usr,
+                       CAST(datediff('day', DATE '1970-01-01',
+                                     CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS last_day,
+                       COUNT(*) AS frequency,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+                FROM orders GROUP BY o_custkey
+            ),
+            b AS (
+                SELECT MAX(last_day) AS anchor,
+                       quantile_cont(last_day, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                       quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                       quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+                FROM per
+            ),
+            scored AS (
+                SELECT usr, anchor - last_day AS recency_days, frequency, monetary,
+                       1 + (CASE WHEN last_day > rb[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN last_day > rb[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN last_day > rb[3] THEN 1 ELSE 0 END)
+                         + (CASE WHEN last_day > rb[4] THEN 1 ELSE 0 END) AS r_score,
+                       1 + (CASE WHEN frequency > fb[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > fb[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > fb[3] THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > fb[4] THEN 1 ELSE 0 END) AS f_score,
+                       1 + (CASE WHEN monetary > mb[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > mb[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > mb[3] THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > mb[4] THEN 1 ELSE 0 END) AS m_score
+                FROM per CROSS JOIN b
+            )
+            SELECT usr, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS rfm_segment
+            FROM scored
+        """,
+        "basket_pairs": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+            ),
+            item_n AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+            total AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM items),
+            pairs AS (
+                SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_count
+                FROM items a JOIN items b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY a.item, b.item
+                HAVING COUNT(*) >= 2
+            )
+            SELECT item_a, item_b, pair_count,
+                   pair_count * CAST(1000000 AS BIGINT) // n_baskets AS support_ppm,
+                   pair_count * n_baskets * CAST(1000000 AS BIGINT)
+                       // (na.n_item * nb.n_item) AS lift_ppm
+            FROM pairs
+            JOIN item_n na ON na.item = pairs.item_a
+            JOIN item_n nb ON nb.item = pairs.item_b
+            CROSS JOIN total
         """,
     }

@@ -95,6 +95,10 @@ HEADLINE = [
     "quantile_sketch",
     "skew_join_hybrid",
     "simhash_hamming",
+    "rolling_active_users",
+    "cohort_retention",
+    "rfm_segments",
+    "basket_pairs",
 ]
 
 

@@ -1,0 +1,235 @@
+"""Engagement / marketing analytics over the event stream and order
+history: rolling active users (DAU / WAU / MAU), cohort retention,
+RFM segmentation, and market-basket co-occurrence.
+
+These are the standard e-commerce mart rollups one layer above the
+reference's Golden Join (its BigQuery mart is the input to exactly
+these dashboard queries); none needs anything beyond composable
+DataFrame ops, but each has a distributed-shape trap this module
+avoids:
+
+- **Rolling distinct counts** (WAU/MAU): Spark windows cannot express
+  COUNT(DISTINCT) OVER RANGE.  The relational rewrite: dedupe to
+  (user, active-day) pairs, explode each pair onto the ≤W report days
+  it contributes to (a BOUNDED fan-out of exactly ``window_days``),
+  dedupe (user, report-day), count.  Three hash shuffles on uniform
+  keys, no window sort, no per-day state.
+- **RFM quintiles**: ntile() over the full customer table is a global
+  sort on ONE partition.  Instead the 4 quintile boundaries per metric
+  are computed as scalars in a single aggregation (the equidepth_bins
+  pattern) and scores assigned by codegen comparisons — one narrow
+  pass, no global sort.
+- **Market-basket pairs**: the per-basket self-join is quadratic in
+  basket SIZE but baskets are small and bounded in practice; the join
+  is an equi-join on basket id (co-partitioned, no cartesian), and all
+  support/lift arithmetic stays in exact integers (parts-per-million
+  via floor division) so results are order- and partition-invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "rolling_active_users",
+    "cohort_retention",
+    "rfm_scores",
+    "basket_pairs",
+]
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per observed activity day: distinct users active that day (dau)
+    and within the trailing ``window_days`` window (active_{W}d).
+
+    Report days are the days on which at least one event occurred (the
+    data-driven reporting set — no calendar densification; a silent
+    day has no row).  A user active on day d contributes to report
+    days d .. d+W-1, so the fan-out is bounded by W per (user, day)
+    pair regardless of user activity volume; the second distinct
+    collapses multi-day actives before counting.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.col(ts_col).cast("date")
+    pairs = df.select(day.alias("day"), F.col(user_col).alias("usr")).distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("day"),
+        "usr",
+    ).distinct()
+    rolled = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).alias(f"active_{window_days}d")
+    )
+    # inner join = restrict to observed days (rolled also carries up to
+    # W-1 days past the last observed day — extrapolation, dropped)
+    return dau.join(rolled, "day")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    date_col: str,
+) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by the month of
+    their FIRST order (cohort_month, first-of-month date), counted
+    distinct in each subsequent month_age = months since cohort.
+
+    Month arithmetic is integer (year*12 + month - 1) — exact, no
+    date-interval semantics to disagree on.  Two shuffles: the
+    first-order aggregation and the (cohort, age) count; the join back
+    is on the user key the first aggregation already partitioned by.
+    """
+    m = (F.year(date_col) * 12 + F.month(date_col) - 1).cast("long")
+    base = df.select(F.col(user_col).alias("usr"), m.alias("m"))
+    first = base.groupBy("usr").agg(F.min("m").alias("cm"))
+    return (
+        base.join(first, "usr")
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("month_age"))
+        .agg(F.countDistinct("usr").alias("n_customers"))
+        .select(
+            F.make_date(
+                F.floor(F.col("cm") / 12).cast("int"),
+                (F.col("cm") % 12 + 1).cast("int"),
+                F.lit(1),
+            ).alias("cohort_month"),
+            "month_age",
+            "n_customers",
+        )
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str,
+    date_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    Per customer: days since last order (recency, anchored at the
+    global max order date so the result is a pure function of the
+    data), order count (frequency), and summed spend (monetary, exact
+    decimal sum surfaced as double).  Each metric is scored 1..n_tiles
+    by quantile boundaries — score n_tiles = best (most recent /
+    most frequent / highest spend).
+
+    No global sort: the 3×(n_tiles-1) boundaries and the anchor date
+    come from ONE aggregation over the per-customer table (collected
+    scalars, the equidepth_bins pattern), then scores are codegen
+    comparisons.  Ties land in the lower score (strict >), so equal
+    values always get equal scores — ntile() would split them by
+    arbitrary physical order.
+
+    Recency is scored via last-order day directly (monotone in
+    recency, no second pass to re-anchor): later last order ⇒ higher
+    score.
+    """
+    if n_tiles < 2:
+        raise ValueError("n_tiles must be >= 2")
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    last_day = F.datediff(
+        F.max(F.col(date_col)).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    per = df.groupBy(F.col(user_col).alias("usr")).agg(
+        last_day.alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    row = per.agg(
+        F.max("last_day").alias("anchor"),
+        F.expr(f"percentile(last_day, {arr})").alias("rb"),
+        F.expr(f"percentile(frequency, {arr})").alias("fb"),
+        F.expr(f"percentile(monetary, {arr})").alias("mb"),
+    ).collect()[0]
+
+    def score(col: str, bounds: list[float]) -> F.Column:
+        e = F.lit(1)
+        for b in bounds:
+            e = e + F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
+        return e
+
+    return per.select(
+        "usr",
+        (F.lit(int(row["anchor"])) - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary",
+        score("last_day", row["rb"]).alias("r_score"),
+        score("frequency", row["fb"]).alias("f_score"),
+        score("monetary", row["mb"]).alias("m_score"),
+    ).withColumn(
+        "rfm_segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Market-basket co-occurrence: for each unordered item pair that
+    appears together in >= min_pair_count baskets, the pair count and
+    exact-integer support / lift in parts-per-``scale``:
+
+        support_ppm = pair_count * scale          // n_baskets
+        lift_ppm    = pair_count * n_baskets * scale // (n_a * n_b)
+
+    (floor division — bit-exact and partition-invariant; lift > scale
+    means the pair co-occurs more than independence predicts).
+
+    Shape: dedupe to (basket, item), self-equi-join on basket with
+    item_a < item_b (co-partitioned — the quadratic term is per-basket
+    size only, never cross-basket), hash-count pairs, then join the
+    per-item basket counts back on the item keys.  The single-row
+    basket total rides in via a broadcast cross join.  For degenerate
+    giant baskets (a crawler retry storm, not a human cart) cap basket
+    size upstream with ``sampling.domain_cap``-style per-key limits.
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    total = items.agg(F.countDistinct("basket").alias("n_baskets"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    return (
+        pairs.join(item_n.withColumnRenamed("item", "item_a").withColumnRenamed("n_item", "n_a"), "item_a")
+        .join(item_n.withColumnRenamed("item", "item_b").withColumnRenamed("n_item", "n_b"), "item_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.expr(f"pair_count * CAST({scale} AS BIGINT) div n_baskets").alias(
+                "support_ppm"
+            ),
+            F.expr(
+                f"pair_count * n_baskets * CAST({scale} AS BIGINT) div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
