@@ -925,6 +925,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.decontaminate(corpus, eval_set, "text", "doc_id", k=8)
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: max cosine of every corpus
+    vector against the broadcast eval slice (vec_id < 20) — catches
+    the paraphrased leakage n-gram decontamination misses.  Corpus
+    never shuffles; only MAX is kept (tie-free, bit-exact)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_decontaminate(
+        emb, emb.filter(F.col("vec_id") < 20), threshold=0.95
+    )
+
+
+def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM rarity (CCNet-perplexity-shaped quality filter) in
+    exact integer arithmetic — tf-weighted mean inverse unigram
+    probability, scaled+floor-divided; no libm log
+    (text.rarity_score)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.rarity_score(docs, "text", "doc_id")
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition screen: per-doc word counts, distinct
     ratio, and top-word fraction via two hash aggregates."""
@@ -2304,6 +2328,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "rfm_segments": q_rfm_segments,
         "basket_pairs": q_basket_pairs,
+        "semantic_decontaminate": q_semantic_decontaminate,
+        "rarity_score": q_rarity_score,
     }
 
 
@@ -3957,5 +3983,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN item_n na ON na.item = pairs.item_a
             JOIN item_n nb ON nb.item = pairs.item_b
             CROSS JOIN total
+        """,
+        "semantic_decontaminate": """
+            WITH e AS (
+                SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 20
+            ),
+            c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+                SELECT id,
+                       list_dot_product(cv, ev)
+                         / (sqrt(list_dot_product(cv, cv))
+                            * sqrt(list_dot_product(ev, ev))) AS score
+                FROM c CROSS JOIN e
+            )
+            SELECT id, MAX(score) AS max_eval_score,
+                   MAX(score) >= 0.95 AS is_contaminated
+            FROM scored GROUP BY id
+        """,
+        "rarity_score": f"""
+            WITH toks AS (
+                SELECT doc_id AS id, unnest({_NORM_WORDS_SQL}) AS w FROM documents
+            ),
+            tf AS (SELECT id, w, COUNT(*) AS tf FROM toks GROUP BY id, w),
+            vocab AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w),
+            tot AS (SELECT SUM(cnt) AS total FROM vocab)
+            SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   CAST(SUM(tf * ((total * CAST(1000000 AS BIGINT)) // cnt))
+                        // SUM(tf) AS BIGINT) AS rarity_scaled
+            FROM tf JOIN vocab USING (w) CROSS JOIN tot
+            GROUP BY id
         """,
     }

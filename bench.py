@@ -99,6 +99,8 @@ HEADLINE = [
     "cohort_retention",
     "rfm_segments",
     "basket_pairs",
+    "semantic_decontaminate",
+    "rarity_score",
 ]
 
 

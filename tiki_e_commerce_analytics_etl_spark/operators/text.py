@@ -158,6 +158,57 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def rarity_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+):
+    """Unigram-LM rarity scoring — the CCNet-perplexity-shaped corpus
+    quality filter, kept in EXACT integer arithmetic: per-token
+    surprisal is the inverse unigram probability ``total/count(token)``
+    (scaled by ``scale`` and floor-divided — an exact integer), and a
+    document's score is the tf-weighted mean surprisal of its tokens.
+    Low score ⇒ the document is made of common corpus language; high
+    score ⇒ rare/garbled tokens.  Filtering on it ranks documents the
+    same way CCNet's LM filter does for the unigram case, with no libm
+    log and therefore bit-exact, partition-invariant results.
+
+    Returns (id, n_tokens, rarity_scaled) where rarity_scaled ≈
+    mean(total/count) * scale.
+
+    Shape: one tf aggregation on (doc, token), one vocabulary
+    aggregation on token, a token-keyed join of the two aggregated
+    tables (hot common tokens are single vocabulary rows fanning into
+    per-doc tf rows — AQE-splittable, never a cross product), the
+    corpus-total single row rides in broadcast, and one final per-doc
+    aggregation.  All counts are bigint; with default ``scale`` the
+    tf·surprisal products stay far inside int64 up to ~10^9 corpus
+    tokens — drop ``scale`` a decade per decade beyond that.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.expr(f"tf * ((total * CAST({scale} AS BIGINT)) div cnt)")).alias("__s"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.expr("__s div n_tokens").alias("rarity_scaled"),
+        )
+    )
+
+
 def fingerprint(text: Column, k: int = 8) -> Column:
     """Document fingerprint: lexicographic min of md5 over word
     k-shingles — a deterministic winnowing-style signature that is
