@@ -949,6 +949,29 @@ def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.rarity_score(docs, "text", "doc_id")
 
 
+def q_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-tokenizer training: top-200 character n-grams (len 2-6)
+    of the corpus's words, occurrence-weighted, deterministic tiebreak
+    — gram extraction runs once per UNIQUE word (text.subword_vocab)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.subword_vocab(docs, "text", min_len=2, max_len=6, k=200)
+
+
+def q_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword tokenization (WordPiece apply)
+    against the corpus-derived vocab: per-doc word + subword counts.
+    The Arrow matcher tokenizes the unique-word vocabulary only; doc
+    counts come from joining word frequencies back
+    (text.subword_token_counts)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = text_ops.subword_vocab(docs, "text", min_len=2, max_len=6, k=200)
+    return text_ops.subword_token_counts(docs, vocab, "text", "doc_id", max_len=6)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition screen: per-doc word counts, distinct
     ratio, and top-word fraction via two hash aggregates."""
@@ -2330,6 +2353,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "semantic_decontaminate": q_semantic_decontaminate,
         "rarity_score": q_rarity_score,
+        "subword_vocab": q_subword_vocab,
+        "subword_tokenize": q_subword_tokenize,
     }
 
 
@@ -3999,6 +4024,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, MAX(score) AS max_eval_score,
                    MAX(score) >= 0.95 AS is_contaminated
             FROM scored GROUP BY id
+        """,
+        "subword_vocab": f"""
+            WITH wf AS (
+                SELECT w, COUNT(*) AS wcnt
+                FROM (SELECT unnest({_NORM_WORDS_SQL}) AS w FROM documents)
+                GROUP BY w
+            ),
+            grams AS (
+                SELECT substr(wf.w, s.s, l.l) AS tok, wf.wcnt
+                FROM wf,
+                     (SELECT unnest(range(2, 7)) AS l) l,
+                     LATERAL (SELECT unnest(range(1, length(wf.w) - l.l + 2)) AS s) s
+            )
+            SELECT tok, CAST(SUM(wcnt) AS BIGINT) AS cnt
+            FROM grams GROUP BY tok
+            ORDER BY cnt DESC, tok ASC LIMIT 200
+        """,
+        "subword_tokenize": f"""
+            WITH RECURSIVE
+            wf AS (
+                SELECT id, w, COUNT(*) AS tf
+                FROM (SELECT doc_id AS id, unnest({_NORM_WORDS_SQL}) AS w FROM documents)
+                GROUP BY id, w
+            ),
+            uwf AS (SELECT w, SUM(tf) AS wcnt FROM wf GROUP BY w),
+            grams AS (
+                SELECT substr(uwf.w, s.s, l.l) AS tok, uwf.wcnt
+                FROM uwf,
+                     (SELECT unnest(range(2, 7)) AS l) l,
+                     LATERAL (SELECT unnest(range(1, length(uwf.w) - l.l + 2)) AS s) s
+            ),
+            vocab AS (
+                SELECT tok FROM (
+                    SELECT tok, SUM(wcnt) AS cnt FROM grams GROUP BY tok
+                    ORDER BY cnt DESC, tok ASC LIMIT 200
+                )
+            ),
+            steps(w, pos, n) AS (
+                SELECT w, 1, 0 FROM (SELECT DISTINCT w FROM wf)
+                UNION ALL
+                SELECT w,
+                       pos + COALESCE((SELECT MAX(LENGTH(tok)) FROM vocab
+                                       WHERE tok = substr(steps.w, steps.pos, LENGTH(tok))), 1),
+                       n + 1
+                FROM steps WHERE pos <= LENGTH(w)
+            ),
+            ns AS (SELECT w, n AS n_sub FROM steps WHERE pos > LENGTH(w))
+            SELECT id, CAST(SUM(tf) AS BIGINT) AS n_words,
+                   CAST(SUM(tf * n_sub) AS BIGINT) AS n_subwords
+            FROM wf JOIN ns USING (w) GROUP BY id
         """,
         "rarity_score": f"""
             WITH toks AS (

@@ -101,6 +101,8 @@ HEADLINE = [
     "basket_pairs",
     "semantic_decontaminate",
     "rarity_score",
+    "subword_vocab",
+    "subword_tokenize",
 ]
 
 

@@ -158,6 +158,107 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def subword_vocab(
+    df,
+    text_col: str = "text",
+    min_len: int = 2,
+    max_len: int = 6,
+    k: int = 200,
+):
+    """Corpus-derived subword vocabulary: the ``k`` most frequent
+    character n-grams (lengths ``min_len``..``max_len``) of the
+    corpus's words, weighted by word occurrence count, deterministic
+    tiebreak (count DESC, token ASC).  The "train a subword tokenizer
+    on your corpus" step, as two hash aggregations: word frequencies
+    first (so gram extraction runs once per UNIQUE word, not per
+    occurrence), then gram counts.  The (length × position) fan-out is
+    bounded by max_len per character of unique-word text.
+    """
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    # (l, s) pairs guarded so sequence() never sees start > stop
+    # (Spark's sequence DESCENDS for start > stop instead of yielding
+    # an empty array)
+    grams = (
+        wf.select("w", "wcnt", F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("l"))
+        .filter(F.length("w") >= F.col("l"))
+        .select(
+            "w",
+            "wcnt",
+            "l",
+            F.explode(F.sequence(F.lit(1), F.length("w") - F.col("l") + 1)).alias("s"),
+        )
+        .select(F.expr("substring(w, s, l)").alias("tok"), "wcnt")
+    )
+    return (
+        grams.groupBy("tok")
+        .agg(F.sum("wcnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def subword_token_counts(
+    df,
+    vocab_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 6,
+):
+    """Greedy longest-match subword tokenization (the WordPiece
+    application step) against ``vocab_df`` (tok column, e.g. from
+    ``subword_vocab``): per document, word count and subword-token
+    count.  Characters with no vocab match consume one position as a
+    single-char token (no <unk> loss — counts stay exact).
+
+    Scale shape: tokenization runs once per UNIQUE word — the
+    Arrow-batched greedy matcher (mapInPandas, broadcast vocab set)
+    sees the corpus VOCABULARY, typically millions of rows where the
+    corpus has trillions of tokens — and per-doc counts come from
+    joining word frequencies back on the word key.  The vocabulary is
+    ``k`` bounded rows, collected once and shipped in the UDF closure.
+    """
+    vocab = frozenset(r["tok"] for r in vocab_df.select("tok").collect())
+
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uw = tf.select("w").distinct()
+
+    def tok_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for w in pdf["w"]:
+                pos, n = 0, 0
+                while pos < len(w):
+                    adv = 1
+                    for ln in range(min(max_len, len(w) - pos), 1, -1):
+                        if w[pos : pos + ln] in vocab:
+                            adv = ln
+                            break
+                    pos += adv
+                    n += 1
+                outs.append(n)
+            yield pd.DataFrame({"w": pdf["w"], "n_sub": outs})
+
+    subs = uw.mapInPandas(tok_batches, "w string, n_sub long")
+    return (
+        tf.join(subs, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_sub")).alias("n_subwords"),
+        )
+    )
+
+
 def rarity_score(
     df,
     text_col: str = "text",
