@@ -59,6 +59,18 @@ QUERIES = [
     "quantile_sketch",
     "skew_join_hybrid",
     "simhash_hamming",
+    # engagement + tokenizer additions: double max across partial aggs,
+    # percentile boundary scalars, integer-division lift math, bounded
+    # explode + double dedupe, floor-div surprisal sums, greedy Arrow
+    # matcher over a collected vocab with top-k tiebreaks
+    "semantic_decontaminate",
+    "rfm_segments",
+    "basket_pairs",
+    "rolling_active_users",
+    "cohort_retention",
+    "rarity_score",
+    "subword_vocab",
+    "subword_tokenize",
 ]
 
 
