@@ -67,6 +67,14 @@ QUERIES = [
     "pagerank_parts",
     "hashed_tfidf",
     "contiguous_ids",
+    # engagement + tokenizer additions (fixed eval/vocab sides, growing
+    # corpus/fact sides — the regime their shapes are designed for)
+    "basket_pairs",
+    "rolling_active_users",
+    "rfm_segments",
+    "semantic_decontaminate",
+    "rarity_score",
+    "subword_tokenize",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
@@ -124,6 +132,14 @@ def build_scaled(spark, target_dir: str, replicas: int) -> None:
         return df.withColumn("n_chars", F.length("text"))
 
     replicate("documents", doc_shard)
+    if os.path.exists(os.path.join(BASE_SF, "embeddings.parquet")):
+        # vectors identical across shards (distributional twin); the
+        # eval slice (vec_id < 20) stays shard-0-only, so the corpus
+        # grows 10x against a FIXED eval set — decontamination's regime
+        replicate(
+            "embeddings",
+            lambda df, i: df.withColumn("vec_id", F.col("vec_id") + F.lit(i * DOC_SHIFT)),
+        )
     # `part` above keeps dims fixed; dedup shard count recorded for audit
     with open(os.path.join(target_dir, "MANIFEST.json"), "w") as f:
         json.dump({"base": BASE_SF, "replicas": replicas}, f)
@@ -143,8 +159,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     for target_dir, replicas in ((BASE_DIR, 1), (SCALED_DIR, REPLICAS)):
-        if "--rebuild" in sys.argv or not os.path.exists(
-            os.path.join(target_dir, "MANIFEST.json")
+        if (
+            "--rebuild" in sys.argv
+            or not os.path.exists(os.path.join(target_dir, "MANIFEST.json"))
+            # older generations predate the embeddings replica
+            or not os.path.exists(os.path.join(target_dir, "embeddings.parquet"))
         ):
             build_scaled(spark, target_dir, replicas)
 
