@@ -478,3 +478,96 @@ def test_forget_makes_content_admissible_again(spark, tmp_path):
     r = ingest_batch(spark, store, b1, 2)
     assert r["admitted"] == 1
     assert sorted(r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()) == [2, 9]
+
+
+def test_ingest_partial_crash_recovers_exact_admitted_set(spark, tmp_path, monkeypatch):
+    """Crash between the corpus commit and the downstream hashes/bloom
+    commits: the replay must NOT recompute admission from live state
+    (the exact check would now see the batch's own hashes and admit
+    nothing, leaving bloom missing those bits — silent duplicate
+    admission later).  It must recover the corpus commit's exact row
+    set from the change feed and finish the chain."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    assert ingest_mod.ingest_batch(spark, store, b0, 0)["admitted"] == 1
+
+    # crash injection: let the corpus commit land, die before hashes
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:  # first call = corpus, second = hashes
+            raise RuntimeError("injected crash before hashes commit")
+        return real_commit(df, path, **kw)
+
+    b1 = spark.createDataFrame(
+        [(2, "gamma delta"), (3, "epsilon zeta")], "doc_id long, text string"
+    )
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # corpus has batch 1, hashes/bloom do not
+    assert acid_mod.last_txn_version(store.corpus, "ingest") == 1
+    assert acid_mod.last_txn_version(store.hashes, "ingest") == 0
+    assert acid_mod.last_txn_version(store.bloom, "ingest") == 0
+
+    # replay finishes the chain with the EXACT committed set
+    r = ingest_mod.ingest_batch(spark, store, b1, 1)
+    assert r == {"recovered_replay": True, "admitted": 2}
+    assert acid_mod.last_txn_version(store.bloom, "ingest") == 1
+    assert acid_mod.read_atomic(spark, store.hashes).count() == 3
+
+    # second replay: fully durable now, skipped whole
+    assert ingest_mod.ingest_batch(spark, store, b1, 1) == {"replay_skipped": True}
+
+    # the invariant the bug would break: batch-1 content re-offered in
+    # a LATER batch must be rejected (bloom has the bits, hashes the rows)
+    b2 = spark.createDataFrame([(9, "gamma  DELTA")], "doc_id long, text string")
+    r2 = ingest_mod.ingest_batch(spark, store, b2, 2)
+    assert r2["admitted"] == 0 and r2["maybe_seen"] == 1
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 3]
+
+
+def test_forget_partial_crash_replay_converges(spark, tmp_path, monkeypatch):
+    """forget crash between corpus and hashes commits: the replay
+    re-derives from live state (idempotent) and finishes the chain —
+    the forgotten content ends admissible again."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    ingest_mod.ingest_batch(spark, store, b0, 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    gone = spark.createDataFrame([(1,)], "doc_id long")
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.forget(spark, store, gone, 10)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # bloom cursor has not advanced -> replay runs and converges
+    r = ingest_mod.forget(spark, store, gone, 10)
+    assert r["removed"] == 0  # already gone from corpus; commits catch up
+    assert acid_mod.last_txn_version(store.bloom, "forget") == 10
+
+    # the content is admissible again end to end
+    b1 = spark.createDataFrame([(7, "ALPHA beta")], "doc_id long, text string")
+    assert ingest_mod.ingest_batch(spark, store, b1, 1)["admitted"] == 1

@@ -54,6 +54,66 @@ def _hashed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _recover_committed_batch(
+    spark: SparkSession, path: str, app_id: str, batch_id: int
+) -> DataFrame:
+    """The EXACT row set a crashed ingest appended to ``path`` under
+    (app_id, batch_id): find the snapshot whose app cursor first
+    reached batch_id and read that commit's file-level change feed.
+    This is the recovery source when a multi-table chain crashed
+    between commits — recomputing the batch from live state would
+    derive a DIFFERENT set (the already-committed tables have moved),
+    while the corpus commit itself is the durable record of what was
+    admitted."""
+    versions = sorted(h["version"] for h in acid.table_history(path))
+    hit = None
+    for h in sorted(acid.table_history(path), key=lambda h: h["version"]):
+        if h["app_versions"].get(app_id, -1) >= batch_id:
+            hit = h["version"]
+            break
+    if hit is None:  # caller checked the cursor; defensive
+        raise RuntimeError(f"no commit for ({app_id}, {batch_id}) in {path}")
+    idx = versions.index(hit)
+    prev = versions[idx - 1] if idx > 0 else None
+    feed = acid.changes_between(spark, path, prev, hit, row_level=False)
+    return feed.filter(F.col("_change_type") == "insert").drop("_change_type")
+
+
+def _commit_admitted(
+    spark: SparkSession,
+    store: IngestStore,
+    admitted: DataFrame,
+    batch_id: int,
+    app_id: str,
+) -> None:
+    """corpus → hashes → bloom commit chain for one batch's admitted
+    rows.  Each per-table commit is idempotent under (app_id,
+    batch_id), so re-running the chain after a partial crash only
+    performs the missing commits."""
+    acid.atomic_overwrite_partitions(
+        admitted, store.corpus, mode="append", txn_app=app_id, txn_version=batch_id
+    )
+    acid.atomic_overwrite_partitions(
+        admitted.select("content_hash"),
+        store.hashes,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    new_words = bloom_ops.bloom_build(
+        admitted, "content_hash", m_bits=store.m_bits, k=store.k
+    )
+    try:
+        existing = acid.read_atomic(spark, store.bloom)
+    except FileNotFoundError:
+        merged = new_words
+    else:
+        merged = bloom_ops.bloom_merge(existing, new_words)
+    acid.atomic_overwrite_partitions(
+        merged, store.bloom, txn_app=app_id, txn_version=batch_id
+    )
+
+
 def ingest_batch(
     spark: SparkSession,
     store: IngestStore,
@@ -65,11 +125,28 @@ def ingest_batch(
 ) -> dict:
     """Admit the batch's content-new documents; returns counts
     {'batch', 'in_batch_dups', 'definitely_new', 'maybe_seen',
-    'admitted'}.  Exactly-once per (app_id, batch_id): replays are
-    detected via the corpus table's txn cursor and skipped whole.
+    'admitted'}.  Exactly-once per (app_id, batch_id).
+
+    Crash consistency: the chain commits corpus → hashes → bloom, each
+    per-table commit idempotent under its (app, batch) txn id.  The
+    whole-batch replay check is against the LAST table in the chain
+    (bloom) — only then is the batch fully durable.  If a crash landed
+    the corpus commit but not the downstream ones, the replay does NOT
+    recompute the admitted set from live state (the hash/bloom probes
+    would now see the batch's own rows and derive a different —
+    bloom-breaking — set); it recovers the EXACT admitted rows from
+    the corpus commit's change feed and finishes the chain.
     """
-    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+    if acid.last_txn_version(store.bloom, app_id) >= batch_id:
         return {"replay_skipped": True}
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        # partial crash after the corpus commit: finish the chain from
+        # the durable record of what was admitted
+        admitted = _recover_committed_batch(
+            spark, store.corpus, app_id, batch_id
+        ).localCheckpoint(eager=True)
+        _commit_admitted(spark, store, admitted, batch_id, app_id)
+        return {"recovered_replay": True, "admitted": admitted.count()}
 
     hashed = _hashed(batch, text_col, id_col)
     n_batch = hashed.count()
@@ -106,28 +183,7 @@ def ingest_batch(
     n_maybe = maybe.count()
     n_admitted = admitted.count()
 
-    acid.atomic_overwrite_partitions(
-        admitted, store.corpus, mode="append", txn_app=app_id, txn_version=batch_id
-    )
-    acid.atomic_overwrite_partitions(
-        admitted.select("content_hash"),
-        store.hashes,
-        mode="append",
-        txn_app=app_id,
-        txn_version=batch_id,
-    )
-    new_words = bloom_ops.bloom_build(
-        admitted, "content_hash", m_bits=store.m_bits, k=store.k
-    )
-    try:
-        existing = acid.read_atomic(spark, store.bloom)
-    except FileNotFoundError:
-        merged = new_words
-    else:
-        merged = bloom_ops.bloom_merge(existing, new_words)
-    acid.atomic_overwrite_partitions(
-        merged, store.bloom, txn_app=app_id, txn_version=batch_id
-    )
+    _commit_admitted(spark, store, admitted, batch_id, app_id)
     return {
         "batch": n_batch,
         "in_batch_dups": n_batch - n_first,
@@ -159,8 +215,16 @@ def forget(
 
     Exactly-once per (app_id, batch_id) like ingest_batch; replays
     are whole-batch no-ops.  Returns {'removed': n}.
+
+    Crash consistency: the whole-batch replay check is against the
+    LAST table in the commit chain (bloom).  Unlike ingest_batch, a
+    partial-crash replay needs no change-feed recovery — re-deriving
+    from live state is naturally idempotent here (anti-joining keys
+    already removed from the corpus removes nothing more, and the
+    bloom rebuild is a pure function of the surviving hashes), and the
+    per-table commits skip themselves where already landed.
     """
-    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+    if acid.last_txn_version(store.bloom, app_id) >= batch_id:
         return {"replay_skipped": True}
     keys = F.broadcast(doc_ids.select(id_col).distinct())
     corpus = acid.read_atomic(spark, store.corpus)
