@@ -571,3 +571,109 @@ def test_forget_partial_crash_replay_converges(spark, tmp_path, monkeypatch):
     # the content is admissible again end to end
     b1 = spark.createDataFrame([(7, "ALPHA beta")], "doc_id long, text string")
     assert ingest_mod.ingest_batch(spark, store, b1, 1)["admitted"] == 1
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_ingest_rejects_in_batch_and_history(spark, tmp_path):
+    """The persistent band index: in-batch near-dups drop the larger
+    id, later batches' near-dups of ADMITTED history are rejected via
+    the index probe + exact Jaccard rerank, exact dups still go the
+    hash path, and the band table only ever holds admitted docs."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    b0 = _mk_docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1 (jaccard 8/9), not exact
+            (3, "totally different words about another topic entirely here now"),
+        ],
+    )
+    r0 = ingest_mod.ingest_batch_neardup(spark, store, b0, 0)
+    assert r0["admitted"] == 2 and r0["near_dup_rejected_in_batch"] == 1
+    assert sorted(
+        r.doc_id for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    ) == [1, 3]
+    # band index holds exactly the admitted docs
+    assert sorted(
+        set(r["__id"] for r in acid_mod.read_atomic(spark, store.bands).collect())
+    ) == [1, 3]
+
+    b1 = _mk_docs(
+        spark,
+        [
+            (10, base + " more"),   # near-dup of history doc 1
+            (11, base),             # EXACT dup of doc 1 -> hash path
+            (12, "completely fresh content nothing shared with anything prior at all"),
+        ],
+    )
+    r1 = ingest_mod.ingest_batch_neardup(spark, store, b1, 1)
+    assert r1["admitted"] == 1
+    assert r1["near_dup_rejected_history"] == 1
+    assert r1["content_new"] == 2  # exact dup died before the index probe
+    assert sorted(
+        r.doc_id for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    ) == [1, 3, 12]
+
+    # replay: whole-batch no-op
+    assert ingest_mod.ingest_batch_neardup(spark, store, b1, 1) == {
+        "replay_skipped": True
+    }
+
+
+def test_neardup_ingest_partial_crash_recovers_band_index(spark, tmp_path, monkeypatch):
+    """Crash before the bands commit: replay must finish the index from
+    the corpus commit's recovered rows — otherwise later near-dups of
+    that batch sail past the probe."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    base = "one two three four five six seven eight nine ten eleven twelve"
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 4:  # corpus, hashes, bloom ok; die on bands
+            raise RuntimeError("injected crash before bands commit")
+        return real_commit(df, path, **kw)
+
+    b0 = _mk_docs(spark, [(1, base)])
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch_neardup(spark, store, b0, 0)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    r = ingest_mod.ingest_batch_neardup(spark, store, b0, 0)
+    assert r == {"recovered_replay": True, "admitted": 1}
+    assert acid_mod.last_txn_version(store.bands, "ingest") == 0
+
+    # the index now protects against near-dups of the recovered batch
+    b1 = _mk_docs(spark, [(2, base + " thirteen")])
+    r1 = ingest_mod.ingest_batch_neardup(spark, store, b1, 1)
+    assert r1["admitted"] == 0 and r1["near_dup_rejected_history"] == 1
+
+
+def test_pair_jaccard_rerank_is_exact(spark):
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import _pair_jaccard
+
+    df = spark.createDataFrame(
+        [
+            ("a b c d e f", "a b c d e f"),        # identical: j = 1.0
+            ("a b c d e f", "a b c d e g"),        # 2 shingles, 1 shared: 1/3
+            ("a b c d e", "v w x y z"),            # disjoint singles: 0.0
+        ],
+        "ta string, tb string",
+    )
+    js = [r["__j"] for r in _pair_jaccard(df, "ta", "tb", 5).collect()]
+    assert js[0] == 1.0
+    assert abs(js[1] - 1 / 3) < 1e-12
+    assert js[2] == 0.0

@@ -37,12 +37,14 @@ from tiki_e_commerce_analytics_etl_spark.operators import bloom as bloom_ops
 
 
 class IngestStore:
-    """Paths of the three acid tables backing one corpus."""
+    """Paths of the acid tables backing one corpus (``bands`` is only
+    materialized by the near-dup variant)."""
 
     def __init__(self, root: str, m_bits: int = 1 << 20, k: int = 4) -> None:
         self.corpus = f"{root}/corpus"
         self.hashes = f"{root}/hashes"
         self.bloom = f"{root}/bloom"
+        self.bands = f"{root}/bands"
         self.m_bits = m_bits
         self.k = k
 
@@ -77,6 +79,46 @@ def _recover_committed_batch(
     prev = versions[idx - 1] if idx > 0 else None
     feed = acid.changes_between(spark, path, prev, hit, row_level=False)
     return feed.filter(F.col("_change_type") == "insert").drop("_change_type")
+
+
+def _first_per_hash(hashed: DataFrame, id_col: str) -> DataFrame:
+    """In-batch dedup: smallest id wins per content hash."""
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.min_by(F.struct(*hashed.columns), F.col(id_col)).alias("r"))
+        .select("r.*")
+    )
+
+
+def _exact_new(
+    spark: SparkSession, store: IngestStore, first: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split in-batch-deduped rows into (definitely_new, maybe_seen,
+    confirmed_new): bloom-negative rows skip the exact check entirely
+    (no false negatives), only the maybe-seen sliver joins the hash
+    table."""
+    try:
+        words = acid.read_atomic(spark, store.bloom)
+    except FileNotFoundError:
+        words = None
+
+    if words is None:
+        definitely_new, maybe = first, first.limit(0)
+    else:
+        flags = bloom_ops.bloom_probe(
+            first, words, "content_hash", m_bits=store.m_bits, k=store.k
+        )
+        with_flag = first.join(flags, "content_hash")
+        definitely_new = with_flag.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = with_flag.where(F.col("maybe_seen")).drop("maybe_seen")
+
+    try:
+        seen = acid.read_atomic(spark, store.hashes)
+    except FileNotFoundError:
+        confirmed_new = maybe
+    else:
+        confirmed_new = maybe.join(seen, "content_hash", "left_anti")
+    return definitely_new, maybe, confirmed_new
 
 
 def _commit_admitted(
@@ -150,33 +192,8 @@ def ingest_batch(
 
     hashed = _hashed(batch, text_col, id_col)
     n_batch = hashed.count()
-    # in-batch dedup: smallest id wins per content hash
-    first = hashed.groupBy("content_hash").agg(
-        F.min_by(F.struct(*hashed.columns), F.col(id_col)).alias("r")
-    ).select("r.*")
-
-    try:
-        words = acid.read_atomic(spark, store.bloom)
-    except FileNotFoundError:
-        words = None
-
-    if words is None:
-        definitely_new, maybe = first, first.limit(0)
-    else:
-        flags = bloom_ops.bloom_probe(
-            first, words, "content_hash", m_bits=store.m_bits, k=store.k
-        )
-        with_flag = first.join(flags, "content_hash")
-        definitely_new = with_flag.where(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe = with_flag.where(F.col("maybe_seen")).drop("maybe_seen")
-
-    # exact check ONLY for the maybe-seen sliver
-    try:
-        seen = acid.read_atomic(spark, store.hashes)
-    except FileNotFoundError:
-        confirmed_new = maybe
-    else:
-        confirmed_new = maybe.join(seen, "content_hash", "left_anti")
+    first = _first_per_hash(hashed, id_col)
+    definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
 
     admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
     n_first = first.count()
@@ -245,3 +262,168 @@ def forget(
         rebuilt, store.bloom, txn_app=app_id, txn_version=batch_id
     )
     return {"removed": n_removed}
+
+
+def _pair_jaccard(df: DataFrame, a_text: str, b_text: str, shingle_k: int) -> DataFrame:
+    """Adds ``__j`` = word-shingle Jaccard of two text columns.  The
+    shingle arrays are materialized as columns FIRST — referencing
+    them inline in intersect+union would re-tokenize each side twice
+    per row (the higher-order-function re-evaluation trap)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import shingles
+
+    return (
+        df.withColumn("__sa", F.array_distinct(shingles(F.col(a_text), shingle_k)))
+        .withColumn("__sb", F.array_distinct(shingles(F.col(b_text), shingle_k)))
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+    )
+
+
+def _band_rows(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, shingle_k: int
+) -> DataFrame:
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import minhash_band_rows
+
+    return minhash_band_rows(df, text_col, id_col, num_hashes, bands, shingle_k)
+
+
+def ingest_batch_neardup(
+    spark: SparkSession,
+    store: IngestStore,
+    batch: DataFrame,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "ingest",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> dict:
+    """``ingest_batch`` extended with history-wide NEAR-duplicate
+    rejection at index cost: a persistent MinHash band table (one
+    ``bands`` rows per admitted doc) is the LSH index of everything
+    ever admitted.  Per batch, after the exact content screen:
+
+    1. band rows for the content-new docs (one vectorized Arrow stage);
+    2. candidates = equi-join of those rows against the band index on
+       (band, band_hash) — O(batch × bucket occupancy), NEVER a scan
+       of corpus text; plus the in-batch bucket pairs;
+    3. exact shingle-Jaccard rerank of the candidate sliver only (the
+       corpus body is touched only for candidate old-ids — a point
+       lookup join);
+    4. rejected: any new doc with a verified history match, and the
+       LARGER id of each verified in-batch pair (greedy —
+       conservative: a doc whose only match was itself dropped is
+       still dropped, the standard first-wins LSH-dedup compromise);
+    5. survivors append to corpus/hashes/bloom AND their band rows to
+       the index.
+
+    Commit chain corpus → hashes → bloom → bands; whole-batch replay
+    cursor on the LAST table (bands); a partial crash after the corpus
+    commit replays via the change-feed recovery (band rows are a pure
+    function of the recovered rows, so the index commit is
+    reconstructible).
+    """
+    if acid.last_txn_version(store.bands, app_id) >= batch_id:
+        return {"replay_skipped": True}
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        admitted = _recover_committed_batch(
+            spark, store.corpus, app_id, batch_id
+        ).localCheckpoint(eager=True)
+        _commit_admitted(spark, store, admitted, batch_id, app_id)
+        acid.atomic_overwrite_partitions(
+            _band_rows(admitted, text_col, id_col, num_hashes, bands, shingle_k),
+            store.bands,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+        return {"recovered_replay": True, "admitted": admitted.count()}
+
+    hashed = _hashed(batch, text_col, id_col)
+    n_batch = hashed.count()
+    first = _first_per_hash(hashed, id_col)
+    definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
+    content_new = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+
+    new_bands = _band_rows(
+        content_new, text_col, id_col, num_hashes, bands, shingle_k
+    ).localCheckpoint(eager=True)
+    texts_new = content_new.select(
+        F.col(id_col).alias("__nid"), F.col(text_col).alias("__new_text")
+    )
+
+    # history candidates -> exact rerank on the sliver
+    try:
+        hist = acid.read_atomic(spark, store.bands)
+    except FileNotFoundError:
+        hist = None
+    rejected_hist = content_new.select(F.col(id_col)).limit(0)
+    n_rej_hist = 0
+    if hist is not None:
+        cand = (
+            new_bands.join(
+                hist.withColumnRenamed("__id", "__oid"), ["band", "band_hash"]
+            )
+            .select(F.col("__id").alias("__nid"), "__oid")
+            .distinct()
+        )
+        old_texts = acid.read_atomic(spark, store.corpus).select(
+            F.col(id_col).alias("__oid"), F.col(text_col).alias("__old_text")
+        )
+        verified = _pair_jaccard(
+            cand.join(texts_new, "__nid").join(old_texts, "__oid"),
+            "__new_text",
+            "__old_text",
+            shingle_k,
+        ).filter(F.col("__j") >= jaccard_threshold)
+        rejected_hist = verified.select(F.col("__nid").alias(id_col)).distinct()
+        n_rej_hist = rejected_hist.count()
+
+    # in-batch candidates: bucket pairs among the new rows only
+    cand_b = (
+        new_bands.alias("x")
+        .join(new_bands.alias("y"), ["band", "band_hash"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(F.col("x.__id").alias("__ida"), F.col("y.__id").alias("__idb"))
+        .distinct()
+    )
+    verified_b = _pair_jaccard(
+        cand_b.join(texts_new.withColumnRenamed("__nid", "__ida").withColumnRenamed("__new_text", "__ta"), "__ida")
+        .join(texts_new.withColumnRenamed("__nid", "__idb").withColumnRenamed("__new_text", "__tb"), "__idb"),
+        "__ta",
+        "__tb",
+        shingle_k,
+    ).filter(F.col("__j") >= jaccard_threshold)
+    rejected_batch = verified_b.select(F.col("__idb").alias(id_col)).distinct()
+    n_rej_batch = rejected_batch.count()
+
+    rejected = rejected_hist.unionByName(rejected_batch).distinct()
+    admitted = content_new.join(rejected, id_col, "left_anti").localCheckpoint(eager=True)
+
+    n_first = first.count()
+    n_content_new = content_new.count()
+    n_admitted = admitted.count()
+
+    _commit_admitted(spark, store, admitted, batch_id, app_id)
+    acid.atomic_overwrite_partitions(
+        new_bands.join(
+            admitted.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+        ),
+        store.bands,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    return {
+        "batch": n_batch,
+        "in_batch_dups": n_batch - n_first,
+        "content_new": n_content_new,
+        "near_dup_rejected_history": n_rej_hist,
+        "near_dup_rejected_in_batch": n_rej_batch,
+        "admitted": n_admitted,
+    }
