@@ -925,6 +925,28 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.decontaminate(corpus, eval_set, "text", "doc_id", k=8)
 
 
+def q_rolling_actives_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path gate for rolling actives: per-day HLL sketches,
+    trailing-7-day answers by sketch UNION (mergeable state, O(days ×
+    sketch) not O(users × days)).  Estimates are engine-specific, so
+    the driver-visible result is the exact count plus a ≤10% relative
+    error boolean per day (the sketch_summary pattern; HLL rsd ~1.6%
+    at default config)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    events = read_table(spark, sf_dir, "events")
+    exact = engagement.rolling_active_users(events, "user_id", "ts", window_days=7)
+    approx = engagement.rolling_active_users_hll(events, "user_id", "ts", window_days=7)
+    return exact.join(approx, "day").select(
+        "day",
+        F.col("active_7d").alias("exact_7d"),
+        (
+            F.abs(F.col("approx_7d") - F.col("active_7d")) / F.col("active_7d")
+            <= F.lit(0.10)
+        ).alias("approx_ok"),
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: max cosine of every corpus
     vector against the broadcast eval slice (vec_id < 20) — catches
@@ -2355,6 +2377,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rarity_score": q_rarity_score,
         "subword_vocab": q_subword_vocab,
         "subword_tokenize": q_subword_tokenize,
+        "rolling_actives_sketch": q_rolling_actives_sketch,
     }
 
 
@@ -3921,6 +3944,18 @@ def oracle_sql() -> dict[str, str]:
             FROM dates d
             CROSS JOIN kws k
             LEFT JOIN scores s ON s.date = d.date AND s.keyword = k.keyword
+        """,
+        "rolling_actives_sketch": """
+            WITH pairs AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS usr FROM events
+            ),
+            dau AS (SELECT day FROM pairs GROUP BY day),
+            rolled AS (
+                SELECT d.day AS day, COUNT(DISTINCT p.usr) AS exact_7d
+                FROM dau d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+                GROUP BY d.day
+            )
+            SELECT day, exact_7d, TRUE AS approx_ok FROM rolled
         """,
         "rolling_active_users": """
             WITH pairs AS (

@@ -151,3 +151,19 @@ def test_basket_pairs_min_count_filter(spark):
     )
     got = engagement.basket_pairs(df, "basket", "item", min_pair_count=2).collect()
     assert [(r["item_a"], r["item_b"], r["pair_count"]) for r in got] == [(1, 2, 2)]
+
+
+def test_rolling_active_users_hll_tracks_exact(spark):
+    rows = [(u, d, u % 24) for u in range(200) for d in range(10) if (u + d) % 3]
+    ev = _events(spark, rows)
+    exact = {
+        r["day"]: r["active_7d"]
+        for r in engagement.rolling_active_users(ev, window_days=7).collect()
+    }
+    approx = {
+        r["day"]: r["approx_7d"]
+        for r in engagement.rolling_active_users_hll(ev, window_days=7).collect()
+    }
+    assert set(approx) == set(exact)  # same observed-day reporting set
+    for d, e in exact.items():
+        assert abs(approx[d] - e) / e <= 0.10

@@ -71,6 +71,7 @@ QUERIES = [
     "rarity_score",
     "subword_vocab",
     "subword_tokenize",
+    "rolling_actives_sketch",  # HLL register maxes are order-insensitive
 ]
 
 

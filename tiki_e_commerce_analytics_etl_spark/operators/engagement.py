@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "rolling_active_users",
+    "rolling_active_users_hll",
     "cohort_retention",
     "rfm_scores",
     "basket_pairs",
@@ -72,6 +73,45 @@ def rolling_active_users(
     # inner join = restrict to observed days (rolled also carries up to
     # W-1 days past the last observed day — extrapolation, dropped)
     return dau.join(rolled, "day")
+
+
+def rolling_active_users_hll(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Sketch-mergeable scale path for ``rolling_active_users``: one
+    HLL sketch per day (``hll_sketch_agg``), trailing windows answered
+    by UNIONING the ≤W daily sketches (``hll_union_agg``) — state is
+    O(days × sketch_size) instead of O(users × days), and the daily
+    sketch table is exactly the incrementally-maintainable shape
+    (new events fold into their day's sketch; see
+    ``merge.incremental_distinct`` for the CDC-fed variant).
+
+    Estimates carry HLL error (~1.6% at the default lgConfigK=12); the
+    registered gate asserts ≤10% against the exact path per day.
+    Returns (day, approx_{W}d).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.col(ts_col).cast("date")
+    daily = (
+        df.select(day.alias("d"), F.col(user_col).alias("usr"))
+        .groupBy("d")
+        .agg(F.expr("hll_sketch_agg(usr)").alias("sk"))
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))).alias(
+            "day"
+        ),
+        "sk",
+    )
+    rolled = contrib.groupBy("day").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(f"approx_{window_days}d")
+    )
+    # observed days only, same reporting set as the exact path
+    return rolled.join(daily.select(F.col("d").alias("day")), "day")
 
 
 def cohort_retention(
