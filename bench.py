@@ -160,6 +160,14 @@ def main() -> None:
         # statistics.median, not sorted()[n//2]: the latter is the
         # upper-middle element (biased high) for even rep counts.
         timings[name] = round(statistics.median(runs), 3)
+        # Spark's ContextCleaner frees dead shuffle files / broadcasts
+        # only when the JVM GC collects their driver-side references;
+        # over ~80 queries x 4 executions the backlog grows until a
+        # mid-query full GC lands the cost on whichever query is
+        # running (measured: curation_pipeline 3.4 s standalone but
+        # 12-20 s late in the suite).  Collect between queries so the
+        # cleanup is never billed to a measured rep.
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     # The stdout line must stay SHORT (medians only): the driver
