@@ -947,6 +947,23 @@ def q_rolling_actives_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion z-test over events (variant =
+    user_id parity): exact integer counts, IEEE-deterministic z
+    arithmetic — no float sums anywhere (engagement.ab_conversion)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    events = read_table(spark, sf_dir, "events")
+    return engagement.ab_conversion(
+        events.withColumn("variant", F.pmod(F.col("user_id"), F.lit(2))),
+        "user_id",
+        "variant",
+        "event_type",
+        "view",
+        "purchase",
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: max cosine of every corpus
     vector against the broadcast eval slice (vec_id < 20) — catches
@@ -2378,6 +2395,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_vocab": q_subword_vocab,
         "subword_tokenize": q_subword_tokenize,
         "rolling_actives_sketch": q_rolling_actives_sketch,
+        "ab_test": q_ab_test,
     }
 
 
@@ -3944,6 +3962,40 @@ def oracle_sql() -> dict[str, str]:
             FROM dates d
             CROSS JOIN kws k
             LEFT JOIN scores s ON s.date = d.date AND s.keyword = k.keyword
+        """,
+        "ab_test": """
+            WITH exposed AS (
+                SELECT DISTINCT user_id % 2 AS variant, user_id AS usr
+                FROM events WHERE event_type = 'view'
+            ),
+            conv AS (
+                SELECT DISTINCT user_id AS usr FROM events
+                WHERE event_type = 'purchase'
+            ),
+            flagged AS (
+                SELECT e.variant, (c.usr IS NOT NULL) AS is_conv
+                FROM exposed e LEFT JOIN conv c ON e.usr = c.usr
+            ),
+            s AS (
+                SELECT
+                    COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+                    COUNT(CASE WHEN variant = 0 AND is_conv THEN 1 END) AS c_a,
+                    COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+                    COUNT(CASE WHEN variant = 1 AND is_conv THEN 1 END) AS c_b
+                FROM flagged
+            )
+            SELECT n_a, c_a, n_b, c_b,
+                   c_a / n_a AS rate_a,
+                   c_b / n_b AS rate_b,
+                   (c_b / n_b - c_a / n_a)
+                     / sqrt((c_a + c_b) / (n_a + n_b)
+                            * (1 - (c_a + c_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
+                   ABS((c_b / n_b - c_a / n_a)
+                     / sqrt((c_a + c_b) / (n_a + n_b)
+                            * (1 - (c_a + c_b) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+            FROM s
         """,
         "rolling_actives_sketch": """
             WITH pairs AS (

@@ -104,6 +104,7 @@ HEADLINE = [
     "subword_vocab",
     "subword_tokenize",
     "rolling_actives_sketch",
+    "ab_test",
 ]
 
 

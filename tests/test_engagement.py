@@ -167,3 +167,26 @@ def test_rolling_active_users_hll_tracks_exact(spark):
     assert set(approx) == set(exact)  # same observed-day reporting set
     for d, e in exact.items():
         assert abs(approx[d] - e) / e <= 0.10
+
+
+def test_ab_conversion_model(spark):
+    import math
+
+    # variant 0: users 0,2,4,6 exposed, 0,2 converted (50%)
+    # variant 1: users 1,3,5 exposed, 1 converted (33%); user 7
+    # converted but never exposed -> excluded from both sides
+    rows = []
+    for u in [0, 1, 2, 3, 4, 5, 6]:
+        rows.append((u, u % 2, "view"))
+    for u in [0, 2, 1, 7]:
+        rows.append((u, u % 2, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, variant long, event_type string")
+    r = engagement.ab_conversion(
+        df, "user_id", "variant", "event_type", "view", "purchase"
+    ).collect()[0]
+    assert (r["n_a"], r["c_a"], r["n_b"], r["c_b"]) == (4, 2, 3, 1)
+    p_a, p_b = 2 / 4, 1 / 3
+    pool = 3 / 7
+    se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 3))
+    assert r["z_stat"] == (p_b - p_a) / se
+    assert not r["significant"]

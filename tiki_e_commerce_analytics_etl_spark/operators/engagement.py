@@ -36,6 +36,7 @@ __all__ = [
     "rolling_active_users_hll",
     "cohort_retention",
     "rfm_scores",
+    "ab_conversion",
     "basket_pairs",
 ]
 
@@ -215,6 +216,64 @@ def rfm_scores(
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ),
+    )
+
+
+def ab_conversion(
+    df: DataFrame,
+    user_col: str,
+    variant_col: str,
+    event_col: str,
+    exposure_event: str,
+    conversion_event: str,
+    z_crit: float = 1.96,
+) -> DataFrame:
+    """Two-proportion A/B conversion test: per variant (values 0/1 in
+    ``variant_col``), distinct users exposed (saw ``exposure_event``)
+    and of those, distinct users who converted (``conversion_event``),
+    plus the pooled two-proportion z-statistic and a significance flag
+    at ``z_crit``.
+
+    One distinct-user shuffle and one global single-row aggregation —
+    the counts are exact integers, and every float in the z arithmetic
+    (division, sqrt) is a correctly-rounded IEEE op on integer-derived
+    values, so the statistic is bit-identical across engines and
+    partitionings (no float SUMS anywhere).
+    """
+    exposed = (
+        df.filter(F.col(event_col) == exposure_event)
+        .select(F.col(variant_col).alias("variant"), F.col(user_col).alias("usr"))
+        .distinct()
+    )
+    converted = (
+        df.filter(F.col(event_col) == conversion_event)
+        .select(F.col(user_col).alias("usr"))
+        .distinct()
+        .withColumn("__conv", F.lit(True))
+    )
+    flagged = exposed.join(converted, "usr", "left").select(
+        "variant", F.coalesce("__conv", F.lit(False)).alias("__conv")
+    )
+    s = flagged.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when((F.col("variant") == 0) & F.col("__conv"), 1)).alias("c_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.count(F.when((F.col("variant") == 1) & F.col("__conv"), 1)).alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    z = (p_b - p_a) / se
+    return s.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(z_crit)).alias("significant"),
     )
 
 
