@@ -142,6 +142,25 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     s = ml_ops.accuracy_summary(pred, "label", threshold=0.7).collect()[0]
     acc = s.n_correct / s.n_test
     out.append(("classifier_eval.accuracy", acc, 0.7, (acc - 0.7) / 0.7))
+
+    # rolling_actives_sketch: worst per-day relative error of the HLL
+    # window union vs the exact path, bound 10% (HLL rsd ~1.6%)
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    ev = read_table(spark, sf_dir, "events")
+    exact_w = engagement.rolling_active_users(ev, "user_id", "ts", window_days=7)
+    approx_w = engagement.rolling_active_users_hll(ev, "user_id", "ts", window_days=7)
+    row = (
+        exact_w.join(approx_w, "day")
+        .agg(
+            F.max(
+                F.abs(F.col("approx_7d") - F.col("active_7d")) / F.col("active_7d")
+            ).alias("e")
+        )
+        .collect()[0]
+    )
+    err = float(row["e"])
+    out.append(("rolling_actives_hll.err", err, 0.10, (0.10 - err) / 0.10))
     return out
 
 
