@@ -1795,6 +1795,32 @@ def q_scd2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension consumption: every (product, observed
+    day) joined to the SCD2 price version valid THAT day — key
+    equi-join with the interval residual, one shuffle, no range
+    binning (merge.scd2_lookup over scd2_from_history's output)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import (
+        scd2_from_history,
+        scd2_lookup,
+    )
+
+    inp = tdm.build_mart_inputs(spark, sf_dir)
+    daily = (
+        inp["fact"]
+        .groupBy("product_id", "snapshot_date")
+        .agg(F.max(F.col("current_price").cast("decimal(18,2)")).alias("price"))
+    )
+    dim = scd2_from_history(daily, ["product_id"], ["price"], "snapshot_date")
+    probes = daily.select("product_id", "snapshot_date")
+    return scd2_lookup(probes, dim, ["product_id"], "snapshot_date").select(
+        "product_id",
+        "snapshot_date",
+        F.col("price").cast("double").alias("price"),
+        "valid_from",
+    )
+
+
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank, cume_dist) over
     per-part price partitions — fine-grained keys so no partition
@@ -2396,6 +2422,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subword_tokenize": q_subword_tokenize,
         "rolling_actives_sketch": q_rolling_actives_sketch,
         "ab_test": q_ab_test,
+        "scd2_lookup": q_scd2_lookup,
     }
 
 
@@ -3668,6 +3695,44 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(lead(valid_from) OVER (PARTITION BY product_id ORDER BY ver),
                             DATE '9999-12-31') AS valid_to
             FROM spans
+        """,
+        "scd2_lookup": f"""
+            WITH {tdm.MART_CTES},
+            daily AS (
+                SELECT product_id, snapshot_date,
+                       MAX(CAST(current_price AS DECIMAL(18,2))) AS price
+                FROM fact GROUP BY product_id, snapshot_date
+            ),
+            flagged AS (
+                SELECT product_id, snapshot_date, price,
+                       CASE WHEN lag(price) OVER w IS DISTINCT FROM price
+                            THEN 1 ELSE 0 END AS chg
+                FROM daily
+                WINDOW w AS (PARTITION BY product_id ORDER BY snapshot_date)
+            ),
+            versioned AS (
+                SELECT product_id, snapshot_date, price,
+                       SUM(chg) OVER (PARTITION BY product_id ORDER BY snapshot_date
+                                      ROWS UNBOUNDED PRECEDING) AS ver
+                FROM flagged
+            ),
+            spans AS (
+                SELECT product_id, ver, ANY_VALUE(price) AS price,
+                       MIN(snapshot_date) AS valid_from
+                FROM versioned GROUP BY product_id, ver
+            ),
+            dim AS (
+                SELECT product_id, price, valid_from,
+                       lead(valid_from) OVER (PARTITION BY product_id ORDER BY ver)
+                           AS valid_to
+                FROM spans
+            )
+            SELECT d.product_id, d.snapshot_date,
+                   CAST(s.price AS DOUBLE) AS price, s.valid_from
+            FROM daily d JOIN dim s
+              ON s.product_id = d.product_id
+             AND d.snapshot_date >= s.valid_from
+             AND (s.valid_to IS NULL OR d.snapshot_date < s.valid_to)
         """,
         "window_distribution": """
             SELECT l_partkey, l_orderkey, l_linenumber,

@@ -105,6 +105,7 @@ HEADLINE = [
     "subword_tokenize",
     "rolling_actives_sketch",
     "ab_test",
+    "scd2_lookup",
 ]
 
 

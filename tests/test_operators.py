@@ -697,3 +697,48 @@ def test_incremental_distinct_folds_and_estimates(spark):
     extra = spark.createDataFrame([(9, "z1"), (9, "z2")], "k int, v string")
     f2 = {r.k: r.v_approx_distinct for r in incremental_distinct(folded, extra, ["k"], "v").collect()}
     assert abs(f2[9] - 2) < 0.5 and abs(f2[0] - 250) / 250 < 0.05
+
+
+def test_scd2_lookup_point_in_time(spark):
+    """Each probe lands in exactly its valid interval; the open
+    version (NULL valid_to) catches everything after the last change;
+    probes before the first version drop under inner join."""
+    import datetime as dt
+
+    from tiki_e_commerce_analytics_etl_spark.operators.merge import scd2_lookup
+
+    d = lambda i: dt.date(2024, 1, i)
+    dim = spark.createDataFrame(
+        [
+            (1, 100.0, d(10), d(20)),
+            (1, 150.0, d(20), None),   # open version
+            (2, 9.0, d(1), None),
+        ],
+        "k long, price double, valid_from date, valid_to date",
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, d(10)),  # inclusive lower bound -> 100
+            (1, d(19)),  # last day of v1 -> 100
+            (1, d(20)),  # exclusive upper bound -> 150 (v2)
+            (1, d(28)),  # open version -> 150
+            (1, d(5)),   # before first version -> dropped
+            (2, d(2)),   # other key -> 9
+        ],
+        "k long, ts date",
+    )
+    out = {
+        (r["k"], r["ts"]): r["price"]
+        for r in scd2_lookup(probes, dim, ["k"], "ts").collect()
+    }
+    assert out == {
+        (1, d(10)): 100.0,
+        (1, d(19)): 100.0,
+        (1, d(20)): 150.0,
+        (1, d(28)): 150.0,
+        (2, d(2)): 9.0,
+    }
+    # the key equalities must reach the join as equi-keys: no
+    # cartesian/nested-loop in the physical plan
+    plan = scd2_lookup(probes, dim, ["k"], "ts")._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -148,6 +148,44 @@ def scd2_from_history(
     )
 
 
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time dimension lookup: each fact row joins the SCD2
+    version valid at its timestamp — key equality plus
+    ``valid_from <= ts < valid_to`` (NULL valid_to = open version).
+
+    Catalyst extracts the key equalities into a hash/sort-merge join
+    with the interval predicate as a residual filter, so this is ONE
+    key shuffle with no range binning: per-key version intervals are
+    non-overlapping by construction (each fact row matches at most
+    one), and versions per key are bounded by the change calendar, not
+    data volume — the dim side stays dimension-sized.  This is the
+    dimensional-modeling consumption step for ``scd2_from_history``'s
+    output (the reference's SCD1 overwrites cannot answer "what was
+    the price THEN" at all).
+    """
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (facts[ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+    )
+    joined = facts.join(dim, cond, how)
+    for k in keys:
+        joined = joined.drop(dim[k])
+    return joined
+
+
 def combine_aggregates(
     existing: DataFrame | None,
     delta: DataFrame,
