@@ -415,3 +415,57 @@ def test_bloom_merge_sink_maintains_membership(spark, tmp_path):
 
     oneshot = bloom.bloom_build(b0.unionByName(b1), "k", m_bits=m, k=4)
     assert sorted(map(tuple, words.collect())) == sorted(map(tuple, oneshot.collect()))
+
+
+def test_streaming_ingest_sink_neardup_exactly_once(spark, tmp_path):
+    """foreachBatch face of the incremental ingest: micro-batches run
+    the full admission pipeline (exact + band-index near-dup) with the
+    batch id as the txn version; a second availableNow run on the same
+    checkpoint re-delivers nothing new and replays are no-ops."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import IngestStore
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    schema = "doc_id long, text string"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    spark.createDataFrame(
+        [(1, base), (2, "wholly different content on another subject entirely")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_ingest(store, near_dup=True))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()
+    ) == [1, 2]
+
+    # second delivery: an exact dup, a near-dup of history, a new doc
+    spark.createDataFrame(
+        [(3, base), (4, base + " extra"), (5, "brand new text with its own words here")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    assert sorted(
+        r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()
+    ) == [1, 2, 5]
+
+    # idempotent restart: nothing new to deliver, state unchanged
+    run_once()
+    assert sorted(
+        r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()
+    ) == [1, 2, 5]

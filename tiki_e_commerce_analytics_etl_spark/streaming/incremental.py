@@ -187,3 +187,43 @@ def foreach_batch_bloom_merge(
         )
 
     return apply
+
+
+def foreach_batch_ingest(
+    store,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "stream-ingest",
+    near_dup: bool = False,
+    **kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming face of the incremental corpus ingest
+    (pipelines/ingest.py): each micro-batch runs the full admission
+    pipeline — in-batch dedup, bloom-gated history-wide exact dedup,
+    and (``near_dup=True``) the persistent-band-index near-duplicate
+    screen — with the micro-batch id as the exactly-once transaction
+    version.  Restart replays are whole-batch no-ops, and a crash
+    inside the multi-table commit chain recovers via the corpus
+    change feed on the next delivery of the same batch id (the
+    pipeline's own crash-consistency protocol; the streaming engine
+    redelivers the batch from the checkpoint).
+
+    ``kwargs`` pass through to ingest_batch_neardup (num_hashes,
+    bands, shingle_k, jaccard_threshold) when ``near_dup`` is set.
+    """
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if near_dup:
+            ingest_mod.ingest_batch_neardup(
+                spark, store, batch, batch_id,
+                text_col=text_col, id_col=id_col, app_id=app_id, **kwargs,
+            )
+        else:
+            ingest_mod.ingest_batch(
+                spark, store, batch, batch_id,
+                text_col=text_col, id_col=id_col, app_id=app_id,
+            )
+
+    return apply
