@@ -964,6 +964,17 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF ("also bought"): top-5 co-occurring parts per part
+    by binary-vector cosine over order baskets — mirrored pairs + one
+    fine-grained window, deterministic tiebreak
+    (engagement.item_neighbors)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return engagement.item_neighbors(li, "l_orderkey", "l_partkey", k=5, min_pair_count=2)
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination: max cosine of every corpus
     vector against the broadcast eval slice (vec_id < 20) — catches
@@ -2423,6 +2434,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_actives_sketch": q_rolling_actives_sketch,
         "ab_test": q_ab_test,
         "scd2_lookup": q_scd2_lookup,
+        "item_neighbors": q_item_neighbors,
     }
 
 
@@ -4160,6 +4172,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN item_n na ON na.item = pairs.item_a
             JOIN item_n nb ON nb.item = pairs.item_b
             CROSS JOIN total
+        """,
+        "item_neighbors": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+            ),
+            item_n AS (SELECT item, COUNT(*) AS n_item FROM items GROUP BY item),
+            pairs AS (
+                SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_count
+                FROM items a JOIN items b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY a.item, b.item
+                HAVING COUNT(*) >= 2
+            ),
+            sym AS (
+                SELECT item_a AS item, item_b AS neighbor, pair_count FROM pairs
+                UNION ALL
+                SELECT item_b AS item, item_a AS neighbor, pair_count FROM pairs
+            ),
+            scored AS (
+                SELECT s.item, s.neighbor, s.pair_count,
+                       s.pair_count / sqrt(CAST(ni.n_item * nn.n_item AS DOUBLE))
+                           AS score
+                FROM sym s
+                JOIN item_n ni ON ni.item = s.item
+                JOIN item_n nn ON nn.item = s.neighbor
+            )
+            SELECT item, neighbor, pair_count, score, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY item ORDER BY score DESC, neighbor ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         "semantic_decontaminate": """
             WITH e AS (

@@ -106,6 +106,7 @@ HEADLINE = [
     "rolling_actives_sketch",
     "ab_test",
     "scd2_lookup",
+    "item_neighbors",
 ]
 
 

@@ -190,3 +190,29 @@ def test_ab_conversion_model(spark):
     se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 3))
     assert r["z_stat"] == (p_b - p_a) / se
     assert not r["significant"]
+
+
+def test_item_neighbors_model(spark):
+    import math
+
+    baskets = {1: [10, 20, 30], 2: [10, 20], 3: [10, 20, 40], 4: [30, 40]}
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r["item"], r["neighbor"]): (r["pair_count"], r["score"], r["rank"])
+        for r in engagement.item_neighbors(df, "basket", "item", k=2, min_pair_count=1).collect()
+    }
+    n = Counter(i for s in baskets.values() for i in set(s))
+    pc = Counter()
+    for s in baskets.values():
+        for a, b in itertools.combinations(sorted(set(s)), 2):
+            pc[(a, b)] += 1
+    # (10,20) co-occur 3x of n10=3, n20=3 -> cosine 1.0, mutual rank 1
+    assert got[(10, 20)][1] == 3 / math.sqrt(3 * 3) == 1.0
+    assert got[(10, 20)][2] == 1 and got[(20, 10)][2] == 1
+    # every emitted score matches the model and k bounds hold per item
+    for (a, b), (c, s, rk) in got.items():
+        key = (min(a, b), max(a, b))
+        assert c == pc[key]
+        assert s == c / math.sqrt(n[a] * n[b])
+        assert rk <= 2

@@ -28,7 +28,7 @@ avoids:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "rfm_scores",
     "ab_conversion",
     "basket_pairs",
+    "item_neighbors",
 ]
 
 
@@ -216,6 +217,65 @@ def rfm_scores(
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ),
+    )
+
+
+def item_neighbors(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Item-item collaborative filtering ("customers who bought X also
+    bought Y"): per item, the top-k co-occurring items ranked by
+    cosine over basket-membership vectors —
+
+        score(a, b) = pair_count / sqrt(n_a * n_b)
+
+    (binary-vector cosine; a single correctly-rounded sqrt + divide on
+    integer-derived values, so scores are bit-exact and partition-
+    invariant).  Built on ``basket_pairs``'s per-basket equi-join; the
+    unordered pairs are mirrored so every item gets a neighbor list,
+    then one window ranks per item with a deterministic (score DESC,
+    neighbor ASC) tiebreak.  The window partitions on the item key —
+    fine-grained, no global sort.
+    """
+    pairs = basket_pairs(df, basket_col, item_col, min_pair_count=min_pair_count)
+    base = pairs.select("item_a", "item_b", "pair_count")
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    sym = base.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "pair_count"
+    ).unionByName(
+        base.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "pair_count"
+        )
+    )
+    scored = (
+        sym.join(item_n, "item")
+        .join(
+            item_n.withColumnRenamed("item", "neighbor").withColumnRenamed(
+                "n_item", "n_nb"
+            ),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "pair_count",
+            (
+                F.col("pair_count")
+                / F.sqrt((F.col("n_item") * F.col("n_nb")).cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("score"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 
