@@ -964,6 +964,18 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search over the corpus ('table table' — the
+    adjacent-repeat case exercises the offset arithmetic): per-term
+    postings pruned by (doc, start-position) equi-joins, term
+    predicates pushed into the scans (ranking.phrase_matches);
+    longer chains covered by unit tests."""
+    from tiki_e_commerce_analytics_etl_spark.operators import ranking as ranking_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ranking_ops.phrase_matches(docs, ["table", "table"])
+
+
 def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item CF ("also bought"): top-5 co-occurring parts per part
     by binary-vector cosine over order baskets — mirrored pairs + one
@@ -2435,6 +2447,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test": q_ab_test,
         "scd2_lookup": q_scd2_lookup,
         "item_neighbors": q_item_neighbors,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -4172,6 +4185,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN item_n na ON na.item = pairs.item_a
             JOIN item_n nb ON nb.item = pairs.item_b
             CROSS JOIN total
+        """,
+        "phrase_search": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            p AS (
+                SELECT doc_id, unnest(ws) AS term,
+                       generate_subscripts(ws, 1) - 1 AS pos
+                FROM w
+            ),
+            s0 AS (SELECT doc_id, pos FROM p WHERE term = 'table'),
+            s1 AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'table'),
+            starts AS (
+                SELECT s0.doc_id, s0.pos
+                FROM s0
+                JOIN s1 ON s1.doc_id = s0.doc_id AND s1.pos = s0.pos
+            )
+            SELECT doc_id, COUNT(*) AS n_matches FROM starts GROUP BY doc_id
         """,
         "item_neighbors": """
             WITH items AS (

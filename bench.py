@@ -107,6 +107,7 @@ HEADLINE = [
     "ab_test",
     "scd2_lookup",
     "item_neighbors",
+    "phrase_search",
 ]
 
 

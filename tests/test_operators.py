@@ -742,3 +742,37 @@ def test_scd2_lookup_point_in_time(spark):
     # cartesian/nested-loop in the physical plan
     plan = scd2_lookup(probes, dim, ["k"], "ts")._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_phrase_matches_model(spark):
+    """Overlapping matches, adjacent repeats, 3-term chains, and
+    absent phrases against a brute-force substring model."""
+    from tiki_e_commerce_analytics_etl_spark.operators.ranking import phrase_matches
+
+    docs = [
+        (1, "a b a b a"),      # 'a b' starts at 0, 2; 'a b a' at 0, 2 (overlap)
+        (2, "x x x"),          # 'x x' at 0, 1 (adjacent repeats overlap)
+        (3, "a b"),
+        (4, "b a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def model(phrase):
+        out = {}
+        for i, t in docs:
+            ws = t.split()
+            n = sum(
+                1
+                for s in range(len(ws) - len(phrase) + 1)
+                if ws[s : s + len(phrase)] == phrase
+            )
+            if n:
+                out[i] = n
+        return out
+
+    for phrase in (["a", "b"], ["a", "b", "a"], ["x", "x"], ["b", "a"], ["z"], ["a", "z"]):
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_matches(df, phrase).collect()
+        }
+        assert got == model(phrase), phrase

@@ -139,3 +139,54 @@ def bm25_from_tf(
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+
+
+def positional_postings(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, term) positional postings from the corpus's
+    whitespace tokens (0-based positions) — the phrase/proximity
+    complement of ``term_frequencies``'s tf-only index.  At scale,
+    persist this once (the ``refresh_tf_index`` CDC pattern applies
+    unchanged: drop changed docs' postings, append recomputed ones)
+    and run phrase queries against the stored table."""
+    from tiki_e_commerce_analytics_etl_spark.operators.text import words
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "term"),
+    )
+
+
+def phrase_matches(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search: documents containing the word sequence
+    ``phrase``, with the number of starting positions per document.
+
+    Relational formulation: the candidate starts are term-0's postings,
+    and each subsequent term prunes them with an equi-join on
+    (doc, start) against its own postings shifted by its offset —
+    k-1 hash joins on uniform (doc, pos) keys, each side pre-filtered
+    to ONE term's postings (the term predicate pushes into the scan).
+    Handles overlapping matches and adjacent repeated words correctly
+    (a per-term posting is unique per (doc, pos), so the joins are at
+    most 1:1 — no fan-out).
+
+    When called on the raw corpus the positional explode is replayed
+    once per distinct term in the phrase; query a PERSISTED
+    ``positional_postings`` table to pay tokenization once at scale.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    p = positional_postings(df, text_col, id_col)
+    cur = p.filter(F.col("term") == phrase[0]).select("doc_id", "pos")
+    for i, term in enumerate(phrase[1:], 1):
+        nxt = p.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, ["doc_id", "pos"], "left_semi")
+    return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_matches"))
