@@ -72,6 +72,10 @@ QUERIES = [
     "subword_vocab",
     "subword_tokenize",
     "rolling_actives_sketch",  # HLL register maxes are order-insensitive
+    "scd2_lookup",       # interval residual over window-built spans
+    "item_neighbors",    # per-item top-k ties broken by neighbor id
+    "phrase_search",     # start-position semi-join chain
+    "ab_test",           # single-row integer-count z arithmetic
 ]
 
 

@@ -298,3 +298,19 @@ def test_engagement_and_tokenizer_plan_shapes(spark):
     # (the single-row total rides in via broadcast nested loop).
     p = _plan(spark, "rarity_score")
     assert "CartesianProduct" not in p
+
+
+def test_late_round4_plan_shapes(spark):
+    """scd2_lookup must become an equi-join with the interval residual
+    (never cartesian); phrase_search's per-term sides must push the
+    term predicate into the scans; item_neighbors' ranking must be a
+    fine-grained window, not a global sort."""
+    p = _plan(spark, "scd2_lookup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    phys = _plan(spark, "phrase_search").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "PushedFilters: [IsNotNull(text)" in phys or "Filter" in phys
+    p = _plan(spark, "item_neighbors").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in p
+    # the top-k window partitions by item (no empty-partitionBy window)
+    assert "Window" in p and "windowspecdefinition(item" in p
