@@ -519,7 +519,7 @@ def test_ingest_partial_crash_recovers_exact_admitted_set(spark, tmp_path, monke
 
     # replay finishes the chain with the EXACT committed set
     r = ingest_mod.ingest_batch(spark, store, b1, 1)
-    assert r == {"recovered_replay": True, "admitted": 2}
+    assert r == {"recovered_replay": True, "healed_commits": 1}
     assert acid_mod.last_txn_version(store.bloom, "ingest") == 1
     assert acid_mod.read_atomic(spark, store.hashes).count() == 3
 
@@ -653,7 +653,7 @@ def test_neardup_ingest_partial_crash_recovers_band_index(spark, tmp_path, monke
     monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
 
     r = ingest_mod.ingest_batch_neardup(spark, store, b0, 0)
-    assert r == {"recovered_replay": True, "admitted": 1}
+    assert r == {"recovered_replay": True, "healed_commits": 1}
     assert acid_mod.last_txn_version(store.bands, "ingest") == 0
 
     # the index now protects against near-dups of the recovered batch
@@ -677,3 +677,43 @@ def test_pair_jaccard_rerank_is_exact(spark):
     assert js[0] == 1.0
     assert abs(js[1] - 1 / 3) < 1e-12
     assert js[2] == 0.0
+
+
+def test_ingest_out_of_order_after_crash_heals_chain(spark, tmp_path, monkeypatch):
+    """A batch crashes mid-chain and is NEVER redelivered before the
+    next batch arrives: the next ingest must heal the chain first —
+    otherwise its screen runs against hashes/bloom missing committed
+    content and silently re-admits it."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    ingest_mod.ingest_batch(spark, store, b0, 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:  # corpus lands, hashes/bloom don't
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    b1 = spark.createDataFrame([(2, "gamma delta")], "doc_id long, text string")
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # batch 2 arrives directly — containing batch 1's content again
+    b2 = spark.createDataFrame(
+        [(3, "GAMMA delta"), (4, "fresh words")], "doc_id long, text string"
+    )
+    r2 = ingest_mod.ingest_batch(spark, store, b2, 2)
+    assert r2["admitted"] == 1  # the re-offered gamma-delta is rejected
+    assert acid_mod.last_txn_version(store.bloom, "ingest") == 2  # chain level
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 4]
+    hashes = acid_mod.read_atomic(spark, store.hashes)
+    assert hashes.count() == 3 == hashes.distinct().count()

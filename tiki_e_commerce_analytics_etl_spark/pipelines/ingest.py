@@ -56,29 +56,62 @@ def _hashed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _recover_committed_batch(
-    spark: SparkSession, path: str, app_id: str, batch_id: int
+def _commit_rows(
+    spark: SparkSession, path: str, prev: int | None, version: int
 ) -> DataFrame:
-    """The EXACT row set a crashed ingest appended to ``path`` under
-    (app_id, batch_id): find the snapshot whose app cursor first
-    reached batch_id and read that commit's file-level change feed.
-    This is the recovery source when a multi-table chain crashed
-    between commits — recomputing the batch from live state would
-    derive a DIFFERENT set (the already-committed tables have moved),
-    while the corpus commit itself is the durable record of what was
-    admitted."""
-    versions = sorted(h["version"] for h in acid.table_history(path))
-    hit = None
-    for h in sorted(acid.table_history(path), key=lambda h: h["version"]):
-        if h["app_versions"].get(app_id, -1) >= batch_id:
-            hit = h["version"]
-            break
-    if hit is None:  # caller checked the cursor; defensive
-        raise RuntimeError(f"no commit for ({app_id}, {batch_id}) in {path}")
-    idx = versions.index(hit)
-    prev = versions[idx - 1] if idx > 0 else None
-    feed = acid.changes_between(spark, path, prev, hit, row_level=False)
+    """The EXACT row set one corpus commit appended: the file-level
+    change feed between the snapshot and its predecessor.  The corpus
+    commit is the durable record of what a crashed chain admitted —
+    recomputing the batch from live state would derive a DIFFERENT set
+    (the already-committed tables have moved)."""
+    feed = acid.changes_between(spark, path, prev, version, row_level=False)
     return feed.filter(F.col("_change_type") == "insert").drop("_change_type")
+
+
+def _heal_chain(
+    spark: SparkSession,
+    store: IngestStore,
+    app_id: str,
+    band_params: tuple | None = None,
+) -> int:
+    """Bring the downstream tables level with the corpus cursor: for
+    every corpus commit whose (app) txn version exceeds the LAST table
+    in the chain, recover its exact row set from the change feed and
+    re-run the idempotent per-table commits.  Covers both the
+    redelivered-batch replay AND the out-of-order case where the next
+    batch arrives before a crashed one is retried — without healing,
+    the normal path would screen against hashes/bloom that are missing
+    committed content and silently re-admit it.  Returns the number of
+    commits healed."""
+    tail = store.bands if band_params is not None else store.bloom
+    tail_v = acid.last_txn_version(tail, app_id)
+    corpus_v = acid.last_txn_version(store.corpus, app_id)
+    if corpus_v <= tail_v:
+        return 0
+    healed = 0
+    hist = sorted(acid.table_history(store.corpus), key=lambda h: h["version"])
+    prev_version: int | None = None
+    prev_cursor = -1
+    for h in hist:
+        cur = h["app_versions"].get(app_id, -1)
+        if cur > prev_cursor and cur > tail_v:
+            admitted = _commit_rows(
+                spark, store.corpus, prev_version, h["version"]
+            ).localCheckpoint(eager=True)
+            _commit_admitted(spark, store, admitted, cur, app_id)
+            if band_params is not None:
+                text_col, id_col, num_hashes, bands, shingle_k = band_params
+                acid.atomic_overwrite_partitions(
+                    _band_rows(admitted, text_col, id_col, num_hashes, bands, shingle_k),
+                    store.bands,
+                    mode="append",
+                    txn_app=app_id,
+                    txn_version=cur,
+                )
+            healed += 1
+        prev_cursor = max(prev_cursor, cur)
+        prev_version = h["version"]
+    return healed
 
 
 def _first_per_hash(hashed: DataFrame, id_col: str) -> DataFrame:
@@ -181,14 +214,14 @@ def ingest_batch(
     """
     if acid.last_txn_version(store.bloom, app_id) >= batch_id:
         return {"replay_skipped": True}
+    # finish any commit chain a crash left behind BEFORE screening:
+    # covers the redelivered batch (we return below) and the
+    # out-of-order case (an earlier batch crashed, this is a NEWER one
+    # — its screen must see the healed hashes/bloom or it re-admits
+    # committed content)
+    healed = _heal_chain(spark, store, app_id)
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
-        # partial crash after the corpus commit: finish the chain from
-        # the durable record of what was admitted
-        admitted = _recover_committed_batch(
-            spark, store.corpus, app_id, batch_id
-        ).localCheckpoint(eager=True)
-        _commit_admitted(spark, store, admitted, batch_id, app_id)
-        return {"recovered_replay": True, "admitted": admitted.count()}
+        return {"recovered_replay": True, "healed_commits": healed}
 
     hashed = _hashed(batch, text_col, id_col)
     n_batch = hashed.count()
@@ -330,19 +363,11 @@ def ingest_batch_neardup(
     """
     if acid.last_txn_version(store.bands, app_id) >= batch_id:
         return {"replay_skipped": True}
+    healed = _heal_chain(
+        spark, store, app_id, band_params=(text_col, id_col, num_hashes, bands, shingle_k)
+    )
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
-        admitted = _recover_committed_batch(
-            spark, store.corpus, app_id, batch_id
-        ).localCheckpoint(eager=True)
-        _commit_admitted(spark, store, admitted, batch_id, app_id)
-        acid.atomic_overwrite_partitions(
-            _band_rows(admitted, text_col, id_col, num_hashes, bands, shingle_k),
-            store.bands,
-            mode="append",
-            txn_app=app_id,
-            txn_version=batch_id,
-        )
-        return {"recovered_replay": True, "admitted": admitted.count()}
+        return {"recovered_replay": True, "healed_commits": healed}
 
     hashed = _hashed(batch, text_col, id_col)
     n_batch = hashed.count()
