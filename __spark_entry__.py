@@ -4245,8 +4245,8 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(ev, ev))) AS score
                 FROM c CROSS JOIN e
             )
-            SELECT id, MAX(score) AS max_eval_score,
-                   MAX(score) >= 0.95 AS is_contaminated
+            SELECT id, COALESCE(MAX(score), 0.0) AS max_eval_score,
+                   COALESCE(MAX(score), 0.0) >= 0.95 AS is_contaminated
             FROM scored GROUP BY id
         """,
         "subword_vocab": f"""

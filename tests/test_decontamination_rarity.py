@@ -78,3 +78,19 @@ def test_rarity_score_partition_invariant(spark):
     r1 = sorted(map(tuple, text_ops.rarity_score(df1).collect()))
     r8 = sorted(map(tuple, text_ops.rarity_score(df8).collect()))
     assert r1 == r8
+
+
+def test_semantic_decontaminate_zero_vector_reports_clean(spark):
+    """An all-zero corpus embedding has undefined cosine (NULL per
+    pair); it must surface as clean with score 0.0 — not vanish from
+    both filter branches as NULL."""
+    evals = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["id"]: r
+        for r in similarity.semantic_decontaminate(corpus, evals, threshold=0.9).collect()
+    }
+    assert out[1]["max_eval_score"] == 0.0 and out[1]["is_contaminated"] is False
+    assert out[2]["is_contaminated"] is True

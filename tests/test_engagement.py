@@ -216,3 +216,10 @@ def test_item_neighbors_model(spark):
         assert c == pc[key]
         assert s == c / math.sqrt(n[a] * n[b])
         assert rk <= 2
+
+
+def test_rfm_scores_empty_input_returns_empty(spark):
+    df = spark.createDataFrame([], "cust long, d timestamp, amt double")
+    out = engagement.rfm_scores(df, "cust", "d", "amt")
+    assert out.count() == 0
+    assert "rfm_segment" in out.columns  # schema intact

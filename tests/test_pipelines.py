@@ -717,3 +717,73 @@ def test_ingest_out_of_order_after_crash_heals_chain(spark, tmp_path, monkeypatc
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 4]
     hashes = acid_mod.read_atomic(spark, store.hashes)
     assert hashes.count() == 3 == hashes.distinct().count()
+
+
+def test_forget_scrubs_band_index(spark, tmp_path):
+    """Band rows are content-derived data: forget must remove the
+    forgotten docs' rows from the index (and the content must be
+    re-admissible through the near-dup screen afterwards)."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    b0 = _mk_docs(spark, [(1, base), (2, "other topic entirely with different words")])
+    ingest_mod.ingest_batch_neardup(spark, store, b0, 0)
+
+    ingest_mod.forget(spark, store, spark.createDataFrame([(1,)], "doc_id long"), 10)
+    assert sorted(
+        set(r["__id"] for r in acid_mod.read_atomic(spark, store.bands).collect())
+    ) == [2]
+
+    # a NEAR-dup of the forgotten content is admissible again (exact
+    # screen passes — different hash — and no band rows remain to match)
+    b1 = _mk_docs(spark, [(3, base + " extra")])
+    r1 = ingest_mod.ingest_batch_neardup(spark, store, b1, 1)
+    assert r1["admitted"] == 1
+
+
+def test_forget_after_crashed_ingest_does_not_resurrect(spark, tmp_path, monkeypatch):
+    """The interleaving that used to resurrect forgotten content:
+    ingest batch N crashes after its corpus commit, a forget for a doc
+    of batch N then completes, and a later ingest heals the chain.
+    forget must heal FIRST — otherwise the later heal replays batch
+    N's change feed into the forget-rewritten hashes/bloom and the
+    forgotten content becomes permanently inadmissible."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    ingest_mod.ingest_batch(spark, store, b0, 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:  # corpus commit lands, hashes/bloom don't
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    b1 = spark.createDataFrame([(2, "gamma delta")], "doc_id long, text string")
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # forget doc 2 (committed to corpus by the crashed batch)
+    ingest_mod.forget(spark, store, spark.createDataFrame([(2,)], "doc_id long"), 10)
+    assert sorted(
+        r.doc_id for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    ) == [1]
+
+    # a later ingest heals whatever is left — and must NOT resurrect
+    # doc 2's hash: its content stays admissible
+    b2 = spark.createDataFrame([(3, "GAMMA  delta")], "doc_id long, text string")
+    r2 = ingest_mod.ingest_batch(spark, store, b2, 2)
+    assert r2["admitted"] == 1
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
+    hashes = acid_mod.read_atomic(spark, store.hashes)
+    assert hashes.count() == hashes.distinct().count() == 2

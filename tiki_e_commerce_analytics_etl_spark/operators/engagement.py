@@ -194,6 +194,11 @@ def rfm_scores(
         F.expr(f"percentile(frequency, {arr})").alias("fb"),
         F.expr(f"percentile(monetary, {arr})").alias("mb"),
     ).collect()[0]
+    # Empty input: the aggregation returns one all-NULL row; keep the
+    # output schema by scoring with zero boundaries over zero rows
+    # instead of crashing on int(None).
+    anchor = int(row["anchor"]) if row["anchor"] is not None else 0
+    rb, fb, mb = (row["rb"] or []), (row["fb"] or []), (row["mb"] or [])
 
     def score(col: str, bounds: list[float]) -> F.Column:
         e = F.lit(1)
@@ -203,12 +208,12 @@ def rfm_scores(
 
     return per.select(
         "usr",
-        (F.lit(int(row["anchor"])) - F.col("last_day")).alias("recency_days"),
+        (F.lit(anchor) - F.col("last_day")).alias("recency_days"),
         "frequency",
         "monetary",
-        score("last_day", row["rb"]).alias("r_score"),
-        score("frequency", row["fb"]).alias("f_score"),
-        score("monetary", row["mb"]).alias("m_score"),
+        score("last_day", rb).alias("r_score"),
+        score("frequency", fb).alias("f_score"),
+        score("monetary", mb).alias("m_score"),
     ).withColumn(
         "rfm_segment",
         F.concat_ws(
@@ -241,36 +246,30 @@ def item_neighbors(
     neighbor ASC) tiebreak.  The window partitions on the item key —
     fine-grained, no global sort.
     """
-    pairs = basket_pairs(df, basket_col, item_col, min_pair_count=min_pair_count)
-    base = pairs.select("item_a", "item_b", "pair_count")
-    items = df.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    item_n = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    base = basket_pairs(
+        df, basket_col, item_col, min_pair_count=min_pair_count, with_counts=True
+    ).select("item_a", "item_b", "pair_count", "n_a", "n_b")
+    # mirror the unordered pairs so every item gets a neighbor list —
+    # the per-item counts ride along from basket_pairs' single plan
+    # (no second corpus-scale distinct/aggregation)
     sym = base.select(
-        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"), "pair_count"
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "pair_count",
+        (F.col("n_a") * F.col("n_b")).alias("__nn"),
     ).unionByName(
         base.select(
-            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"), "pair_count"
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "pair_count",
+            (F.col("n_a") * F.col("n_b")).alias("__nn"),
         )
     )
-    scored = (
-        sym.join(item_n, "item")
-        .join(
-            item_n.withColumnRenamed("item", "neighbor").withColumnRenamed(
-                "n_item", "n_nb"
-            ),
-            "neighbor",
-        )
-        .select(
-            "item",
-            "neighbor",
-            "pair_count",
-            (
-                F.col("pair_count")
-                / F.sqrt((F.col("n_item") * F.col("n_nb")).cast("double"))
-            ).alias("score"),
-        )
+    scored = sym.select(
+        "item",
+        "neighbor",
+        "pair_count",
+        (F.col("pair_count") / F.sqrt(F.col("__nn").cast("double"))).alias("score"),
     )
     w = Window.partitionBy("item").orderBy(F.desc("score"), F.asc("neighbor"))
     return (
@@ -343,6 +342,7 @@ def basket_pairs(
     item_col: str,
     min_pair_count: int = 2,
     scale: int = 1_000_000,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Market-basket co-occurrence: for each unordered item pair that
     appears together in >= min_pair_count baskets, the pair count and
@@ -354,6 +354,12 @@ def basket_pairs(
     (floor division — bit-exact and partition-invariant; lift > scale
     means the pair co-occurs more than independence predicts).
 
+    int64 bound: the lift numerator is pair_count·n_baskets·scale and
+    its denominator n_a·n_b — exact up to ~3·10⁹ baskets at the
+    default scale (beyond that the products wrap silently under
+    non-ANSI Spark; drop ``scale`` a decade per decade of baskets past
+    that, the ``rarity_score`` convention).
+
     Shape: dedupe to (basket, item), self-equi-join on basket with
     item_a < item_b (co-partitioned — the quadratic term is per-basket
     size only, never cross-basket), hash-count pairs, then join the
@@ -361,6 +367,10 @@ def basket_pairs(
     basket total rides in via a broadcast cross join.  For degenerate
     giant baskets (a crawler retry storm, not a human cart) cap basket
     size upstream with ``sampling.domain_cap``-style per-key limits.
+
+    ``with_counts=True`` additionally exposes the per-item basket
+    counts (n_a, n_b) so downstream scores (e.g. ``item_neighbors``'s
+    cosine) reuse this plan instead of re-deriving them.
     """
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
@@ -376,19 +386,22 @@ def basket_pairs(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_pair_count)
     )
+    cols = [
+        F.col("item_a"),
+        F.col("item_b"),
+        F.col("pair_count"),
+        F.expr(f"pair_count * CAST({scale} AS BIGINT) div n_baskets").alias(
+            "support_ppm"
+        ),
+        F.expr(
+            f"pair_count * n_baskets * CAST({scale} AS BIGINT) div (n_a * n_b)"
+        ).alias("lift_ppm"),
+    ]
+    if with_counts:
+        cols += [F.col("n_a"), F.col("n_b")]
     return (
         pairs.join(item_n.withColumnRenamed("item", "item_a").withColumnRenamed("n_item", "n_a"), "item_a")
         .join(item_n.withColumnRenamed("item", "item_b").withColumnRenamed("n_item", "n_b"), "item_b")
         .crossJoin(F.broadcast(total))
-        .select(
-            "item_a",
-            "item_b",
-            "pair_count",
-            F.expr(f"pair_count * CAST({scale} AS BIGINT) div n_baskets").alias(
-                "support_ppm"
-            ),
-            F.expr(
-                f"pair_count * n_baskets * CAST({scale} AS BIGINT) div (n_a * n_b)"
-            ).alias("lift_ppm"),
-        )
+        .select(*cols)
     )

@@ -38,15 +38,36 @@ from tiki_e_commerce_analytics_etl_spark.operators import bloom as bloom_ops
 
 class IngestStore:
     """Paths of the acid tables backing one corpus (``bands`` is only
-    materialized by the near-dup variant)."""
+    materialized by the near-dup variant).  The LSH configuration
+    lives HERE, not per-call: the band index is only probe-able with
+    the exact hash family that built it, and chain healing / forget
+    must be able to recompute band rows without the original call's
+    arguments."""
 
-    def __init__(self, root: str, m_bits: int = 1 << 20, k: int = 4) -> None:
+    def __init__(
+        self,
+        root: str,
+        m_bits: int = 1 << 20,
+        k: int = 4,
+        lsh_num_hashes: int = 32,
+        lsh_bands: int = 8,
+        lsh_shingle_k: int = 5,
+        lsh_jaccard: float = 0.5,
+    ) -> None:
         self.corpus = f"{root}/corpus"
         self.hashes = f"{root}/hashes"
         self.bloom = f"{root}/bloom"
         self.bands = f"{root}/bands"
         self.m_bits = m_bits
         self.k = k
+        self.lsh_num_hashes = lsh_num_hashes
+        self.lsh_bands = lsh_bands
+        self.lsh_shingle_k = lsh_shingle_k
+        self.lsh_jaccard = lsh_jaccard
+
+
+def _has_table(path: str) -> bool:
+    return acid.latest_version(path) is not None
 
 
 def _hashed(batch: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -72,7 +93,7 @@ def _heal_chain(
     spark: SparkSession,
     store: IngestStore,
     app_id: str,
-    band_params: tuple | None = None,
+    band_params: tuple | None = None,  # (text_col, id_col) when the band index is in play
 ) -> int:
     """Bring the downstream tables level with the corpus cursor: for
     every corpus commit whose (app) txn version exceeds the LAST table
@@ -100,9 +121,16 @@ def _heal_chain(
             ).localCheckpoint(eager=True)
             _commit_admitted(spark, store, admitted, cur, app_id)
             if band_params is not None:
-                text_col, id_col, num_hashes, bands, shingle_k = band_params
+                text_col, id_col = band_params
                 acid.atomic_overwrite_partitions(
-                    _band_rows(admitted, text_col, id_col, num_hashes, bands, shingle_k),
+                    _band_rows(
+                        admitted,
+                        text_col,
+                        id_col,
+                        store.lsh_num_hashes,
+                        store.lsh_bands,
+                        store.lsh_shingle_k,
+                    ),
                     store.bands,
                     mode="append",
                     txn_app=app_id,
@@ -250,10 +278,13 @@ def forget(
     batch_id: int,
     id_col: str = "doc_id",
     app_id: str = "forget",
+    text_col: str = "text",
+    ingest_app_id: str = "ingest",
 ) -> dict:
     """Right-to-be-forgotten over the ingest store: remove the given
-    documents from ``corpus`` and ``hashes`` and REBUILD the bloom
-    bitmap from the surviving hashes.
+    documents from ``corpus``, ``hashes``, and (when the near-dup
+    index exists) ``bands``, and REBUILD the bloom bitmap from the
+    surviving hashes.
 
     The bitmap cannot subtract (bits are shared), but the hash table
     holds exactly ONE short row per admitted document — so the rebuild
@@ -261,21 +292,34 @@ def forget(
     ingest admits one doc per content hash, a removed doc's hash has
     no other owner and must go too (otherwise a re-ingest of the same
     content would be wrongly rejected — the forgotten content becomes
-    admissible again, which is exactly what deletion means).
+    admissible again, which is exactly what deletion means).  Band
+    rows are content-derived data and leave with their documents.
 
     Exactly-once per (app_id, batch_id) like ingest_batch; replays
     are whole-batch no-ops.  Returns {'removed': n}.
 
-    Crash consistency: the whole-batch replay check is against the
-    LAST table in the commit chain (bloom).  Unlike ingest_batch, a
-    partial-crash replay needs no change-feed recovery — re-deriving
-    from live state is naturally idempotent here (anti-joining keys
-    already removed from the corpus removes nothing more, and the
-    bloom rebuild is a pure function of the surviving hashes), and the
+    Crash consistency: forget FIRST heals any ingest chain a crash
+    left behind (``ingest_app_id``) — healing replays corpus change
+    feeds into hashes/bloom/bands, so it must never run AFTER a forget
+    rewrote them (it would resurrect the forgotten content's hash and
+    bits from the old corpus files).  The whole-batch replay check is
+    against the LAST table in forget's own chain (bands when present,
+    else bloom).  A partial-crash replay needs no change-feed recovery
+    — re-deriving from live state is naturally idempotent here
+    (anti-joining keys already removed removes nothing more, the bloom
+    rebuild is a pure function of the surviving hashes), and the
     per-table commits skip themselves where already landed.
     """
-    if acid.last_txn_version(store.bloom, app_id) >= batch_id:
+    with_bands = _has_table(store.bands)
+    tail = store.bands if with_bands else store.bloom
+    if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
+    _heal_chain(
+        spark,
+        store,
+        ingest_app_id,
+        band_params=(text_col, id_col) if with_bands else None,
+    )
     keys = F.broadcast(doc_ids.select(id_col).distinct())
     corpus = acid.read_atomic(spark, store.corpus)
     removed = corpus.join(keys, id_col, "left_semi").localCheckpoint(eager=True)
@@ -294,6 +338,13 @@ def forget(
     acid.atomic_overwrite_partitions(
         rebuilt, store.bloom, txn_app=app_id, txn_version=batch_id
     )
+    if with_bands:
+        kept_bands = acid.read_atomic(spark, store.bands).join(
+            keys.withColumnRenamed(id_col, "__id"), "__id", "left_anti"
+        )
+        acid.atomic_overwrite_partitions(
+            kept_bands, store.bands, txn_app=app_id, txn_version=batch_id
+        )
     return {"removed": n_removed}
 
 
@@ -331,10 +382,6 @@ def ingest_batch_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     app_id: str = "ingest",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 5,
-    jaccard_threshold: float = 0.5,
 ) -> dict:
     """``ingest_batch`` extended with history-wide NEAR-duplicate
     rejection at index cost: a persistent MinHash band table (one
@@ -360,12 +407,20 @@ def ingest_batch_neardup(
     commit replays via the change-feed recovery (band rows are a pure
     function of the recovered rows, so the index commit is
     reconstructible).
+
+    The LSH family (num_hashes / bands / shingle_k) and the Jaccard
+    threshold come from the ``store`` — the persisted index is only
+    probe-able with the family that built it.
     """
+    num_hashes, bands, shingle_k = (
+        store.lsh_num_hashes,
+        store.lsh_bands,
+        store.lsh_shingle_k,
+    )
+    jaccard_threshold = store.lsh_jaccard
     if acid.last_txn_version(store.bands, app_id) >= batch_id:
         return {"replay_skipped": True}
-    healed = _heal_chain(
-        spark, store, app_id, band_params=(text_col, id_col, num_hashes, bands, shingle_k)
-    )
+    healed = _heal_chain(spark, store, app_id, band_params=(text_col, id_col))
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
         return {"recovered_replay": True, "healed_commits": healed}
 

@@ -195,7 +195,6 @@ def foreach_batch_ingest(
     id_col: str = "doc_id",
     app_id: str = "stream-ingest",
     near_dup: bool = False,
-    **kwargs,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming face of the incremental corpus ingest
     (pipelines/ingest.py): each micro-batch runs the full admission
@@ -206,10 +205,9 @@ def foreach_batch_ingest(
     inside the multi-table commit chain recovers via the corpus
     change feed on the next delivery of the same batch id (the
     pipeline's own crash-consistency protocol; the streaming engine
-    redelivers the batch from the checkpoint).
-
-    ``kwargs`` pass through to ingest_batch_neardup (num_hashes,
-    bands, shingle_k, jaccard_threshold) when ``near_dup`` is set.
+    redelivers the batch from the checkpoint).  The LSH family for the
+    near-dup screen comes from the ``store`` (the persisted band index
+    is only probe-able with the family that built it).
     """
     from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
 
@@ -218,7 +216,7 @@ def foreach_batch_ingest(
         if near_dup:
             ingest_mod.ingest_batch_neardup(
                 spark, store, batch, batch_id,
-                text_col=text_col, id_col=id_col, app_id=app_id, **kwargs,
+                text_col=text_col, id_col=id_col, app_id=app_id,
             )
         else:
             ingest_mod.ingest_batch(

@@ -162,8 +162,13 @@ def main() -> None:
         if (
             "--rebuild" in sys.argv
             or not os.path.exists(os.path.join(target_dir, "MANIFEST.json"))
-            # older generations predate the embeddings replica
-            or not os.path.exists(os.path.join(target_dir, "embeddings.parquet"))
+            # older generations predate the embeddings replica — but
+            # only rebuild when the BASE actually has the table, else
+            # this would trigger a full rebuild on every run
+            or (
+                os.path.exists(os.path.join(BASE_SF, "embeddings.parquet"))
+                and not os.path.exists(os.path.join(target_dir, "embeddings.parquet"))
+            )
         ):
             build_scaled(spark, target_dir, replicas)
 
