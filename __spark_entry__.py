@@ -1011,6 +1011,30 @@ def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.rarity_score(docs, "text", "doc_id")
 
 
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for LLM training: stage documents easy→hard
+    by rarity quantile (boundary scalars — the equidepth pattern, no
+    ntile global sort), with a deterministic md5 shuffle order WITHIN
+    each stage.  A composition of rarity_score + quantile boundaries +
+    per-stage windows — the training-data pipeline's data-ordering
+    step."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = text_ops.rarity_score(docs, "text", "doc_id")
+    bounds = r.agg(
+        F.expr("percentile(rarity_scaled, array(0.25, 0.5, 0.75))").alias("bs")
+    ).collect()[0]["bs"]
+    stage = F.lit(0)
+    for b in bounds:
+        stage = stage + F.when(F.col("rarity_scaled") > F.lit(float(b)), 1).otherwise(0)
+    staged = r.select("id", "rarity_scaled", stage.alias("stage"))
+    w = Window.partitionBy("stage").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    return staged.withColumn("pos", F.row_number().over(w))
+
+
 def q_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword-tokenizer training: top-200 character n-grams (len 2-6)
     of the corpus's words, occurrence-weighted, deterministic tiebreak
@@ -2448,6 +2472,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "item_neighbors": q_item_neighbors,
         "phrase_search": q_phrase_search,
+        "curriculum_stages": q_curriculum_stages,
     }
 
 
@@ -4298,6 +4323,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, CAST(SUM(tf) AS BIGINT) AS n_words,
                    CAST(SUM(tf * n_sub) AS BIGINT) AS n_subwords
             FROM wf JOIN ns USING (w) GROUP BY id
+        """,
+        "curriculum_stages": f"""
+            WITH toks AS (
+                SELECT doc_id AS id, unnest({_NORM_WORDS_SQL}) AS w FROM documents
+            ),
+            tf AS (SELECT id, w, COUNT(*) AS tf FROM toks GROUP BY id, w),
+            vocab AS (SELECT w, SUM(tf) AS cnt FROM tf GROUP BY w),
+            tot AS (SELECT SUM(cnt) AS total FROM vocab),
+            r AS (
+                SELECT id,
+                       CAST(SUM(tf * ((total * CAST(1000000 AS BIGINT)) // cnt))
+                            // SUM(tf) AS BIGINT) AS rarity_scaled
+                FROM tf JOIN vocab USING (w) CROSS JOIN tot
+                GROUP BY id
+            ),
+            b AS (SELECT quantile_cont(rarity_scaled, [0.25, 0.5, 0.75]) AS bs FROM r),
+            staged AS (
+                SELECT id, rarity_scaled,
+                       CAST((CASE WHEN rarity_scaled > bs[1] THEN 1 ELSE 0 END)
+                          + (CASE WHEN rarity_scaled > bs[2] THEN 1 ELSE 0 END)
+                          + (CASE WHEN rarity_scaled > bs[3] THEN 1 ELSE 0 END)
+                            AS INTEGER) AS stage
+                FROM r CROSS JOIN b
+            )
+            SELECT id, rarity_scaled, stage,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY stage
+                       ORDER BY md5(CAST(id AS VARCHAR)), id) AS INTEGER) AS pos
+            FROM staged
         """,
         "rarity_score": f"""
             WITH toks AS (

@@ -108,6 +108,7 @@ HEADLINE = [
     "scd2_lookup",
     "item_neighbors",
     "phrase_search",
+    "curriculum_stages",
 ]
 
 

@@ -76,6 +76,7 @@ QUERIES = [
     "item_neighbors",    # per-item top-k ties broken by neighbor id
     "phrase_search",     # start-position semi-join chain
     "ab_test",           # single-row integer-count z arithmetic
+    "curriculum_stages", # boundary scalars + md5-ordered stage windows
 ]
 
 
