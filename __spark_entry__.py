@@ -644,6 +644,35 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.join(F.broadcast(est), "token").select("token", "est", "exact")
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from CMS sketches (sketch.
+    cms_join_size): |lineitem ⋈ part| on partkey estimated from two
+    KB-sized summaries — min over hash rows of the cell inner product,
+    overcount-only (lower_bound_ok is a GUARANTEE, asserted by the
+    oracle).  The planning-time primitive behind broadcast-vs-shuffle
+    decisions; sketches fold, so per-shard summaries answer for any
+    union."""
+    depth, width = 4, 4096
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("key")
+    )
+    pt = read_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("key")
+    )
+    cms_a = sketch_ops.cms_build(li, "key", depth=depth, width=width)
+    cms_b = sketch_ops.cms_build(pt, "key", depth=depth, width=width)
+    est = sketch_ops.cms_join_size(cms_a, cms_b, depth=depth)
+    exact = li.join(pt, "key").agg(F.count(F.lit(1)).alias("exact"))
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("lower_bound_ok"),
+        )
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (chunk-level) duplication per document: word
     10-tiles hashed with md5; a tile is duplicated iff ≥2 distinct
@@ -2473,6 +2502,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_neighbors": q_item_neighbors,
         "phrase_search": q_phrase_search,
         "curriculum_stages": q_curriculum_stages,
+        "cms_join_size": q_cms_join_size,
     }
 
 
@@ -2824,6 +2854,40 @@ def _cms_counts_oracle(depth: int = 4, width: int = 1024, seed: int = 11) -> str
             FROM pe LEFT JOIN cells c USING (row_i, col_i)
             GROUP BY pe.token, pe.exact)
     SELECT token, est, exact FROM est
+"""
+
+
+def _cms_join_size_oracle(depth: int = 4, width: int = 4096, seed: int = 11) -> str:
+    """DuckDB twin of q_cms_join_size: identical sketch cells for both
+    sides (same portable hash family over the string-cast key),
+    identical per-row inner products, identical min."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import (
+        portable_minhash_params,
+    )
+
+    a, b = portable_minhash_params(depth, seed=seed)
+    cols = ", ".join(f"({a[i]}*hv + {b[i]}) % {width}" for i in range(depth))
+    rows = ", ".join(str(i) for i in range(depth))
+
+    def cells(table: str, key: str) -> str:
+        return f"""
+        SELECT row_i, col_i, COUNT(*) AS cnt FROM (
+            SELECT unnest([{rows}]) AS row_i, unnest([{cols}]) AS col_i FROM (
+                SELECT CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 12)
+                            AS BIGINT) AS hv
+                FROM {table}))
+        GROUP BY row_i, col_i"""
+
+    return f"""
+    WITH ca AS ({cells("lineitem", "l_partkey")}),
+    cb AS ({cells("part", "p_partkey")}),
+    ip AS (SELECT ca.row_i, SUM(ca.cnt * cb.cnt) AS ip
+           FROM ca JOIN cb ON ca.row_i = cb.row_i AND ca.col_i = cb.col_i
+           GROUP BY ca.row_i),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+    ex AS (SELECT COUNT(*) AS exact
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT est, exact, est >= exact AS lower_bound_ok FROM est CROSS JOIN ex
 """
 
 
@@ -3593,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_screen": _bloom_screen_oracle(),
         "cms_counts": _cms_counts_oracle(),
+        "cms_join_size": _cms_join_size_oracle(),
         "pagerank_parts": _pagerank_oracle(),
         "hashed_tfidf": _HASHED_TFIDF_ORACLE,
         "contiguous_ids": _CONTIGUOUS_IDS_ORACLE,

@@ -109,6 +109,7 @@ HEADLINE = [
     "item_neighbors",
     "phrase_search",
     "curriculum_stages",
+    "cms_join_size",
 ]
 
 

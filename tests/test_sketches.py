@@ -126,3 +126,46 @@ def test_quantile_histogram_merge_and_bound(spark):
     for q in (10, 50, 90):
         exact = s[math.ceil(q * len(s) / 100) - 1]
         assert abs(est[q] - exact) <= width, (q, est[q], exact)
+
+
+def test_cms_join_size_bounds_and_exactness(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sketch as sk
+
+    def build(rows):
+        df = spark.createDataFrame([(str(r),) for r in rows], "key string")
+        return sk.cms_build(df, "key", depth=4, width=4096)
+
+    def est(a_rows, b_rows):
+        return sk.cms_join_size(build(a_rows), build(b_rows), depth=4).collect()[0]["est"]
+
+    # single shared key: inner product is exactly n_a * n_b
+    assert est([1] * 5, [1] * 3) == 15
+    # multiset join size: sum over keys of counts product
+    a = [1, 1, 2, 3]
+    b = [1, 2, 2, 9]
+    true = 2 * 1 + 1 * 2  # key1: 2x1, key2: 1x2
+    e = est(a, b)
+    assert e >= true  # overcount-only guarantee
+    assert e == true  # 4 distinct keys in 4096 columns: no collisions
+    # disjoint keys -> 0 (no shared cells in some row, or zero products)
+    assert est([1, 2], [3, 4]) == 0
+
+
+def test_cms_join_size_merged_shards_equal_one_shot(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sketch as sk
+
+    rows = [str(i % 7) for i in range(50)]
+    df = spark.createDataFrame([(r,) for r in rows], "key string")
+    whole = sk.cms_build(df, "key", depth=4, width=1024)
+    half_a = spark.createDataFrame([(r,) for r in rows[:20]], "key string")
+    half_b = spark.createDataFrame([(r,) for r in rows[20:]], "key string")
+    merged = sk.cms_merge(
+        sk.cms_build(half_a, "key", depth=4, width=1024),
+        sk.cms_build(half_b, "key", depth=4, width=1024),
+    )
+    other = sk.cms_build(
+        spark.createDataFrame([("3",), ("5",)], "key string"), "key", depth=4, width=1024
+    )
+    e_whole = sk.cms_join_size(whole, other, depth=4).collect()[0]["est"]
+    e_merged = sk.cms_join_size(merged, other, depth=4).collect()[0]["est"]
+    assert e_whole == e_merged

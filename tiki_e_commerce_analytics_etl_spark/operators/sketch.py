@@ -105,6 +105,42 @@ def cms_estimate(
     )
 
 
+def cms_join_size(
+    cms_a: DataFrame, cms_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join cardinality estimate from two sketches built with
+    IDENTICAL (depth, width, seed) over each side's join-key
+    occurrences: est = MIN over hash rows of Σ_col cnt_a·cnt_b — the
+    AMS-style inner product of each row's count vectors.
+
+    Overcount-only, like point estimates: matching keys land in the
+    same cells, so every row's inner product equals the TRUE join size
+    plus nonnegative collision cross-terms; the min across rows
+    tightens it.  A row with no overlapping cells means a zero join
+    (handled explicitly — the groupBy would otherwise drop it from the
+    min).
+
+    Estimating |A ⋈ B| costs one join of two ≤ depth·width-row
+    summaries (KBs) — never a pass over either table.  This is the
+    planning-time cardinality primitive behind broadcast-vs-shuffle
+    and skew decisions at 100 TB, and the sketches fold (cms_merge)
+    so per-shard/per-day summaries answer for any union.
+
+    Returns one row: (est: long).
+    """
+    j = cms_a.select("row_i", "col_i", F.col("cnt").alias("__ca")).join(
+        cms_b.select("row_i", "col_i", F.col("cnt").alias("__cb")),
+        ["row_i", "col_i"],
+    )
+    per_row = j.groupBy("row_i").agg(F.sum(F.col("__ca") * F.col("__cb")).alias("ip"))
+    agg = per_row.agg(F.min("ip").alias("__m"), F.count(F.lit(1)).alias("__n"))
+    return agg.select(
+        F.when(F.col("__n") < F.lit(depth), F.lit(0).cast("long"))
+        .otherwise(F.coalesce(F.col("__m"), F.lit(0)).cast("long"))
+        .alias("est")
+    )
+
+
 def quantile_histogram(
     df: DataFrame,
     col: str,
