@@ -110,6 +110,7 @@ HEADLINE = [
     "phrase_search",
     "curriculum_stages",
     "cms_join_size",
+    "hll_overlap",
 ]
 
 

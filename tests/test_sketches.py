@@ -169,3 +169,16 @@ def test_cms_join_size_merged_shards_equal_one_shot(spark):
     e_whole = sk.cms_join_size(whole, other, depth=4).collect()[0]["est"]
     e_merged = sk.cms_join_size(merged, other, depth=4).collect()[0]["est"]
     assert e_whole == e_merged
+
+
+def test_hll_overlap_tracks_exact(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sketch as sk
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "u long")
+    b = spark.createDataFrame([(i,) for i in range(700, 1500)], "u long")  # 300 shared
+    r = sk.hll_overlap(a, b, "u").collect()[0]
+    for col, true in (("n_a", 1000), ("n_b", 800), ("n_union", 1500), ("n_intersection", 300)):
+        assert abs(r[col] - true) / true <= 0.10, (col, r[col])
+    # disjoint sets: intersection floored at zero, never negative
+    c = spark.createDataFrame([(i,) for i in range(5000, 5100)], "u long")
+    assert sk.hll_overlap(a, c, "u").collect()[0]["n_intersection"] >= 0

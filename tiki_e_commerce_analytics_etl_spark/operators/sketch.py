@@ -141,6 +141,45 @@ def cms_join_size(
     )
 
 
+def hll_overlap(
+    df_a: DataFrame, df_b: DataFrame, key_col: str
+) -> DataFrame:
+    """Set-overlap estimate between two key sets WITHOUT a join:
+    distinct counts of each side and of their union from HLL sketches,
+    intersection by inclusion-exclusion (|A| + |B| - |A∪B|).
+
+    The sketches are mergeable (hll_union), so per-shard/per-day
+    sketches answer overlap questions for ANY pair of unions — e.g.
+    "how much does this crawl overlap the existing corpus" costs two
+    KB-sized summaries instead of an anti-join against history.
+    Errors compound across three estimates (each ~1.6% rsd at the
+    default lgConfigK); the registered gate asserts ≤10% against the
+    exact intersection.
+
+    Returns one row: (n_a, n_b, n_union, n_intersection) — estimates,
+    with n_intersection floored at 0 (inclusion-exclusion can go
+    slightly negative for near-disjoint sets).
+    """
+    sa = df_a.agg(F.expr(f"hll_sketch_agg({key_col})").alias("sa"))
+    sb = df_b.agg(F.expr(f"hll_sketch_agg({key_col})").alias("sb"))
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .select(
+            F.expr("hll_sketch_estimate(sa)").alias("n_a"),
+            F.expr("hll_sketch_estimate(sb)").alias("n_b"),
+            F.expr("hll_sketch_estimate(hll_union(sa, sb))").alias("n_union"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_union",
+            F.greatest(
+                F.col("n_a") + F.col("n_b") - F.col("n_union"), F.lit(0)
+            ).alias("n_intersection"),
+        )
+    )
+
+
 def quantile_histogram(
     df: DataFrame,
     col: str,
