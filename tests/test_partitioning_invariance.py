@@ -77,6 +77,8 @@ QUERIES = [
     "phrase_search",     # start-position semi-join chain
     "ab_test",           # single-row integer-count z arithmetic
     "curriculum_stages", # boundary scalars + md5-ordered stage windows
+    "cms_join_size",     # exact integer cells + row inner products
+    "hll_overlap",       # HLL register maxes are order-insensitive
 ]
 
 

@@ -161,6 +161,17 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     )
     err = float(row["e"])
     out.append(("rolling_actives_hll.err", err, 0.10, (0.10 - err) / 0.10))
+
+    # hll_overlap: relative error of the inclusion-exclusion
+    # intersection estimate vs exact, bound 10% (3 compounded HLLs)
+    from tiki_e_commerce_analytics_etl_spark.operators import sketch as sketch_ops
+
+    va = ev.filter(F.col("event_type") == "view").select(F.col("user_id").alias("u"))
+    vb = ev.filter(F.col("event_type") == "purchase").select(F.col("user_id").alias("u"))
+    est_i = sketch_ops.hll_overlap(va, vb, "u").collect()[0]["n_intersection"]
+    exact_i = va.intersect(vb).count()
+    err = abs(float(est_i) - exact_i) / max(exact_i, 1)
+    out.append(("hll_overlap.err", err, 0.10, (0.10 - err) / 0.10))
     return out
 
 

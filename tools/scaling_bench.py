@@ -75,6 +75,12 @@ QUERIES = [
     "semantic_decontaminate",
     "rarity_score",
     "subword_tokenize",
+    # final round-4 additions
+    "scd2_lookup",
+    "item_neighbors",
+    "phrase_search",
+    "curriculum_stages",
+    "cms_join_size",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
