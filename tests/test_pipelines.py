@@ -13,6 +13,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from tiki_e_commerce_analytics_etl_spark import acid
 from tiki_e_commerce_analytics_etl_spark.pipelines import (
@@ -787,3 +788,59 @@ def test_forget_after_crashed_ingest_does_not_resurrect(spark, tmp_path, monkeyp
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
     hashes = acid_mod.read_atomic(spark, store.hashes)
     assert hashes.count() == hashes.distinct().count() == 2
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_ingest_crash_matrix_invariants(spark, tmp_path, monkeypatch, crash_at):
+    """Exhaustive crash positions across the neardup commit chain
+    (corpus=1, hashes=2, bloom=3, bands=4): after the NEXT batch heals,
+    the store invariants hold regardless of where the crash landed —
+    hashes are exactly one distinct row per corpus doc, the band index
+    covers exactly the corpus ids, and the bloom has no false
+    negatives against the hash table.  A crash BEFORE the corpus
+    commit loses the batch until the source redelivers it (exactly the
+    streaming checkpoint contract); any later crash point preserves
+    it."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import bloom as bloom_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = _mk_docs(spark, [(1, "seed content for the store with many words")])
+    ingest_mod.ingest_batch_neardup(spark, store, b0, 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == crash_at:
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    b1 = _mk_docs(spark, [(2, "crashing batch body with distinctive vocabulary here")])
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch_neardup(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # the next batch arrives out-of-order (no redelivery of batch 1)
+    b2 = _mk_docs(spark, [(3, "an entirely separate third document about nothing")])
+    ingest_mod.ingest_batch_neardup(spark, store, b2, 2)
+
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    ids = sorted(r.doc_id for r in corpus.collect())
+    # crash before the corpus commit loses the batch until redelivery;
+    # any crash after it must preserve the batch through healing
+    assert ids == ([1, 3] if crash_at == 1 else [1, 2, 3])
+
+    hashes = acid_mod.read_atomic(spark, store.hashes)
+    assert hashes.count() == hashes.distinct().count() == len(ids)
+    band_ids = sorted(set(r["__id"] for r in acid_mod.read_atomic(spark, store.bands).collect()))
+    assert band_ids == ids
+    # bloom no-false-negative invariant vs the hash table
+    words = acid_mod.read_atomic(spark, store.bloom)
+    flags = bloom_mod.bloom_probe(
+        hashes, words, "content_hash", m_bits=store.m_bits, k=store.k
+    )
+    assert flags.where(~F.col("maybe_seen")).count() == 0
