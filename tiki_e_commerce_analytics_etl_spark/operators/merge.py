@@ -171,18 +171,27 @@ def scd2_lookup(
     output (the reference's SCD1 overwrites cannot answer "what was
     the price THEN" at all).
     """
+    # explicit aliases: facts and dim often share lineage (the dim is
+    # built FROM the fact history), and DataFrame[col] == DataFrame[col]
+    # on a self-join can resolve both sides to one attribute (Spark
+    # warns "trivially true equals predicate"); alias-qualified columns
+    # are unambiguous on any Spark version
+    f, d = facts.alias("__scd_f"), dim.alias("__scd_d")
     cond = None
     for k in keys:
-        c = facts[k] == dim[k]
+        c = F.col(f"__scd_f.{k}") == F.col(f"__scd_d.{k}")
         cond = c if cond is None else cond & c
     cond = (
         cond
-        & (facts[ts_col] >= dim[valid_from])
-        & (dim[valid_to].isNull() | (facts[ts_col] < dim[valid_to]))
+        & (F.col(f"__scd_f.{ts_col}") >= F.col(f"__scd_d.{valid_from}"))
+        & (
+            F.col(f"__scd_d.{valid_to}").isNull()
+            | (F.col(f"__scd_f.{ts_col}") < F.col(f"__scd_d.{valid_to}"))
+        )
     )
-    joined = facts.join(dim, cond, how)
+    joined = f.join(d, cond, how)
     for k in keys:
-        joined = joined.drop(dim[k])
+        joined = joined.drop(F.col(f"__scd_d.{k}"))
     return joined
 
 
