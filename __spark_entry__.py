@@ -1029,6 +1029,18 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_ops.phrase_matches(docs, ["table", "table"])
 
 
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets by relational Apriori over order baskets:
+    frequent pairs first, candidate triples only through the
+    downward-closure prune (two semi-joins against the frequent-pair
+    set BEFORE counting) — never an unpruned 3-way self-join
+    (engagement.frequent_triples)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return engagement.frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item CF ("also bought"): top-5 co-occurring parts per part
     by binary-vector cosine over order baskets — mirrored pairs + one
@@ -2528,6 +2540,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_stages": q_curriculum_stages,
         "cms_join_size": q_cms_join_size,
         "hll_overlap": q_hll_overlap,
+        "frequent_triples": q_frequent_triples,
     }
 
 
@@ -4325,6 +4338,30 @@ def oracle_sql() -> dict[str, str]:
                 JOIN s1 ON s1.doc_id = s0.doc_id AND s1.pos = s0.pos
             )
             SELECT doc_id, COUNT(*) AS n_matches FROM starts GROUP BY doc_id
+        """,
+        "frequent_triples": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+            ),
+            pib AS (
+                SELECT x.basket, x.item AS a, y.item AS b
+                FROM items x JOIN items y
+                  ON x.basket = y.basket AND x.item < y.item
+            ),
+            fp AS (
+                SELECT a, b FROM pib GROUP BY a, b HAVING COUNT(*) >= 2
+            ),
+            fpib AS (SELECT pib.* FROM pib JOIN fp USING (a, b)),
+            cand AS (
+                SELECT f.basket, f.a, f.b, i.item AS c
+                FROM fpib f JOIN items i
+                  ON i.basket = f.basket AND i.item > f.b
+                WHERE EXISTS (SELECT 1 FROM fp WHERE fp.a = f.a AND fp.b = i.item)
+                  AND EXISTS (SELECT 1 FROM fp WHERE fp.a = f.b AND fp.b = i.item)
+            )
+            SELECT a AS item_a, b AS item_b, c AS item_c,
+                   COUNT(*) AS triple_count
+            FROM cand GROUP BY a, b, c HAVING COUNT(*) >= 2
         """,
         "item_neighbors": """
             WITH items AS (

@@ -111,6 +111,7 @@ HEADLINE = [
     "curriculum_stages",
     "cms_join_size",
     "hll_overlap",
+    "frequent_triples",
 ]
 
 

@@ -223,3 +223,40 @@ def test_rfm_scores_empty_input_returns_empty(spark):
     out = engagement.rfm_scores(df, "cust", "d", "amt")
     assert out.count() == 0
     assert "rfm_segment" in out.columns  # schema intact
+
+
+def test_frequent_triples_model(spark):
+    baskets = {
+        1: [1, 2, 3],
+        2: [1, 2, 3, 4],
+        3: [1, 2, 4],
+        4: [2, 3, 4],
+        5: [1, 3],
+    }
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {
+        (r["item_a"], r["item_b"], r["item_c"]): r["triple_count"]
+        for r in engagement.frequent_triples(df, "basket", "item", min_support=2).collect()
+    }
+    sets = [set(v) for v in baskets.values()]
+    expect = {}
+    for t in itertools.combinations(sorted({i for s in sets for i in s}), 3):
+        n = sum(1 for s in sets if set(t) <= s)
+        if n >= 2:
+            expect[t] = n
+    assert got == expect
+    # sanity: (1,2,3) in baskets 1,2 -> 2; all its sub-pairs frequent
+    assert got[(1, 2, 3)] == 2
+
+
+def test_frequent_triples_prune_excludes_infrequent_pairs(spark):
+    # triple (1,2,3) occurs twice but pair (1,3) appears... construct:
+    # make (2,3) frequent, (1,3) frequent, (1,2) NOT frequent -> the
+    # triple can never reach min_support by downward closure, and the
+    # prune must not emit it regardless
+    df = spark.createDataFrame(
+        [(1, 1), (1, 3), (2, 2), (2, 3), (3, 1), (3, 3), (4, 2), (4, 3)],
+        "basket long, item long",
+    )
+    assert engagement.frequent_triples(df, "basket", "item", min_support=2).count() == 0

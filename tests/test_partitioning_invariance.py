@@ -79,6 +79,7 @@ QUERIES = [
     "curriculum_stages", # boundary scalars + md5-ordered stage windows
     "cms_join_size",     # exact integer cells + row inner products
     "hll_overlap",       # HLL register maxes are order-insensitive
+    "frequent_triples",  # semi-join prune chain + triple counting
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "rfm_scores",
     "ab_conversion",
     "basket_pairs",
+    "frequent_triples",
     "item_neighbors",
 ]
 
@@ -222,6 +223,76 @@ def rfm_scores(
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ),
+    )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent 3-itemsets by relational Apriori: one level-wise
+    candidate generation over the frequent PAIRS, never an unpruned
+    3-way self-join.
+
+    1. frequent pairs (a < b, count >= min_support) — basket_pairs'
+       per-basket equi-join;
+    2. candidate triples: frequent pair (a, b) ⋈ the basket's items c
+       with c > b, KEPT only if (a, c) and (b, c) are also frequent
+       pairs — the Apriori downward-closure prune, applied as two
+       broadcast-able semi-joins against the (small) frequent-pair set
+       BEFORE counting;
+    3. hash-count the surviving (a, b, c) and filter by support.
+
+    The quadratic/cubic terms stay per-basket (co-partitioned on the
+    basket key); cross-basket work only ever touches the pruned
+    candidate stream.  Support thresholds make the frequent-pair set
+    summary-sized in practice — the classic reason Apriori scales.
+
+    Returns (item_a, item_b, item_c, triple_count), a < b < c.
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    pairs = (
+        items.alias("x")
+        .join(items.alias("y"), "basket")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .filter(F.col("pc") >= min_support)
+        .select("a", "b")
+    )
+    # per-basket occurrences of each frequent pair
+    pair_in_basket = (
+        items.alias("x")
+        .join(items.alias("y"), "basket")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .select("basket", F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .join(pairs, ["a", "b"], "left_semi")
+    )
+    cand = (
+        pair_in_basket.join(items.withColumnRenamed("item", "c"), "basket")
+        .filter(F.col("c") > F.col("b"))
+        # Apriori prune: (a, c) and (b, c) must also be frequent
+        .join(
+            pairs.select("a", F.col("b").alias("c")), ["a", "c"], "left_semi"
+        )
+        .join(
+            pairs.select(F.col("a").alias("b"), F.col("b").alias("c")),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("c").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("triple_count"))
+        .filter(F.col("triple_count") >= min_support)
     )
 
 
