@@ -1041,6 +1041,18 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engagement.frequent_triples(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search ('table' within 5 words of 'value'): binned
+    positions + adjacent-bin equi-join with the distance residual —
+    the range_join shape over positional postings, never a
+    per-document posting cross product (ranking.proximity_matches).
+    Oracle = the plain theta join."""
+    from tiki_e_commerce_analytics_etl_spark.operators import ranking as ranking_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return ranking_ops.proximity_matches(docs, "table", "value", max_distance=5)
+
+
 def q_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item CF ("also bought"): top-5 co-occurring parts per part
     by binary-vector cosine over order baskets — mirrored pairs + one
@@ -2541,6 +2553,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_join_size": q_cms_join_size,
         "hll_overlap": q_hll_overlap,
         "frequent_triples": q_frequent_triples,
+        "proximity_search": q_proximity_search,
     }
 
 
@@ -4338,6 +4351,24 @@ def oracle_sql() -> dict[str, str]:
                 JOIN s1 ON s1.doc_id = s0.doc_id AND s1.pos = s0.pos
             )
             SELECT doc_id, COUNT(*) AS n_matches FROM starts GROUP BY doc_id
+        """,
+        "proximity_search": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            p AS (
+                SELECT doc_id, unnest(ws) AS term,
+                       generate_subscripts(ws, 1) - 1 AS pos
+                FROM w
+            ),
+            a AS (SELECT doc_id, pos AS pos_a FROM p WHERE term = 'table'),
+            b AS (SELECT doc_id, pos AS pos_b FROM p WHERE term = 'value'),
+            pairs AS (
+                SELECT a.doc_id, ABS(pos_a - pos_b) AS d
+                FROM a JOIN b ON a.doc_id = b.doc_id
+                WHERE ABS(pos_a - pos_b) <= 5
+            )
+            SELECT doc_id, COUNT(*) AS n_pairs,
+                   CAST(MIN(d) AS INTEGER) AS min_distance
+            FROM pairs GROUP BY doc_id
         """,
         "frequent_triples": """
             WITH items AS (

@@ -112,6 +112,7 @@ HEADLINE = [
     "cms_join_size",
     "hll_overlap",
     "frequent_triples",
+    "proximity_search",
 ]
 
 

@@ -776,3 +776,24 @@ def test_phrase_matches_model(spark):
             for r in phrase_matches(df, phrase).collect()
         }
         assert got == model(phrase), phrase
+
+
+def test_proximity_matches_model(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.ranking import proximity_matches
+
+    docs = [
+        (1, "x a b c y"),        # |0-4| = 4 -> within 5
+        (2, "x a b c d e f y"),  # |0-7| = 7 -> out at k=5
+        (3, "x y x"),            # pairs: (0,1)=1, (2,1)=1 -> two pairs, min 1
+        (4, "x x"),              # no y
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["min_distance"])
+        for r in proximity_matches(df, "x", "y", max_distance=5).collect()
+    }
+    assert got == {1: (1, 4), 3: (2, 1)}
+    # bin-boundary coverage: distance exactly k across a bin edge
+    df2 = spark.createDataFrame([(9, "x " + "f " * 4 + "y")], "doc_id long, text string")
+    got2 = proximity_matches(df2, "x", "y", max_distance=5).collect()
+    assert [(r["n_pairs"], r["min_distance"]) for r in got2] == [(1, 5)]

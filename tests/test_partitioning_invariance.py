@@ -80,6 +80,7 @@ QUERIES = [
     "cms_join_size",     # exact integer cells + row inner products
     "hll_overlap",       # HLL register maxes are order-insensitive
     "frequent_triples",  # semi-join prune chain + triple counting
+    "proximity_search",  # adjacent-bin expansion + distance residual
 ]
 
 

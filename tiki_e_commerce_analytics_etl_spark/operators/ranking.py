@@ -158,6 +158,50 @@ def positional_postings(
     )
 
 
+def proximity_matches(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_distance: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity search: documents where ``term_a`` and ``term_b``
+    occur within ``max_distance`` word positions, with the pair count
+    and the minimum observed distance (the proximity-ranking signal).
+
+    The |pos_a - pos_b| <= k predicate is a range join: binning
+    positions by k and equi-joining each a-posting to its own and the
+    two adjacent b-bins covers every qualifying pair exactly once
+    (same shape as operators/range_join) — never a per-document
+    cross product of the two posting lists, whose skew would be the
+    square of the hottest document's term frequencies.
+    """
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    p = positional_postings(df, text_col, id_col)
+    pa = p.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pos_a"), (F.col("pos") / max_distance).cast("long").alias("bin")
+    )
+    pb = p.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pos_b"), (F.col("pos") / max_distance).cast("long").alias("__bbin")
+    )
+    expanded = pa.select(
+        "doc_id",
+        "pos_a",
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("__bbin"),
+    )
+    pairs = expanded.join(pb, ["doc_id", "__bbin"]).filter(
+        F.abs(F.col("pos_a") - F.col("pos_b")) <= max_distance
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("min_distance"),
+    )
+
+
 def phrase_matches(
     df: DataFrame,
     phrase: list[str],
