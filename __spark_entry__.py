@@ -1438,6 +1438,17 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engagement.rolling_active_users(events, "user_id", "ts", window_days=7)
 
 
+def q_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily returning-user counts (retention numerator): actives who
+    were also active in the trailing 7-day window ending yesterday —
+    bounded explode + one semi-join, uniform (day, user) keys
+    (engagement.returning_users)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    events = read_table(spark, sf_dir, "events")
+    return engagement.returning_users(events, "user_id", "ts", window_days=7)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort-retention triangle over orders: distinct customers per
     (first-order month, months-since) cell — integer month arithmetic,
@@ -2554,6 +2565,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_overlap": q_hll_overlap,
         "frequent_triples": q_frequent_triples,
         "proximity_search": q_proximity_search,
+        "returning_users": q_returning_users,
     }
 
 
@@ -4248,6 +4260,25 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY d.day
             )
             SELECT day, exact_7d, TRUE AS approx_ok FROM rolled
+        """,
+        "returning_users": """
+            WITH pairs AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS usr FROM events
+            ),
+            dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day),
+            ret AS (
+                SELECT p.day, COUNT(DISTINCT p.usr) AS n_returning
+                FROM pairs p
+                WHERE EXISTS (
+                    SELECT 1 FROM pairs q
+                    WHERE q.usr = p.usr
+                      AND q.day BETWEEN p.day - 7 AND p.day - 1
+                )
+                GROUP BY p.day
+            )
+            SELECT dau.day, dau.dau,
+                   COALESCE(ret.n_returning, 0) AS n_returning
+            FROM dau LEFT JOIN ret ON ret.day = dau.day
         """,
         "rolling_active_users": """
             WITH pairs AS (

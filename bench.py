@@ -113,6 +113,7 @@ HEADLINE = [
     "hll_overlap",
     "frequent_triples",
     "proximity_search",
+    "returning_users",
 ]
 
 

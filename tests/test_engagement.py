@@ -260,3 +260,15 @@ def test_frequent_triples_prune_excludes_infrequent_pairs(spark):
         "basket long, item long",
     )
     assert engagement.frequent_triples(df, "basket", "item", min_support=2).count() == 0
+
+
+def test_returning_users_model(spark):
+    # user 1: days 0, 2 (returning on 2); user 2: days 0, 9 (gap > 7,
+    # NOT returning on 9); user 3: day 2 only (new)
+    ev = _events(spark, [(1, 0, 1), (1, 2, 2), (2, 0, 3), (2, 9, 4), (3, 2, 5)])
+    got = {
+        r["day"]: (r["dau"], r["n_returning"])
+        for r in engagement.returning_users(ev, window_days=7).collect()
+    }
+    d = lambda i: (D0 + __import__("datetime").timedelta(days=i)).date()
+    assert got == {d(0): (2, 0), d(2): (2, 1), d(9): (1, 0)}

@@ -81,6 +81,7 @@ QUERIES = [
     "hll_overlap",       # HLL register maxes are order-insensitive
     "frequent_triples",  # semi-join prune chain + triple counting
     "proximity_search",  # adjacent-bin expansion + distance residual
+    "returning_users",   # bounded explode + semi-join retention
 ]
 
 

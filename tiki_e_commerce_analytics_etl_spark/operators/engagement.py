@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "rolling_active_users",
     "rolling_active_users_hll",
+    "returning_users",
     "cohort_retention",
     "rfm_scores",
     "ab_conversion",
@@ -115,6 +116,46 @@ def rolling_active_users_hll(
     )
     # observed days only, same reporting set as the exact path
     return rolled.join(daily.select(F.col("d").alias("day")), "day")
+
+
+def returning_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily returning-user counts: per observed day, how many of that
+    day's actives were ALSO active in the trailing ``window_days``
+    window ending the day before (the day-over-window retention
+    numerator; rate = n_returning / dau).
+
+    Same bounded-explode machinery as ``rolling_active_users``: a user
+    active on day d contributes "prior presence" to report days
+    d+1 .. d+W, deduped to (report day, user), then ONE semi-join
+    marks each (day, user) active pair as returning — every shuffle on
+    uniform (day, user) keys, no window sort, fan-out bounded by W.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.col(ts_col).cast("date")
+    pairs = df.select(day.alias("day"), F.col(user_col).alias("usr")).distinct()
+    prior = pairs.select(
+        F.explode(
+            F.sequence(F.date_add(F.col("day"), 1), F.date_add(F.col("day"), window_days))
+        ).alias("day"),
+        "usr",
+    ).distinct()
+    returning = pairs.join(prior, ["day", "usr"], "left_semi")
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    ret = returning.groupBy("day").agg(F.count(F.lit(1)).alias("n_returning"))
+    return (
+        dau.join(ret, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("n_returning", F.lit(0)).alias("n_returning"),
+        )
+    )
 
 
 def cohort_retention(
