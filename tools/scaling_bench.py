@@ -81,6 +81,9 @@ QUERIES = [
     "phrase_search",
     "curriculum_stages",
     "cms_join_size",
+    "frequent_triples",
+    "proximity_search",
+    "returning_users",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
