@@ -1112,6 +1112,17 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.withColumn("pos", F.row_number().over(w))
 
 
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-conditional rarity (context-sensitive LM quality filter):
+    inverse conditional probability count(prefix)/count(bigram) in
+    exact scaled integers — catches common words in unusual sequence
+    where the unigram filter can't (text.bigram_rarity)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.bigram_rarity(docs, "text", "doc_id")
+
+
 def q_subword_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword-tokenizer training: top-200 character n-grams (len 2-6)
     of the corpus's words, occurrence-weighted, deterministic tiebreak
@@ -2566,6 +2577,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_triples": q_frequent_triples,
         "proximity_search": q_proximity_search,
         "returning_users": q_returning_users,
+        "bigram_rarity": q_bigram_rarity,
     }
 
 
@@ -4550,6 +4562,22 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY stage
                        ORDER BY md5(CAST(id AS VARCHAR)), id) AS INTEGER) AS pos
             FROM staged
+        """,
+        "bigram_rarity": f"""
+            WITH w AS (SELECT doc_id AS id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            big AS (
+                SELECT id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+                FROM w, LATERAL (SELECT unnest(range(1, len(w.ws))) AS i) t
+                WHERE len(w.ws) >= 2
+            ),
+            tf AS (SELECT id, w1, w2, COUNT(*) AS tf FROM big GROUP BY id, w1, w2),
+            cbg AS (SELECT w1, w2, SUM(tf) AS cbg FROM tf GROUP BY w1, w2),
+            cpre AS (SELECT w1, SUM(cbg) AS cpre FROM cbg GROUP BY w1)
+            SELECT id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(tf * ((cpre * CAST(1000000 AS BIGINT)) // cbg))
+                        // SUM(tf) AS BIGINT) AS cond_rarity_scaled
+            FROM tf JOIN cbg USING (w1, w2) JOIN cpre USING (w1)
+            GROUP BY id
         """,
         "rarity_score": f"""
             WITH toks AS (

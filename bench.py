@@ -114,6 +114,7 @@ HEADLINE = [
     "frequent_triples",
     "proximity_search",
     "returning_users",
+    "bigram_rarity",
 ]
 
 

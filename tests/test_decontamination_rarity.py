@@ -94,3 +94,42 @@ def test_semantic_decontaminate_zero_vector_reports_clean(spark):
     }
     assert out[1]["max_eval_score"] == 0.0 and out[1]["is_contaminated"] is False
     assert out[2]["is_contaminated"] is True
+
+
+def _model_bigram_rarity(docs, scale=1_000_000):
+    from collections import Counter
+
+    big = {i: [] for i, _ in docs}
+    for i, t in docs:
+        ws = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        big[i] = list(zip(ws, ws[1:]))
+    cbg = Counter(b for bs in big.values() for b in bs)
+    cpre = Counter()
+    for (w1, _), c in cbg.items():
+        cpre[w1] += c
+    out = {}
+    for i, bs in big.items():
+        if not bs:
+            continue
+        tf = Counter(bs)
+        s = sum(c * ((cpre[b[0]] * scale) // cbg[b]) for b, c in tf.items())
+        out[i] = (len(bs), s // len(bs))
+    return out
+
+
+def test_bigram_rarity_model(spark):
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the the the the"),       # one repeated bigram -> predictable
+        (3, "mat the on sat cat"),    # common words, unusual sequence
+        (4, "solo"),                  # <2 words: no output row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["cond_rarity_scaled"])
+        for r in text_ops.bigram_rarity(df, "text", "doc_id").collect()
+    }
+    assert got == _model_bigram_rarity(docs)
+    assert 4 not in got
+    # the shuffled doc scores strictly above the predictable one
+    assert got[3][1] > got[2][1]

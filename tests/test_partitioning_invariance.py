@@ -82,6 +82,7 @@ QUERIES = [
     "frequent_triples",  # semi-join prune chain + triple counting
     "proximity_search",  # adjacent-bin expansion + distance residual
     "returning_users",   # bounded explode + semi-join retention
+    "bigram_rarity",     # floor-div conditional surprisal sums
 ]
 
 

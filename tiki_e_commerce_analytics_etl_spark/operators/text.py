@@ -310,6 +310,57 @@ def rarity_score(
     )
 
 
+def bigram_rarity(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+):
+    """Bigram-CONDITIONAL rarity — the context-sensitive complement of
+    ``rarity_score``: per-bigram surprisal is the inverse conditional
+    probability ``count(prefix) / count(bigram)`` (scaled, floor-
+    divided — exact integers, no libm log), and a document's score is
+    the tf-weighted mean over its bigrams.  A document of individually
+    common words in UNUSUAL sequence (shuffled text, word salad)
+    scores high where the unigram filter sees nothing wrong.
+
+    Prefix counts derive from the bigram table itself (Σ over
+    continuations), so numerator and denominator share one aggregation
+    chain.  Documents with fewer than two words have no bigrams and no
+    output row (filter before the bounded transform — Spark's
+    ``sequence`` DESCENDS for start > stop).
+
+    Returns (id, n_bigrams, cond_rarity_scaled).  Same int64 envelope
+    as rarity_score (drop ``scale`` a decade per decade past ~10^9
+    corpus bigrams).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter(F.size("__ws") >= 2)
+    big = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+    tf = big.groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    cbg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg"))
+    cpre = cbg.groupBy("w1").agg(F.sum("cbg").alias("cpre"))
+    return (
+        tf.join(cbg, ["w1", "w2"])
+        .join(cpre, "w1")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.expr(f"tf * ((cpre * CAST({scale} AS BIGINT)) div cbg)")).alias("__s"),
+        )
+        .select("id", "n_bigrams", F.expr("__s div n_bigrams").alias("cond_rarity_scaled"))
+    )
+
+
 def fingerprint(text: Column, k: int = 8) -> Column:
     """Document fingerprint: lexicographic min of md5 over word
     k-shingles — a deterministic winnowing-style signature that is
