@@ -118,6 +118,33 @@ HEADLINE = [
 ]
 
 
+def format_stdout_line(timings: dict[str, float], sf: float | None) -> str:
+    """The ONE JSON line printed to stdout.
+
+    The driver tail-captures only the last ~2000 chars of stdout;
+    rounds 3 AND 4 both recorded ``parsed: null`` because the line
+    embedded all ~90 medians (~2.5 KB) and the capture started
+    mid-key.  So the line carries the total plus at most the 10
+    slowest medians; the full per-query medians and per-rep arrays
+    live in bench_reps.json.  tests/test_bench_line.py asserts the
+    line stays < 1500 bytes even for 128 queries with long names.
+    """
+    total = round(sum(timings.values()), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": slowest,
+            "sf": sf,
+            "n_queries": len(timings),
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -143,13 +170,19 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # --full: time EVERY queries() entry once (no reps, no medians) so
+    # a regression in the ~40 non-HEADLINE queries is at least visible.
+    # Results go to bench_full.json; stdout stays the short line.
+    full = "--full" in sys.argv[1:]
+    names = sorted(qs) if full else HEADLINE
+
     # Each query runs REPS times and reports the MEDIAN — a single
     # noisy run (GC pause, co-tenant CPU spike) must not be recorded as
     # a regression.  Per-rep numbers ship alongside for auditability.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = 1 if full else int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     per_rep: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs[name]
         # One unmeasured warmup rep per query: the FIRST execution of a
         # plan pays its whole-stage-codegen JIT compilation (measured
@@ -180,28 +213,22 @@ def main() -> None:
         # cleanup is never billed to a measured rep.
         spark.sparkContext._jvm.System.gc()
 
-    total = round(sum(timings.values()), 3)
-    # The stdout line must stay SHORT (medians only): the driver
-    # tail-captures stdout, and round 3's line with embedded per-rep
-    # arrays outgrew the capture window and recorded `parsed: null`.
-    # Per-rep detail goes to a side file for auditability instead.
+    # Full per-query medians + per-rep arrays go to a side file; the
+    # stdout line (format_stdout_line) must stay short enough for the
+    # driver's 2000-char tail capture.
     try:
-        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_reps.json")
+        fname = "bench_full.json" if full else "bench_reps.json"
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
         with open(side, "w") as f:
-            json.dump({"sf": sf, "reps": per_rep}, f, indent=1, sort_keys=True)
+            json.dump(
+                {"sf": sf, "medians": timings, "reps": per_rep},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     except OSError as exc:  # never let audit detail break the artifact
-        print(f"bench_reps.json not written: {exc}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+        print(f"{fname} not written: {exc}", file=sys.stderr)
+    print(format_stdout_line(timings, sf))
 
 
 if __name__ == "__main__":
