@@ -279,11 +279,13 @@ def frequent_triples(
 
     1. frequent pairs (a < b, count >= min_support) — basket_pairs'
        per-basket equi-join;
-    2. candidate triples: frequent pair (a, b) ⋈ the basket's items c
-       with c > b, KEPT only if (a, c) and (b, c) are also frequent
-       pairs — the Apriori downward-closure prune, applied as two
-       broadcast-able semi-joins against the (small) frequent-pair set
-       BEFORE counting;
+    2. candidate triples: the per-basket FREQUENT-pair stream
+       self-joined on (basket, a) — pairs (a, b) and (a, c) with
+       b < c in the same basket yield candidate (a, b, c), so the
+       (a, b)-frequent and (a, c)-frequent prunes hold BY
+       CONSTRUCTION; the remaining (b, c) downward-closure prune is
+       one broadcast-able semi-join against the (small) frequent-pair
+       set BEFORE counting;
     3. hash-count the surviving (a, b, c) and filter by support.
 
     The quadratic/cubic terms stay per-basket (co-partitioned on the
@@ -296,30 +298,36 @@ def frequent_triples(
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
-    pairs = (
+    # Build the per-basket pair stream ONCE and share the subtree:
+    # both the frequent-pair aggregate and the per-basket semi-join
+    # then shuffle the IDENTICAL child on (a, b), so ReuseExchange
+    # serves the second consumer from the first shuffle's files — the
+    # corpus-scale per-basket self-join (the quadratic term) runs
+    # once.  (Measured at sf0.1: two separately-built subtrees 2.3 s,
+    # shared subtree 1.7 s; an explicit MEMORY_AND_DISK persist is
+    # SLOWER than both at 3.2 s — caching the quadratic stream costs
+    # more than its exchange reuse saves.)
+    all_pairs = (
         items.alias("x")
         .join(items.alias("y"), "basket")
         .filter(F.col("x.item") < F.col("y.item"))
-        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .select("basket", F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+    )
+    pairs = (
+        all_pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("pc"))
         .filter(F.col("pc") >= min_support)
         .select("a", "b")
     )
     # per-basket occurrences of each frequent pair
-    pair_in_basket = (
-        items.alias("x")
-        .join(items.alias("y"), "basket")
-        .filter(F.col("x.item") < F.col("y.item"))
-        .select("basket", F.col("x.item").alias("a"), F.col("y.item").alias("b"))
-        .join(pairs, ["a", "b"], "left_semi")
-    )
+    pair_in_basket = all_pairs.join(pairs, ["a", "b"], "left_semi")
     cand = (
-        pair_in_basket.join(items.withColumnRenamed("item", "c"), "basket")
-        .filter(F.col("c") > F.col("b"))
-        # Apriori prune: (a, c) and (b, c) must also be frequent
-        .join(
-            pairs.select("a", F.col("b").alias("c")), ["a", "c"], "left_semi"
-        )
+        pair_in_basket.alias("p")
+        .join(pair_in_basket.alias("q"), ["basket", "a"])
+        .filter(F.col("p.b") < F.col("q.b"))
+        .select("a", F.col("p.b").alias("b"), F.col("q.b").alias("c"))
+        # remaining Apriori prune: (b, c) must also be frequent —
+        # (a, b) and (a, c) are frequent by construction
         .join(
             pairs.select(F.col("a").alias("b"), F.col("b").alias("c")),
             ["b", "c"],
