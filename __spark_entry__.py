@@ -1088,19 +1088,26 @@ def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.rarity_score(docs, "text", "doc_id")
 
 
-def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_curriculum_stages(
+    spark: SparkSession, sf_dir: str, exact: bool = True, accuracy: int = 10000
+) -> DataFrame:
     """Curriculum ordering for LLM training: stage documents easy→hard
     by rarity quantile (boundary scalars — the equidepth pattern, no
     ntile global sort), with a deterministic md5 shuffle order WITHIN
     each stage.  A composition of rarity_score + quantile boundaries +
     per-stage windows — the training-data pipeline's data-ordering
-    step."""
+    step.  ``exact=False`` swaps the boundary source to
+    partial-aggregating ``approx_percentile`` — the 100 TB path;
+    stage assignment then agrees with exact within one stage at the
+    boundaries (curriculum_approx_gate)."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
     r = text_ops.rarity_score(docs, "text", "doc_id")
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
     bounds = r.agg(
-        F.expr("percentile(rarity_scaled, array(0.25, 0.5, 0.75))").alias("bs")
+        F.expr(f"{fn}(rarity_scaled, array(0.25, 0.5, 0.75){extra})").alias("bs")
     ).collect()[0]["bs"]
     stage = F.lit(0)
     for b in bounds:
@@ -1426,6 +1433,93 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     return equidepth_bins(li, "l_extendedprice", n_bins=10)
+
+
+def q_equidepth_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement gate for the 100 TB binning path: assign every row a
+    decile bin by EXACT boundaries (distributed sort-rank,
+    quality.exact_percentiles) and by APPROX boundaries
+    (approx_percentile t-digest, the partial-aggregating production
+    form), and assert per exact-bin that no row moved more than ONE
+    bin — the bin-width tolerance approximate boundaries are allowed.
+    Driver-visible columns are the exact-side bin and count (DuckDB
+    reproduces them bit-for-bit) plus the agreement boolean (the
+    sketch_summary gate pattern).  accuracy=10000 bounds the rank
+    error at n/10000 per boundary vs a bin width of n/10 — 1000×
+    headroom."""
+    li = read_table(spark, sf_dir, "lineitem")
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    qs = [i / 10 for i in range(1, 10)]
+    exact_b = exact_percentiles(li, "l_extendedprice", qs)
+    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    approx_b = (
+        li.agg(F.expr(f"approx_percentile(l_extendedprice, {arr}, 10000)").alias("bs"))
+        .collect()[0]["bs"]
+        or []
+    )
+
+    def bin_of(bounds: list[float]) -> F.Column:
+        e = F.lit(0)
+        for b in bounds:
+            e = e + F.when(F.col("l_extendedprice") > F.lit(float(b)), 1).otherwise(0)
+        return e
+
+    return (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy(bin_of(exact_b).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max(F.abs(bin_of(exact_b) - bin_of(approx_b))) <= F.lit(1)).alias(
+                "approx_ok"
+            ),
+        )
+    )
+
+
+def q_rfm_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement gate for rfm_scores(exact=False): quintile scores
+    from approx_percentile boundaries must agree with the exact scores
+    within ±1 tile per metric (a boundary-adjacent customer may shift
+    one tile, never two — boundaries are per-metric quantiles, and an
+    approximate boundary sits between the same two data neighbors the
+    exact one interpolates).  n_customers is the exact driver-visible
+    count; the booleans are the DuckDB-asserted gate."""
+    from tiki_e_commerce_analytics_etl_spark.operators import engagement
+
+    orders = read_table(spark, sf_dir, "orders")
+    e = engagement.rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    a = engagement.rfm_scores(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", exact=False
+    ).select(
+        "usr",
+        F.col("r_score").alias("r2"),
+        F.col("f_score").alias("f2"),
+        F.col("m_score").alias("m2"),
+    )
+    return e.join(a, "usr").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.max(F.abs(F.col("r_score") - F.col("r2"))) <= F.lit(1)).alias("r_ok"),
+        (F.max(F.abs(F.col("f_score") - F.col("f2"))) <= F.lit(1)).alias("f_ok"),
+        (F.max(F.abs(F.col("m_score") - F.col("m2"))) <= F.lit(1)).alias("m_ok"),
+    )
+
+
+def q_curriculum_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement gate for curriculum staging with approx boundaries:
+    every document's approx-boundary stage must sit within one stage
+    of its exact-boundary stage.  n_docs is the exact driver-visible
+    count (documents with ≥1 token); stage_ok is the asserted gate."""
+    e = q_curriculum_stages(spark, sf_dir, exact=True).select("id", "stage")
+    a = q_curriculum_stages(spark, sf_dir, exact=False).select(
+        "id", F.col("stage").alias("stage2")
+    )
+    return e.join(a, "id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max(F.abs(F.col("stage") - F.col("stage2"))) <= F.lit(1)).alias("stage_ok"),
+    )
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2507,6 +2601,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_shards": q_shuffle_shards,
         "funnel": q_funnel,
         "equidepth_bins": q_equidepth_bins,
+        "equidepth_approx_gate": q_equidepth_approx_gate,
+        "rfm_approx_gate": q_rfm_approx_gate,
+        "curriculum_approx_gate": q_curriculum_approx_gate,
         "fuzzy_names": q_fuzzy_names,
         "name_clusters": q_name_clusters,
         "weighted_sample": q_weighted_sample,
@@ -3569,6 +3666,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_extendedprice IS NOT NULL
             GROUP BY bin
         """,
+        "equidepth_approx_gate": """
+            WITH b AS (
+                SELECT quantile_cont(l_extendedprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+                FROM lineitem
+            )
+            SELECT CAST(list_sum(list_transform(bs,
+                       x -> CASE WHEN l_extendedprice > x THEN 1 ELSE 0 END)) AS INTEGER) AS bin,
+                   COUNT(*) AS n,
+                   TRUE AS approx_ok
+            FROM lineitem, b
+            WHERE l_extendedprice IS NOT NULL
+            GROUP BY bin
+        """,
+        "rfm_approx_gate": """
+            SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+                   TRUE AS r_ok, TRUE AS f_ok, TRUE AS m_ok
+            FROM orders
+        """,
         "funnel": """
             WITH s0 AS (
                 SELECT user_id, MIN(ts) AS t0 FROM events
@@ -4562,6 +4678,12 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY stage
                        ORDER BY md5(CAST(id AS VARCHAR)), id) AS INTEGER) AS pos
             FROM staged
+        """,
+        "curriculum_approx_gate": f"""
+            WITH toks AS (
+                SELECT doc_id AS id, unnest({_NORM_WORDS_SQL}) AS w FROM documents
+            )
+            SELECT COUNT(DISTINCT id) AS n_docs, TRUE AS stage_ok FROM toks
         """,
         "bigram_rarity": f"""
             WITH w AS (SELECT doc_id AS id, {_NORM_WORDS_SQL} AS ws FROM documents),

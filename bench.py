@@ -115,6 +115,10 @@ HEADLINE = [
     "proximity_search",
     "returning_users",
     "bigram_rarity",
+    # round-5 additions
+    "equidepth_approx_gate",
+    "rfm_approx_gate",
+    "curriculum_approx_gate",
 ]
 
 

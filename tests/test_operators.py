@@ -624,6 +624,36 @@ def test_equidepth_bins_balanced(spark):
     assert sum(arows.values()) == 100
 
 
+def test_exact_percentiles_matches_percentile_aggregate(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    # near-distinct doubles, heavy ties, and an n that makes p*(n-1)
+    # fractional for every decile
+    rows = [(float(i % 37) + i * 0.001,) for i in range(997)]
+    df = spark.createDataFrame(rows, "v double")
+    probs = [0.0, 0.1, 0.25, 0.33, 0.5, 0.75, 0.9, 1.0]
+    arr = "array(" + ", ".join(repr(p) for p in probs) + ")"
+    ref = df.agg(F.expr(f"percentile(v, {arr})")).collect()[0][0]
+    mine = exact_percentiles(df, "v", probs, n_partitions=5)
+    assert mine == [float(x) for x in ref]  # bit-exact, not approx
+
+
+def test_exact_percentiles_edges(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    assert exact_percentiles(empty, "v", [0.5]) == []
+    one = spark.createDataFrame([(7.0,)], "v double")
+    assert exact_percentiles(one, "v", [0.0, 0.5, 1.0]) == [7.0, 7.0, 7.0]
+    nulls = spark.createDataFrame([(None,), (3.0,), (1.0,)], "v double")
+    assert exact_percentiles(nulls, "v", [0.5]) == [2.0]
+    assert exact_percentiles(one, "v", []) == []
+
+
 def test_fuzzy_self_join_blocks_and_reranks(spark):
     from tiki_e_commerce_analytics_etl_spark.operators.fuzzy import fuzzy_self_join
 

@@ -197,6 +197,8 @@ def rfm_scores(
     date_col: str,
     amount_col: str,
     n_tiles: int = 5,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation.
 
@@ -217,11 +219,22 @@ def rfm_scores(
     Recency is scored via last-order day directly (monotone in
     recency, no second pass to re-anchor): later last order ⇒ higher
     score.
+
+    ``exact=True`` (default) uses exact ``percentile`` boundaries —
+    the per-customer table is customer-sized, so the single final
+    buffer is fine far past this scale, and DuckDB's quantile_cont
+    reproduces the scores bit-for-bit.  At 100 TB-corpus customer
+    counts pass ``exact=False`` for partial-aggregating
+    ``approx_percentile`` boundaries with ``accuracy``; scores can
+    then differ from exact by at most one tile at the boundaries
+    (asserted by the rfm_approx_gate oracle query).
     """
     if n_tiles < 2:
         raise ValueError("n_tiles must be >= 2")
     qs = [i / n_tiles for i in range(1, n_tiles)]
     arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {accuracy}"
     last_day = F.datediff(
         F.max(F.col(date_col)).cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long")
@@ -232,9 +245,9 @@ def rfm_scores(
     )
     row = per.agg(
         F.max("last_day").alias("anchor"),
-        F.expr(f"percentile(last_day, {arr})").alias("rb"),
-        F.expr(f"percentile(frequency, {arr})").alias("fb"),
-        F.expr(f"percentile(monetary, {arr})").alias("mb"),
+        F.expr(f"{fn}(last_day, {arr}{extra})").alias("rb"),
+        F.expr(f"{fn}(frequency, {arr}{extra})").alias("fb"),
+        F.expr(f"{fn}(monetary, {arr}{extra})").alias("mb"),
     ).collect()[0]
     # Empty input: the aggregation returns one all-NULL row; keep the
     # output schema by scoring with zero boundaries over zero rows

