@@ -3056,7 +3056,13 @@ def _cms_join_size_oracle(depth: int = 4, width: int = 4096, seed: int = 11) -> 
     ip AS (SELECT ca.row_i, SUM(ca.cnt * cb.cnt) AS ip
            FROM ca JOIN cb ON ca.row_i = cb.row_i AND ca.col_i = cb.col_i
            GROUP BY ca.row_i),
-    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+    -- mirror sketch.cms_join_size exactly: a hash row with NO
+    -- overlapping cells means a zero join, so fewer than `depth`
+    -- rows present => est 0 (MIN over only the surviving rows would
+    -- overstate on near-disjoint key sets)
+    est AS (SELECT CASE WHEN (SELECT COUNT(*) FROM ip) < {depth} THEN 0
+                        ELSE CAST(COALESCE(MIN(ip), 0) AS BIGINT) END AS est
+            FROM ip),
     ex AS (SELECT COUNT(*) AS exact
            FROM lineitem JOIN part ON l_partkey = p_partkey)
     SELECT est, exact, est >= exact AS lower_bound_ok FROM est CROSS JOIN ex
@@ -4371,10 +4377,16 @@ def oracle_sql() -> dict[str, str]:
                      / sqrt((c_a + c_b) / (n_a + n_b)
                             * (1 - (c_a + c_b) / (n_a + n_b))
                             * (1.0 / n_a + 1.0 / n_b)) AS z_stat,
-                   ABS((c_b / n_b - c_a / n_a)
-                     / sqrt((c_a + c_b) / (n_a + n_b)
-                            * (1 - (c_a + c_b) / (n_a + n_b))
-                            * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+                   CASE WHEN n_a > 0 AND n_b > 0
+                             AND (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+                        THEN ABS((c_b / n_b - c_a / n_a)
+                          / sqrt((c_a + c_b) / (n_a + n_b)
+                                 * (1 - (c_a + c_b) / (n_a + n_b))
+                                 * (1.0 / n_a + 1.0 / n_b))) > 1.96
+                        ELSE FALSE END AS significant,
+                   (n_a > 0 AND n_b > 0
+                    AND (c_a + c_b) > 0
+                    AND (c_a + c_b) < (n_a + n_b)) AS valid_test
             FROM s
         """,
         "rolling_actives_sketch": """

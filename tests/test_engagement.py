@@ -190,6 +190,32 @@ def test_ab_conversion_model(spark):
     se = math.sqrt(pool * (1 - pool) * (1 / 4 + 1 / 3))
     assert r["z_stat"] == (p_b - p_a) / se
     assert not r["significant"]
+    assert r["valid_test"]
+
+
+def test_ab_conversion_degenerate_arms(spark):
+    # variant 1 has NO exposed users -> valid_test false, significant
+    # an explicit false (not NULL), z/rate_b NULL
+    rows = [(u, 0, "view") for u in [0, 2, 4]] + [(0, 0, "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, variant long, event_type string")
+    r = engagement.ab_conversion(
+        df, "user_id", "variant", "event_type", "view", "purchase"
+    ).collect()[0]
+    assert r["n_b"] == 0
+    assert r["valid_test"] is False
+    assert r["significant"] is False
+    assert r["rate_b"] is None and r["z_stat"] is None
+
+    # all exposed users converted in both arms -> pooled rate 1, se=0
+    rows2 = [(u, u % 2, "view") for u in range(4)] + [
+        (u, u % 2, "purchase") for u in range(4)
+    ]
+    df2 = spark.createDataFrame(rows2, "user_id long, variant long, event_type string")
+    r2 = engagement.ab_conversion(
+        df2, "user_id", "variant", "event_type", "view", "purchase"
+    ).collect()[0]
+    assert r2["valid_test"] is False
+    assert r2["significant"] is False
 
 
 def test_item_neighbors_model(spark):

@@ -663,6 +663,80 @@ def test_neardup_ingest_partial_crash_recovers_band_index(spark, tmp_path, monke
     assert r1["admitted"] == 0 and r1["near_dup_rejected_history"] == 1
 
 
+def test_variant_mixing_plain_ingest_maintains_band_index(spark, tmp_path):
+    """ingest_batch on a store that HAS a band index must keep the
+    index complete: its admitted docs get band rows, its replay cursor
+    and heal tail move to bands, and a later neardup batch rejects
+    near-dups of the plain-ingested content (the under-rejection
+    window the round-4 advice flagged)."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    # batch 0 through the neardup variant creates the band index
+    ingest_mod.ingest_batch_neardup(
+        spark, store, _mk_docs(spark, [(1, "seed words for the index alpha beta gamma delta epsilon zeta")]), 0
+    )
+    # batch 1 through the PLAIN variant — must still append band rows
+    r1 = ingest_mod.ingest_batch(spark, store, _mk_docs(spark, [(2, base)]), 1)
+    assert r1["admitted"] == 1
+    band_ids = set(
+        r["__id"] for r in acid_mod.read_atomic(spark, store.bands).collect()
+    )
+    assert 2 in band_ids, "plain ingest left the band index stale"
+    # plain replay keys on the bands cursor now
+    assert ingest_mod.ingest_batch(spark, store, _mk_docs(spark, [(2, base)]), 1) == {
+        "replay_skipped": True
+    }
+    # batch 2: near-dup of the PLAIN-ingested doc 2 must be rejected
+    r2 = ingest_mod.ingest_batch_neardup(
+        spark, store, _mk_docs(spark, [(3, base + " extra")]), 2
+    )
+    assert r2["near_dup_rejected_history"] == 1 and r2["admitted"] == 0
+
+
+def test_vacuum_store_heals_before_pruning(spark, tmp_path, monkeypatch):
+    """A crashed chain + an immediate aggressive vacuum: vacuum_store
+    must heal first, so the downstream tables converge and the crash
+    recovery never depends on files the prune removed."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    ingest_mod.ingest_batch(
+        spark, store, _mk_docs(spark, [(1, "first batch content words here")]), 0
+    )
+    # crash batch 1 after the corpus commit, before hashes/bloom
+    orig = ingest_mod._commit_admitted
+
+    def crash(spark_, store_, admitted, batch_id, app_id):
+        acid_mod.atomic_overwrite_partitions(
+            admitted, store_.corpus, mode="append", txn_app=app_id, txn_version=batch_id
+        )
+        raise RuntimeError("crash after corpus commit")
+
+    monkeypatch.setattr(ingest_mod, "_commit_admitted", crash)
+    with pytest.raises(RuntimeError):
+        ingest_mod.ingest_batch(
+            spark, store, _mk_docs(spark, [(2, "second batch brand new words")]), 1
+        )
+    monkeypatch.setattr(ingest_mod, "_commit_admitted", orig)
+
+    # aggressive vacuum with zero grace — must heal the chain first
+    ingest_mod.vacuum_store(spark, store, keep_versions=1, grace_seconds=0)
+    assert acid_mod.last_txn_version(store.bloom, "ingest") == 1
+    hashes = {
+        r["content_hash"]
+        for r in acid_mod.read_atomic(spark, store.hashes).collect()
+    }
+    assert len(hashes) == 2
+    # and a replay of the crashed batch is now a clean no-op
+    assert ingest_mod.ingest_batch(
+        spark, store, _mk_docs(spark, [(2, "second batch brand new words")]), 1
+    ) == {"replay_skipped": True}
+
+
 def test_pair_jaccard_rerank_is_exact(spark):
     from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import _pair_jaccard
 

@@ -431,6 +431,12 @@ def ab_conversion(
     (division, sqrt) is a correctly-rounded IEEE op on integer-derived
     values, so the statistic is bit-identical across engines and
     partitionings (no float SUMS anywhere).
+
+    Degenerate arms are signalled, not NULL-surprised: ``valid_test``
+    is false (and ``significant`` an explicit false, never NULL) when
+    either arm has zero exposed users or the pooled rate is 0 or 1
+    (se = 0 — the z statistic is undefined); rates/z stay NULL in
+    that case, which is the honest answer.
     """
     exposed = (
         df.filter(F.col(event_col) == exposure_event)
@@ -457,6 +463,14 @@ def ab_conversion(
     pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
     se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
     z = (p_b - p_a) / se
+    conv = F.col("c_a") + F.col("c_b")
+    total = F.col("n_a") + F.col("n_b")
+    valid = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (conv > 0)
+        & (conv < total)
+    )
     return s.select(
         "n_a",
         "c_a",
@@ -465,7 +479,10 @@ def ab_conversion(
         p_a.alias("rate_a"),
         p_b.alias("rate_b"),
         z.alias("z_stat"),
-        (F.abs(z) > F.lit(z_crit)).alias("significant"),
+        F.when(valid, F.abs(z) > F.lit(z_crit))
+        .otherwise(F.lit(False))
+        .alias("significant"),
+        valid.alias("valid_test"),
     )
 
 

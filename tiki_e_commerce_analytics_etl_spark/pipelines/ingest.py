@@ -103,7 +103,18 @@ def _heal_chain(
     batch arrives before a crashed one is retried — without healing,
     the normal path would screen against hashes/bloom that are missing
     committed content and silently re-admit it.  Returns the number of
-    commits healed."""
+    commits healed.
+
+    VACUUM ORDERING CONSTRAINT: recovery reads the crashed commit's
+    corpus data files by manifest reference, so ``acid.vacuum`` must
+    never prune a corpus version newer than the minimum un-healed app
+    cursor — a forget/compaction rewrite followed by an aggressive
+    vacuum would delete the files an older un-healed commit still
+    needs.  Every entry point here heals BEFORE it rewrites (the
+    heal-before-forget invariant), and ``vacuum_store`` makes the
+    ordering structural for maintenance: heal every app chain, THEN
+    prune.  Do not call ``acid.vacuum`` directly on a store with
+    possibly-unhealed chains."""
     tail = store.bands if band_params is not None else store.bloom
     tail_v = acid.last_txn_version(tail, app_id)
     corpus_v = acid.last_txn_version(store.corpus, app_id)
@@ -239,15 +250,26 @@ def ingest_batch(
     would now see the batch's own rows and derive a different —
     bloom-breaking — set); it recovers the EXACT admitted rows from
     the corpus commit's change feed and finishes the chain.
+
+    Variant mixing: when a ``bands`` near-dup index exists on this
+    store (some batches went through ``ingest_batch_neardup``), this
+    plain path MAINTAINS it — appends band rows for its admitted docs,
+    extends the commit chain (and the replay cursor / heal tail) to
+    ``bands`` — so the index never silently misses this batch's rows
+    and later near-dup screens stay complete.  It still performs no
+    near-dup REJECTION of its own.
     """
-    if acid.last_txn_version(store.bloom, app_id) >= batch_id:
+    with_bands = _has_table(store.bands)
+    tail = store.bands if with_bands else store.bloom
+    band_params = (text_col, id_col) if with_bands else None
+    if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     # finish any commit chain a crash left behind BEFORE screening:
     # covers the redelivered batch (we return below) and the
     # out-of-order case (an earlier batch crashed, this is a NEWER one
     # — its screen must see the healed hashes/bloom or it re-admits
     # committed content)
-    healed = _heal_chain(spark, store, app_id)
+    healed = _heal_chain(spark, store, app_id, band_params=band_params)
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
         return {"recovered_replay": True, "healed_commits": healed}
 
@@ -262,6 +284,21 @@ def ingest_batch(
     n_admitted = admitted.count()
 
     _commit_admitted(spark, store, admitted, batch_id, app_id)
+    if with_bands:
+        acid.atomic_overwrite_partitions(
+            _band_rows(
+                admitted,
+                text_col,
+                id_col,
+                store.lsh_num_hashes,
+                store.lsh_bands,
+                store.lsh_shingle_k,
+            ),
+            store.bands,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
     return {
         "batch": n_batch,
         "in_batch_dups": n_batch - n_first,
@@ -346,6 +383,41 @@ def forget(
             kept_bands, store.bands, txn_app=app_id, txn_version=batch_id
         )
     return {"removed": n_removed}
+
+
+def vacuum_store(
+    spark: SparkSession,
+    store: IngestStore,
+    app_ids: tuple = ("ingest",),
+    keep_versions: int = 2,
+    grace_seconds: float = 86400.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str]:
+    """Maintenance vacuum over ALL of a store's tables that enforces
+    the heal-before-vacuum ordering: chain healing recovers crashed
+    commits from corpus change feeds (``_heal_chain``), which reads
+    old corpus data files by manifest reference — pruning those files
+    while a chain is un-healed would make the crash unrecoverable.
+    Healing every ``app_ids`` chain FIRST means no un-healed cursor
+    can exist when pruning starts, so any retention policy is safe.
+
+    Returns the list of removed paths across tables.
+    """
+    with_bands = _has_table(store.bands)
+    band_params = (text_col, id_col) if with_bands else None
+    for app in app_ids:
+        _heal_chain(spark, store, app, band_params=band_params)
+    removed: list[str] = []
+    tables = [store.corpus, store.hashes, store.bloom] + (
+        [store.bands] if with_bands else []
+    )
+    for path in tables:
+        if _has_table(path):
+            removed += acid.vacuum(
+                path, keep_versions=keep_versions, grace_seconds=grace_seconds
+            )
+    return removed
 
 
 def _pair_jaccard(df: DataFrame, a_text: str, b_text: str, shingle_k: int) -> DataFrame:
