@@ -829,15 +829,16 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB-scale ANN path (rows-only check: approximate by design)."""
     from tiki_e_commerce_analytics_etl_spark.operators import similarity
 
+    from tiki_e_commerce_analytics_etl_spark import stats as stats_mod
+
     emb = read_table(spark, sf_dir, "embeddings")
     # Plane count auto-sizes to the corpus (constant bucket occupancy)
-    # from the parquet footer's row count — metadata only, no Spark
-    # action (a production caller passes catalog stats).  16 tables
+    # via the catalog-statistics layer (stats.estimated_row_count reads
+    # the plan's parquet footers — metadata only, no Spark action):
+    # the production default, not an inline footer read.  16 tables
     # recover recall; bucketing is one numpy matmul per Arrow batch;
     # rerank is exact cosine.
-    import pyarrow.parquet as pq
-
-    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_rows = stats_mod.estimated_row_count(emb, require_exact=True)
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, corpus_size=n_rows
     )

@@ -918,3 +918,130 @@ def test_ingest_crash_matrix_invariants(spark, tmp_path, monkeypatch, crash_at):
         hashes, words, "content_hash", m_bits=store.m_bits, k=store.k
     )
     assert flags.where(~F.col("maybe_seen")).count() == 0
+
+
+def _store_state(spark, acid_mod, store):
+    """(corpus multiset, hashes multiset, band-index multiset) — the
+    byte-comparable state of an ingest store."""
+    corpus = sorted(
+        (r.doc_id, r.text, r.content_hash)
+        for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    )
+    hashes = sorted(
+        r.content_hash for r in acid_mod.read_atomic(spark, store.hashes).collect()
+    )
+    try:
+        bands = sorted(
+            tuple(r) for r in acid_mod.read_atomic(spark, store.bands).collect()
+        )
+    except FileNotFoundError:
+        bands = []
+    return corpus, hashes, bands
+
+
+def _run_batches(spark, ingest_mod, store, batches):
+    for i, b in enumerate(batches):
+        ingest_mod.ingest_batch_neardup(spark, store, b, i)
+
+
+@pytest.mark.parametrize("compact_after", [1, 2, 3, 4])
+def test_compact_interleaves_mid_ingest_chain(spark, tmp_path, monkeypatch, compact_after):
+    """Maintenance compaction fires at EVERY position inside a live
+    ingest commit chain (after corpus=1 / hashes=2 / bloom=3 /
+    bands=4): the chain keeps committing on top of the compacted
+    versions, a following batch ingests normally, and the final corpus
+    multiset + hash set + band index are identical to the serial
+    schedule (all batches, then compact).  Extends the crash matrix:
+    same positions, but the interleaver is a concurrent WRITER, not a
+    crash."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    mk = lambda rows: _mk_docs(spark, rows)  # noqa: E731
+    batches = [
+        [(1, base), (2, "another topic with its own distinct vocabulary set")],
+        [(3, base + " extra"), (4, "fresh content for the second batch here")],
+        [(5, "third batch document entirely unlike the previous ones")],
+    ]
+
+    # serial reference: all batches, then compact everything
+    serial = ingest_mod.IngestStore(str(tmp_path / "serial"), m_bits=1 << 12)
+    _run_batches(spark, ingest_mod, serial, [mk(b) for b in batches])
+    for t in (serial.corpus, serial.hashes, serial.bloom, serial.bands):
+        acid_mod.compact(spark, t)
+    want = _store_state(spark, acid_mod, serial)
+
+    # raced store: compact ALL tables mid-chain of batch 1
+    raced = ingest_mod.IngestStore(str(tmp_path / "raced"), m_bits=1 << 12)
+    ingest_mod.ingest_batch_neardup(spark, raced, mk(batches[0]), 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0, "in_compact": False}
+
+    def interleaving(df, path, *a, **kw):
+        if state["in_compact"]:
+            return real_commit(df, path, *a, **kw)
+        out = real_commit(df, path, *a, **kw)
+        state["calls"] += 1
+        if state["calls"] == compact_after:
+            state["in_compact"] = True
+            try:
+                for t in (raced.corpus, raced.hashes, raced.bloom, raced.bands):
+                    if acid_mod.latest_version(t) is not None:
+                        acid_mod.compact(spark, t)
+            finally:
+                state["in_compact"] = False
+        return out
+
+    monkeypatch.setattr(acid_mod, "atomic_overwrite_partitions", interleaving)
+    ingest_mod.ingest_batch_neardup(spark, raced, mk(batches[1]), 1)
+    monkeypatch.setattr(acid_mod, "atomic_overwrite_partitions", real_commit)
+    ingest_mod.ingest_batch_neardup(spark, raced, mk(batches[2]), 2)
+    for t in (raced.corpus, raced.hashes, raced.bloom, raced.bands):
+        acid_mod.compact(spark, t)
+
+    assert _store_state(spark, acid_mod, raced) == want
+    # replay of the raced batch is still a whole-batch no-op
+    assert ingest_mod.ingest_batch_neardup(spark, raced, mk(batches[1]), 1) == {
+        "replay_skipped": True
+    }
+
+
+def test_compact_loses_race_to_ingest_and_retries(spark, tmp_path, monkeypatch):
+    """The CAS race from the compact side: an ingest commit lands
+    BETWEEN compaction's snapshot read and its commit.  The stale
+    commit must raise CommitConflict internally and the retry must
+    recompact from the new snapshot — the concurrent batch's rows
+    survive, byte-identical to the serial schedule."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    b0 = _mk_docs(spark, [(1, "first committed document with several words")])
+    b1 = _mk_docs(spark, [(2, "the racing batch that lands mid compaction")])
+
+    serial = ingest_mod.IngestStore(str(tmp_path / "serial"), m_bits=1 << 12)
+    ingest_mod.ingest_batch(spark, serial, b0, 0)
+    ingest_mod.ingest_batch(spark, serial, b1, 1)
+    acid_mod.compact(spark, serial.corpus)
+    want = _store_state(spark, acid_mod, serial)
+
+    raced = ingest_mod.IngestStore(str(tmp_path / "raced"), m_bits=1 << 12)
+    ingest_mod.ingest_batch(spark, raced, b0, 0)
+
+    real_read = acid_mod.read_atomic
+    state = {"injected": False}
+
+    def racing_read(spark_, path, version=None, **kw):
+        df = real_read(spark_, path, version=version, **kw)
+        if path == raced.corpus and not state["injected"]:
+            state["injected"] = True  # set FIRST: ingest reads too
+            ingest_mod.ingest_batch(spark, raced, b1, 1)
+        return df
+
+    monkeypatch.setattr(acid_mod, "read_atomic", racing_read)
+    acid_mod.compact(spark, raced.corpus)
+    monkeypatch.setattr(acid_mod, "read_atomic", real_read)
+    # batch 1's chain finished inside the race; states must match
+    assert _store_state(spark, acid_mod, raced) == want
+    assert ingest_mod.ingest_batch(spark, raced, b1, 1) == {"replay_skipped": True}
