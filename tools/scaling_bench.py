@@ -84,6 +84,11 @@ QUERIES = [
     "frequent_triples",
     "proximity_search",
     "returning_users",
+    # round-5 additions (distributed exact percentiles + approx gates)
+    "equidepth_bins",
+    "equidepth_approx_gate",
+    "rfm_approx_gate",
+    "curriculum_approx_gate",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
@@ -194,8 +199,15 @@ def main() -> None:
             spark.catalog.clearCache()
         return round(statistics.median(runs), 3)
 
+    # --only q1 q2 ...: time a subset (refreshing curves for changed
+    # queries without re-running the whole suite)
+    names = QUERIES
+    if "--only" in sys.argv:
+        picked = sys.argv[sys.argv.index("--only") + 1 :]
+        names = [q for q in QUERIES if q in picked]
+
     results = {}
-    for name in QUERIES:
+    for name in names:
         t1 = run(name, BASE_DIR)
         t10 = run(name, SCALED_DIR)
         results[name] = {
