@@ -172,6 +172,77 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     exact_i = va.intersect(vb).count()
     err = abs(float(est_i) - exact_i) / max(exact_i, 1)
     out.append(("hll_overlap.err", err, 0.10, (0.10 - err) / 0.10))
+
+    # approx-boundary agreement gates (round 5): the gate flips when
+    # any row's approx bin sits >1 bin from its exact bin, which
+    # requires an approx boundary whose RANK is off by a full bin
+    # depth.  The continuous margin is therefore the worst boundary's
+    # rank error measured in bin depths (bound 1.0) — approx accuracy
+    # 10000 keeps it ~n/10000 / (n/k).
+    def worst_boundary_rank_err(df, col: str, k: int, accuracy: int = 10000) -> float:
+        # |rank(approx bound) - rank(exact bound)| in bin depths —
+        # NOT distance from the theoretical rank q*n, which a tie run
+        # spanning the quantile would inflate even for a perfect
+        # boundary (ties move BOTH bounds' ranks identically, and tied
+        # rows all land in one bin either way).
+        from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+            exact_percentiles,
+        )
+
+        vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("v"))
+        n = vals.count()
+        if n == 0:
+            return 0.0
+        qs = [i / k for i in range(1, k)]
+        arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+        approx_b = (
+            vals.agg(F.expr(f"approx_percentile(v, {arr}, {accuracy})").alias("bs"))
+            .collect()[0]["bs"]
+            or []
+        )
+        exact_b = exact_percentiles(vals, "v", qs)
+        aggs = []
+        for i, b in enumerate(approx_b):
+            aggs.append(
+                F.sum((F.col("v") <= F.lit(float(b))).cast("long")).alias(f"a{i}")
+            )
+        for i, b in enumerate(exact_b):
+            aggs.append(
+                F.sum((F.col("v") <= F.lit(float(b))).cast("long")).alias(f"e{i}")
+            )
+        ranks = vals.agg(*aggs).collect()[0]
+        depth = n / k
+        worst = 0.0
+        for i in range(len(qs)):
+            worst = max(
+                worst, abs(float(ranks[f"a{i}"]) - float(ranks[f"e{i}"])) / depth
+            )
+        return worst
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e = worst_boundary_rank_err(li, "l_extendedprice", 10)
+    out.append(("equidepth_approx.rank_err", e, 1.0, (1.0 - e) / 1.0))
+
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("usr")).agg(
+        F.datediff(
+            F.max(F.col("o_orderdate")).cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    e = max(
+        worst_boundary_rank_err(per, c, 5)
+        for c in ("last_day", "frequency", "monetary")
+    )
+    out.append(("rfm_approx.rank_err", e, 1.0, (1.0 - e) / 1.0))
+
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = text_ops.rarity_score(docs, "text", "doc_id")
+    e = worst_boundary_rank_err(r, "rarity_scaled", 4)
+    out.append(("curriculum_approx.rank_err", e, 1.0, (1.0 - e) / 1.0))
     return out
 
 
