@@ -83,6 +83,13 @@ QUERIES = [
     "proximity_search",  # adjacent-bin expansion + distance residual
     "returning_users",   # bounded explode + semi-join retention
     "bigram_rarity",     # floor-div conditional surprisal sums
+    # round-5 additions: distributed sort-rank boundaries (bucket
+    # counts + offset ranks must erase the bucket layout), and the
+    # approx-agreement gates (approx_percentile sketches vary with
+    # partitioning — the ±1 tolerance must absorb it)
+    "equidepth_approx_gate",
+    "rfm_approx_gate",
+    "curriculum_approx_gate",
 ]
 
 
