@@ -1984,6 +1984,34 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-level video frame sampling, oracle-checked end
+    to end: each document's UTF-8 bytes become 4 equal-stride encoded
+    frames muxed into a valid RIFF/AVI (multimodal.avi_mux, Arrow
+    batch stage), then frame_sample demuxes the container with the
+    pure-Python RIFF walker (avi_frame_sampler) and keeps every 2nd
+    frame (80 ms against the container's 40 ms/frame rate).  No codec
+    anywhere — the frame payloads stay encoded bytes — but the
+    mux→demux→sample path is real byte-level work whose frame count
+    and sizes DuckDB reproduces arithmetically."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents")
+    to_avi = mm.text_to_avi_udf(n_frames=4, usec_per_frame=40000)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        to_avi(F.col("text")).alias("payload"),
+        F.lit(None)
+        .cast("struct<mime:string,width:int,height:int,duration_ms:bigint>")
+        .alias("meta"),
+    )
+    frames = mm.frame_sample(media, every_ms=80, sampler=mm.avi_frame_sampler)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_len")
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation chain as ONE lazy plan:
     language filter (en) → quality screen (≥0.3) → exact dedup (md5,
@@ -2641,6 +2669,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_fact_dom": q_snapshot_fact_dom,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "avi_frame_sample": q_avi_frame_sample,
         "hash_split": q_hash_split,
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
@@ -3594,6 +3623,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(unnest(range(n)) AS INTEGER) AS frame_idx,
                    CAST(L // n AS BIGINT) AS frame_len
             FROM f
+        """,
+        "avi_frame_sample": """
+            -- mirror the mux construction arithmetically: 4 frames of
+            -- step = max(L//4, 1) bytes (empty slices dropped, tail
+            -- bytes beyond 4*step never framed), demux returns them in
+            -- order, sampler keeps every 2nd (80ms vs 40ms/frame)
+            WITH d AS (
+                SELECT doc_id AS media_id, octet_length(encode(text)) AS L
+                FROM documents
+            ),
+            s AS (SELECT media_id, L, GREATEST(L // 4, 1) AS step FROM d),
+            f AS (
+                SELECT media_id, t.i,
+                       LEAST((t.i + 1) * step, L) - t.i * step AS len,
+                       ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY t.i) AS rn
+                FROM s, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) t
+                WHERE t.i * step < L
+            )
+            SELECT media_id,
+                   CAST((rn - 1) // 2 AS INTEGER) AS frame_idx,
+                   CAST(len AS INTEGER) AS frame_len
+            FROM f WHERE rn % 2 = 1
         """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,

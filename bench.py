@@ -119,6 +119,7 @@ HEADLINE = [
     "equidepth_approx_gate",
     "rfm_approx_gate",
     "curriculum_approx_gate",
+    "avi_frame_sample",
 ]
 
 

@@ -96,6 +96,74 @@ def test_real_decoder_non_wav_audio_raises():
         mm.real_decoder(b"\xffOggS not a wav", "audio")
 
 
+def _avi_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+
+def _avi_bytes(frames, usec: int = 40000, audio=()) -> bytes:
+    """Minimal valid RIFF/AVI: hdrl LIST with a 56-byte avih (leading
+    dwMicroSecPerFrame), movi LIST with 00dc video chunks (and
+    optional 01wb audio chunks the demux must skip)."""
+    avih = usec.to_bytes(4, "little") + b"\x00" * 52
+    hdrl = _avi_chunk(b"LIST", b"hdrl" + _avi_chunk(b"avih", avih))
+    movi_payload = b"".join(_avi_chunk(b"00dc", f) for f in frames)
+    for a in audio:
+        movi_payload += _avi_chunk(b"01wb", a)
+    movi = _avi_chunk(b"LIST", b"movi" + movi_payload)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_demux_frames_and_rate():
+    frames = [b"frame-zero!", b"f1", b"frame-two-longer", b"x" * 31]  # odd sizes too
+    usec, got = mm.avi_demux(_avi_bytes(frames, usec=25000, audio=(b"audio0", b"a1")))
+    assert usec == 25000
+    assert got == frames  # audio chunks skipped, padding stripped
+
+
+def test_avi_frame_sampler_strides_by_container_rate():
+    frames = [bytes([i]) * 4 for i in range(10)]
+    # 25 fps (40ms/frame): sampling every 120ms keeps every 3rd frame
+    got = mm.avi_frame_sampler(_avi_bytes(frames, usec=40000), 120)
+    assert got == frames[::3]
+    # sampling finer than the frame rate keeps everything
+    assert mm.avi_frame_sampler(_avi_bytes(frames, usec=40000), 1) == frames
+
+
+def test_avi_demux_rejects_non_avi():
+    with pytest.raises(NotImplementedError):
+        mm.avi_demux(b"\x00\x00\x00\x08not a riff container")
+    with pytest.raises(NotImplementedError):
+        mm.avi_demux(b"RIFF\x10\x00\x00\x00WAVEfmt ")  # RIFF but not AVI
+
+
+def test_real_decoder_video_container_features():
+    frames = [b"a" * 100, b"b" * 300, b"c" * 200]
+    feat = mm.real_decoder(_avi_bytes(frames, usec=40000), "video")
+    assert feat[0] == 3.0  # frame count
+    assert abs(feat[1] - 0.04) < 1e-9  # frame interval seconds
+    assert abs(feat[2] - 0.12) < 1e-9  # duration
+    assert abs(feat[4] - 200 / 4096) < 1e-9  # mean encoded-frame size
+    assert abs(feat[5] - 100 / 4096) < 1e-9 and abs(feat[6] - 300 / 4096) < 1e-9
+    assert mm.real_decoder(_avi_bytes(frames, usec=40000), "video") == feat
+
+
+def test_frame_sample_with_real_avi_sampler(spark):
+    frames = [bytes([i]) * 8 for i in range(6)]
+    rows = [
+        (1, "video", _avi_bytes(frames, usec=40000), None),
+        (2, "video", _avi_bytes(frames[:2], usec=40000), None),
+        (3, "image", b"not a video", None),
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.frame_sample(df, every_ms=80, sampler=mm.avi_frame_sampler).collect()
+    by_id = {}
+    for r in sorted(out, key=lambda r: (r.media_id, r.frame_idx)):
+        by_id.setdefault(r.media_id, []).append(bytes(r.frame))
+    assert by_id == {1: frames[::2], 2: frames[:2][::2]}
+
+
 def test_real_decoder_image_with_pillow():
     PIL_Image = pytest.importorskip("PIL.Image")
     import io

@@ -90,6 +90,7 @@ QUERIES = [
     "equidepth_approx_gate",
     "rfm_approx_gate",
     "curriculum_approx_gate",
+    "avi_frame_sample",   # Arrow mux + demux stages, slice arithmetic
 ]
 
 

@@ -63,13 +63,118 @@ def fake_decoder(payload: bytes, media_type: str) -> list[float]:
     return [float(sum(payload[i::8]) % 997) / 997.0 for i in range(8)]
 
 
+def _riff_chunks(buf: bytes, off: int, end: int):
+    """Yield (fourcc, data_start, size) for consecutive RIFF chunks;
+    chunk payloads are padded to even sizes per the RIFF spec."""
+    while off + 8 <= end:
+        fourcc = bytes(buf[off : off + 4])
+        size = int.from_bytes(buf[off + 4 : off + 8], "little")
+        yield fourcc, off + 8, size
+        off = off + 8 + size + (size & 1)
+
+
+def avi_demux(payload: bytes) -> tuple[int, list[bytes]]:
+    """Pure-Python RIFF/AVI container demux — NO codec involved: walks
+    the chunk tree, reads ``avih``'s dwMicroSecPerFrame, and collects
+    the video stream chunks (``NNdc`` compressed / ``NNdb``
+    uncompressed; audio ``NNwb`` and text ``NNtx`` are skipped).
+    Returns (usec_per_frame, [frame_payload, ...]) where each frame
+    payload is the stream's ENCODED bytes (e.g. one MJPEG image) —
+    decoding those remains codec-gated in ``real_decoder``.
+
+    Raises NotImplementedError for anything that is not a RIFF/AVI
+    container (the only video container this codec-less environment
+    can honestly handle at the byte level).
+    """
+    if (
+        payload is None
+        or len(payload) < 12
+        or bytes(payload[:4]) != b"RIFF"
+        or bytes(payload[8:12]) != b"AVI "
+    ):
+        raise NotImplementedError(
+            "video demux supports RIFF/AVI containers; other formats need "
+            "ffmpeg-like tooling this environment lacks"
+        )
+    usec = 0
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal usec
+        for fourcc, dstart, size in _riff_chunks(payload, start, end):
+            dend = min(dstart + size, len(payload))
+            if fourcc == b"LIST":
+                walk(dstart + 4, dend)  # descend hdrl/strl/movi alike
+            elif fourcc == b"avih" and size >= 4:
+                usec = int.from_bytes(payload[dstart : dstart + 4], "little")
+            elif len(fourcc) == 4 and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(payload[dstart:dend]))
+
+    walk(12, min(12 + int.from_bytes(payload[4:8], "little") - 4, len(payload)))
+    return (usec or 33333, frames)
+
+
+def avi_mux(frames: list[bytes], usec_per_frame: int = 40000) -> bytes:
+    """Inverse of ``avi_demux``: build a minimal valid RIFF/AVI from
+    encoded frame payloads (hdrl LIST with a 56-byte ``avih`` carrying
+    dwMicroSecPerFrame, movi LIST of ``00dc`` chunks, RIFF even-size
+    padding).  Round-trips through ``avi_demux`` byte-exactly — used
+    by tests and the avi_frame_sample oracle query to synthesize
+    container payloads deterministically."""
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + len(data).to_bytes(4, "little") + data + pad
+
+    avih = int(usec_per_frame).to_bytes(4, "little") + b"\x00" * 52
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def text_to_avi_udf(n_frames: int = 4, usec_per_frame: int = 40000):
+    """Vectorized (Arrow) column builder: UTF-8 text → a valid
+    RIFF/AVI whose ``n_frames`` encoded frames are equal-stride slices
+    of the text bytes (step = max(len // n_frames, 1), empty slices
+    dropped, tail bytes beyond n_frames*step unframed).  The slice
+    arithmetic is deliberately SQL-reproducible so the
+    avi_frame_sample oracle can predict frame counts/sizes without
+    parsing containers."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_avi(texts: pd.Series) -> pd.Series:
+        def build(t) -> bytes:
+            b = (t or "").encode("utf-8")
+            step = max(len(b) // n_frames, 1)
+            frames = [b[i * step : (i + 1) * step] for i in range(n_frames)]
+            return avi_mux([f for f in frames if f], usec_per_frame=usec_per_frame)
+
+        return texts.map(build)
+
+    return to_avi
+
+
+def avi_frame_sampler(payload: bytes, every_ms: int) -> list[bytes]:
+    """Real container-level frame sampling for ``frame_sample``: demux
+    the AVI, keep every k-th video chunk where k matches the requested
+    sampling interval against the container's own frame rate.  The
+    returned frames are still ENCODED bytes — real data, no codec."""
+    usec, frames = avi_demux(payload)
+    stride = max(1, round((every_ms * 1000) / max(usec, 1)))
+    return frames[::stride]
+
+
 def real_decoder(payload: bytes, media_type: str) -> list[float]:
     """Real decode path with optional codecs: PIL for images (when
-    installed), stdlib ``wave`` for WAV audio (always available).
+    installed), stdlib ``wave`` for WAV audio (always available), and
+    the pure-Python RIFF/AVI container demux for video (container
+    features are real; per-frame PIXEL decode stays codec-gated).
     Produces a deterministic 8-dim summary feature.  Raises
-    NotImplementedError only for a media type whose codec is absent
-    (no PIL → images unavailable; video needs ffmpeg-like tooling this
-    container lacks) — pass ``decoder=fake_decoder`` to exercise the
+    NotImplementedError only when the bytes need a codec this
+    environment lacks (no PIL → images unavailable; non-AVI video
+    containers) — pass ``decoder=fake_decoder`` to exercise the
     plumbing without codecs."""
     if payload is None:
         return [0.0] * 8
@@ -138,6 +243,25 @@ def real_decoder(payload: bytes, media_type: str) -> list[float]:
             float(np.sqrt((x * x).mean())),
             float(np.abs(x).max()),
             zc,
+        ]
+    if media_type == "video":
+        # Container-level features from the pure-Python AVI demux —
+        # real byte-level work, no codec: frame count, rate, duration,
+        # and the encoded-frame size profile.  Pixel-level decode of
+        # the per-frame payloads (MJPEG etc.) would need PIL/ffmpeg;
+        # avi_demux raises NotImplementedError for non-AVI containers.
+        usec, frames = avi_demux(payload)
+        sizes = [len(fr) for fr in frames] or [0]
+        n = len(frames)
+        return [
+            float(n),
+            float(usec) / 1e6,
+            float(n) * usec / 1e6,  # duration seconds
+            float(sum(sizes)) / (1 << 20),
+            float(sum(sizes)) / len(sizes) / 4096.0,
+            float(min(sizes)) / 4096.0,
+            float(max(sizes)) / 4096.0,
+            1.0,
         ]
     raise NotImplementedError(
         f"no codec available for media_type={media_type!r}; "
