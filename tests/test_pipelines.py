@@ -335,6 +335,63 @@ def test_maintenance_pipeline_compacts_and_vacuums(spark, platform_dirs):
     assert acid._list_versions(path) == [acid.latest_version(path)]
 
 
+def test_ingest_maintenance_pipeline_heals_compacts_vacuums(spark, tmp_path, monkeypatch):
+    """The ingest-store maintenance DAG: compaction covers all four
+    chain tables, healing runs BEFORE the prune (a crashed chain left
+    behind converges), and retention drops superseded versions without
+    losing any invariant."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import (
+        ingest as ingest_mod,
+        ingest_maintenance_pipeline,
+    )
+
+    root = str(tmp_path / "store")
+    store = ingest_mod.IngestStore(root, m_bits=1 << 12)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    ingest_mod.ingest_batch_neardup(
+        spark, store, _mk_docs(spark, [(1, base), (2, "distinct second doc words")]), 0
+    )
+    # crash batch 1 after the corpus commit (chain left un-healed)
+    orig = ingest_mod._commit_admitted
+
+    def crash(spark_, store_, admitted, batch_id, app_id):
+        acid_mod.atomic_overwrite_partitions(
+            admitted, store_.corpus, mode="append", txn_app=app_id, txn_version=batch_id
+        )
+        raise RuntimeError("crash after corpus commit")
+
+    monkeypatch.setattr(ingest_mod, "_commit_admitted", crash)
+    with pytest.raises(RuntimeError):
+        ingest_mod.ingest_batch_neardup(
+            spark, store, _mk_docs(spark, [(3, "third doc that crashes mid chain")]), 1
+        )
+    monkeypatch.setattr(ingest_mod, "_commit_admitted", orig)
+
+    mp = ingest_maintenance_pipeline(str(tmp_path / "state"))
+    res = mp.run(
+        ds="2024-03-05",
+        spark=spark,
+        params={"store_root": root, "keep_versions": 1, "grace_seconds": 0.0},
+    )
+    assert all(t.state == "success" for t in res.values()), res
+    # chain healed: bands cursor reached the crashed batch
+    assert acid_mod.last_txn_version(store.bands, "ingest") == 1
+    ids = sorted(r.doc_id for r in acid_mod.read_atomic(spark, store.corpus).collect())
+    assert ids == [1, 2, 3]
+    band_ids = sorted(
+        set(r["__id"] for r in acid_mod.read_atomic(spark, store.bands).collect())
+    )
+    assert band_ids == ids
+    # vacuumed to retention on every table
+    for t in (store.corpus, store.hashes, store.bloom, store.bands):
+        assert acid_mod._list_versions(t) == [acid_mod.latest_version(t)]
+    # replay of the crashed batch is a clean no-op post-maintenance
+    assert ingest_mod.ingest_batch_neardup(
+        spark, store, _mk_docs(spark, [(3, "third doc that crashes mid chain")]), 1
+    ) == {"replay_skipped": True}
+
+
 def test_parallel_execution_overlaps_independent_tasks():
     p = Pipeline("par")
     for name in ("a", "b", "c"):

@@ -14,6 +14,7 @@ from .runner import Context, Pipeline, PipelineLocked, Task, TaskResult
 from .dags import (
     analytics_pipeline,
     fx_pipeline,
+    ingest_maintenance_pipeline,
     maintenance_pipeline,
     tiki_pipeline,
     trends_pipeline,
@@ -27,6 +28,7 @@ __all__ = [
     "TaskResult",
     "analytics_pipeline",
     "fx_pipeline",
+    "ingest_maintenance_pipeline",
     "maintenance_pipeline",
     "tiki_pipeline",
     "trends_pipeline",
