@@ -417,6 +417,73 @@ def test_bloom_merge_sink_maintains_membership(spark, tmp_path):
     assert sorted(map(tuple, words.collect())) == sorted(map(tuple, oneshot.collect()))
 
 
+def test_sketch_merge_sink_equals_oneshot_and_recovers(spark, tmp_path):
+    """Streaming CMS+HLL maintenance: after N micro-batches the cells
+    table equals a one-shot cms_build over the union (cell-sum merge ≡
+    union sketch, exactly), the HLL estimate tracks the true distinct
+    count, whole-batch replays are no-ops, and a crash BETWEEN the cms
+    and hll commits recovers on redelivery without double-counting the
+    cms fold (the non-idempotent case the per-table cursors exist
+    for)."""
+    from pyspark.sql import functions as F
+
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.operators import sketch as sketch_ops
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_sketch_merge,
+        read_sketch_stats,
+    )
+
+    root = str(tmp_path / "stats")
+    sink = foreach_batch_sketch_merge(root, "k", app_id="qs", depth=4, width=256)
+    b0 = spark.createDataFrame([(f"k-{i % 30}",) for i in range(100)], "k string")
+    b1 = spark.createDataFrame([(f"k-{i % 50}",) for i in range(80)], "k string")
+    sink(b0, 0)
+    sink(b1, 1)
+    v = acid.latest_version(f"{root}/hll")
+    sink(b1, 1)  # whole-batch replay: no-op
+    assert acid.latest_version(f"{root}/hll") == v
+
+    cells, hll = read_sketch_stats(spark, root)
+    oneshot = sketch_ops.cms_build(b0.unionByName(b1), "k", depth=4, width=256)
+    assert sorted(map(tuple, cells.collect())) == sorted(map(tuple, oneshot.collect()))
+    est = hll.collect()[0]["n_distinct"]
+    assert abs(est - 50) / 50 <= 0.1  # true distinct = 50
+
+    # crash between the cms and hll commits on batch 2
+    b2 = spark.createDataFrame([(f"k-{i % 10}",) for i in range(40)], "k string")
+    orig = acid.atomic_overwrite_partitions
+    calls = {"n": 0}
+
+    def crashing(df, path, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the hll commit of this batch
+            raise RuntimeError("crash before hll commit")
+        return orig(df, path, *a, **kw)
+
+    import tiki_e_commerce_analytics_etl_spark.acid as acid_mod
+
+    try:
+        acid_mod.atomic_overwrite_partitions, saved = crashing, orig
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="crash"):
+            sink(b2, 2)
+    finally:
+        acid_mod.atomic_overwrite_partitions = saved
+    # redelivery finishes ONLY the hll fold — cms not double-counted
+    sink(b2, 2)
+    cells2, hll2 = read_sketch_stats(spark, root)
+    oneshot2 = sketch_ops.cms_build(
+        b0.unionByName(b1).unionByName(b2), "k", depth=4, width=256
+    )
+    assert sorted(map(tuple, cells2.collect())) == sorted(
+        map(tuple, oneshot2.collect())
+    )
+    est2 = hll2.collect()[0]["n_distinct"]
+    assert abs(est2 - 50) / 50 <= 0.1  # b2's keys are a subset
+
+
 def test_streaming_ingest_sink_neardup_exactly_once(spark, tmp_path):
     """foreachBatch face of the incremental ingest: micro-batches run
     the full admission pipeline (exact + band-index near-dup) with the

@@ -189,6 +189,88 @@ def foreach_batch_bloom_merge(
     return apply
 
 
+def foreach_batch_sketch_merge(
+    target_root: str,
+    key_col: str,
+    app_id: str,
+    depth: int = 4,
+    width: int = 4096,
+    seed: int = 11,
+) -> Callable[[DataFrame, int], None]:
+    """Exactly-once streaming maintenance of the per-key FREQUENCY and
+    CARDINALITY summaries (operators/sketch.py): each micro-batch's
+    CMS cells fold into ``{root}/cms`` by cell sum (≡ the union
+    sketch, exactly) and its HLL sketch unions into ``{root}/hll`` —
+    so point-frequency, join-cardinality, and distinct-count questions
+    over ALL history cost a KB-sized read, never a scan.  The 100 TB
+    shape for planner statistics over a live stream.
+
+    Crash consistency follows the ingest chain protocol: per-table
+    commits are idempotent under (app_id, batch_id) — each table
+    checks its OWN cursor before merging, because unlike the bloom
+    sink a replayed CMS/HLL fold is NOT naturally idempotent
+    (re-summing a batch's cells would double-count it).  The
+    whole-batch replay check is against the LAST table in the chain
+    (hll); a crash between the cms and hll commits re-runs only the
+    missing fold on redelivery.
+    """
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.operators import sketch as sketch_ops
+
+    cms_path = f"{target_root}/cms"
+    hll_path = f"{target_root}/hll"
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if acid.last_txn_version(hll_path, app_id) >= batch_id:
+            return
+        if acid.last_txn_version(cms_path, app_id) < batch_id:
+            cells = sketch_ops.cms_build(
+                batch, key_col, depth=depth, width=width, seed=seed
+            )
+            try:
+                existing = acid.read_atomic(spark, cms_path)
+            except FileNotFoundError:
+                pass
+            else:
+                cells = sketch_ops.cms_merge(existing, cells)
+            acid.atomic_overwrite_partitions(
+                cells, cms_path, txn_app=app_id, txn_version=batch_id
+            )
+        sk = batch.agg(F.expr(f"hll_sketch_agg({key_col})").alias("sk"))
+        try:
+            existing_h = acid.read_atomic(spark, hll_path)
+        except FileNotFoundError:
+            pass
+        else:
+            sk = (
+                sk.crossJoin(F.broadcast(existing_h.select(F.col("sk").alias("__old"))))
+                .select(F.expr("hll_union(sk, __old)").alias("sk"))
+            )
+        acid.atomic_overwrite_partitions(
+            sk, hll_path, txn_app=app_id, txn_version=batch_id
+        )
+
+    return apply
+
+
+def read_sketch_stats(
+    spark: SparkSession, target_root: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cms_cells, hll_row) for a store maintained by
+    ``foreach_batch_sketch_merge`` — feed cms_cells to
+    ``sketch.cms_estimate``/``cms_join_size`` and read the distinct
+    estimate with ``hll_sketch_estimate(sk)``."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+
+    return (
+        acid.read_atomic(spark, f"{target_root}/cms"),
+        acid.read_atomic(spark, f"{target_root}/hll").select(
+            F.expr("hll_sketch_estimate(sk)").alias("n_distinct")
+        ),
+    )
+
+
 def foreach_batch_ingest(
     store,
     text_col: str = "text",
