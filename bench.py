@@ -120,6 +120,7 @@ HEADLINE = [
     "rfm_approx_gate",
     "curriculum_approx_gate",
     "avi_frame_sample",
+    "resample_ffill",
 ]
 
 

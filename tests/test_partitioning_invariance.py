@@ -91,6 +91,7 @@ QUERIES = [
     "rfm_approx_gate",
     "curriculum_approx_gate",
     "avi_frame_sample",   # Arrow mux + demux stages, slice arithmetic
+    "resample_ffill",     # ignorenulls window fill over exploded grid
 ]
 
 

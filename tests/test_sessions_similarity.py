@@ -126,6 +126,19 @@ def test_resample_ffill_daily(spark):
     assert by_key[(1, "2024-01-04")]["current_price"] == 40.0
     assert by_key[(1, "2024-01-04")]["is_observed"] is True
     assert by_key[(2, "2024-02-01")]["current_price"] == 5.0
+    # the applyInPandas variant agrees row-for-row on deduped input
+    pandas_out = grouped.resample_ffill_daily_pandas(df).collect()
+    assert sorted(map(tuple, pandas_out)) == sorted(map(tuple, out))
+    # observed NULL values carry the previous value like a missing day
+    rows_n = rows + [(1, dt.date(2024, 1, 5), None)]
+    dfn = spark.createDataFrame(
+        rows_n, "product_id: long, snapshot_date: date, current_price: double"
+    )
+    a = sorted(map(tuple, grouped.resample_ffill_daily(dfn).collect()))
+    b = sorted(map(tuple, grouped.resample_ffill_daily_pandas(dfn).collect()))
+    assert a == b
+    nrow = dict(((k, str(d)), (v, o)) for k, d, v, o in a)
+    assert nrow[(1, "2024-01-05")] == (40.0, True)  # filled but observed
 
 
 def test_checks_report_rows(spark):

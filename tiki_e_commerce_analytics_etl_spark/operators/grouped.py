@@ -27,7 +27,59 @@ def resample_ffill_daily(
 ) -> DataFrame:
     """One row per (key, day) from the key's min to max date; missing
     days take the most recent earlier value.  Adds ``is_observed``
-    (False on filled rows).  Duplicate (key, day) rows keep the last
+    (False on filled rows).  Duplicate (key, day) rows collapse by MAX
+    per value column (deterministic; the pandas variant's keep-last
+    was partition-order-dependent) — feed deduped data if another
+    policy is wanted.
+
+    Pure-relational: per-key [min, max] span → ``sequence`` date grid
+    explode → left join of observations → ``last(value,
+    ignorenulls=True)`` over a per-key rows window.  Entirely
+    JVM/codegen; the ``applyInPandas`` variant below
+    (``resample_ffill_daily_pandas``, kept as the grouped-map API
+    example and parity-tested) pays ~0.4 ms of Python per key —
+    measured 7.3 s vs ~1 s at sf0.1's ~15k keys, and at 100 TB key
+    counts the per-group interpreter cost only grows.  An observed
+    NULL value is carried over by the fill exactly like a missing day
+    (both variants; pandas ffill cannot tell them apart either).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    obs = df.groupBy(key_col, date_col).agg(
+        *[F.max(F.col(c)).cast("double").alias(c) for c in value_cols]
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(date_col)
+    )
+    j = grid.join(
+        obs.withColumn("__obs", F.lit(True)), [key_col, date_col], "left"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.col(date_col),
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
+    )
+
+
+def resample_ffill_daily_pandas(
+    df: DataFrame,
+    key_col: str = "product_id",
+    date_col: str = "snapshot_date",
+    value_cols: tuple[str, ...] = ("current_price",),
+) -> DataFrame:
+    """``applyInPandas`` grouped-map form of ``resample_ffill_daily``
+    (kept as the per-key pandas API example; parity-tested against the
+    relational default).  Duplicate (key, day) rows keep the last
     value after a stable date sort — feed deduped data for full
     determinism.
     """
