@@ -2398,14 +2398,17 @@ def q_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per group (Spark percentile ≡ DuckDB
-    quantile_cont, bit-identical linear interpolation); the
-    approx_percentile sketch is the documented 100 TB path."""
+    """Exact percentiles per group by sort-rank interpolation
+    (quality.grouped_exact_percentiles — no per-group counts-map
+    buffer; ≡ DuckDB quantile_cont bit-for-bit); the approx_percentile
+    sketch is the documented 100 TB path."""
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+        grouped_exact_percentiles,
+    )
+
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
-        F.count(F.lit(1)).alias("n"),
+    return grouped_exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.95], ["p50", "p95"]
     )
 
 

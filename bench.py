@@ -121,6 +121,7 @@ HEADLINE = [
     "curriculum_approx_gate",
     "avi_frame_sample",
     "resample_ffill",
+    "price_percentiles",
 ]
 
 

@@ -640,6 +640,39 @@ def test_exact_percentiles_matches_percentile_aggregate(spark):
     assert mine == [float(x) for x in ref]  # bit-exact, not approx
 
 
+def test_grouped_exact_percentiles_matches_aggregate(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+        grouped_exact_percentiles,
+    )
+
+    # uneven groups, ties, a single-row group, and NULL values
+    rows = (
+        [("a", float(i % 7)) for i in range(40)]
+        + [("b", float(i) * 1.7) for i in range(13)]
+        + [("c", 42.0), ("a", None)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p95"], r["n"])
+        for r in grouped_exact_percentiles(
+            df, "g", "v", [0.25, 0.5, 0.95], ["p25", "p50", "p95"]
+        ).collect()
+    }
+    ref = {
+        r["g"]: (r["p25"], r["p50"], r["p95"], r["n"])
+        for r in df.filter(F.col("v").isNotNull())
+        .groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("p25"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == ref  # bit-exact per group
+
+
 def test_exact_percentiles_edges(spark):
     from tiki_e_commerce_analytics_etl_spark.operators.quality import (
         exact_percentiles,

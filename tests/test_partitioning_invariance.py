@@ -92,6 +92,7 @@ QUERIES = [
     "curriculum_approx_gate",
     "avi_frame_sample",   # Arrow mux + demux stages, slice arithmetic
     "resample_ffill",     # ignorenulls window fill over exploded grid
+    "price_percentiles",  # per-group sort-rank interpolation sums
 ]
 
 
