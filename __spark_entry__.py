@@ -518,9 +518,10 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (sketch.quantile_histogram): fixed-
     width histogram of l_extendedprice, quantiles read from cumulative
-    bins with integer selection — est vs ONE-PASS exact `percentile`
-    (continuous, ≡ DuckDB quantile_cont bit-exact, the mad_outliers
-    pattern), with the one-bin-width error bound asserted per quantile
+    bins with integer selection — est vs the distributed sort-rank
+    exact percentiles (quality.exact_percentiles, ≡ DuckDB
+    quantile_cont bit-exact; no single-reducer percentile buffer),
+    with the one-bin-width error bound asserted per quantile
     (interpolation sits between adjacent order stats, far inside the
     bin width at this density; the oracle computes the identical
     boolean either way).  The cross-shard foldable complement of
@@ -533,19 +534,16 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     hist = sketch_ops.quantile_histogram(li, "l_extendedprice", lo, hi, n_bins)
     est = sketch_ops.histogram_quantiles(hist, q_pcts, lo, hi, n_bins)
-    exact = li.agg(
-        F.expr(
-            "percentile(l_extendedprice, array("
-            + ", ".join(str(q / 100) for q in q_pcts)
-            + "))"
-        ).alias("ex")
-    ).select(
-        F.explode(
-            F.map_from_arrays(
-                F.array(*[F.lit(q) for q in q_pcts]),
-                F.col("ex"),
-            )
-        ).alias("q_pct", "exact")
+    # exact side via distributed sort-rank (quality.exact_percentiles)
+    # instead of the `percentile` aggregate's single counts-map buffer
+    # — same bits (≡ quantile_cont), ~1 s less twin overhead at sf0.1
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+        exact_percentiles,
+    )
+
+    ex_vals = exact_percentiles(li, "l_extendedprice", [q / 100 for q in q_pcts])
+    exact = spark.createDataFrame(
+        [(int(q), float(v)) for q, v in zip(q_pcts, ex_vals)], "q_pct int, exact double"
     )
     width = (hi - lo) / n_bins
     return (
