@@ -39,8 +39,20 @@ def connected_components(
     caller's left join treats them as their own singleton cluster).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # mirror by row-level explode, not a union of two branches — a
+    # union would run the caller's edge subplan twice (for the near-dup
+    # clustering caller that subplan is the whole candidate-pair
+    # pipeline; Catalyst does not share it between branches)
     bidir = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -167,9 +179,9 @@ def pagerank_integer(
     rounds 1..N-1 (same lineage discipline as connected_components).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # explode, not union: one pass over the edge subplan for the node set
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
         .localCheckpoint(eager=False)
     )
