@@ -364,3 +364,191 @@ def test_repartition_for_payload_no_size_info_leaves_partitioning(spark):
         out = mm.repartition_for_payload(df)
     assert out.rdd.getNumPartitions() == 8  # unchanged
     assert any("no local size info" in str(w.message) for w in rec)
+
+
+# --------------------------------------------------------------------------
+# Round 6: stream-aware demux + uncompressed-DIB pixel decode
+# --------------------------------------------------------------------------
+
+def test_avi_demux_ignores_second_stream_and_non_movi_chunks():
+    """A real-world AVI can interleave a second video stream (01dc)
+    and carry dc-suffixed chunks outside the movi LIST; neither may
+    enter the frame list (round-5 advice)."""
+    avih = (40000).to_bytes(4, "little") + b"\x00" * 52
+    hdrl = _avi_chunk(
+        b"LIST",
+        b"hdrl" + _avi_chunk(b"avih", avih)
+        # a stray dc-named chunk OUTSIDE movi must be ignored
+        + _avi_chunk(b"00dc", b"not-a-frame"),
+    )
+    movi = _avi_chunk(
+        b"LIST",
+        b"movi"
+        + _avi_chunk(b"00dc", b"s0-f0")
+        + _avi_chunk(b"01dc", b"s1-f0")  # second stream
+        + _avi_chunk(b"00dc", b"s0-f1")
+        + _avi_chunk(b"01dc", b"s1-f1")
+        + _avi_chunk(b"JUNK", b"zz"),
+    )
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    _usec, frames = mm.avi_demux(avi)
+    assert frames == [b"s0-f0", b"s0-f1"]
+
+
+def test_avi_demux_rec_groups_inside_movi():
+    """'rec ' LISTs group interleaved chunks inside movi — frames in
+    them still belong to the stream."""
+    avih = (40000).to_bytes(4, "little") + b"\x00" * 52
+    hdrl = _avi_chunk(b"LIST", b"hdrl" + _avi_chunk(b"avih", avih))
+    rec = _avi_chunk(b"LIST", b"rec " + _avi_chunk(b"00dc", b"grouped"))
+    movi = _avi_chunk(b"LIST", b"movi" + _avi_chunk(b"00dc", b"plain") + rec)
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert mm.avi_demux(avi)[1] == [b"plain", b"grouped"]
+
+
+def test_avi_mux_with_headers_selects_video_stream_index():
+    """With strh/strf present, frame collection follows the video
+    stream's INDEX, not a hardcoded 00 prefix."""
+    frames = [b"abcd", b"wxyz"]
+    avi = mm.avi_mux(frames, width=4, height=1, bit_count=8)
+    d = mm.avi_demux_full(avi)
+    assert d["frames"] == frames
+    assert d["stream"] == {
+        "handler": b"DIB ",
+        "compression": 0,
+        "width": 4,
+        "height": 1,
+        "bit_count": 8,
+    }
+
+
+def test_decode_dib_frame_8bit_strips_stride_padding():
+    import numpy as np
+
+    w, h = 5, 2  # stride 8 -> 3 pad bytes per row
+    stride = mm.dib_row_stride(w, 8)
+    assert stride == 8
+    bottom = bytes([1, 2, 3, 4, 5]) + b"\x00" * 3
+    top = bytes([6, 7, 8, 9, 10]) + b"\x00" * 3
+    # DIB rows are stored bottom-up for positive heights
+    px = mm.decode_dib_frame(bottom + top, w, h, 8)
+    assert px.shape == (2, 5)
+    assert px[0].tolist() == [6, 7, 8, 9, 10]  # top row first after flip
+    assert px[1].tolist() == [1, 2, 3, 4, 5]
+    # negative height = top-down storage
+    px_td = mm.decode_dib_frame(bottom + top, w, -h, 8)
+    assert px_td[0].tolist() == [1, 2, 3, 4, 5]
+    assert isinstance(px, np.ndarray)
+
+
+def test_decode_dib_frame_24bit_bgr_to_gray():
+    w, h = 2, 1
+    row = bytes([10, 20, 30, 40, 50, 60])  # 2 BGR pixels
+    frame = row + b"\x00" * (mm.dib_row_stride(w, 24) - len(row))
+    px = mm.decode_dib_frame(frame, w, h, 24)
+    assert px.tolist() == [[(10 + 20 + 30) // 3, (40 + 50 + 60) // 3]]
+
+
+def test_decode_dib_frame_guards():
+    with pytest.raises(NotImplementedError):
+        mm.decode_dib_frame(b"\x00" * 64, 4, 4, 16)  # 16-bit unsupported
+    with pytest.raises(ValueError):
+        mm.decode_dib_frame(b"\x00" * 3, 4, 4, 8)  # truncated frame
+
+
+def test_avi_pixel_stats_uncompressed_dib():
+    """Codec-free pixel decode end to end: pixels are known bytes, so
+    per-frame stats are arithmetic."""
+    f0, f1 = b"abcd", b"wxyz"
+    avi = mm.avi_mux([f0, f1], width=4, height=1, bit_count=8)
+    assert mm.avi_pixel_stats(avi) == [
+        (0, 4, sum(f0), min(f0), max(f0)),
+        (1, 4, sum(f1), min(f1), max(f1)),
+    ]
+
+
+def test_avi_pixel_stats_gates():
+    # headerless container: no pixel format to decode with
+    with pytest.raises(NotImplementedError, match="stream headers"):
+        mm.avi_pixel_stats(_avi_bytes([b"abcd"]))
+    # MJPEG without pillow in this container: honestly codec-gated
+    mjpg = int.from_bytes(b"MJPG", "little")
+    avi = mm.avi_mux(
+        [b"\xff\xd8fake-jpeg"], width=4, height=1, bit_count=24,
+        compression=mjpg, handler=b"MJPG",
+    )
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            mm.avi_pixel_stats(avi)
+    # unknown compression fourcc: always gated
+    avi2 = mm.avi_mux(
+        [b"????"], width=4, height=1, bit_count=24,
+        compression=int.from_bytes(b"H264", "little"), handler=b"H264",
+    )
+    with pytest.raises(NotImplementedError, match="H264"):
+        mm.avi_pixel_stats(avi2)
+
+
+def _HAS_PIL_FOR_MJPEG() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _HAS_PIL_FOR_MJPEG(), reason="pillow not installed — MJPEG decode gated"
+)
+def test_avi_pixel_stats_mjpeg_with_pillow():
+    """MJPEG-in-AVI frames are complete JPEGs: route them through PIL
+    and get real pixel stats."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.arange(16, dtype=np.uint8).reshape(4, 4) * 10, mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    jpeg = buf.getvalue()
+    avi = mm.avi_mux(
+        [jpeg], width=4, height=4, bit_count=24,
+        compression=int.from_bytes(b"MJPG", "little"), handler=b"MJPG",
+    )
+    (idx, n_px, px_sum, px_min, px_max), = mm.avi_pixel_stats(avi)
+    decoded = np.asarray(Image.open(io.BytesIO(jpeg)).convert("L"))
+    assert (idx, n_px) == (0, 16)
+    assert (px_sum, px_min, px_max) == (
+        int(decoded.sum()), int(decoded.min()), int(decoded.max())
+    )
+
+
+def test_pixel_stats_spark_stage(spark):
+    """The Arrow mapInPandas pixel-stats stage: schema, per-frame rows,
+    non-video rows filtered, decoded values exact."""
+    f = b"spark"
+    stride = mm.dib_row_stride(len(f), 8)
+    frame = f + b"\x00" * (stride - len(f))
+    avi = mm.avi_mux([frame, frame], width=len(f), height=1, bit_count=8)
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(avi)), (2, "image", bytearray(b"png..."))],
+        "media_id: long, media_type: string, payload: binary",
+    )
+    rows = sorted(
+        (r.media_id, r.frame_idx, r.n_px, r.px_sum, r.px_min, r.px_max)
+        for r in mm.pixel_stats(df).collect()
+    )
+    assert rows == [
+        (1, 0, 5, sum(f), min(f), max(f)),
+        (1, 1, 5, sum(f), min(f), max(f)),
+    ]

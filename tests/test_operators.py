@@ -23,6 +23,58 @@ def test_keep_latest(spark):
     assert out == {(1, "b"), (2, "c")}
 
 
+def test_keep_latest_auto_picks_formulation_from_stats(spark, tmp_path):
+    """keep_latest_auto must (a) produce the same rows as both manual
+    formulations, and (b) pick the physical form from stats: max_by
+    aggregate when rows-per-key is high (shuffle-reduction regime),
+    row_number window when low or unknown."""
+    from tiki_e_commerce_analytics_etl_spark import stats as stats_mod
+
+    path = str(tmp_path / "events")
+    rows = [(i % 5, f"2026-01-{(i % 28) + 1:02d} 10:00:00", i) for i in range(200)]
+    (
+        spark.createDataFrame(rows, "id: long, ts: string, seq: long")
+        .withColumn("ts", F.to_timestamp("ts"))
+        .write.parquet(path)
+    )
+    df = spark.read.parquet(path)
+
+    def plan(d):
+        return d._sc._jvm.PythonSQLUtils.explainString(
+            d._jdf.queryExecution(), "extended"
+        )
+
+    # 200 rows / 5 keys = 40 rows per key >> crossover -> aggregate
+    agg_form = dedup.keep_latest_auto(
+        df, ["id"], "ts", tiebreakers=["seq"], distinct_keys=5
+    )
+    assert "max_by" in plan(agg_form)
+    # near-unique keys -> window
+    win_form = dedup.keep_latest_auto(
+        df, ["id"], "ts", tiebreakers=["seq"], distinct_keys=190
+    )
+    assert "row_number" in plan(win_form) and "max_by" not in plan(win_form)
+    # unknown cardinality -> safe default (window)
+    assert "row_number" in plan(dedup.keep_latest_auto(df, ["id"], "ts"))
+    # catalog-stats route: distinct_<key> sidecar drives the choice
+    stats_mod.write_stats(path, None, distinct_id=5)
+    cat_form = dedup.keep_latest_auto(df, ["id"], "ts", stats_path=path)
+    assert "max_by" in plan(cat_form)
+
+    # parity: all three produce identical rows
+    expect = {
+        (r.id, r.ts, r.seq)
+        for r in dedup.keep_latest_window(df, ["id"], "ts", ["seq"]).collect()
+    }
+    assert {
+        (r.id, r.ts, r.seq) for r in agg_form.collect()
+    } == expect
+    assert {
+        (r.id, r.ts, r.seq)
+        for r in dedup.keep_latest(df, ["id"], "ts", ["seq"]).collect()
+    } == expect
+
+
 def test_exact_dedup_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "different")],

@@ -593,6 +593,69 @@ def test_ingest_partial_crash_recovers_exact_admitted_set(spark, tmp_path, monke
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 3]
 
 
+def test_direct_vacuum_floor_keeps_unhealed_chain_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """The heal-before-vacuum invariant ENFORCED for direct
+    ``acid.vacuum`` calls (not just the vacuum_store wrapper): healing
+    a crashed commit diffs its corpus manifest against the
+    predecessor's, so an aggressive direct vacuum must retain both.
+    ``unhealed_floor`` computes the oldest manifest recovery needs;
+    vacuum with that floor retains it past keep_versions, and the
+    chain then heals to the exact admitted set."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    assert ingest_mod.ingest_batch(spark, store, b0, 0)["admitted"] == 1
+    # healed store: no constraint on vacuum
+    assert ingest_mod.unhealed_floor(store) is None
+
+    # crash batch 1 between the corpus commit and the hashes commit
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            raise RuntimeError("injected crash before hashes commit")
+        return real_commit(df, path, **kw)
+
+    b1 = spark.createDataFrame(
+        [(2, "gamma delta"), (3, "epsilon zeta")], "doc_id long, text string"
+    )
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    versions = acid_mod._list_versions(store.corpus)
+    # the floor is the PREDECESSOR of the un-healed commit (its change
+    # feed is a diff against it), i.e. the batch-0 manifest
+    floor = ingest_mod.unhealed_floor(store)
+    assert floor == versions[-2]
+
+    # aggressive direct vacuum WITH the floor: keep_versions=1 would
+    # normally retain only the latest manifest, but the floor keeps
+    # the predecessor recovery needs
+    acid_mod.vacuum(
+        store.corpus, keep_versions=1, grace_seconds=0.0, min_retain_version=floor
+    )
+    assert set(acid_mod._list_versions(store.corpus)) >= {versions[-2], versions[-1]}
+
+    # the chain still heals to the exact admitted set
+    r = ingest_mod.ingest_batch(spark, store, b1, 1)
+    assert r == {"recovered_replay": True, "healed_commits": 1}
+    assert sorted(
+        row.doc_id for row in acid_mod.read_atomic(spark, store.corpus).collect()
+    ) == [1, 2, 3]
+    assert acid_mod.read_atomic(spark, store.hashes).count() == 3
+    # healed: the floor constraint is gone and retention-only vacuum
+    # is safe again
+    assert ingest_mod.unhealed_floor(store) is None
+
+
 def test_forget_partial_crash_replay_converges(spark, tmp_path, monkeypatch):
     """forget crash between corpus and hashes commits: the replay
     re-derives from live state (idempotent) and finishes the chain —

@@ -586,10 +586,28 @@ def compact(
     )
 
 
-def vacuum(path: str, keep_versions: int = 2, grace_seconds: float = 86400.0) -> list[str]:
+def vacuum(
+    path: str,
+    keep_versions: int = 2,
+    grace_seconds: float = 86400.0,
+    min_retain_version: int | None = None,
+) -> list[str]:
     """Delete manifests older than the newest ``keep_versions`` and any
     transaction directory no retained manifest references; returns the
     removed paths.
+
+    ``min_retain_version`` is a retention FLOOR: every version >= it is
+    retained regardless of ``keep_versions``, along with the files it
+    references.  This is how the heal-before-vacuum invariant is
+    ENFORCED (not just documented) for direct callers: an ingest-store
+    chain that crashed between its corpus commit and the downstream
+    tables is recovered by replaying the corpus change feed
+    (``pipelines.ingest._heal_chain``), which diffs the un-healed
+    commit's manifest against its predecessor — pruning either manifest
+    makes the crash unrecoverable.  Pass the value from
+    ``pipelines.ingest.unhealed_floor(store)`` (None when every chain
+    is healed, i.e. no constraint); ``pipelines.ingest.vacuum_store``
+    does this automatically after healing.
 
     ``grace_seconds`` (default 24h, same contract as Delta VACUUM's
     retention) protects two kinds of in-flight work an unreferenced
@@ -617,6 +635,10 @@ def vacuum(path: str, keep_versions: int = 2, grace_seconds: float = 86400.0) ->
 
     versions = _list_versions(path)
     keep = versions[-keep_versions:] if (versions and keep_versions > 0) else []
+    if min_retain_version is not None:
+        keep = sorted(
+            set(keep) | {v for v in versions if v >= min_retain_version}
+        )
     live_txns = set()
     referenced_ever = set()
     for v in versions:

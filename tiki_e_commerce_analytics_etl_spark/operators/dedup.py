@@ -62,6 +62,48 @@ def keep_latest_window(df: DataFrame, keys: list[str], order_col: str, tiebreake
     )
 
 
+def keep_latest_auto(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreakers: list[str] | None = None,
+    distinct_keys: int | None = None,
+    stats_path: str | None = None,
+    crossover_rows_per_key: float = 4.0,
+) -> DataFrame:
+    """ONE entry point for keep-latest that picks the formulation from
+    table statistics at PLAN time (metadata cost only — no data pass):
+
+    - **max_by aggregate** (``keep_latest``) when the estimated rows
+      per key is high: partial map-side combining ships at most one
+      candidate row per key per input partition, so the shuffle
+      shrinks by ~rows-per-key — the shuffle-IO-bound regime of a
+      100 TB daily crawl with few keys.
+    - **row_number window** (``keep_latest_window``) when rows per key
+      is low or unknown: the struct max_by buffers cost more CPU than
+      they save in shuffle (measured 0.50 s vs 0.33 s on sf0.1 events,
+      ~1.5 rows/key — the full trade-off is in the two formulations'
+      docstrings), and near-unique keys make the aggregate's combine a
+      no-op.
+
+    Row count comes from ``stats.estimated_row_count`` (parquet
+    footers); the key cardinality from ``distinct_keys`` (caller hint)
+    or a ``distinct_<key>`` entry in the catalog-stats JSON at
+    ``stats_path`` (``stats.write_stats``).  Unknown stats default to
+    the window form.  Both formulations produce identical rows
+    (parity-tested), so the choice is purely physical."""
+    from tiki_e_commerce_analytics_etl_spark import stats as stats_mod
+
+    dk = distinct_keys
+    if dk is None and stats_path is not None and len(keys) == 1:
+        cat = stats_mod.read_stats(stats_path) or {}
+        dk = cat.get(f"distinct_{keys[0]}")
+    n = stats_mod.estimated_row_count(df)
+    if n and dk and (n / dk) >= crossover_rows_per_key:
+        return keep_latest(df, keys, order_col, tiebreakers)
+    return keep_latest_window(df, keys, order_col, tiebreakers)
+
+
 def first_seen(df: DataFrame, keys: list[str]) -> DataFrame:
     """D2 — unordered dropDuplicates on the key set (transform_tiki.py:660).
     Spark's dropDuplicates is a partial-agg-friendly hash aggregate —

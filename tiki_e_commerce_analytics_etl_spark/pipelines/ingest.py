@@ -385,6 +385,43 @@ def forget(
     return {"removed": n_removed}
 
 
+def unhealed_floor(
+    store: IngestStore, app_ids: tuple = ("ingest",)
+) -> int | None:
+    """Minimum corpus TABLE version that ``acid.vacuum`` must retain
+    for every app chain to stay recoverable, or None when all chains
+    are healed (no constraint).
+
+    Healing replays the change feed of each un-healed corpus commit —
+    a diff of that commit's manifest against its PREDECESSOR — so the
+    floor is the predecessor version of the oldest un-healed commit
+    (the commit's own version when it is the first).  Metadata-only:
+    reads manifests, no Spark jobs.  Pass the result as
+    ``acid.vacuum(..., min_retain_version=...)`` when vacuuming a
+    store table directly; ``vacuum_store`` heals first and passes it
+    automatically as belt and braces.
+    """
+    if not _has_table(store.corpus):
+        return None
+    with_bands = _has_table(store.bands)
+    tail = store.bands if with_bands else store.bloom
+    hist = sorted(acid.table_history(store.corpus), key=lambda h: h["version"])
+    floor: int | None = None
+    for app in app_ids:
+        tail_v = acid.last_txn_version(tail, app)
+        prev_version: int | None = None
+        prev_cursor = -1
+        for h in hist:
+            cur = h["app_versions"].get(app, -1)
+            if cur > prev_cursor and cur > tail_v:
+                need = prev_version if prev_version is not None else h["version"]
+                floor = need if floor is None else min(floor, need)
+                break
+            prev_cursor = max(prev_cursor, cur)
+            prev_version = h["version"]
+    return floor
+
+
 def vacuum_store(
     spark: SparkSession,
     store: IngestStore,
@@ -408,6 +445,11 @@ def vacuum_store(
     band_params = (text_col, id_col) if with_bands else None
     for app in app_ids:
         _heal_chain(spark, store, app, band_params=band_params)
+    # Post-heal the floor is None; passing it anyway makes the
+    # invariant structural — if a heal ever fails silently (or a new
+    # chain commits between heal and prune), the floor still protects
+    # the manifests recovery needs.
+    floor = unhealed_floor(store, app_ids)
     removed: list[str] = []
     tables = [store.corpus, store.hashes, store.bloom] + (
         [store.bands] if with_bands else []
@@ -415,7 +457,10 @@ def vacuum_store(
     for path in tables:
         if _has_table(path):
             removed += acid.vacuum(
-                path, keep_versions=keep_versions, grace_seconds=grace_seconds
+                path,
+                keep_versions=keep_versions,
+                grace_seconds=grace_seconds,
+                min_retain_version=floor if path == store.corpus else None,
             )
     return removed
 
