@@ -293,6 +293,15 @@ def exact_percentiles(
     This is the verification-grade exact path; at 100 TB the
     production boundary source is ``approx_percentile`` alone — see
     ``equidepth_bins(exact=False)``.
+
+    SPECIAL VALUES (pinned by tests/test_round6_properties.py):
+    semantics follow Spark's `percentile` aggregate exactly — NaN
+    orders GREATER than +Inf (Spark's total order), so high quantiles
+    of NaN-bearing data are NaN; ±Inf interpolate under the IEEE
+    expression (-Inf..+Inf midpoints are NaN).  DuckDB's
+    quantile_cont DISAGREES on NaN ordering, so the DuckDB-oracle
+    comparison precondition is NaN-free input; on that domain results
+    are bit-identical including infinities and massive ties.
     """
     if not probs:
         return []

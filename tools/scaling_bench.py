@@ -95,7 +95,11 @@ ORDER_SHIFT = 10_000_000
 DOC_SHIFT = 10_000_000
 
 
-def build_scaled(spark, target_dir: str, replicas: int) -> None:
+def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = None) -> None:
+    """Build a replicas× dataset under target_dir; ``tables`` limits
+    which tables are materialized (the 100× point only needs the
+    fact-side tables its two probe queries read — lineitem, orders,
+    part — which keeps the build at ~1.7 GB instead of ~17 GB)."""
     from pyspark.sql import functions as F
 
     from tiki_e_commerce_analytics_etl_spark.io import read_table
@@ -103,6 +107,8 @@ def build_scaled(spark, target_dir: str, replicas: int) -> None:
     os.makedirs(target_dir, exist_ok=True)
 
     def replicate(name: str, shard_fn) -> None:
+        if tables is not None and name not in tables:
+            return
         out = os.path.join(target_dir, f"{name}.parquet")
         base = read_table(spark, BASE_SF, name)
         shards = [shard_fn(base, i) for i in range(replicas)]
@@ -198,6 +204,41 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
             spark.catalog.clearCache()
         return round(statistics.median(runs), 3)
+
+    # --x100: a SECOND measured decade for the two worst 10x scalers —
+    # golden_join (compute-bound, 5-6x per decade) and frequent_triples
+    # (3.8x) — validating the sub-quadratic extrapolation the 100 TB
+    # story rests on with a third point (1x -> 10x -> 100x).  Only the
+    # fact-side tables the probes read are materialized at 100x.
+    if "--x100" in sys.argv:
+        x100_dir = os.environ.get(
+            "SPARK_GRAFT_SCALED100_DIR", os.path.join(_REPO, ".scaling100x")
+        )
+        if "--rebuild" in sys.argv or not os.path.exists(
+            os.path.join(x100_dir, "MANIFEST.json")
+        ):
+            build_scaled(
+                spark, x100_dir, 100, tables={"lineitem", "orders", "part"}
+            )
+        results = {}
+        for name in ("golden_join", "frequent_triples"):
+            t1 = run(name, BASE_DIR)
+            t10 = run(name, SCALED_DIR)
+            t100 = run(name, x100_dir)
+            results[name] = {
+                "x1_sec": t1,
+                "x10_sec": t10,
+                "x100_sec": t100,
+                "growth_100x": round(t100 / t1, 2),
+                "second_decade": round(t100 / t10, 2),
+            }
+            print(
+                f"{name}: {t1}s -> {t10}s -> {t100}s "
+                f"({t100 / t1:.1f}x wall over 100x data)",
+                file=sys.stderr,
+            )
+        print(json.dumps({"metric": "scaling_100x", "queries": results}))
+        return
 
     # --only q1 q2 ...: time a subset (refreshing curves for changed
     # queries without re-running the whole suite)
