@@ -2040,6 +2040,30 @@ def q_avi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_stats(media)
 
 
+def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode oracle-checked end to end (the audio twin of
+    avi_pixel_stats): each document's bytes become 16-bit signed PCM
+    samples ((byte-128)<<8 — a real transform, not an identity) in a
+    stdlib-wave-written WAV container; audio_sample_stats then parses
+    the container (header fields verified too) and aggregates the
+    DECODED integer samples.  Because sample i is an exact integer
+    function of text byte i, DuckDB reproduces
+    channels/width/rate/n/sum/min/max arithmetically from the text
+    column (ASCII-only docs on both sides so chars ≡ bytes)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    to_wav = mm.text_to_wav_udf(framerate=8000)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        to_wav(F.col("text")).alias("payload"),
+    )
+    return mm.audio_sample_stats(media)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation chain as ONE lazy plan:
     language filter (en) → quality screen (≥0.3) → exact dedup (md5,
@@ -2702,6 +2726,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "avi_frame_sample": q_avi_frame_sample,
         "avi_pixel_stats": q_avi_pixel_stats,
+        "wav_sample_stats": q_wav_sample_stats,
         "hash_split": q_hash_split,
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
@@ -3704,6 +3729,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS INTEGER) AS px_min,
                    CAST(list_max(codes) AS INTEGER) AS px_max
             FROM f
+        """,
+        "wav_sample_stats": """
+            -- samples ARE (byte-128)<<8 of the text bytes (ASCII-only
+            -- docs: chars ≡ bytes); header fields are the writer's
+            -- constants, verified through the stdlib wave parse
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       list_transform(
+                           string_split(text, ''),
+                           ch -> (unicode(ch) - 128) * 256
+                       ) AS s
+                FROM documents
+                WHERE length(text) = octet_length(encode(text))
+                  AND length(text) > 0
+            )
+            SELECT media_id,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(2 AS INTEGER) AS sampwidth,
+                   CAST(8000 AS INTEGER) AS framerate,
+                   CAST(len(s) AS BIGINT) AS n_samples,
+                   CAST(list_sum(s) AS BIGINT) AS s_sum,
+                   CAST(list_min(s) AS BIGINT) AS s_min,
+                   CAST(list_max(s) AS BIGINT) AS s_max
+            FROM d
         """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,

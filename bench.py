@@ -121,6 +121,7 @@ HEADLINE = [
     "curriculum_approx_gate",
     "avi_frame_sample",
     "avi_pixel_stats",
+    "wav_sample_stats",
     "resample_ffill",
     "price_percentiles",
 ]

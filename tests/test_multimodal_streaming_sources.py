@@ -552,3 +552,59 @@ def test_pixel_stats_spark_stage(spark):
         (1, 0, 5, sum(f), min(f), max(f)),
         (1, 1, 5, sum(f), min(f), max(f)),
     ]
+
+
+def test_wav_sample_stats_decodes_integer_samples():
+    """Integer-exact WAV sample stats across sample widths; 8-bit
+    stays unsigned per the WAV spec, 16-bit signed little-endian."""
+    import io
+    import wave
+
+    import numpy as np
+
+    # 16-bit signed
+    samples = np.array([-32768, -1, 0, 1, 32767], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    assert mm.wav_sample_stats(buf.getvalue()) == (
+        1, 2, 16000, 5, int(samples.sum()), -32768, 32767
+    )
+    # 8-bit unsigned
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    assert mm.wav_sample_stats(buf8.getvalue()) == (1, 1, 8000, 3, 383, 0, 255)
+    # non-WAV bytes: honestly codec-gated
+    with pytest.raises(NotImplementedError):
+        mm.wav_sample_stats(b"OggS not a wav")
+
+
+def test_audio_sample_stats_spark_stage(spark):
+    """The Arrow mapInPandas audio-stats stage: per-media rows,
+    non-audio filtered, empty payloads dropped, text→PCM transform
+    exact."""
+    import numpy as np
+
+    to_wav_build = mm.text_to_wav_udf(framerate=8000)  # noqa: F841 (udf used via DF)
+    df = spark.createDataFrame(
+        [(1, "Hello!"), (2, ""), (3, "abc")], "media_id: long, text: string"
+    )
+    media = df.select(
+        "media_id",
+        F.lit("audio").alias("media_type"),
+        mm.text_to_wav_udf(8000)(F.col("text")).alias("payload"),
+    )
+    rows = {r.media_id: r for r in mm.audio_sample_stats(media).collect()}
+    assert set(rows) == {1, 3}  # empty text -> zero samples -> dropped
+    s = (np.frombuffer(b"Hello!", np.uint8).astype(np.int16) - 128) << 8
+    assert (
+        rows[1].n_channels, rows[1].sampwidth, rows[1].framerate,
+        rows[1].n_samples, rows[1].s_sum, rows[1].s_min, rows[1].s_max,
+    ) == (1, 2, 8000, 6, int(s.sum()), int(s.min()), int(s.max()))

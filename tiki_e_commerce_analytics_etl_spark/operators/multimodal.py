@@ -445,6 +445,136 @@ def pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def text_to_wav_udf(framerate: int = 8000):
+    """Vectorized (Arrow) column builder: UTF-8 text → a valid 16-bit
+    signed PCM mono WAV whose samples are ``(byte - 128) << 8`` (the
+    inverse of the unsigned-8-bit centering convention WAV itself
+    uses) — a REAL sample transform, not an identity copy, written
+    through the stdlib ``wave`` container writer.  Because sample i is
+    an exact integer function of text byte i, DuckDB reproduces the
+    decoded sample stats arithmetically from the text column."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_wav(texts: pd.Series) -> pd.Series:
+        def build(t) -> bytes:
+            b = (t or "").encode("utf-8")
+            samples = np.frombuffer(b, dtype=np.uint8).astype(np.int16)
+            pcm = ((samples - 128) << 8).astype("<i2").tobytes()
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(framerate)
+                w.writeframes(pcm)
+            return buf.getvalue()
+
+        return texts.map(build)
+
+    return to_wav
+
+
+def wav_sample_stats(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """Integer-exact decoded-sample statistics from a WAV container:
+    (n_channels, sampwidth, framerate, n_samples, s_sum, s_min,
+    s_max) over the RAW integer sample values (unsigned for 8-bit per
+    the WAV spec, signed little-endian for 16/32-bit) — no float
+    normalization, so results are bit-exact under any partitioning.
+    The float feature path stays in ``real_decoder``; this is the
+    oracle-checkable face of the same stdlib-``wave`` decode."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    try:
+        with _wave.open(_io.BytesIO(payload), "rb") as wav:
+            n_channels = wav.getnchannels()
+            sampwidth = wav.getsampwidth()
+            framerate = wav.getframerate()
+            raw = wav.readframes(wav.getnframes())
+    except (_wave.Error, EOFError) as exc:
+        raise NotImplementedError(
+            "audio decoding supports WAV via stdlib wave; other codecs "
+            "need soundfile/torchaudio"
+        ) from exc
+    if sampwidth == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    elif sampwidth in (2, 4):
+        dtype = "<i2" if sampwidth == 2 else "<i4"
+        x = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sampwidth}")
+    n = int(x.size)
+    if n == 0:
+        return (n_channels, sampwidth, framerate, 0, 0, 0, 0)
+    return (
+        n_channels,
+        sampwidth,
+        framerate,
+        n,
+        int(x.sum()),
+        int(x.min()),
+        int(x.max()),
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sampwidth", T.IntegerType()),
+        T.StructField("framerate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_min", T.LongType()),
+        T.StructField("s_max", T.LongType()),
+    ]
+)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """Audio → one row of decoded-sample statistics per media row via
+    Arrow-batched mapInPandas over ``wav_sample_stats``.  Rows with no
+    samples (empty payloads) are dropped — min/max of zero samples is
+    undefined, and emitting sentinel zeros would poison downstream
+    aggregates."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[Any] = []
+            rows: list[tuple] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if p is None or isinstance(p, bytes) else bytes(p)
+                if raw is None:
+                    continue
+                st = wav_sample_stats(raw)
+                if st[3] == 0:
+                    continue
+                ids.append(mid)
+                rows.append(st)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_channels": [r[0] for r in rows],
+                    "sampwidth": [r[1] for r in rows],
+                    "framerate": [r[2] for r in rows],
+                    "n_samples": [r[3] for r in rows],
+                    "s_sum": [r[4] for r in rows],
+                    "s_min": [r[5] for r in rows],
+                    "s_max": [r[6] for r in rows],
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        run, AUDIO_STATS_SCHEMA
+    )
+
+
 def avi_frame_sampler(payload: bytes, every_ms: int) -> list[bytes]:
     """Real container-level frame sampling for ``frame_sample``: demux
     the AVI, keep every k-th video chunk where k matches the requested
