@@ -106,12 +106,18 @@ def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = Non
 
     os.makedirs(target_dir, exist_ok=True)
 
-    def replicate(name: str, shard_fn) -> None:
+    def replicate(name: str, shard_fn, fixed: bool = False) -> None:
         if tables is not None and name not in tables:
             return
         out = os.path.join(target_dir, f"{name}.parquet")
         base = read_table(spark, BASE_SF, name)
-        shards = [shard_fn(base, i) for i in range(replicas)]
+        # ``fixed`` tables (the product catalog) must be written ONCE:
+        # unioning N identical copies — the pre-round-6 behavior —
+        # duplicated every dim row N times, so golden_join's dim lookup
+        # fanned out N× and the "10× growth" numbers measured a
+        # N×-fanout join, not data growth (caught by the 100× point:
+        # 6 BILLION output rows, 654 s).
+        shards = [shard_fn(base, i) for i in range(1 if fixed else replicas)]
         df = shards[0]
         for s in shards[1:]:
             df = df.unionByName(s)
@@ -132,7 +138,7 @@ def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = Non
             "o_orderkey", F.col("o_orderkey") + F.lit(i * ORDER_SHIFT)
         ).withColumn("o_orderdate", F.col("o_orderdate") + F.expr(f"INTERVAL {i} DAYS")),
     )
-    replicate("part", lambda df, i: df)  # catalog fixed across shards
+    replicate("part", lambda df, i: df, fixed=True)  # catalog fixed across shards
     if os.path.exists(os.path.join(BASE_SF, "events.parquet")):
         replicate(
             "events",
