@@ -2064,6 +2064,22 @@ def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_sample_stats(media)
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/CCNet-style duplicated-span REMOVAL: every
+    non-overlapping 3-word tile appearing in >= 4 distinct documents
+    (cross-document boilerplate) is dropped and each document is
+    reassembled from its surviving tiles in order
+    (text.strip_common_tiles).  The rewrite complements
+    chunk_dedup, which only measures duplication.  The common-tile
+    set is summary-sized by definition, so the removal join
+    broadcasts; reassembly is one partitioning-invariant
+    ordered-collect aggregate."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.strip_common_tiles(docs, "text", "doc_id", k=3, max_df=4)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation chain as ONE lazy plan:
     language filter (en) → quality screen (≥0.3) → exact dedup (md5,
@@ -2727,6 +2743,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_frame_sample": q_avi_frame_sample,
         "avi_pixel_stats": q_avi_pixel_stats,
         "wav_sample_stats": q_wav_sample_stats,
+        "strip_boilerplate": q_strip_boilerplate,
         "hash_split": q_hash_split,
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
@@ -3729,6 +3746,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS INTEGER) AS px_min,
                    CAST(list_max(codes) AS INTEGER) AS px_max
             FROM f
+        """,
+        "strip_boilerplate": f"""
+            -- mirror: non-overlapping 3-word tiles, df >= 4 across
+            -- distinct docs dropped, docs reassembled in tile order
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+            n AS (
+                SELECT doc_id, ws,
+                       CAST(ceil(len(ws) / 3.0) AS BIGINT) AS nt
+                FROM w
+            ),
+            t AS (
+                SELECT doc_id, x.i AS tile_idx,
+                       array_to_string(ws[x.i * 3 + 1 : x.i * 3 + 3], ' ') AS tile
+                FROM n, LATERAL (SELECT unnest(range(nt)) AS i) x
+            ),
+            common AS (
+                SELECT tile
+                FROM (SELECT tile, count(DISTINCT doc_id) AS dfreq
+                      FROM t GROUP BY tile)
+                WHERE dfreq >= 4
+            ),
+            kept AS (
+                SELECT * FROM t WHERE tile NOT IN (SELECT tile FROM common)
+            ),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(tile, ' ' ORDER BY tile_idx) AS clean_text,
+                       count(*) AS kept_tiles
+                FROM kept GROUP BY doc_id
+            )
+            SELECT n.doc_id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   CAST(n.nt AS INTEGER) AS n_tiles,
+                   CAST(coalesce(agg.kept_tiles, 0) AS INTEGER) AS kept_tiles
+            FROM n LEFT JOIN agg USING (doc_id)
         """,
         "wav_sample_stats": """
             -- samples ARE (byte-128)<<8 of the text bytes (ASCII-only

@@ -122,6 +122,7 @@ HEADLINE = [
     "avi_frame_sample",
     "avi_pixel_stats",
     "wav_sample_stats",
+    "strip_boilerplate",
     "resample_ffill",
     "price_percentiles",
 ]

@@ -912,3 +912,48 @@ def test_proximity_matches_model(spark):
     df2 = spark.createDataFrame([(9, "x " + "f " * 4 + "y")], "doc_id long, text string")
     got2 = proximity_matches(df2, "x", "y", max_distance=5).collect()
     assert [(r["n_pairs"], r["min_distance"]) for r in got2] == [(1, 5)]
+
+
+def test_strip_common_tiles_removes_cross_doc_boilerplate(spark):
+    """Planted boilerplate (the same 3-word tile in every doc) is
+    removed; unique content survives in order; a doc that is ALL
+    boilerplate comes back empty rather than disappearing."""
+    bp = "subscribe to newsletter"
+    rows = [
+        (1, f"{bp} alpha beta gamma delta epsilon zeta"),
+        (2, f"{bp} one two three four five six"),
+        (3, f"{bp} seven eight nine ten eleven twelve"),
+        (4, bp),  # boilerplate-only document
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r.doc_id: r
+        for r in text.strip_common_tiles(df, k=3, max_df=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # the boilerplate tile is gone, the two content tiles remain in order
+    assert out[1].clean_text == "alpha beta gamma delta epsilon zeta"
+    assert out[2].clean_text == "one two three four five six"
+    assert (out[1].n_tiles, out[1].kept_tiles) == (3, 2)
+    assert out[4].clean_text == "" and out[4].kept_tiles == 0
+    # below the df threshold nothing is removed
+    full = {
+        r.doc_id: r.clean_text
+        for r in text.strip_common_tiles(df, k=3, max_df=5).collect()
+    }
+    assert full[1] == f"{bp} alpha beta gamma delta epsilon zeta"
+
+
+def test_strip_common_tiles_partitioning_invariant(spark):
+    rows = [(i, f"common head tile body{i} word{i} tail{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    a = sorted(
+        tuple(r) for r in text.strip_common_tiles(df, k=3, max_df=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in text.strip_common_tiles(df.repartition(7), k=3, max_df=4).collect()
+    )
+    assert a == b
+    # the shared 'common head tile' prefix was dropped everywhere
+    assert all(t[1].startswith("body") for t in a)

@@ -528,3 +528,79 @@ def split_passages(
             F.size("__p").alias("n_words"),
         )
     )
+
+
+def strip_common_tiles(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_df: int = 5,
+):
+    """Duplicated-span removal (the RefinedWeb/CCNet curation stage):
+    drop every non-overlapping k-word tile that appears in >= max_df
+    DISTINCT documents (boilerplate — headers, footers, injected
+    navigation) and reassemble each document from its surviving tiles
+    in order.  Unlike ``dedup.duplicate_chunk_stats`` (which only
+    MEASURES per-doc duplication), this REWRITES the corpus.
+
+    Relational plan, three shuffles, no per-word explosion:
+
+    1. tile rows via ONE higher-order projection (sequence →
+       transform(slice) → posexplode) — n/k rows per doc, not n;
+    2. tile document-frequency hash aggregate over the distinct
+       (doc, tile) pairs (map-side combining; uniform md5-free keys);
+    3. the common set is summary-sized BY DEFINITION (only tiles
+       repeated across >= max_df docs — the boilerplate vocabulary),
+       so the removal join is a broadcast-able left_anti;
+    4. reassembly: one groupBy(doc) with an array_sort(collect_list)
+       — tile_idx makes the order explicit, so the result is
+       partitioning-invariant.
+
+    Returns (id_col, clean_text, n_tiles, kept_tiles); documents whose
+    every tile was boilerplate come back with clean_text = '' rather
+    than disappearing."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+    n_tiles = F.ceil(F.size("__ws") / F.lit(k)).cast("int")
+    # sequence(0, n-1) would run DESCENDING for n == 0; words() never
+    # yields an empty array (split('') == ['']) so n_tiles >= 1 always.
+    tiles = ws.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_tiles - F.lit(1)),
+                lambda i: F.array_join(F.slice("__ws", i * k + 1, k), " "),
+            )
+        ).alias("tile_idx", "tile"),
+    )
+    common = (
+        tiles.select("tile", id_col)
+        .distinct()
+        .groupBy("tile")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= max_df)
+        .select("tile")
+    )
+    kept = tiles.join(F.broadcast(common), "tile", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tile_idx", "tile"))),
+                lambda s: s["tile"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("kept_tiles"),
+    )
+    return (
+        ws.select(F.col(id_col), n_tiles.alias("n_tiles"))
+        .join(clean, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tiles",
+            F.coalesce("kept_tiles", F.lit(0)).alias("kept_tiles"),
+        )
+    )
