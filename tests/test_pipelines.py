@@ -1040,6 +1040,74 @@ def test_ingest_crash_matrix_invariants(spark, tmp_path, monkeypatch, crash_at):
     assert flags.where(~F.col("maybe_seen")).count() == 0
 
 
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_crash_matrix_with_aggressive_vacuum_floor(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """The round-6 vacuum floor under the full crash matrix: after a
+    crash at EVERY chain position, an aggressive direct vacuum
+    (keep_versions=1, zero grace, ``min_retain_version`` from
+    ``unhealed_floor``) runs over every store table BEFORE the next
+    batch arrives — and healing must still recover the exact admitted
+    set and all store invariants.  Without the floor, positions 2-4
+    (crash after the corpus commit) would lose the predecessor
+    manifest the change-feed replay diffs against."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import bloom as bloom_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    b0 = _mk_docs(spark, [(1, "seed content for the store with many words")])
+    ingest_mod.ingest_batch_neardup(spark, store, b0, 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == crash_at:
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    b1 = _mk_docs(spark, [(2, "crashing batch body with distinctive vocabulary here")])
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch_neardup(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # aggressive direct vacuum mid-crash: the floor must keep recovery
+    # possible (None when the crash landed before the corpus commit)
+    floor = ingest_mod.unhealed_floor(store)
+    assert (floor is None) == (crash_at == 1)
+    for t in (store.corpus, store.hashes, store.bloom, store.bands):
+        if ingest_mod._has_table(t):
+            acid_mod.vacuum(
+                t,
+                keep_versions=1,
+                grace_seconds=0.0,
+                min_retain_version=floor if t == store.corpus else None,
+            )
+
+    b2 = _mk_docs(spark, [(3, "an entirely separate third document about nothing")])
+    ingest_mod.ingest_batch_neardup(spark, store, b2, 2)
+
+    ids = sorted(
+        r.doc_id for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    )
+    assert ids == ([1, 3] if crash_at == 1 else [1, 2, 3])
+    hashes = acid_mod.read_atomic(spark, store.hashes)
+    assert hashes.count() == hashes.distinct().count() == len(ids)
+    band_ids = sorted(
+        set(r["__id"] for r in acid_mod.read_atomic(spark, store.bands).collect())
+    )
+    assert band_ids == ids
+    words = acid_mod.read_atomic(spark, store.bloom)
+    flags = bloom_mod.bloom_probe(
+        hashes, words, "content_hash", m_bits=store.m_bits, k=store.k
+    )
+    assert flags.where(~F.col("maybe_seen")).count() == 0
+
+
 def _store_state(spark, acid_mod, store):
     """(corpus multiset, hashes multiset, band-index multiset) — the
     byte-comparable state of an ingest store."""
