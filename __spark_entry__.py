@@ -2071,9 +2071,10 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled from its surviving tiles in order
     (text.strip_common_tiles).  The rewrite complements
     chunk_dedup, which only measures duplication.  The common-tile
-    set is summary-sized by definition, so the removal join
-    broadcasts; reassembly is one partitioning-invariant
-    ordered-collect aggregate."""
+    set is usually summary-sized but data-dependent, so the removal
+    join strategy is left to AQE (runtime-size broadcast or shuffle);
+    reassembly is one partitioning-invariant ordered-collect
+    aggregate."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")

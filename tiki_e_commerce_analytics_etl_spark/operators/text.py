@@ -536,6 +536,7 @@ def strip_common_tiles(
     id_col: str = "doc_id",
     k: int = 8,
     max_df: int = 5,
+    broadcast_common: bool | None = None,
 ):
     """Duplicated-span removal (the RefinedWeb/CCNet curation stage):
     drop every non-overlapping k-word tile that appears in >= max_df
@@ -550,9 +551,15 @@ def strip_common_tiles(
        transform(slice) → posexplode) — n/k rows per doc, not n;
     2. tile document-frequency hash aggregate over the distinct
        (doc, tile) pairs (map-side combining; uniform md5-free keys);
-    3. the common set is summary-sized BY DEFINITION (only tiles
-       repeated across >= max_df docs — the boilerplate vocabulary),
-       so the removal join is a broadcast-able left_anti;
+    3. the removal join is a left_anti against the common-tile set.
+       That set is usually small (only tiles repeated across >=
+       max_df docs) but its size is DATA-DEPENDENT — a crawl where
+       every site's nav/footer template repeats grows it with the
+       corpus — so the default (``broadcast_common=None``) leaves the
+       strategy to AQE, which broadcasts from the measured runtime
+       size and degrades to a shuffle join when the set is large.
+       Pass ``True`` to force the broadcast hint (size known small),
+       ``False`` to forbid it;
     4. reassembly: one groupBy(doc) with an array_sort(collect_list)
        — tile_idx makes the order explicit, so the result is
        partitioning-invariant.
@@ -583,7 +590,11 @@ def strip_common_tiles(
         .filter(F.col("__df") >= max_df)
         .select("tile")
     )
-    kept = tiles.join(F.broadcast(common), "tile", "left_anti")
+    if broadcast_common is True:
+        common = F.broadcast(common)
+    elif broadcast_common is False:
+        common = common.hint("shuffle_hash")
+    kept = tiles.join(common, "tile", "left_anti")
     clean = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

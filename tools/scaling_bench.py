@@ -93,6 +93,29 @@ QUERIES = [
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
 DOC_SHIFT = 10_000_000
+# replication-recipe generation (see MANIFEST note in build_scaled):
+# 2 = fixed catalog tables written ONCE (round-6 fanout fix)
+GENERATION = 2
+
+
+def _manifest_stale(target_dir: str, tables: set | None = None) -> bool:
+    """True when the dir must be (re)built: no manifest, an older
+    replication recipe, or a table-subset manifest that lacks tables
+    this run needs."""
+    mpath = os.path.join(target_dir, "MANIFEST.json")
+    if not os.path.exists(mpath):
+        return True
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return True
+    if m.get("generation") != GENERATION:
+        return True
+    built = m.get("tables")
+    if built is not None and not (tables is not None and tables <= set(built)):
+        return True  # subset build can't serve a wider (or full) run
+    return False
 
 
 def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = None) -> None:
@@ -166,9 +189,22 @@ def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = Non
             "embeddings",
             lambda df, i: df.withColumn("vec_id", F.col("vec_id") + F.lit(i * DOC_SHIFT)),
         )
-    # `part` above keeps dims fixed; dedup shard count recorded for audit
+    # `part` above keeps dims fixed; dedup shard count recorded for audit.
+    # GENERATION marks the replication recipe: bump it whenever
+    # build_scaled's output changes (e.g. generation 2 = fixed tables
+    # written once instead of N duplicated copies), so persistent
+    # gitignored dirs built under an older recipe are rebuilt rather
+    # than silently reused against fresh dirs built under the new one.
     with open(os.path.join(target_dir, "MANIFEST.json"), "w") as f:
-        json.dump({"base": BASE_SF, "replicas": replicas}, f)
+        json.dump(
+            {
+                "base": BASE_SF,
+                "replicas": replicas,
+                "generation": GENERATION,
+                "tables": sorted(tables) if tables is not None else None,
+            },
+            f,
+        )
 
 
 def main() -> None:
@@ -187,7 +223,7 @@ def main() -> None:
     for target_dir, replicas in ((BASE_DIR, 1), (SCALED_DIR, REPLICAS)):
         if (
             "--rebuild" in sys.argv
-            or not os.path.exists(os.path.join(target_dir, "MANIFEST.json"))
+            or _manifest_stale(target_dir)
             # older generations predate the embeddings replica — but
             # only rebuild when the BASE actually has the table, else
             # this would trigger a full rebuild on every run
@@ -220,12 +256,9 @@ def main() -> None:
         x100_dir = os.environ.get(
             "SPARK_GRAFT_SCALED100_DIR", os.path.join(_REPO, ".scaling100x")
         )
-        if "--rebuild" in sys.argv or not os.path.exists(
-            os.path.join(x100_dir, "MANIFEST.json")
-        ):
-            build_scaled(
-                spark, x100_dir, 100, tables={"lineitem", "orders", "part"}
-            )
+        x100_tables = {"lineitem", "orders", "part"}
+        if "--rebuild" in sys.argv or _manifest_stale(x100_dir, x100_tables):
+            build_scaled(spark, x100_dir, 100, tables=x100_tables)
         results = {}
         for name in ("golden_join", "frequent_triples"):
             t1 = run(name, BASE_DIR)
