@@ -135,3 +135,42 @@ def test_dib_pixel_stats_roundtrip_arbitrary_bytes(frames, usec):
         (i, width, sum(f), min(f), max(f)) for i, f in enumerate(frames)
     ]
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [5.0] * 300 + [1.0, 9.0],
+        [float("inf"), 1.0, float("-inf")],
+        [3.14],
+        [1.0, float("nan"), 2.0],
+    ],
+)
+def test_grouped_exact_percentiles_adversarial_matches_spark(spark, vals):
+    """grouped_exact_percentiles ≡ a per-group Spark `percentile`
+    aggregate on ties / infinities / NaN / single-value groups — the
+    grouped twin of the scalar pinning above.  Two groups share the
+    adversarial values with different paddings so the group partition
+    boundary is exercised."""
+    from tiki_e_commerce_analytics_etl_spark.operators.quality import (
+        grouped_exact_percentiles,
+    )
+
+    rows = [(1, v) for v in vals] + [(2, v) for v in vals + [7.5, 7.5]]
+    df = spark.createDataFrame(rows, "g long, v double")
+    probs = [0.0, 0.5, 0.9, 1.0]
+    names = [f"p{i}" for i in range(len(probs))]
+    got = {
+        r["g"]: [r[n] for n in names]
+        for r in grouped_exact_percentiles(df, "g", "v", probs, names).collect()
+    }
+    arr = ", ".join(repr(p) for p in probs)
+    want = {
+        r["g"]: list(r["ps"])
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({arr}))").alias("ps"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert all(_same(a, b) for a, b in zip(got[g], want[g])), (g, got[g], want[g])
