@@ -95,7 +95,9 @@ ORDER_SHIFT = 10_000_000
 DOC_SHIFT = 10_000_000
 # replication-recipe generation (see MANIFEST note in build_scaled):
 # 2 = fixed catalog tables written ONCE (round-6 fanout fix)
-GENERATION = 2
+# 3 = content-token-only doc shard tags (stopwords survive the shard
+#     suffix, so language-filtered pipelines see the full 10x corpus)
+GENERATION = 3
 
 
 def _manifest_stale(target_dir: str, tables: set | None = None) -> bool:
@@ -174,10 +176,19 @@ def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = Non
         df = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * DOC_SHIFT))
         if i == 0:
             return df
-        # suffix every token with a shard tag: within-shard similarity
-        # structure preserved exactly, cross-shard similarity zero
-        tag = chr(ord("a") + i)
-        df = df.withColumn("text", F.regexp_replace(F.col("text"), r"(\S+)", r"$1" + tag))
+        # Suffix CONTENT tokens (>= 5 chars) with a 2-letter ASCII
+        # shard tag: within-shard similarity structure preserved,
+        # cross-shard content-shingle similarity ~zero.  Short tokens
+        # — crucially the language-ID stopwords, all <= 4 chars in en
+        # — stay untagged: the pre-round-6 tag-everything version
+        # stripped every stopword, so curation_pipeline's language
+        # filter dropped EVERY non-shard-0 doc and its measured
+        # "growth" ran on a 1x survivor set.  (Single-letter tags also
+        # left ASCII beyond shard 25.)
+        tag = chr(ord("a") + i // 26) + chr(ord("a") + i % 26)
+        df = df.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\S{5,})", r"$1" + tag)
+        )
         return df.withColumn("n_chars", F.length("text"))
 
     replicate("documents", doc_shard)
@@ -247,20 +258,38 @@ def main() -> None:
             spark.catalog.clearCache()
         return round(statistics.median(runs), 3)
 
-    # --x100: a SECOND measured decade for the two worst 10x scalers —
-    # golden_join (compute-bound, 5-6x per decade) and frequent_triples
-    # (3.8x) — validating the sub-quadratic extrapolation the 100 TB
-    # story rests on with a third point (1x -> 10x -> 100x).  Only the
-    # fact-side tables the probes read are materialized at 100x.
+    # --x100 [probe ...]: a SECOND measured decade (1x -> 10x -> 100x)
+    # validating the sub-quadratic extrapolation the 100 TB story rests
+    # on.  Default probes are the two worst fact-side 10x scalers;
+    # extra probe names after --x100 extend the sweep (e.g. the text
+    # side: curation_pipeline, neardup_clusters, bm25_search).  Only
+    # the tables the chosen probes read are materialized at 100x.
     if "--x100" in sys.argv:
         x100_dir = os.environ.get(
             "SPARK_GRAFT_SCALED100_DIR", os.path.join(_REPO, ".scaling100x")
         )
-        x100_tables = {"lineitem", "orders", "part"}
+        extra = [
+            a for a in sys.argv[sys.argv.index("--x100") + 1 :]
+            if not a.startswith("--")
+        ]
+        probes = ["golden_join", "frequent_triples"] + extra
+        probe_tables = {
+            "golden_join": {"lineitem", "orders", "part"},
+            "frequent_triples": {"lineitem"},
+            "curation_pipeline": {"documents"},
+            "neardup_clusters": {"documents"},
+            "bm25_search": {"documents"},
+            "scd2_products": {"lineitem", "orders", "part"},
+            "heavy_hitters": {"documents"},
+            "chunk_dedup": {"documents"},
+        }
+        x100_tables = set()
+        for p in probes:
+            x100_tables |= probe_tables.get(p, {"lineitem", "orders", "part"})
         if "--rebuild" in sys.argv or _manifest_stale(x100_dir, x100_tables):
             build_scaled(spark, x100_dir, 100, tables=x100_tables)
         results = {}
-        for name in ("golden_join", "frequent_triples"):
+        for name in probes:
             t1 = run(name, BASE_DIR)
             t10 = run(name, SCALED_DIR)
             t100 = run(name, x100_dir)
