@@ -77,6 +77,107 @@ def q_golden_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic shipping-priority analytics (TPC-H Q3 shape) —
+    exercises the customer dimension the earlier suite never read:
+    segment-filtered customers (broadcast) ⋈ date-bounded orders ⋈
+    post-cutoff lineitems, revenue per (order, date, priority), top 10
+    by revenue with a fully deterministic tiebreak.  The only large
+    input is lineitem; orders⋈lineitem is the one real shuffle and
+    the top-k is TakeOrderedAndProject, never a global sort."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    cutoff = "1998-01-01"
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape) — the 6-way join over
+    region/nation/supplier/customer, none of which any earlier query
+    read: revenue per nation for orders in 1996 where the supplying
+    and ordering nation coincide (the classic co-location residual,
+    folded into the supplier join as an equi-condition so no
+    post-join filter survives).  All four dims broadcast; lineitem is
+    the only shuffling side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): per-supplier
+    revenue over Q1-1997 shipments, keeping the supplier(s) whose
+    revenue equals the maximum.  The max is ONE boundary scalar
+    (collected like every other quantile/stat scalar in this engine —
+    never an empty-partitionBy window, which would funnel all
+    suppliers through one task), and the revenue equality is exact
+    because both engines sum the same decimal grid before the double
+    cast."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    top = per_supp.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
+    return (
+        per_supp.filter(F.col("total_revenue") == F.lit(top))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7/A3/A4 — success-summary aggregate over the mart
     (analytics_dag.py:230-239)."""
@@ -2655,6 +2756,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_join": q_golden_join,
         "quality_summary": q_quality_summary,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "top_supplier": q_top_supplier,
         "dedup_latest": q_dedup_latest,
         "group_max": q_group_max,
         "melt_measures": q_melt_measures,
@@ -4307,6 +4411,55 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue DESC, n.n_name
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                            AS DOUBLE) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+            ORDER BY s.s_suppkey
         """,
         "dedup_latest": """
             SELECT event_id, ts, user_id, event_type, value, props

@@ -123,6 +123,9 @@ HEADLINE = [
     "avi_pixel_stats",
     "wav_sample_stats",
     "strip_boilerplate",
+    "shipping_priority",
+    "local_supplier_volume",
+    "top_supplier",
     "resample_ffill",
     "price_percentiles",
 ]

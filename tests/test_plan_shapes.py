@@ -339,3 +339,26 @@ def test_frequent_triples_reuses_pair_stream_exchange(spark):
     # (x/y sides of the pair self-join) and the pair_in_basket stream
     # shuffled on (basket, a) (p/q sides of the candidate join).
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_classic_join_queries_plan_shapes(spark):
+    """The round-6 classic analytics trio must keep their scale
+    shapes: shipping_priority's top-10 is TakeOrderedAndProject (no
+    global sort) with the customer filter broadcast;
+    local_supplier_volume's 6-way join has no cartesian and the
+    co-location residual is folded into an equi-join; top_supplier's
+    max is a boundary scalar, not an empty-partitionBy window."""
+    p = _plan(spark, "shipping_priority")
+    phys = p.split("== Physical Plan ==")[-1]
+    assert "TakeOrderedAndProject" in phys
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys
+
+    p = _plan(spark, "local_supplier_volume").split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # four broadcast joins: customer, supplier (+ residual), nation⋈region
+    assert p.count("BroadcastHashJoin") >= 3
+
+    p = _plan(spark, "top_supplier").split("== Physical Plan ==")[-1]
+    assert "windowspecdefinition()" not in p  # no empty-partition window
+    assert "CartesianProduct" not in p
