@@ -87,7 +87,11 @@ def test_exact_percentiles_nanfree_matches_duckdb_bit_exact(spark, vals, n_parts
     arr = "[" + ", ".join(repr(p) for p in probs) + "]"
     want = con.execute(f"SELECT quantile_cont(v, {arr}) FROM t").fetchone()[0]
     con.close()
-    assert got == [float(w) for w in want]
+    # NaN-free INPUTS can still produce NaN outputs (the -Inf..+Inf
+    # midpoint interpolates to NaN in both engines, equally) — compare
+    # NaN-aware, bit-exact otherwise.
+    assert len(got) == len(want)
+    assert all(_same(g, float(w)) for g, w in zip(got, want)), (got, want)
 
 
 def test_exact_percentiles_rejects_out_of_range_probs(spark):
