@@ -2182,6 +2182,63 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.strip_common_tiles(docs, "text", "doc_id", k=3, max_df=4)
 
 
+def q_jsonl_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-zone JSONL scan with corrupt-record quarantine
+    (sources.corpus.read_jsonl_corpus), oracle-checked over a
+    deterministic literal fixture covering the full damage taxonomy:
+    clean rows, extra fields (ignored), truncated JSON, a
+    type-mismatched field (quarantined WITH its salvageable parsed
+    fields), a non-object row, a garbage line, and a missing field
+    (drift, NOT corruption).  Output is one relation: kind='ok' rows
+    carry the parsed fields, kind='quarantined' rows additionally
+    carry the raw line."""
+    import os
+
+    from tiki_e_commerce_analytics_etl_spark.sources.corpus import read_jsonl_corpus
+
+    base = _fixture_base()
+    path = os.path.join(base, "corpus.jsonl")
+    lines = [
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en"}',
+        '{"doc_id": 2, "text": "gamma", "lang": "vi", "extra": 9}',
+        '{"doc_id": 3, "text": "unterminated',
+        '{"doc_id": "not-a-number", "text": "x", "lang": "en"}',
+        "[1, 2, 3]",
+        "plain garbage line",
+        '{"doc_id": 7, "lang": "en"}',
+    ]
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+    os.replace(tmp, path)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl_corpus(spark, path, schema)
+    return good.select(
+        F.lit("ok").alias("kind"),
+        "doc_id",
+        "text",
+        "lang",
+        F.lit(None).cast("string").alias("raw_line"),
+    ).unionByName(
+        quarantine.select(
+            F.lit("quarantined").alias("kind"),
+            "doc_id",
+            "text",
+            "lang",
+            F.col("_corrupt_record").alias("raw_line"),
+        )
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation chain as ONE lazy plan:
     language filter (en) → quality screen (≥0.3) → exact dedup (md5,
@@ -2849,6 +2906,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_pixel_stats": q_avi_pixel_stats,
         "wav_sample_stats": q_wav_sample_stats,
         "strip_boilerplate": q_strip_boilerplate,
+        "jsonl_corpus_scan": q_jsonl_corpus_scan,
         "hash_split": q_hash_split,
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
@@ -3851,6 +3909,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS INTEGER) AS px_min,
                    CAST(list_max(codes) AS INTEGER) AS px_max
             FROM f
+        """,
+        "jsonl_corpus_scan": """
+            -- literal twin of the fixture's pinned PERMISSIVE
+            -- semantics: broken/non-object/garbage lines -> all
+            -- fields NULL + raw line; type mismatch -> quarantined
+            -- WITH salvageable fields; missing field -> ok with NULL
+            SELECT kind, CAST(doc_id AS BIGINT) AS doc_id, text, lang, raw_line
+            FROM (VALUES
+                ('ok', 1, 'alpha beta', 'en', NULL),
+                ('ok', 2, 'gamma', 'vi', NULL),
+                ('ok', 7, NULL, 'en', NULL),
+                ('quarantined', NULL, NULL, NULL, '{"doc_id": 3, "text": "unterminated'),
+                ('quarantined', NULL, 'x', 'en', '{"doc_id": "not-a-number", "text": "x", "lang": "en"}'),
+                ('quarantined', NULL, NULL, NULL, '[1, 2, 3]'),
+                ('quarantined', NULL, NULL, NULL, 'plain garbage line')
+            ) AS t(kind, doc_id, text, lang, raw_line)
         """,
         "strip_boilerplate": f"""
             -- mirror: non-overlapping 3-word tiles, df >= 4 across

@@ -123,6 +123,7 @@ HEADLINE = [
     "avi_pixel_stats",
     "wav_sample_stats",
     "strip_boilerplate",
+    "jsonl_corpus_scan",
     "shipping_priority",
     "local_supplier_volume",
     "top_supplier",

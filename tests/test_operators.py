@@ -957,3 +957,67 @@ def test_strip_common_tiles_partitioning_invariant(spark):
     assert a == b
     # the shared 'common head tile' prefix was dropped everywhere
     assert all(t[1].startswith("body") for t in a)
+
+
+def test_read_jsonl_corpus_quarantine_semantics(spark, tmp_path):
+    """The pinned PERMISSIVE taxonomy: broken/non-object/garbage lines
+    quarantine with all fields NULL; a type-mismatched field
+    quarantines WITH its salvageable parsed fields; a missing field is
+    drift, not corruption."""
+    from pyspark.sql import types as T
+
+    from tiki_e_commerce_analytics_etl_spark.sources.corpus import read_jsonl_corpus
+
+    p = str(tmp_path / "docs.jsonl")
+    open(p, "w").write(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "good", "lang": "en"}',
+                '{"doc_id": 2, "lang": "en"}',  # missing text: drift
+                '{"doc_id": "bad-type", "text": "keep me", "lang": "vi"}',
+                "not json at all",
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, quarantine = read_jsonl_corpus(spark, p, schema)
+    assert good.columns == ["doc_id", "text", "lang"]
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, "good"),
+        (2, None),
+    ]
+    q = {r._corrupt_record: r for r in quarantine.collect()}
+    assert set(q) == {
+        '{"doc_id": "bad-type", "text": "keep me", "lang": "vi"}',
+        "not json at all",
+    }
+    # salvageable fields survive alongside the raw line
+    assert q['{"doc_id": "bad-type", "text": "keep me", "lang": "vi"}'].text == "keep me"
+    # schema-guard: corrupt column must not pre-exist
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_corpus(
+            spark, p, schema.add("_corrupt_record", T.StringType())
+        )
+
+
+def test_strip_common_tiles_identity_below_threshold(spark):
+    """With an unreachable df threshold nothing is removed and the
+    reassembled text is exactly the whitespace-normalized original —
+    the reconstruction-identity invariant behind the oracle query."""
+    rows = [
+        (1, "  Mixed   CASE    and   spacing here  "),
+        (2, "seven eight nine ten eleven twelve thirteen"),
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in text.strip_common_tiles(df, k=3, max_df=99).collect()}
+    for doc_id, raw in rows:
+        normalized = " ".join(raw.lower().split())
+        assert out[doc_id].clean_text == normalized
+        assert out[doc_id].kept_tiles == out[doc_id].n_tiles
