@@ -19,13 +19,15 @@ Semantics (pinned by tests against Spark's PERMISSIVE mode):
 - a merely MISSING field → NULL field, NOT corrupt (schema drift is
   not corruption).
 
-Scale: one scan, no shuffle — both outputs are narrow filters over
-the same PERMISSIVE read, so Catalyst shares the scan when both are
-consumed in one job (or re-scans cheaply — the filter is codegen).
-The corrupt column must be part of the read schema; Spark refuses
-plans that reference ONLY the corrupt column (internal restriction),
-which the quarantine output avoids by carrying the parsed fields
-alongside the raw line.
+Scale: one text scan, no shuffle — both outputs are narrow codegen
+filters over the same ``text``-source read + ``from_json``
+projection.  Deliberately NOT the json reader's internal
+``columnNameOfCorruptRecord`` column: Spark refuses any plan whose
+projection prunes down to only that internal column (SQLSTATE 0A000
+— a plain ``quarantine.count()`` dies), so the raw line is carried
+as an ordinary column from the text source instead, and the corrupt
+marker comes from ``from_json``'s own corrupt field.  Every
+downstream shape (count, select-one-column, cache) is legal.
 """
 
 from __future__ import annotations
@@ -53,14 +55,22 @@ def read_jsonl_corpus(
     if corrupt_col in schema.fieldNames():
         raise ValueError(f"schema must not contain {corrupt_col!r}")
     full = T.StructType(
-        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        list(schema.fields) + [T.StructField("__is_corrupt", T.StringType())]
     )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
+    parsed = spark.read.text(path).select(
+        F.col("value").alias(corrupt_col),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__is_corrupt"},
+        ).alias("__p"),
     )
-    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    quarantine = df.filter(F.col(corrupt_col).isNotNull())
+    good = (
+        parsed.filter(F.col("__p.__is_corrupt").isNull())
+        .select([F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields])
+    )
+    quarantine = parsed.filter(F.col("__p.__is_corrupt").isNotNull()).select(
+        [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
+        + [F.col(corrupt_col)]
+    )
     return good, quarantine
