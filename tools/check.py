@@ -130,7 +130,18 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            spark_pdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # count-shaped probe: the driver's row-count gate runs
+            # df.count(), whose column pruning can make a plan ILLEGAL
+            # that this gate's full-row toPandas accepts (e.g. a
+            # branch pruned down to the json reader's internal
+            # corrupt-record column raises
+            # UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+            # A limit(0) variant does NOT trigger the check — it must
+            # be a genuine count, which costs one extra (cheaper,
+            # aggregate-only) execution per query.
+            df.count()
+            spark_pdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: spark error: {e}")
