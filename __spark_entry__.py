@@ -2182,6 +2182,42 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.strip_common_tiles(docs, "text", "doc_id", k=3, max_df=4)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix (the Markov-chain view product
+    analytics builds on clickstreams): per user, events ordered by
+    (ts, event_id), each consecutive (event_type → next_event_type)
+    pair counted, with the conditional transition probability in
+    EXACT ppm integers (floor division — no float ratios to drift).
+    One user-partitioned window (fine-grained keys, no global sort)
+    feeding one hash aggregate; the per-source totals ride along via
+    a window over the aggregated (tiny) matrix, not the event
+    stream."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("src")
+    return (
+        pairs.withColumn("__t", F.sum("n").over(tot))
+        .select(
+            "src",
+            "dst",
+            "n",
+            # integer ppm via `div` on longs — exact, no float ratio
+            F.expr("(n * 1000000L) div __t").alias("p_ppm"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 def q_jsonl_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-zone JSONL scan with corrupt-record quarantine
     (sources.corpus.read_jsonl_corpus), oracle-checked over a
@@ -2907,6 +2943,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_sample_stats": q_wav_sample_stats,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
+        "event_transitions": q_event_transitions,
         "hash_split": q_hash_split,
         "price_percentiles": q_price_percentiles,
         "pack_documents": q_pack_documents,
@@ -3909,6 +3946,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS INTEGER) AS px_min,
                    CAST(list_max(codes) AS INTEGER) AS px_max
             FROM f
+        """,
+        "event_transitions": """
+            WITH p AS (
+                SELECT event_type AS src,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS dst
+                FROM events
+            ),
+            m AS (
+                SELECT src, dst, COUNT(*) AS n
+                FROM p WHERE dst IS NOT NULL
+                GROUP BY src, dst
+            )
+            -- SUM(BIGINT) is HUGEINT in DuckDB and // then yields a
+            -- float — cast back to the BIGINT grid Spark's div uses
+            SELECT src, dst, n,
+                   CAST((n * 1000000) // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT)
+                        AS BIGINT) AS p_ppm
+            FROM m
+            ORDER BY src, dst
         """,
         "jsonl_corpus_scan": """
             -- literal twin of the fixture's pinned PERMISSIVE

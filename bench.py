@@ -124,6 +124,7 @@ HEADLINE = [
     "wav_sample_stats",
     "strip_boilerplate",
     "jsonl_corpus_scan",
+    "event_transitions",
     "shipping_priority",
     "local_supplier_volume",
     "top_supplier",
