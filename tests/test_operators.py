@@ -999,6 +999,14 @@ def test_read_jsonl_corpus_quarantine_semantics(spark, tmp_path):
     }
     # salvageable fields survive alongside the raw line
     assert q['{"doc_id": "bad-type", "text": "keep me", "lang": "vi"}'].text == "keep me"
+    # blank / whitespace-only lines are garbage -> quarantine, never
+    # phantom all-NULL good rows (from_json yields a NULL struct, not
+    # a corrupt record, for empty input)
+    p2 = str(tmp_path / "blanks.jsonl")
+    open(p2, "w").write('{"doc_id": 1, "text": "a", "lang": "en"}\n\n   \n')
+    g2, q2 = read_jsonl_corpus(spark, p2, schema)
+    assert [r.doc_id for r in g2.collect()] == [1]
+    assert sorted(r._corrupt_record for r in q2.collect()) == ["", "   "]
     # schema-guard: corrupt column must not pre-exist
     with pytest.raises(ValueError, match="_corrupt_record"):
         read_jsonl_corpus(

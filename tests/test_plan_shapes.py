@@ -360,5 +360,10 @@ def test_classic_join_queries_plan_shapes(spark):
     assert p.count("BroadcastHashJoin") >= 3
 
     p = _plan(spark, "top_supplier").split("== Physical Plan ==")[-1]
-    assert "windowspecdefinition()" not in p  # no empty-partition window
+    # the max must be a boundary scalar: NO Window node at all (an
+    # empty-partitionBy rewrite would plan one and funnel every
+    # supplier through a single task; the earlier
+    # 'windowspecdefinition()' substring match was vacuous — Spark
+    # always prints the frame spec inside the parens)
+    assert "Window" not in p
     assert "CartesianProduct" not in p

@@ -65,11 +65,15 @@ def read_jsonl_corpus(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__is_corrupt"},
         ).alias("__p"),
     )
-    good = (
-        parsed.filter(F.col("__p.__is_corrupt").isNull())
-        .select([F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields])
+    # from_json returns a NULL struct (not a corrupt record) for
+    # empty/whitespace-only input — without the __p IS NOT NULL arm
+    # those lines would leak into `good` as phantom all-NULL rows
+    # instead of quarantining as the garbage they are.
+    ok = F.col("__p").isNotNull() & F.col("__p.__is_corrupt").isNull()
+    good = parsed.filter(ok).select(
+        [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
     )
-    quarantine = parsed.filter(F.col("__p.__is_corrupt").isNotNull()).select(
+    quarantine = parsed.filter(~ok).select(
         [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
         + [F.col(corrupt_col)]
     )

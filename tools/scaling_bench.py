@@ -283,11 +283,51 @@ def main() -> None:
             "heavy_hitters": {"documents"},
             "chunk_dedup": {"documents"},
         }
+        # fail FAST on unknown probes — before the ~tens-of-minutes
+        # 100x build, not after it (an unmapped probe would otherwise
+        # default to fact tables and die on a missing input only when
+        # its timed run finally starts)
+        unknown = [p for p in probes if p not in qs]
+        unmapped = [p for p in probes if p in qs and p not in probe_tables]
+        if unknown or unmapped:
+            sys.exit(
+                f"--x100: unknown queries {unknown}; probes without a "
+                f"table mapping in probe_tables {unmapped} — add the "
+                "tables the probe reads before running"
+            )
         x100_tables = set()
         for p in probes:
-            x100_tables |= probe_tables.get(p, {"lineitem", "orders", "part"})
+            x100_tables |= probe_tables[p]
         if "--rebuild" in sys.argv or _manifest_stale(x100_dir, x100_tables):
-            build_scaled(spark, x100_dir, 100, tables=x100_tables)
+            # widening an existing same-generation subset build only
+            # materializes the MISSING tables (the existing 100x fact
+            # tables are the dominant build cost)
+            have: set = set()
+            if "--rebuild" not in sys.argv:
+                try:
+                    with open(os.path.join(x100_dir, "MANIFEST.json")) as f:
+                        m = json.load(f)
+                    if m.get("generation") == GENERATION and m.get("tables"):
+                        have = {
+                            t for t in m["tables"]
+                            if os.path.exists(os.path.join(x100_dir, f"{t}.parquet"))
+                        }
+                except (OSError, json.JSONDecodeError):
+                    have = set()
+            build_scaled(
+                spark, x100_dir, 100, tables=(x100_tables - have) or x100_tables
+            )
+            # manifest records the UNION of everything now on disk
+            with open(os.path.join(x100_dir, "MANIFEST.json"), "w") as f:
+                json.dump(
+                    {
+                        "base": BASE_SF,
+                        "replicas": 100,
+                        "generation": GENERATION,
+                        "tables": sorted(x100_tables | have),
+                    },
+                    f,
+                )
         results = {}
         for name in probes:
             t1 = run(name, BASE_DIR)
