@@ -54,22 +54,37 @@ def read_jsonl_corpus(
     """
     if corrupt_col in schema.fieldNames():
         raise ValueError(f"schema must not contain {corrupt_col!r}")
+    # The internal marker field must not collide with a caller column
+    # (from_json would reject a non-string corrupt column, or shadow a
+    # legitimate string one) — append '_' until the name is free.
+    marker = "__is_corrupt"
+    while marker in schema.fieldNames():
+        marker += "_"
     full = T.StructType(
-        list(schema.fields) + [T.StructField("__is_corrupt", T.StringType())]
+        list(schema.fields) + [T.StructField(marker, T.StringType())]
     )
     parsed = spark.read.text(path).select(
         F.col("value").alias(corrupt_col),
         F.from_json(
             F.col("value"),
             full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__is_corrupt"},
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": marker},
         ).alias("__p"),
     )
     # from_json returns a NULL struct (not a corrupt record) for
     # empty/whitespace-only input — without the __p IS NOT NULL arm
     # those lines would leak into `good` as phantom all-NULL rows
     # instead of quarantining as the garbage they are.
-    ok = F.col("__p").isNotNull() & F.col("__p.__is_corrupt").isNull()
+    #
+    # A well-formed object that happens to CONTAIN a key named like the
+    # marker would have that key's value parsed into the marker field;
+    # requiring marker == raw line disambiguates, because Spark always
+    # stores the ENTIRE malformed input in the corrupt column and no
+    # JSON string value can equal the quoted line enclosing it.
+    ok = F.col("__p").isNotNull() & (
+        F.col(f"__p.{marker}").isNull()
+        | (F.col(f"__p.{marker}") != F.col(corrupt_col))
+    )
     good = parsed.filter(ok).select(
         [F.col(f"__p.{f.name}").alias(f.name) for f in schema.fields]
     )
