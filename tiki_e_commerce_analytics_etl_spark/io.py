@@ -81,6 +81,7 @@ def write_partitioned(
     partition_cols: list[str] | tuple[str, ...] = (),
     mode: str = "overwrite",
     collect_stats: bool = True,
+    key_cols: list[str] | tuple[str, ...] = (),
 ) -> None:
     """Hive-layout parquet write; with ``partitionOverwriteMode=dynamic``
     (set by session.configure) mode='overwrite' replaces only the
@@ -97,13 +98,38 @@ def write_partitioned(
     sidecar for append; a dynamic PARTITION overwrite can't be
     decomposed that way (unknown partitions were replaced), so it
     re-sums footers, O(table files) of metadata reads.  Remote paths
-    skip the sidecar (stats.write_stats is a no-op there)."""
+    skip the sidecar (stats.write_stats is a no-op there).
+
+    ``key_cols`` declares the table's logical key columns: an
+    approx-distinct cardinality rides the same Observation (HLL partial
+    agg fused into the write — still zero extra passes) and is
+    published as ``distinct_<col>`` per column plus a combined
+    ``distinct_<c1>__<c2>`` entry when more than one is declared, which
+    is exactly what ``operators.dedup.keep_latest_auto`` consults to
+    pick its formulation.  Distinct counts don't add, so append mode
+    publishes ``max(previous, batch)`` — a documented LOWER bound
+    (true distinct of a union is ≥ either side) — and a dynamic
+    partition overwrite drops the entries rather than publish stale
+    numbers."""
     from pyspark.sql import Observation
 
     obs = None
+    distinct_exprs: dict[str, object] = {}
     if collect_stats:
+        if key_cols:
+            for c in key_cols:
+                distinct_exprs[f"distinct_{c}"] = F.approx_count_distinct(c)
+            if len(key_cols) > 1:
+                combined = "__".join(key_cols)
+                distinct_exprs[f"distinct_{combined}"] = F.approx_count_distinct(
+                    F.struct(*key_cols)
+                )
         obs = Observation()
-        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            *[e.alias(k) for k, e in distinct_exprs.items()],
+        )
     writer = df.write.mode(mode)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -111,16 +137,23 @@ def write_partitioned(
     if collect_stats:
         from . import stats as _stats
 
-        batch_rows = int(obs.get["rows"] or 0)
+        got = obs.get
+        batch_rows = int(got["rows"] or 0)
+        distincts = {k: int(got[k] or 0) for k in distinct_exprs}
         if mode == "overwrite" and not partition_cols:
             rows = batch_rows  # full replace: batch IS the table
         elif mode == "append":
             prev = _stats.read_stats(path)
             prev_rows = prev.get("row_count") if prev else None
             rows = prev_rows + batch_rows if prev_rows is not None else None
+            # lower-bound merge: |distinct(A ∪ B)| >= max(|A|, |B|)
+            for k in list(distincts):
+                if prev and isinstance(prev.get(k), int):
+                    distincts[k] = max(distincts[k], prev[k])
         else:
             rows = None  # partition overwrite: recount from footers
-        _stats.write_stats(path, rows)
+            distincts = {}  # replaced-partition distincts are unknowable
+        _stats.write_stats(path, rows, **distincts)
 
 
 def overwrite_partitions(

@@ -88,16 +88,27 @@ def keep_latest_auto(
 
     Row count comes from ``stats.estimated_row_count`` (parquet
     footers); the key cardinality from ``distinct_keys`` (caller hint)
-    or a ``distinct_<key>`` entry in the catalog-stats JSON at
-    ``stats_path`` (``stats.write_stats``).  Unknown stats default to
-    the window form.  Both formulations produce identical rows
-    (parity-tested), so the choice is purely physical."""
+    or the catalog-stats JSON at ``stats_path``: ``distinct_<key>``
+    for a single key, the combined ``distinct_<k1>__<k2>`` entry for a
+    composite key (both published automatically by
+    ``io.write_partitioned(key_cols=...)`` on engine-written tables).
+    A composite key with no combined entry falls back to the MAX of
+    the per-column entries — a lower bound on the composite
+    cardinality, so rows-per-key is overestimated and the choice errs
+    toward max_by (still correct; parity-tested).  Unknown stats
+    default to the window form.  Both formulations produce identical
+    rows, so the choice is purely physical."""
     from tiki_e_commerce_analytics_etl_spark import stats as stats_mod
 
     dk = distinct_keys
-    if dk is None and stats_path is not None and len(keys) == 1:
+    if dk is None and stats_path is not None:
         cat = stats_mod.read_stats(stats_path) or {}
-        dk = cat.get(f"distinct_{keys[0]}")
+        dk = cat.get("distinct_" + "__".join(keys))
+        if dk is None and len(keys) > 1:
+            per_col = [cat.get(f"distinct_{k}") for k in keys]
+            known = [v for v in per_col if isinstance(v, int)]
+            # |distinct(k1,k2)| >= max per-column distinct: lower bound
+            dk = max(known) if known else None
     n = stats_mod.estimated_row_count(df)
     if n and dk and (n / dk) >= crossover_rows_per_key:
         return keep_latest(df, keys, order_col, tiebreakers)
