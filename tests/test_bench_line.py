@@ -52,9 +52,10 @@ def test_line_schema_and_total():
 
 
 def test_full_mode_uses_distinct_metric_name():
-    # --full totals are single-rep over ALL queries — a different
-    # population than the warm-median headline suite.  The metric name
-    # must differ so a trend tracker never mixes the two series.
+    # --full totals cover ALL queries — a different population than
+    # the headline suite (both are warm multi-rep medians since round
+    # 7).  The metric name must differ so a trend tracker never mixes
+    # the two series.
     parsed = json.loads(format_stdout_line(_fake_timings(132), sf=0.1, full=True))
     assert parsed["metric"] == "full_queries_total_wall_clock"
     assert len(format_stdout_line(_fake_timings(132), sf=0.1, full=True)) < 1500
