@@ -2170,6 +2170,38 @@ def q_avi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_stats(media)
 
 
+def q_mjpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec pixel decode, oracle-checked end to end
+    (closes the last 'the MJPEG route is pytest-only' gap): each
+    document's first 16 bytes become one genuine baseline JPEG — an
+    8×(8·m) grayscale image of constant 8×8 blocks, block i = byte i,
+    encoded by the vendored Annex-K encoder — muxed as an MJPG AVI;
+    pixel_stats then demuxes the container and entropy-decodes the
+    JPEG (PIL when installed, the vendored decoder otherwise; both
+    bit-exact here because constant blocks at quant 1 are lossless).
+    Decoded stats are an integer function of the text bytes, so
+    DuckDB reproduces n_px/sum/min/max arithmetically."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    # The testdata table is a single row group -> one scan partition,
+    # which would serialize the (CPU-bound, per-row) entropy
+    # encode+decode onto one core.  This is the one stage class where
+    # an explicit repartition pays (read_table's docstring rejects a
+    # blanket floor for the VECTORIZED Arrow stages); on a real
+    # multi-file layout the splits already provide this.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    to_avi = mm.text_to_mjpeg_avi_udf(max_bytes=16)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        to_avi(F.col("text")).alias("payload"),
+    )
+    return mm.pixel_stats(media)
+
+
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode oracle-checked end to end (the audio twin of
     avi_pixel_stats): each document's bytes become 16-bit signed PCM
@@ -2970,6 +3002,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_frame_sample": q_avi_frame_sample,
         "mp4_frame_sample": q_mp4_frame_sample,
         "avi_pixel_stats": q_avi_pixel_stats,
+        "mjpeg_pixel_stats": q_mjpeg_pixel_stats,
         "wav_sample_stats": q_wav_sample_stats,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
@@ -3984,6 +4017,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(codes) AS INTEGER) AS px_min,
                    CAST(list_max(codes) AS INTEGER) AS px_max
             FROM f
+        """,
+        "mjpeg_pixel_stats": """
+            -- decoded pixels ARE the first min(L,16) text bytes, one
+            -- constant 8x8 block per byte (ASCII-only docs: chars ≡
+            -- bytes); constant blocks at quant 1 decode bit-exactly
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       list_transform(
+                           string_split(substr(text, 1, 16), ''),
+                           c -> unicode(c)
+                       ) AS codes
+                FROM documents
+                WHERE length(text) = octet_length(encode(text))
+                  AND length(text) > 0
+            )
+            SELECT media_id,
+                   CAST(0 AS INTEGER) AS frame_idx,
+                   CAST(64 * len(codes) AS BIGINT) AS n_px,
+                   CAST(64 * list_sum(codes) AS BIGINT) AS px_sum,
+                   CAST(list_min(codes) AS INTEGER) AS px_min,
+                   CAST(list_max(codes) AS INTEGER) AS px_max
+            FROM d
         """,
         "event_transitions": """
             WITH p AS (

@@ -130,6 +130,9 @@ HEADLINE = [
     "top_supplier",
     "resample_ffill",
     "price_percentiles",
+    # round-7 additions
+    "mp4_frame_sample",
+    "mjpeg_pixel_stats",
 ]
 
 

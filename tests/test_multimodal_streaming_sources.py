@@ -598,6 +598,25 @@ def test_mp4_demux_rejects_non_isobmff():
     )["frames"] == []
 
 
+def test_container_demux_dispatches_by_magic_bytes():
+    """real_decoder's video branch (container_demux) accepts BOTH
+    containers: AVI by RIFF magic, MP4 by box walk; garbage still
+    raises."""
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff as bm
+
+    frames = [b"abcd", b"efgh"]
+    avi = mm.avi_mux(frames, usec_per_frame=40000)
+    mp4 = bm.mp4_mux(frames, usec_per_frame=40000)
+    assert mm.container_demux(avi) == (40000, frames)
+    assert mm.container_demux(mp4) == (40000, frames)
+    assert mm.container_frame_sampler(avi, 80) == [b"abcd"]
+    assert mm.container_frame_sampler(mp4, 80) == [b"abcd"]
+    # feature vectors agree between containers carrying the same frames
+    assert mm.real_decoder(avi, "video") == mm.real_decoder(mp4, "video")
+    with pytest.raises(NotImplementedError):
+        mm.real_decoder(b"not a container at all....", "video")
+
+
 def test_mp4_frame_sampler_stride():
     from tiki_e_commerce_analytics_etl_spark.operators import isobmff as bm
 
@@ -730,6 +749,28 @@ def test_avi_pixel_stats_mjpeg_value_exact():
         (0, 256, expect_sum, min(flat), max(flat)),
         (1, 256, expect_sum, min(flat), max(flat)),
     ]
+
+
+def test_text_to_mjpeg_avi_spark_stage(spark):
+    """The mjpeg_pixel_stats building block end to end in Spark: text
+    bytes -> constant-block JPEG -> MJPG AVI -> entropy decode ->
+    stats equal the byte arithmetic; empty text yields NULL payload
+    and no stats row."""
+    df = spark.createDataFrame(
+        [(1, "abcXYZ"), (2, "")], "media_id: long, text: string"
+    )
+    to_avi = mm.text_to_mjpeg_avi_udf(max_bytes=4)
+    media = df.select(
+        "media_id",
+        F.lit("video").alias("media_type"),
+        to_avi("text").alias("payload"),
+    )
+    rows = [
+        (r.media_id, r.frame_idx, r.n_px, r.px_sum, r.px_min, r.px_max)
+        for r in mm.pixel_stats(media).collect()
+    ]
+    b = b"abcX"  # max_bytes=4 truncation
+    assert rows == [(1, 0, 256, 64 * sum(b), min(b), max(b))]
 
 
 def test_jpeg_min_decoder_properties():

@@ -408,6 +408,54 @@ def text_to_gray_avi_udf(n_frames: int = 4, usec_per_frame: int = 40000):
     return to_avi
 
 
+def text_to_mjpeg_avi_udf(max_bytes: int = 16, usec_per_frame: int = 40000):
+    """Vectorized (Arrow) column builder: UTF-8 text → a valid MJPG
+    AVI whose single frame is a REAL baseline JPEG from the vendored
+    encoder (:mod:`.jpeg_min`): an 8×(8·m) grayscale image of m
+    constant 8×8 blocks where block i's value IS text byte i
+    (m = min(len, max_bytes)).  With the encoder's all-ones quant
+    table, constant blocks survive DCT→quant→Huffman→decode
+    BIT-EXACTLY (DC = 8·(c−128) is integral, AC is exactly zero), so
+    the decoded per-frame stats are an integer function of the text
+    bytes and DuckDB reproduces them arithmetically — the compressed
+    codec path gets a driver-side oracle, not just a pytest.  Empty
+    text → NULL payload (skipped by pixel_stats)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from . import jpeg_min
+
+    mjpg = int.from_bytes(b"MJPG", "little")
+
+    @pandas_udf("binary")
+    def to_avi(texts: pd.Series) -> pd.Series:
+        def build(t) -> bytes | None:
+            b = (t or "").encode("utf-8")[:max_bytes]
+            if not b:
+                return None
+            m = len(b)
+            img = (
+                np.repeat(np.frombuffer(b, dtype=np.uint8), 64)
+                .reshape(m, 8, 8)
+                .transpose(1, 0, 2)
+                .reshape(8, 8 * m)
+            )
+            jpeg = jpeg_min.encode_gray(img)
+            return avi_mux(
+                [jpeg],
+                usec_per_frame=usec_per_frame,
+                width=8 * m,
+                height=8,
+                bit_count=24,
+                compression=mjpg,
+                handler=b"MJPG",
+            )
+
+        return texts.map(build)
+
+    return to_avi
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -595,6 +643,26 @@ def avi_frame_sampler(payload: bytes, every_ms: int) -> list[bytes]:
     return frames[::stride]
 
 
+def container_demux(payload: bytes) -> tuple[int, list[bytes]]:
+    """Format-sniffing video demux: RIFF/AVI via ``avi_demux``,
+    ISO-BMFF/MP4 via :func:`.isobmff.mp4_demux` (magic-byte dispatch,
+    cheap and unambiguous).  One entry point so ``real_decoder`` and
+    mixed-container corpora don't care which muxer wrote a row."""
+    if payload is not None and len(payload) >= 12 and bytes(payload[:4]) == b"RIFF":
+        return avi_demux(payload)
+    from . import isobmff
+
+    return isobmff.mp4_demux(payload)
+
+
+def container_frame_sampler(payload: bytes, every_ms: int) -> list[bytes]:
+    """Container-agnostic twin of ``avi_frame_sampler`` /
+    ``isobmff.mp4_frame_sampler`` for mixed-container corpora."""
+    usec, frames = container_demux(payload)
+    stride = max(1, round((every_ms * 1000) / max(usec, 1)))
+    return frames[::stride]
+
+
 def real_decoder(payload: bytes, media_type: str) -> list[float]:
     """Real decode path with optional codecs: PIL for images (when
     installed), stdlib ``wave`` for WAV audio (always available), and
@@ -689,12 +757,12 @@ def real_decoder(payload: bytes, media_type: str) -> list[float]:
             zc,
         ]
     if media_type == "video":
-        # Container-level features from the pure-Python AVI demux —
-        # real byte-level work, no codec: frame count, rate, duration,
-        # and the encoded-frame size profile.  Pixel-level decode of
-        # the per-frame payloads (MJPEG etc.) would need PIL/ffmpeg;
-        # avi_demux raises NotImplementedError for non-AVI containers.
-        usec, frames = avi_demux(payload)
+        # Container-level features from the pure-Python demuxes (RIFF/
+        # AVI here, ISO-BMFF/MP4 in operators.isobmff) — real
+        # byte-level work, no codec: frame count, rate, duration, and
+        # the encoded-frame size profile.  Containers beyond those two
+        # still raise NotImplementedError.
+        usec, frames = container_demux(payload)
         sizes = [len(fr) for fr in frames] or [0]
         n = len(frames)
         return [
