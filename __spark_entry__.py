@@ -2170,6 +2170,31 @@ def q_avi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_stats(media)
 
 
+def q_mp4_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-sample MP4 PIXEL decode, oracle-checked end to end —
+    the ISO-BMFF twin of avi_pixel_stats: each document's UTF-8 bytes
+    become 4 tightly-packed 'raw ' 8-bit grayscale samples (1 row of
+    step = len//4 pixels each) in a self-describing MP4 (full
+    VisualSampleEntry with width/height), then pixel_stats resolves
+    the sample tables and byte-decodes the gray rows.  Pixels == text
+    bytes, so DuckDB reproduces n_px/sum/min/max arithmetically
+    (ASCII-only docs so chars ≡ bytes) — the same oracle as the AVI
+    route, over a different container walk."""
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
+    to_mp4 = isobmff.text_to_gray_mp4_udf(n_frames=4, usec_per_frame=40000)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        to_mp4(F.col("text")).alias("payload"),
+    )
+    return mm.pixel_stats(media)
+
+
 def q_mjpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-codec pixel decode, oracle-checked end to end
     (closes the last 'the MJPEG route is pytest-only' gap): each
@@ -3003,6 +3028,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_frame_sample": q_mp4_frame_sample,
         "avi_pixel_stats": q_avi_pixel_stats,
         "mjpeg_pixel_stats": q_mjpeg_pixel_stats,
+        "mp4_pixel_stats": q_mp4_pixel_stats,
         "wav_sample_stats": q_wav_sample_stats,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
@@ -3850,6 +3876,37 @@ _FRAME_SAMPLE_ORACLE = """
 """
 
 
+# Shared by avi_pixel_stats and mp4_pixel_stats: both gray muxers make
+# pixels ≡ the text bytes (ASCII-only docs: chars ≡ bytes), 4 frames
+# of step = max(L//4, 1) pixels each, empty slices dropped (only ever
+# at the tail, so frame_idx = i) — one arithmetic mirror for the two
+# container walks.
+_GRAY_PIXEL_STATS_ORACLE = """
+    WITH d AS (
+        SELECT doc_id AS media_id, text, length(text) AS L
+        FROM documents
+        WHERE length(text) = octet_length(encode(text))
+    ),
+    s AS (SELECT media_id, text, L, GREATEST(L // 4, 1) AS step FROM d),
+    f AS (
+        SELECT media_id, t.i AS frame_idx,
+               list_transform(
+                   string_split(substr(text, t.i * step + 1, step), ''),
+                   c -> unicode(c)
+               ) AS codes
+        FROM s, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) t
+        WHERE t.i * step < L
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(len(codes) AS BIGINT) AS n_px,
+           CAST(list_sum(codes) AS BIGINT) AS px_sum,
+           CAST(list_min(codes) AS INTEGER) AS px_min,
+           CAST(list_max(codes) AS INTEGER) AS px_max
+    FROM f
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "similarity_topk": _SIMILARITY_ORACLE,
@@ -3991,33 +4048,10 @@ def oracle_sql() -> dict[str, str]:
         # container differs (ISO-BMFF sample tables vs RIFF chunks),
         # the frame arithmetic is the same
         "mp4_frame_sample": _FRAME_SAMPLE_ORACLE,
-        "avi_pixel_stats": """
-            -- pixels ARE the text bytes (ASCII-only docs: chars ≡
-            -- bytes): 4 frames of step = max(L//4, 1) pixels, empty
-            -- slices dropped (only ever at the tail, so frame_idx = i)
-            WITH d AS (
-                SELECT doc_id AS media_id, text, length(text) AS L
-                FROM documents
-                WHERE length(text) = octet_length(encode(text))
-            ),
-            s AS (SELECT media_id, text, L, GREATEST(L // 4, 1) AS step FROM d),
-            f AS (
-                SELECT media_id, t.i AS frame_idx,
-                       list_transform(
-                           string_split(substr(text, t.i * step + 1, step), ''),
-                           c -> unicode(c)
-                       ) AS codes
-                FROM s, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) t
-                WHERE t.i * step < L
-            )
-            SELECT media_id,
-                   CAST(frame_idx AS INTEGER) AS frame_idx,
-                   CAST(len(codes) AS BIGINT) AS n_px,
-                   CAST(list_sum(codes) AS BIGINT) AS px_sum,
-                   CAST(list_min(codes) AS INTEGER) AS px_min,
-                   CAST(list_max(codes) AS INTEGER) AS px_max
-            FROM f
-        """,
+        "avi_pixel_stats": _GRAY_PIXEL_STATS_ORACLE,
+        # same pixel arithmetic, different container walk (ISO-BMFF
+        # sample tables vs RIFF chunks + DIB stride)
+        "mp4_pixel_stats": _GRAY_PIXEL_STATS_ORACLE,
         "mjpeg_pixel_stats": """
             -- decoded pixels ARE the first min(L,16) text bytes, one
             -- constant 8x8 block per byte (ASCII-only docs: chars ≡

@@ -133,6 +133,7 @@ HEADLINE = [
     # round-7 additions
     "mp4_frame_sample",
     "mjpeg_pixel_stats",
+    "mp4_pixel_stats",
 ]
 
 

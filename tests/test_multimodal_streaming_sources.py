@@ -566,6 +566,9 @@ def test_mp4_mux_demux_roundtrip_all_encodings():
             "format": b"raw ",
             "timescale": 1_000_000,
             "n_samples": 3,
+            # minimal (dimension-less) sample entry in this matrix
+            "width": 0,
+            "height": 0,
         }
     # equal-size samples emit the compact uniform-stsz form
     uni = [b"aaaa", b"bbbb", b"cccc"]
@@ -749,6 +752,44 @@ def test_avi_pixel_stats_mjpeg_value_exact():
         (0, 256, expect_sum, min(flat), max(flat)),
         (1, 256, expect_sum, min(flat), max(flat)),
     ]
+
+
+def test_mp4_pixel_stats_routes():
+    """MP4 pixel decode: 'raw ' gray samples decode against the
+    VisualSampleEntry dims; JPEG samples route through the shared
+    decoder; minimal sample entries and unknown formats stay gated."""
+    import numpy as np
+
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff as bm
+    from tiki_e_commerce_analytics_etl_spark.operators import jpeg_min as jm
+
+    f0, f1 = b"abcd", b"wxyz"
+    mp4 = bm.mp4_mux([f0, f1], width=4, height=1)
+    assert mm.mp4_pixel_stats(mp4) == [
+        (0, 4, sum(f0), min(f0), max(f0)),
+        (1, 4, sum(f1), min(f1), max(f1)),
+    ]
+    # container-agnostic entry point agrees with the AVI route on the
+    # same pixels
+    stride = mm.dib_row_stride(4, 8)
+    avi = mm.avi_mux(
+        [f0 + b"\x00" * (stride - 4), f1 + b"\x00" * (stride - 4)],
+        width=4, height=1, bit_count=8,
+    )
+    assert mm.container_pixel_stats(avi) == mm.container_pixel_stats(mp4)
+    # JPEG-per-sample route (constant blocks -> exact)
+    img = np.full((8, 8), 77, np.uint8)
+    jp = bm.mp4_mux([jm.encode_gray(img)], width=8, height=8, fmt=b"jpeg")
+    assert mm.mp4_pixel_stats(jp) == [(0, 64, 64 * 77, 77, 77)]
+    # minimal sample entry (no dims): raw decode honestly gated
+    with pytest.raises(NotImplementedError, match="VisualSampleEntry"):
+        mm.mp4_pixel_stats(bm.mp4_mux([f0]))
+    # unknown codec format: gated
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mm.mp4_pixel_stats(bm.mp4_mux([f0], width=4, height=1, fmt=b"avc1"))
+    # truncated raw sample: ValueError
+    with pytest.raises(ValueError, match="too short"):
+        mm.mp4_pixel_stats(bm.mp4_mux([b"ab"], width=4, height=1))
 
 
 def test_text_to_mjpeg_avi_spark_stage(spark):

@@ -97,6 +97,13 @@ def _parse_stbl(buf: bytes, s: int, e: int) -> dict:
         elif fc == b"stsd" and pe - ps >= 16:
             # v/f(4) entry_count(4) then entry: size(4) format(4)
             out["format"] = bytes(buf[ps + 12 : ps + 16])
+            # a full VisualSampleEntry (§12.1.3) carries width/height
+            # at entry offsets 32/34; the minimal 16-byte entry some
+            # writers (and our pre-round-7 mux) emit does not
+            entry_size = int.from_bytes(buf[ps + 8 : ps + 12], "big")
+            if entry_size >= 36 and ps + 8 + 36 <= pe:
+                out["width"] = int.from_bytes(buf[ps + 40 : ps + 42], "big")
+                out["height"] = int.from_bytes(buf[ps + 42 : ps + 44], "big")
     return out
 
 
@@ -194,6 +201,8 @@ def mp4_demux_full(payload: bytes) -> dict:
             "format": tables.get("format", b"\x00" * 4),
             "timescale": timescale,
             "n_samples": len(frames),
+            "width": tables.get("width", 0),
+            "height": tables.get("height", 0),
         }
     return {
         "usec_per_frame": usec or 33333,
@@ -238,6 +247,8 @@ def mp4_mux(
     largesize_mdat: bool = False,
     leading_audio: list[bytes] | None = None,
     mdhd_version: int = 0,
+    width: int | None = None,
+    height: int | None = None,
 ) -> bytes:
     """Inverse of ``mp4_demux``: build a minimal valid ISO-BMFF file
     from encoded frame payloads — ``ftyp`` + ``mdat`` + ``moov`` with
@@ -279,8 +290,29 @@ def mp4_mux(
             pos += sum(chunk)
         return offsets, per_chunk
 
-    def stbl_boxes(sizes: list[int], offsets: list[int], per_chunk: list[int], sample_fmt: bytes) -> bytes:
-        stsd_entry = (16).to_bytes(4, "big") + sample_fmt + b"\x00" * 8
+    def stbl_boxes(sizes: list[int], offsets: list[int], per_chunk: list[int], sample_fmt: bytes, dims: tuple[int, int] | None) -> bytes:
+        if dims is not None:
+            # full 86-byte VisualSampleEntry (§12.1.3): width/height at
+            # entry offsets 32/34 make the stream self-describing for
+            # pixel decode (mp4_pixel_stats), like AVI's strf
+            w_px, h_px = dims
+            stsd_entry = (
+                (86).to_bytes(4, "big")
+                + sample_fmt
+                + b"\x00" * 6
+                + (1).to_bytes(2, "big")  # data_ref_index
+                + b"\x00" * 16  # pre_defined / reserved
+                + int(w_px).to_bytes(2, "big")
+                + int(h_px).to_bytes(2, "big")
+                + (0x00480000).to_bytes(4, "big") * 2  # 72 dpi h/v
+                + b"\x00" * 4
+                + (1).to_bytes(2, "big")  # frame_count
+                + b"\x00" * 32  # compressorname
+                + (0x0018).to_bytes(2, "big")  # depth
+                + (0xFFFF).to_bytes(2, "big")
+            )
+        else:
+            stsd_entry = (16).to_bytes(4, "big") + sample_fmt + b"\x00" * 8
         stsd = _full(b"stsd", (1).to_bytes(4, "big") + stsd_entry)
         stts = _full(
             b"stts",
@@ -325,7 +357,7 @@ def mp4_mux(
             )
         return _box(b"stbl", stsd + stts + stsc + stsz + cbox)
 
-    def trak(handler: bytes, sizes: list[int], offsets: list[int], per_chunk: list[int], track_id: int, sample_fmt: bytes) -> bytes:
+    def trak(handler: bytes, sizes: list[int], offsets: list[int], per_chunk: list[int], track_id: int, sample_fmt: bytes, dims: tuple[int, int] | None = None) -> bytes:
         duration = len(sizes) * int(usec_per_frame)
         tkhd = _full(
             b"tkhd",
@@ -349,7 +381,7 @@ def mp4_mux(
             )
         mdhd = _full(b"mdhd", mdhd_body, version=mdhd_version)
         hdlr = _full(b"hdlr", (0).to_bytes(4, "big") + handler + b"\x00" * 13)
-        minf = _box(b"minf", stbl_boxes(sizes, offsets, per_chunk, sample_fmt))
+        minf = _box(b"minf", stbl_boxes(sizes, offsets, per_chunk, sample_fmt, dims))
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         return _box(b"trak", tkhd + mdia)
 
@@ -362,7 +394,8 @@ def mp4_mux(
         next_id += 1
     v_sizes = [len(f) for f in frames]
     v_off, v_pc = chunked(v_sizes, base + sum(len(s) for s in audio), samples_per_chunk)
-    traks += trak(b"vide", v_sizes, v_off, v_pc, next_id, fmt)
+    dims = (width, height) if width is not None and height is not None else None
+    traks += trak(b"vide", v_sizes, v_off, v_pc, next_id, fmt, dims)
     mvhd = _full(
         b"mvhd",
         (0).to_bytes(8, "big")
@@ -382,6 +415,42 @@ def mp4_frame_sampler(payload: bytes, every_ms: int) -> list[bytes]:
     usec, frames = mp4_demux(payload)
     stride = max(1, round((every_ms * 1000) / max(usec, 1)))
     return frames[::stride]
+
+
+def text_to_gray_mp4_udf(n_frames: int = 4, usec_per_frame: int = 40000):
+    """Vectorized (Arrow) column builder: UTF-8 text → a valid MP4
+    carrying ``'raw '`` 8-bit grayscale samples whose pixel values ARE
+    the text's bytes — the ISO-BMFF twin of
+    ``multimodal.text_to_gray_avi_udf``, with the same slice semantics
+    (frame i = one step-wide, 1-pixel-tall row of bytes
+    ``b[i*step:(i+1)*step]``, step = max(len // n_frames, 1), empty
+    slices dropped) but NO row padding: ISO-BMFF samples are raw byte
+    ranges, so 'raw ' gray is tightly packed.  The VisualSampleEntry
+    carries width=step, height=1, making the stream self-describing
+    for ``mp4_pixel_stats``; because pixels == text bytes, DuckDB
+    reproduces the per-frame stats arithmetically."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_mp4(texts: pd.Series) -> pd.Series:
+        def build(t: Any) -> bytes:
+            b = (t or "").encode("utf-8")
+            step = max(len(b) // n_frames, 1)
+            frames = [
+                bytes(sl)
+                for i in range(n_frames)
+                if (sl := b[i * step : (i + 1) * step])
+            ]
+            return mp4_mux(
+                frames,
+                usec_per_frame=usec_per_frame,
+                width=step,
+                height=1,
+            )
+
+        return texts.map(build)
+
+    return to_mp4
 
 
 def text_to_mp4_udf(n_frames: int = 4, usec_per_frame: int = 40000):

@@ -319,20 +319,7 @@ def avi_pixel_stats(payload: bytes) -> list[tuple[int, int, int, int, int]]:
             )
         return out
     if comp.to_bytes(4, "little") == b"MJPG":
-        try:
-            import io as _io
-
-            from PIL import Image  # preferred when installed (C-speed)
-
-            def _decode_jpeg(fr: bytes):
-                return np.asarray(
-                    Image.open(_io.BytesIO(fr)).convert("L"), dtype=np.uint8
-                )
-        except ImportError:
-            from . import jpeg_min
-
-            _decode_jpeg = jpeg_min.decode
-
+        _decode_jpeg = _jpeg_gray_decoder()
         for i, fr in enumerate(d["frames"]):
             a = _decode_jpeg(fr)
             out.append(
@@ -344,6 +331,96 @@ def avi_pixel_stats(payload: bytes) -> list[tuple[int, int, int, int, int]]:
         f"unsupported video compression {comp.to_bytes(4, 'little')!r}; "
         "only BI_RGB (raw DIB) and MJPG are decodable here"
     )
+
+
+def _jpeg_gray_decoder():
+    """JPEG → uint8 gray array: PIL when installed (C-speed), else the
+    vendored pure-Python baseline decoder (:mod:`.jpeg_min`) — shared
+    by the AVI-MJPG and MP4-MJPG pixel routes."""
+    try:
+        import io as _io
+
+        import numpy as np
+        from PIL import Image
+
+        def _decode(fr: bytes):
+            return np.asarray(
+                Image.open(_io.BytesIO(fr)).convert("L"), dtype=np.uint8
+            )
+
+        return _decode
+    except ImportError:
+        from . import jpeg_min
+
+        return jpeg_min.decode
+
+
+def mp4_pixel_stats(payload: bytes) -> list[tuple[int, int, int, int, int]]:
+    """Per-frame decoded-pixel statistics from an ISO-BMFF container —
+    the MP4 twin of ``avi_pixel_stats``: (frame_idx, n_px, px_sum,
+    px_min, px_max) per video sample, computed from DECODED pixels.
+
+    Routes by the stsd sample-entry format:
+    - ``'raw '``: tightly-packed 8-bit grayscale — pure byte layout
+      against the VisualSampleEntry's width x height (codec-free, the
+      BI_RGB-DIB analogue; ISO-BMFF needs no row padding);
+    - ``'MJPG'``/``'jpeg'``/``'mjpa'``: each sample is a complete
+      JPEG, decoded via PIL or the vendored baseline decoder.
+    Tracks whose sample entry carries no dimensions (minimal writers)
+    raise NotImplementedError for the raw route — guessing a shape
+    would fabricate data."""
+    import numpy as np
+
+    from . import isobmff
+
+    d = isobmff.mp4_demux_full(payload)
+    track = d["track"]
+    if not track:
+        raise NotImplementedError(
+            "pixel decode needs a vide track with sample tables"
+        )
+    fmt = track["format"]
+    out: list[tuple[int, int, int, int, int]] = []
+    if fmt == b"raw ":
+        w, h = track.get("width", 0), track.get("height", 0)
+        if not w or not h:
+            raise NotImplementedError(
+                "raw-sample pixel decode needs a full VisualSampleEntry "
+                "(width/height); this track's sample entry is minimal"
+            )
+        for i, fr in enumerate(d["frames"]):
+            if len(fr) < w * h:
+                raise ValueError(
+                    f"raw sample too short: {len(fr)} bytes < {w}x{h}"
+                )
+            px = np.frombuffer(fr[: w * h], dtype=np.uint8).reshape(h, w)
+            out.append(
+                (i, int(px.size), int(px.sum(dtype=np.int64)),
+                 int(px.min()), int(px.max()))
+            )
+        return out
+    if fmt in (b"MJPG", b"jpeg", b"mjpa"):
+        _decode_jpeg = _jpeg_gray_decoder()
+        for i, fr in enumerate(d["frames"]):
+            a = _decode_jpeg(fr)
+            out.append(
+                (i, int(a.size), int(a.sum(dtype=np.int64)),
+                 int(a.min()), int(a.max()))
+            )
+        return out
+    raise NotImplementedError(
+        f"unsupported MP4 sample format {fmt!r}; only 'raw ' grayscale "
+        "and JPEG-per-sample are decodable here"
+    )
+
+
+def container_pixel_stats(payload: bytes) -> list[tuple[int, int, int, int, int]]:
+    """Container-agnostic pixel stats: RIFF/AVI via ``avi_pixel_stats``,
+    ISO-BMFF via ``mp4_pixel_stats`` (magic-byte dispatch, mirroring
+    ``container_demux``)."""
+    if payload is not None and len(payload) >= 12 and bytes(payload[:4]) == b"RIFF":
+        return avi_pixel_stats(payload)
+    return mp4_pixel_stats(payload)
 
 
 def text_to_avi_udf(n_frames: int = 4, usec_per_frame: int = 40000):
@@ -471,8 +548,9 @@ PIXEL_STATS_SCHEMA = T.StructType(
 def pixel_stats(media: DataFrame) -> DataFrame:
     """Video → per-frame decoded-pixel statistics (media_id,
     frame_idx, n_px, px_sum, px_min, px_max) via Arrow-batched
-    mapInPandas over ``avi_pixel_stats`` — integer outputs, so results
-    are bit-exact regardless of partitioning/order.  Pair with
+    mapInPandas over ``container_pixel_stats`` (AVI and MP4 rows can
+    mix in one corpus) — integer outputs, so results are bit-exact
+    regardless of partitioning/order.  Pair with
     ``repartition_for_payload`` upstream at scale: payload bytes, not
     row counts, size the decode tasks."""
 
@@ -484,7 +562,7 @@ def pixel_stats(media: DataFrame) -> DataFrame:
                 raw = p if p is None or isinstance(p, bytes) else bytes(p)
                 if raw is None:
                     continue
-                for st in avi_pixel_stats(raw):
+                for st in container_pixel_stats(raw):
                     ids.append(mid)
                     rows.append(st)
             yield pd.DataFrame(
