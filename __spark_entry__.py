@@ -2227,6 +2227,66 @@ def q_mjpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_stats(media)
 
 
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-ONLY image metadata extraction — the at-100 TB cost
+    model for media metadata: each document's first 16 bytes become a
+    genuine baseline JPEG (constant-block construction), then
+    jpeg_meta_udf reads width/height/components from the SOF marker
+    walk alone — O(header bytes) per image, no entropy decode, no
+    pixel materialization.  Dims are an integer function of the text
+    length, so DuckDB reproduces them arithmetically."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    to_jpeg = mm.text_to_jpeg_udf(max_bytes=16)
+    probe = mm.jpeg_meta_udf()
+    return docs.select(
+        F.col("doc_id").alias("media_id"), to_jpeg(F.col("text")).alias("payload")
+    ).select(
+        "media_id", probe(F.col("payload")).alias("meta")
+    ).select(
+        "media_id", "meta.width", "meta.height", "meta.n_components"
+    )
+
+
+def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document FRAME-level video dedup — the multimodal twin of
+    chunk-level text dedup: documents become 4-frame AVIs (frame i =
+    byte slice i), every frame is demuxed back out and content-hashed
+    (md5 over the encoded frame bytes), and hash groups appearing more
+    than once are reported with their document reach (16 frames per
+    doc — fine enough that real cross-document duplicates exist at
+    every SF, so the check is non-degenerate).  At corpus
+    scale this is how near-identical clips/thumbnails are found
+    without decoding pixels: one Arrow demux stage, then a uniform-key
+    hash aggregate (partial map-side combine; no skew — digests are
+    uniform by construction).  Frames ≡ text byte slices, so DuckDB
+    reproduces the hash groups with substr + md5."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    to_avi = mm.text_to_avi_udf(n_frames=16, usec_per_frame=40000)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        to_avi(F.col("text")).alias("payload"),
+    )
+    frames = mm.frame_sample(media, every_ms=40, sampler=mm.avi_frame_sampler)
+    return (
+        frames.select(F.md5(F.col("frame")).alias("frame_hash"), "media_id")
+        .groupBy("frame_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("media_id").alias("n_docs"),
+        )
+        .filter(F.col("n_frames") > 1)
+    )
+
+
 def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode oracle-checked end to end (the audio twin of
     avi_pixel_stats): each document's bytes become 16-bit signed PCM
@@ -3029,6 +3089,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_pixel_stats": q_avi_pixel_stats,
         "mjpeg_pixel_stats": q_mjpeg_pixel_stats,
         "mp4_pixel_stats": q_mp4_pixel_stats,
+        "image_meta": q_image_meta,
+        "video_frame_dedup": q_video_frame_dedup,
         "wav_sample_stats": q_wav_sample_stats,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
@@ -4052,6 +4114,43 @@ def oracle_sql() -> dict[str, str]:
         # same pixel arithmetic, different container walk (ISO-BMFF
         # sample tables vs RIFF chunks + DIB stride)
         "mp4_pixel_stats": _GRAY_PIXEL_STATS_ORACLE,
+        "image_meta": """
+            -- header-only probe: the constant-block JPEG is 8 px tall
+            -- and 8*min(L,16) px wide, one component (grayscale)
+            SELECT doc_id AS media_id,
+                   CAST(8 * LEAST(length(text), 16) AS INTEGER) AS width,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(1 AS INTEGER) AS n_components
+            FROM documents
+            WHERE length(text) = octet_length(encode(text))
+              AND length(text) > 0
+        """,
+        "video_frame_dedup": """
+            -- frames ≡ byte slices (ASCII-only docs: chars ≡ bytes):
+            -- 16 slices of step = max(L//16, 1), empty slices
+            -- dropped; md5 over the same bytes Spark hashes (16
+            -- frames, not 4, so the duplicate set is non-degenerate
+            -- at every SF — 443 groups at sf0.01)
+            WITH d AS (
+                SELECT doc_id AS media_id, text, length(text) AS L
+                FROM documents
+                WHERE length(text) = octet_length(encode(text))
+                  AND length(text) > 0
+            ),
+            s AS (SELECT media_id, text, L, GREATEST(L // 16, 1) AS step FROM d),
+            f AS (
+                SELECT media_id,
+                       md5(substr(text, t.i * step + 1, step)) AS frame_hash
+                FROM s, LATERAL (SELECT unnest(range(16)) AS i) t
+                WHERE t.i * step < L
+            )
+            SELECT frame_hash,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_docs
+            FROM f
+            GROUP BY frame_hash
+            HAVING COUNT(*) > 1
+        """,
         "mjpeg_pixel_stats": """
             -- decoded pixels ARE the first min(L,16) text bytes, one
             -- constant 8x8 block per byte (ASCII-only docs: chars ≡

@@ -134,6 +134,8 @@ HEADLINE = [
     "mp4_frame_sample",
     "mjpeg_pixel_stats",
     "mp4_pixel_stats",
+    "image_meta",
+    "video_frame_dedup",
 ]
 
 

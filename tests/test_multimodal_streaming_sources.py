@@ -792,6 +792,46 @@ def test_mp4_pixel_stats_routes():
         mm.mp4_pixel_stats(bm.mp4_mux([b"ab"], width=4, height=1))
 
 
+def test_jpeg_dimensions_header_only():
+    """jpeg_min.dimensions reads SOF without entropy decode: right
+    dims on encoder output, works on PROGRESSIVE headers (which
+    decode() refuses), malformed split intact."""
+    import numpy as np
+
+    from tiki_e_commerce_analytics_etl_spark.operators import jpeg_min as jm
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    assert jm.dimensions(jm.encode_gray(img)) == (24, 16, 1)
+    # progressive SOF2 header is still readable metadata
+    prog = (
+        b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big")
+        + bytes([8, 0, 32, 0, 64, 1, 1, 0x11, 0]) + b"\xff\xd9"
+    )
+    assert jm.dimensions(prog) == (64, 32, 1)
+    with pytest.raises(ValueError):
+        jm.dimensions(b"not a jpeg")
+    with pytest.raises(ValueError, match="no SOF"):
+        jm.dimensions(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_meta_udf_spark_stage(spark):
+    """Header-only metadata probe end to end in Spark: dims are an
+    integer function of text length; NULL payloads stay NULL."""
+    df = spark.createDataFrame(
+        [(1, "twelve chars"), (2, "")], "media_id: long, text: string"
+    )
+    to_jpeg = mm.text_to_jpeg_udf(max_bytes=16)
+    probe = mm.jpeg_meta_udf()
+    rows = {
+        r.media_id: (r.meta.width, r.meta.height, r.meta.n_components)
+        for r in df.select(
+            "media_id", probe(to_jpeg("text")).alias("meta")
+        ).collect()
+    }
+    assert rows[1] == (8 * 12, 8, 1)
+    assert rows[2] == (None, None, None)
+
+
 def test_text_to_mjpeg_avi_spark_stage(spark):
     """The mjpeg_pixel_stats building block end to end in Spark: text
     bytes -> constant-block JPEG -> MJPG AVI -> entropy decode ->

@@ -164,6 +164,42 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def dimensions(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from a JPEG's SOF header ONLY —
+    no entropy decode, no table load: a marker walk that stops at the
+    first SOFn.  This is the at-scale move for media METADATA
+    extraction over a 100 TB corpus: O(header bytes) per image versus
+    O(pixels), with the same honesty split as :func:`decode`
+    (malformed → ValueError).  Accepts every SOFn (including
+    progressive) — the frame header layout is common to all."""
+    if data is None or len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    sof_markers = {
+        0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+    }
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS before SOF
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if marker in sof_markers:
+            seg = data[pos + 2 : pos + seglen]
+            if len(seg) < 6:
+                raise ValueError("truncated SOF header")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            return (width, height, seg[5])
+        pos += seglen
+    raise ValueError("JPEG has no SOF frame header")
+
+
 def decode(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to a uint8 GRAYSCALE (h, w) array.
 

@@ -485,6 +485,66 @@ def text_to_gray_avi_udf(n_frames: int = 4, usec_per_frame: int = 40000):
     return to_avi
 
 
+def _constant_block_jpeg(b: bytes):
+    """text bytes → the constant-block grayscale JPEG both media
+    fixtures share: an 8×(8·m) image of m constant 8×8 blocks, block
+    i's value = byte i (bit-exact through the vendored codec at
+    quant 1 — see jpeg_min's module docstring)."""
+    import numpy as np
+
+    from . import jpeg_min
+
+    m = len(b)
+    img = (
+        np.repeat(np.frombuffer(b, dtype=np.uint8), 64)
+        .reshape(m, 8, 8)
+        .transpose(1, 0, 2)
+        .reshape(8, 8 * m)
+    )
+    return jpeg_min.encode_gray(img)
+
+
+def text_to_jpeg_udf(max_bytes: int = 16):
+    """Vectorized (Arrow) column builder: UTF-8 text → a genuine
+    baseline JPEG (constant-block construction, see
+    ``_constant_block_jpeg``); empty text → NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_jpeg(texts: pd.Series) -> pd.Series:
+        def build(t) -> bytes | None:
+            b = (t or "").encode("utf-8")[:max_bytes]
+            return _constant_block_jpeg(b) if b else None
+
+        return texts.map(build)
+
+    return to_jpeg
+
+
+def jpeg_meta_udf():
+    """Vectorized (Arrow) HEADER-ONLY metadata probe: JPEG payload →
+    struct(width, height, n_components) from the SOF marker walk
+    (``jpeg_min.dimensions``) — O(header bytes) per image, no entropy
+    decode, which is the right cost model for metadata extraction
+    over a 100 TB media corpus.  NULL payload → NULL fields."""
+    from pyspark.sql.functions import pandas_udf
+
+    from . import jpeg_min
+
+    @pandas_udf("width int, height int, n_components int")
+    def probe(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for p in payloads:
+            if p is None:
+                rows.append((None, None, None))
+            else:
+                raw = p if isinstance(p, bytes) else bytes(p)
+                rows.append(jpeg_min.dimensions(raw))
+        return pd.DataFrame(rows, columns=["width", "height", "n_components"])
+
+    return probe
+
+
 def text_to_mjpeg_avi_udf(max_bytes: int = 16, usec_per_frame: int = 40000):
     """Vectorized (Arrow) column builder: UTF-8 text → a valid MJPG
     AVI whose single frame is a REAL baseline JPEG from the vendored
@@ -497,10 +557,7 @@ def text_to_mjpeg_avi_udf(max_bytes: int = 16, usec_per_frame: int = 40000):
     bytes and DuckDB reproduces them arithmetically — the compressed
     codec path gets a driver-side oracle, not just a pytest.  Empty
     text → NULL payload (skipped by pixel_stats)."""
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
-
-    from . import jpeg_min
 
     mjpg = int.from_bytes(b"MJPG", "little")
 
@@ -511,13 +568,7 @@ def text_to_mjpeg_avi_udf(max_bytes: int = 16, usec_per_frame: int = 40000):
             if not b:
                 return None
             m = len(b)
-            img = (
-                np.repeat(np.frombuffer(b, dtype=np.uint8), 64)
-                .reshape(m, 8, 8)
-                .transpose(1, 0, 2)
-                .reshape(8, 8 * m)
-            )
-            jpeg = jpeg_min.encode_gray(img)
+            jpeg = _constant_block_jpeg(b)
             return avi_mux(
                 [jpeg],
                 usec_per_frame=usec_per_frame,
