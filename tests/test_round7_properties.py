@@ -1,0 +1,175 @@
+"""Round-7 adversarial properties: the vendored codecs and container
+walks must be TOTAL over byte-space — any input either decodes or
+raises the documented (ValueError, NotImplementedError) pair; never an
+IndexError/struct.error, and never a hang (the zero-segment-length
+JPEG stall this suite was written against).  Plus round-trip laws for
+the encode/decode pairs.  No Spark session needed — pure byte work."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tiki_e_commerce_analytics_etl_spark.operators import (
+    isobmff,
+    jpeg_min,
+    multimodal as mm,
+    png_min,
+)
+
+EXPECTED = (ValueError, NotImplementedError)
+
+
+def _total(fn, payload):
+    try:
+        fn(payload)
+    except EXPECTED:
+        pass
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=300))
+def test_decoders_total_over_random_bytes(data):
+    _total(jpeg_min.decode, data)
+    _total(jpeg_min.dimensions, data)
+    _total(png_min.decode, data)
+    _total(mm.avi_demux, data)
+    _total(isobmff.mp4_demux, data)
+    _total(mm.container_demux, data)
+
+
+def _fixtures():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    jpeg = jpeg_min.encode_gray(img)
+    png = png_min.encode_gray(img)
+    avi = mm.avi_mux([b"abcd", b"efgh"], width=4, height=1, bit_count=8)
+    mp4 = isobmff.mp4_mux([b"abcd", b"efgh"], width=4, height=1)
+    return {"jpeg": jpeg, "png": png, "avi": avi, "mp4": mp4}
+
+
+_FIX = _fixtures()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    kind=st.sampled_from(sorted(_FIX)),
+    pos=st.integers(min_value=0, max_value=10_000),
+    bit=st.integers(min_value=0, max_value=7),
+)
+def test_decoders_total_over_bitflipped_fixtures(kind, pos, bit):
+    """Single-bit corruption of a VALID container/image: decode may
+    succeed (the flip hit padding/ignored bytes) or raise the
+    documented errors — nothing else, and no stall."""
+    raw = bytearray(_FIX[kind])
+    raw[pos % len(raw)] ^= 1 << bit
+    data = bytes(raw)
+    if kind == "jpeg":
+        _total(jpeg_min.decode, data)
+        _total(jpeg_min.dimensions, data)
+    elif kind == "png":
+        _total(png_min.decode, data)
+    elif kind == "avi":
+        _total(mm.avi_demux, data)
+        _total(mm.avi_pixel_stats, data)
+    else:
+        _total(isobmff.mp4_demux, data)
+        _total(mm.mp4_pixel_stats, data)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_q1_roundtrip_error_bound(h, w, seed):
+    """At quantization step 1 only float-DCT rounding remains: decode
+    error is at most 1 gray level for ANY image, any dimensions."""
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    dec = jpeg_min.decode(jpeg_min.encode_gray(img))
+    assert dec.shape == (h, w)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_bit_exact(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    assert np.array_equal(png_min.decode(png_min.encode_gray(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    frames=st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=6),
+    spc=st.integers(min_value=0, max_value=4),
+    co64=st.booleans(),
+)
+def test_mp4_roundtrip_any_frames(frames, spc, co64):
+    """Sample tables reproduce ANY frame list byte-exactly under any
+    chunking knob."""
+    p = isobmff.mp4_mux(frames, samples_per_chunk=spc, co64=co64)
+    assert isobmff.mp4_demux(p)[1] == frames
+
+
+def test_zero_seglen_jpeg_raises_not_hangs():
+    """The regression this file exists for: a 0-length segment field
+    must raise, not stall the marker walk."""
+    bad = b"\xff\xd8\xff\xe0\x00\x00junk"
+    with pytest.raises(ValueError, match="segment length"):
+        jpeg_min.decode(bad)
+    with pytest.raises(ValueError, match="segment length"):
+        jpeg_min.dimensions(bad)
+
+# -- pinned fuzz-found regressions (each was a crash or a ~2-minute
+# -- stall before the guards landed; all must now raise ValueError fast)
+
+def _stall_mp4():
+    """Valid mux output with the stsc entry-count field mutated to
+    233: zero-filled phantom runs drove _sample_ranges to materialize
+    multi-GB per_chunk lists (~110 s measured) before the box-size
+    check landed."""
+    p = bytearray(isobmff.mp4_mux([b"abcd", b"efgh"], width=4, height=1))
+    i = p.index(b"stsc")
+    p[i + 8 : i + 12] = (233).to_bytes(4, "big")
+    return bytes(p)
+
+
+def test_mp4_phantom_stsc_entries_raise_fast():
+    import time
+
+    t0 = time.time()
+    with pytest.raises(ValueError, match="stsc entry count"):
+        isobmff.mp4_demux(_stall_mp4())
+    assert time.time() - t0 < 1.0
+
+
+def test_mp4_non_monotonic_stsc_raises():
+    # 4 samples chunked 3-per-chunk → chunks of [3, 1] samples → a
+    # genuine two-run stsc [(1,3),(2,1)]; rewrite the second run's
+    # first_chunk 2→1 to violate §8.7.4 strict monotonicity
+    p = bytearray(isobmff.mp4_mux([bytes([i]) * 3 for i in range(4)], samples_per_chunk=3))
+    i = p.index(b"stsc")
+    assert int.from_bytes(p[i + 8 : i + 12], "big") == 2  # two runs
+    p[i + 24 : i + 28] = (1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="non-monotonic stsc"):
+        isobmff.mp4_demux(bytes(p))
+
+
+def test_jpeg_corrupt_dc_category_raises():
+    """A corrupt Huffman table can emit DC categories up to 255;
+    receive(255) built a >2^63 coefficient and crashed the int64
+    store with OverflowError before the T.81 F.1.2.1.1 cap."""
+    img = np.zeros((8, 8), dtype=np.uint8)
+    p = bytearray(jpeg_min.encode_gray(img))
+    # mutate a DC Huffman VALUE byte (category) to 0xFF: find DHT
+    i = p.index(b"\xff\xc4")
+    # class/dest byte at i+4; bits at i+5..i+20; first value at i+21
+    p[i + 21] = 0xFF
+    try:
+        jpeg_min.decode(bytes(p))
+    except (ValueError, NotImplementedError):
+        pass  # exact failure point depends on code assignment; any
+        # documented error is fine — the OverflowError is not

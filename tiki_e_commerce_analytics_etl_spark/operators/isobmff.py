@@ -67,29 +67,53 @@ def _u32s(buf: bytes, off: int, n: int) -> list[int]:
     ]
 
 
+def _entry_count(
+    buf: bytes, ps: int, pe: int, hdr: int, stride: int, what: str
+) -> int:
+    """Read a full-box entry count and validate it against the box's
+    physical size — a declared count larger than the bytes actually
+    present is malformed and, left unchecked, drives unbounded list
+    materialization downstream (fuzz-found stall)."""
+    n = int.from_bytes(buf[ps + hdr - 4 : ps + hdr], "big")
+    if hdr + stride * n > pe - ps:
+        raise ValueError(f"{what} entry count {n} exceeds box size")
+    return n
+
+
 def _parse_stbl(buf: bytes, s: int, e: int) -> dict:
     """Resolve one track's sample tables into plain Python lists."""
     out: dict = {}
     for fc, ps, pe in _boxes(buf, s, e):
         if fc == b"stts" and pe - ps >= 8:
-            n = int.from_bytes(buf[ps + 4 : ps + 8], "big")
+            n = _entry_count(buf, ps, pe, 8, 8, "stts")
             ents = _u32s(buf, ps + 8, 2 * n)
             out["stts"] = list(zip(ents[::2], ents[1::2]))
         elif fc == b"stsz" and pe - ps >= 12:
             uniform = int.from_bytes(buf[ps + 4 : ps + 8], "big")
             count = int.from_bytes(buf[ps + 8 : ps + 12], "big")
-            out["sizes"] = (
-                [uniform] * count if uniform else _u32s(buf, ps + 12, count)
-            )
+            if uniform:
+                # no per-sample table to bound the count, but every
+                # sample must physically live inside the file
+                if count > len(buf):
+                    raise ValueError(
+                        f"stsz sample count {count} exceeds file size"
+                    )
+                out["sizes"] = [uniform] * count
+            else:
+                if 12 + 4 * count > pe - ps:
+                    raise ValueError(
+                        f"stsz entry count {count} exceeds box size"
+                    )
+                out["sizes"] = _u32s(buf, ps + 12, count)
         elif fc == b"stsc" and pe - ps >= 8:
-            n = int.from_bytes(buf[ps + 4 : ps + 8], "big")
+            n = _entry_count(buf, ps, pe, 8, 12, "stsc")
             ents = _u32s(buf, ps + 8, 3 * n)
             out["stsc"] = list(zip(ents[::3], ents[1::3]))  # drop desc idx
         elif fc == b"stco" and pe - ps >= 8:
-            n = int.from_bytes(buf[ps + 4 : ps + 8], "big")
+            n = _entry_count(buf, ps, pe, 8, 4, "stco")
             out["chunk_offsets"] = _u32s(buf, ps + 8, n)
         elif fc == b"co64" and pe - ps >= 8:
-            n = int.from_bytes(buf[ps + 4 : ps + 8], "big")
+            n = _entry_count(buf, ps, pe, 8, 8, "co64")
             out["chunk_offsets"] = [
                 int.from_bytes(buf[ps + 8 + 8 * i : ps + 16 + 8 * i], "big")
                 for i in range(n)
@@ -120,6 +144,9 @@ def _sample_ranges(tables: dict) -> list[tuple[int, int]]:
         return []
     per_chunk: list[int] = []
     for i, (first, spc) in enumerate(stsc):
+        if first < 1 or (i > 0 and first <= stsc[i - 1][0]):
+            # §8.7.4: first_chunk is 1-based and strictly increasing
+            raise ValueError("non-monotonic stsc first_chunk")
         last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
         per_chunk.extend([spc] * max(0, last - first + 1))
     ranges: list[tuple[int, int]] = []

@@ -189,6 +189,10 @@ def dimensions(data: bytes) -> tuple[int, int, int]:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2:
+            # a segment length below its own 2-byte field would stall
+            # the marker walk (pos += 0) — malformed, not unsupported
+            raise ValueError(f"invalid JPEG segment length {seglen}")
         if marker in sof_markers:
             seg = data[pos + 2 : pos + seglen]
             if len(seg) < 6:
@@ -228,6 +232,10 @@ def decode(data: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2:
+            # a segment length below its own 2-byte field would stall
+            # the marker walk (pos += 0) — malformed, not unsupported
+            raise ValueError(f"invalid JPEG segment length {seglen}")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -255,14 +263,20 @@ def decode(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 htables[(tc, th)] = _canonical_codes(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated SOF segment")
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision")
             height = int.from_bytes(seg[1:3], "big")
             width = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF component list")
             comps = [
                 {
                     "id": seg[6 + 3 * i],
@@ -279,7 +293,11 @@ def decode(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if not seg:
+                raise ValueError("empty SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             scan_comps = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -299,6 +317,11 @@ def decode(data: bytes) -> np.ndarray:
     for c in scan_comps:
         if c["tq"] not in qtables:
             raise ValueError("component references undefined quant table")
+    if width == 0 or height == 0:
+        raise ValueError("zero image dimension in SOF")
+    if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+        # T.81 B.2.2: sampling factors are 1-4; 0 would divide by zero
+        raise ValueError("invalid SOF sampling factor")
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -324,6 +347,12 @@ def decode(data: bytes) -> np.ndarray:
                     for bx in range(c["h"]):
                         zz = np.zeros(64, dtype=np.int64)
                         t = br.decode_huff(c["dc"])
+                        if t > 11:
+                            # T.81 F.1.2.1.1: DC category ≤ 11 at 8-bit
+                            # precision; a corrupt table can emit up to
+                            # 255, and receive(t) of that width
+                            # overflows the int64 coefficient store
+                            raise ValueError("invalid DC category")
                         diff = _extend(br.receive(t), t)
                         preds[c["id"]] += diff
                         zz[0] = preds[c["id"]]
