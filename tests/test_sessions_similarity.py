@@ -193,3 +193,74 @@ def test_exact_neardup_supports_string_ids(spark):
         df, threshold=0.9, method="exact", id_col="vec_id"
     ).collect()
     assert [(p.id_a, p.id_b) for p in pairs] == [("doc-a", "doc-b")]
+
+
+def test_pq_topk_recall_and_laws(spark):
+    """PQ/ADC path: (a) with refine*k covering the whole corpus the
+    result EQUALS brute force (total-candidate law — rerank is exact
+    cosine, same expression shape); (b) at the production refine the
+    clustered-corpus recall stays high; (c) codes are m ints in
+    [0, n_codes) and two runs are identical (seeded determinism)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for cid in range(8):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for j in range(25):
+            rows.append(
+                (cid * 25 + j, [c + rng.gauss(0, 0.15) for c in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    q = df.filter(F.col("vec_id") % 50 == 0)
+
+    truth = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.brute_force_topk(df, q, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    # (a) total-candidate law: refine*k >= corpus size -> exact equality
+    total = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.pq_topk(df, q, k=5, refine=40)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert total == truth
+
+    # (b) production shape recall on the clustered corpus
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.pq_topk(df, q, k=5, refine=8).collect()
+    }
+    recall = len(set((a, b) for a, b, _ in truth) & approx) / len(truth)
+    assert recall >= 0.8, f"pq recall {recall}"
+
+    # (c) encoding invariants + determinism
+    books = similarity.train_pq_codebooks(df, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    enc1 = similarity.pq_encode(df, books).orderBy("neighbor_id").collect()
+    enc2 = similarity.pq_encode(df, books).orderBy("neighbor_id").collect()
+    assert [r["codes"] for r in enc1] == [r["codes"] for r in enc2]
+    for r in enc1:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+    books2 = similarity.train_pq_codebooks(df, m=8, n_codes=16)
+    import numpy as np
+
+    assert np.array_equal(books, books2)
+
+
+def test_pq_validation_errors(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 10) for i in range(40)],
+        "vec_id: long, embedding: array<double>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        similarity.train_pq_codebooks(df, m=3, n_codes=8)
+    with _pytest.raises(ValueError, match="sample rows"):
+        similarity.train_pq_codebooks(df.limit(4), m=2, n_codes=16)
