@@ -1806,6 +1806,21 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile of events.user_id: heavy keys, exact
+    shares, skew factor, and per-key salt fan-out — the pre-shuffle
+    diagnostic for join/agg strategy selection at scale.  One
+    uniform-key hash aggregation; the top-N is TakeOrdered, the global
+    stats attach as a broadcast one-row join; all ratios are integer
+    ppm so the oracle compare is bit-exact."""
+    from tiki_e_commerce_analytics_etl_spark.operators import profile
+
+    ev = read_table(spark, sf_dir, "events")
+    return profile.key_skew_profile(
+        ev, ["user_id"], top_n=10, target_rows_per_bucket=1000
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent word bigrams via bounded-memory per-partition
     Misra-Gries summaries + exact candidate recount
@@ -3071,6 +3086,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
+        "skew_profile": q_skew_profile,
         "zorder_key": q_zorder_key,
         "shuffle_shards": q_shuffle_shards,
         "funnel": q_funnel,
@@ -3647,6 +3663,35 @@ _SIMHASH_HAMMING_ORACLE = f"""
                               AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+_SKEW_PROFILE_ORACLE = """
+    WITH c AS (
+        SELECT CAST(user_id AS VARCHAR) AS key,
+               CAST(COUNT(*) AS BIGINT) AS key_rows
+        FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(key_rows) AS BIGINT) AS max_key_rows
+        FROM c
+    ),
+    r AS (
+        SELECT key, key_rows,
+               CAST(ROW_NUMBER() OVER (ORDER BY key_rows DESC, key ASC)
+                    AS INTEGER) AS heavy_rank
+        FROM c
+    )
+    SELECT r.key, r.key_rows, r.heavy_rank,
+           CAST(FLOOR(1000000 * r.key_rows / t.total_rows) AS BIGINT)
+               AS share_ppm,
+           t.total_rows, t.n_keys, t.max_key_rows,
+           CAST(FLOOR(1000000 * t.max_key_rows * t.n_keys / t.total_rows)
+                AS BIGINT) AS skew_ppm,
+           CAST(FLOOR((r.key_rows + 999) / 1000) AS BIGINT) AS salt_buckets
+    FROM r, t WHERE r.heavy_rank <= 10
 """
 
 
@@ -4312,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate pass is invisible when coverage holds (see
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
+        "skew_profile": _SKEW_PROFILE_ORACLE,
         "zorder_key": _zorder_oracle(),
         "split_passages": f"""
             WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),

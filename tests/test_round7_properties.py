@@ -173,3 +173,48 @@ def test_jpeg_corrupt_dc_category_raises():
     except (ValueError, NotImplementedError):
         pass  # exact failure point depends on code assignment; any
         # documented error is fine — the OverflowError is not
+
+
+def test_key_skew_profile_hand_computed(request):
+    spark = request.getfixturevalue("spark")
+    from pyspark.sql import functions as F
+    from tiki_e_commerce_analytics_etl_spark.operators import profile
+
+    # 3 keys: a=6 rows, b=3, c=1 -> total=10, n_keys=3, max=6
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k: string")
+    out = {
+        r["key"]: r
+        for r in profile.key_skew_profile(
+            df, ["k"], top_n=2, target_rows_per_bucket=2
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}  # top-2 only
+    a = out["a"]
+    assert (a["key_rows"], a["heavy_rank"]) == (6, 1)
+    assert a["share_ppm"] == 600_000
+    assert (a["total_rows"], a["n_keys"], a["max_key_rows"]) == (10, 3, 6)
+    assert a["skew_ppm"] == 1_800_000  # max 6 is 1.8x the mean 10/3
+    assert a["salt_buckets"] == 3  # ceil(6/2)
+    b = out["b"]
+    assert (b["key_rows"], b["heavy_rank"], b["salt_buckets"]) == (3, 2, 2)
+
+    # composite key renders with the unit separator; tiebreak key-asc
+    df2 = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (1, "z")], "a: int, b: string"
+    )
+    top = profile.key_skew_profile(df2, ["a", "b"], top_n=3).collect()
+    assert top[0]["key"] == "1\x1fx" and top[0]["key_rows"] == 2
+    assert [r["key"] for r in top[1:]] == ["1\x1fz", "2\x1fy"]
+
+    # plan shape: top-N must be TakeOrdered, never a global Sort+Window
+    # over the raw counts
+    plan = profile.key_skew_profile(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        profile.key_skew_profile(df, [])
+    with _p.raises(ValueError):
+        profile.key_skew_profile(df, ["k"], target_rows_per_bucket=0)
