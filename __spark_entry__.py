@@ -2957,6 +2957,22 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation twin of resample_ffill: per-user daily
+    grid with internal gaps filled by the line between the nearest
+    earlier/later observations (two frames over one per-key exchange;
+    arithmetic mirrored exactly by the DuckDB twin)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import grouped
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("snapshot_date")
+    ).agg(F.max("value").alias("daily_max"))
+    return grouped.resample_interp_daily(
+        daily, key_col="user_id", date_col="snapshot_date", value_cols=("daily_max",)
+    )
+
+
 def q_price_discount_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 note — the README-declared derived-metric surface (price
     change / trend correlation): Pearson correlation per group, written
@@ -3072,6 +3088,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_clean_literals": q_js_clean_literals,
         "trends_pipeline": q_trends_pipeline,
         "resample_ffill": q_resample_ffill,
+        "resample_interp": q_resample_interp,
         "price_discount_corr": q_price_discount_corr,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_recall": q_similarity_lsh_recall,
@@ -5136,6 +5153,40 @@ def oracle_sql() -> dict[str, str]:
                    ) AS daily_max,
                    is_observed
             FROM j
+        """,
+        "resample_interp": """
+            WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS d, MAX(value) AS daily_max
+                FROM events GROUP BY 1, 2
+            ),
+            span AS (SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+            days AS (
+                SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+                FROM span
+            ),
+            j AS (
+                SELECT days.user_id, days.d, daily.daily_max,
+                       daily.d IS NOT NULL AS is_observed
+                FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.d = daily.d
+            ),
+            m AS (
+                SELECT user_id, d, daily_max, is_observed,
+                       last_value(daily_max IGNORE NULLS) OVER wp AS pv,
+                       last_value(CASE WHEN daily_max IS NOT NULL THEN d END IGNORE NULLS) OVER wp AS pd,
+                       first_value(daily_max IGNORE NULLS) OVER wn AS nv,
+                       first_value(CASE WHEN daily_max IS NOT NULL THEN d END IGNORE NULLS) OVER wn AS nd
+                FROM j
+                WINDOW wp AS (PARTITION BY user_id ORDER BY d ROWS UNBOUNDED PRECEDING),
+                       wn AS (PARTITION BY user_id ORDER BY d
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, d AS snapshot_date,
+                   CASE WHEN daily_max IS NOT NULL THEN daily_max
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL AND nd <> pd
+                        THEN pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                        ELSE COALESCE(pv, nv) END AS daily_max,
+                   is_observed
+            FROM m
         """,
         "trends_pipeline": """
             WITH dates AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),

@@ -264,3 +264,44 @@ def test_pq_validation_errors(spark):
         similarity.train_pq_codebooks(df, m=3, n_codes=8)
     with _pytest.raises(ValueError, match="sample rows"):
         similarity.train_pq_codebooks(df.limit(4), m=2, n_codes=16)
+
+
+def test_resample_interp_daily(spark):
+    """Linear gap-fill: hand-computed line between observations, ffill
+    semantics only where one side is missing (all-NULL edge values)."""
+    import datetime as _dt
+
+    from tiki_e_commerce_analytics_etl_spark.operators import grouped
+
+    d = _dt.date
+    rows = [
+        # key 1: obs at day 1 (10.0) and day 4 (16.0) -> days 2,3 on the line
+        (1, d(2024, 1, 1), 10.0),
+        (1, d(2024, 1, 4), 16.0),
+        # key 2: single observation -> one observed row, nothing filled
+        (2, d(2024, 1, 5), 7.0),
+        # key 3: NULL edge value -> backfill from the only observation
+        (3, d(2024, 1, 1), None),
+        (3, d(2024, 1, 3), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "product_id: long, snapshot_date: date, current_price: double"
+    )
+    out = {
+        (r["product_id"], r["snapshot_date"]): (
+            r["current_price"],
+            r["is_observed"],
+        )
+        for r in grouped.resample_interp_daily(df).collect()
+    }
+    assert out[(1, d(2024, 1, 1))] == (10.0, True)
+    assert out[(1, d(2024, 1, 2))] == (12.0, False)  # 10 + 6*(1/3)
+    assert out[(1, d(2024, 1, 3))] == (14.0, False)  # 10 + 6*(2/3)
+    assert out[(1, d(2024, 1, 4))] == (16.0, True)
+    assert out[(2, d(2024, 1, 5))] == (7.0, True)
+    # key 3: day 1 observed-but-NULL backfills to 9.0; day 2 has no
+    # earlier non-null value either -> nearest (next) observation
+    assert out[(3, d(2024, 1, 1))] == (9.0, True)
+    assert out[(3, d(2024, 1, 2))] == (9.0, False)
+    assert out[(3, d(2024, 1, 3))] == (9.0, True)
+    assert len(out) == 4 + 1 + 3

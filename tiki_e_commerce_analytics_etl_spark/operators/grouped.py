@@ -115,6 +115,86 @@ def resample_ffill_daily_pandas(
     return df.select(*cols).groupBy(key_col).applyInPandas(fill, out_schema)
 
 
+def resample_interp_daily(
+    df: DataFrame,
+    key_col: str = "product_id",
+    date_col: str = "snapshot_date",
+    value_cols: tuple[str, ...] = ("current_price",),
+) -> DataFrame:
+    """One row per (key, day) from the key's min to max observed date;
+    missing days take the LINEAR INTERPOLATION between the nearest
+    earlier and later observations (the gap-repair a numeric series
+    wants where ffill would step).  Boundary days are observed by
+    construction of the span; a one-sided gap (all-NULL edge values)
+    falls back to the nearest observation.  Adds ``is_observed``.
+
+    Same scale shape as ``resample_ffill_daily``: per-key span →
+    ``sequence`` grid explode → left join → two frames over ONE
+    per-key exchange (last/unbounded-preceding and
+    first/unbounded-following share the partitioning and sort).
+    Entirely JVM/codegen; the interpolation arithmetic is written as
+    ``prev + (next - prev) * (di / dn)`` and the DuckDB oracle mirrors
+    that exact parenthesization, so doubles match bit-for-bit.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    obs = df.groupBy(key_col, date_col).agg(
+        *[F.max(F.col(c)).cast("double").alias(c) for c in value_cols]
+    )
+    span = obs.groupBy(key_col).agg(
+        F.min(date_col).alias("__lo"), F.max(date_col).alias("__hi")
+    )
+    grid = span.select(
+        key_col, F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(date_col)
+    )
+    j = grid.join(
+        obs.withColumn("__obs", F.lit(True)), [key_col, date_col], "left"
+    )
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    mid_cols = []
+    for c in value_cols:
+        obs_d = F.when(F.col(c).isNotNull(), F.col(date_col))
+        mid_cols += [
+            F.last(F.col(c), ignorenulls=True).over(w_prev).alias(f"__pv_{c}"),
+            F.last(obs_d, ignorenulls=True).over(w_prev).alias(f"__pd_{c}"),
+            F.first(F.col(c), ignorenulls=True).over(w_next).alias(f"__nv_{c}"),
+            F.first(obs_d, ignorenulls=True).over(w_next).alias(f"__nd_{c}"),
+        ]
+    mid = j.select(
+        F.col(key_col).cast("long").alias(key_col),
+        F.col(date_col),
+        *[F.col(c) for c in value_cols],
+        F.coalesce(F.col("__obs"), F.lit(False)).alias("is_observed"),
+        *mid_cols,
+    )
+    out_vals = []
+    for c in value_cols:
+        pv, pd_, nv, nd = (F.col(f"__{t}_{c}") for t in ("pv", "pd", "nv", "nd"))
+        frac = F.datediff(F.col(date_col), pd_).cast("double") / F.datediff(
+            nd, pd_
+        ).cast("double")
+        out_vals.append(
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(
+                pv.isNotNull() & nv.isNotNull() & (nd != pd_),
+                pv + (nv - pv) * frac,
+            )
+            .otherwise(F.coalesce(pv, nv))
+            .alias(c)
+        )
+    return mid.select(key_col, date_col, *out_vals, "is_observed")
+
+
 def time_weighted_avg_daily(
     df: DataFrame,
     user_col: str = "user_id",
