@@ -1902,6 +1902,39 @@ def q_trends_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC raw-zone round-trip: part -> ORC (zlib) -> scan -> per-brand
+    summary.  The oracle computes the identical summary straight from
+    the parquet table, so any value/type corruption through the ORC
+    writer/reader pair (decimals, strings, nulls) fails the hash.
+    Scratch dir is per-process and removed before returning; the
+    summary is bounded (~25 brands) so the materializing collect is a
+    boundary scalar, not a data-sized driver pull."""
+    import os
+    import shutil
+    import uuid
+
+    from tiki_e_commerce_analytics_etl_spark import io as engine_io
+
+    part = read_table(spark, sf_dir, "part")
+    path = os.path.join(
+        _fixture_base(), f"orc_zone_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        engine_io.write_orc(part, path)
+        back = engine_io.read_orc(spark, path, schema=part.schema)
+        agg = back.groupBy(F.col("p_brand").alias("brand")).agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(_dec("p_retailprice")).cast("double").alias("sum_price"),
+            F.min("p_name").alias("first_name"),
+            F.max("p_name").alias("last_name"),
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3/K7/K8 upgraded to concurrent-writer safety: partition-grain
     overwrite through acid.py's manifest commit (immutable txn data
@@ -1940,6 +1973,16 @@ def q_atomic_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_ORC_ROUNDTRIP_ORACLE = """
+    SELECT p_brand AS brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(p_name) AS first_name,
+           MAX(p_name) AS last_name
+    FROM part GROUP BY p_brand
+"""
 
 
 _ATOMIC_SWAP_ORACLE = """
@@ -3099,6 +3142,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "trends_csv_scan": q_trends_csv_scan,
         "atomic_swap": q_atomic_swap,
+        "orc_roundtrip": q_orc_roundtrip,
         "catalog_stats": q_catalog_stats,
         "neardup_clusters": q_neardup_clusters,
         "vocab_top_ngrams": q_vocab_top_ngrams,
@@ -4361,6 +4405,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "trends_csv_scan": _TRENDS_CSV_SCAN_ORACLE,
         "atomic_swap": _ATOMIC_SWAP_ORACLE,
+        "orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "catalog_stats": _CATALOG_STATS_ORACLE,
         "sketch_summary": """
             SELECT TRUE AS approx_parts_ok, TRUE AS approx_orders_ok,

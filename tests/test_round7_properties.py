@@ -218,3 +218,55 @@ def test_key_skew_profile_hand_computed(request):
         profile.key_skew_profile(df, [])
     with _p.raises(ValueError):
         profile.key_skew_profile(df, ["k"], target_rows_per_bucket=0)
+
+
+def test_orc_roundtrip_preserves_types_and_values(request, tmp_path):
+    """ORC write/read must round-trip the tricky types: timestamps
+    (µs), dates, decimals, arrays, nulls, unicode strings — and honor
+    partition pruning through the Hive layout."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    spark = request.getfixturevalue("spark")
+    from pyspark.sql import Row, functions as F
+    from tiki_e_commerce_analytics_etl_spark import io as engine_io
+
+    rows = [
+        Row(
+            k=1,
+            s="xin chào thế giới",
+            ts=_dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+            d=_dt.date(2024, 3, 1),
+            dec=Decimal("12345.67"),
+            arr=[1, 2, 3],
+            part="a",
+        ),
+        Row(k=2, s=None, ts=None, d=None, dec=None, arr=None, part="b"),
+    ]
+    schema = (
+        "k INT, s STRING, ts TIMESTAMP, d DATE, dec DECIMAL(18,2), "
+        "arr ARRAY<INT>, part STRING"
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "orc_zone")
+    engine_io.write_orc(df, path, partition_cols=["part"])
+    back = engine_io.read_orc(spark, path, schema=df.schema)
+    got = {r["k"]: r for r in back.collect()}
+    assert got[1]["s"] == "xin chào thế giới"
+    assert got[1]["ts"] == _dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    assert got[1]["d"] == _dt.date(2024, 3, 1)
+    assert got[1]["dec"] == Decimal("12345.67")
+    assert got[1]["arr"] == [1, 2, 3]
+    assert all(got[2][c] is None for c in ("s", "ts", "d", "dec", "arr"))
+    # schema conformance contract holds (order + types)
+    assert [f.name for f in back.schema.fields] == [
+        f.name for f in df.schema.fields
+    ]
+    # partition pruning reaches the scan
+    plan = (
+        back.filter(F.col("part") == "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(part" in plan

@@ -201,3 +201,34 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    compression: str = "zlib",
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (Spark-native columnar twin of the parquet writer —
+    same Hive partition layout, so Catalyst prunes partitions
+    identically).  ORC matters as an interchange zone: Hive/Trino
+    warehouses frequently hand training pipelines ORC, and Spark's
+    reader keeps predicate pushdown + column pruning + vectorized
+    decode for it, so a 100 TB ORC raw zone scans like parquet."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan; pass ``schema`` to skip inference (and get the same
+    ordered-schema conformance contract as the parquet raw zone)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
+    return conform_schema(df, schema) if schema is not None else df
