@@ -3000,6 +3000,23 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of documents.n_chars at [p05, p95]:
+    the robust feature-prep clamp.  Bounds via the sort-rank exact
+    grouped percentiles (bit-exact vs quantile_cont), broadcast back;
+    one window pass + broadcast join."""
+    from tiki_e_commerce_analytics_etl_spark.operators import quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    return quality.winsorize(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        "n_chars",
+        lo=0.05,
+        hi=0.95,
+    ).select("doc_id", "lang", "n_chars", "n_chars_winsorized", "was_clipped")
+
+
 def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation twin of resample_ffill: per-user daily
     grid with internal gaps filled by the line between the nearest
@@ -3132,6 +3149,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trends_pipeline": q_trends_pipeline,
         "resample_ffill": q_resample_ffill,
         "resample_interp": q_resample_interp,
+        "winsorize": q_winsorize,
         "price_discount_corr": q_price_discount_corr,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh_recall": q_similarity_lsh_recall,
@@ -3724,6 +3742,29 @@ _SIMHASH_HAMMING_ORACLE = f"""
                               AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+_WINSORIZE_ORACLE = """
+    WITH b AS (
+        SELECT lang,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS wlo,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS whi
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN d.n_chars IS NOT NULL THEN
+               LEAST(GREATEST(CAST(d.n_chars AS DOUBLE),
+                              COALESCE(b.wlo, CAST(d.n_chars AS DOUBLE))),
+                     COALESCE(b.whi, CAST(d.n_chars AS DOUBLE)))
+           END AS n_chars_winsorized,
+           d.n_chars IS NOT NULL AND
+               CASE WHEN d.n_chars IS NOT NULL THEN
+                   LEAST(GREATEST(CAST(d.n_chars AS DOUBLE),
+                                  COALESCE(b.wlo, CAST(d.n_chars AS DOUBLE))),
+                         COALESCE(b.whi, CAST(d.n_chars AS DOUBLE)))
+               END <> CAST(d.n_chars AS DOUBLE) AS was_clipped
+    FROM documents d LEFT JOIN b ON d.lang = b.lang
 """
 
 
@@ -4420,6 +4461,7 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "skew_profile": _SKEW_PROFILE_ORACLE,
+        "winsorize": _WINSORIZE_ORACLE,
         "zorder_key": _zorder_oracle(),
         "split_passages": f"""
             WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),

@@ -270,3 +270,33 @@ def test_orc_roundtrip_preserves_types_and_values(request, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_winsorize_hand_computed(request):
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import quality
+
+    # group g: values 0..10 -> p10 = 1.0, p90 = 9.0 (linear interp on
+    # sorted 11 values: rank r = p*(n-1) lands exactly on 1 and 9)
+    rows = [("g", float(v)) for v in range(11)]
+    rows += [("h", 5.0), ("h", None), ("n", None)]  # null value; all-null group
+    df = spark.createDataFrame(rows, "grp: string, v: double")
+    out = quality.winsorize(df, "grp", "v", lo=0.1, hi=0.9)
+    got = [
+        (r["grp"], r["v"], r["v_winsorized"], r["was_clipped"])
+        for r in out.collect()
+    ]
+    g = {v: (w, c) for grp, v, w, c in got if grp == "g"}
+    assert g[0.0] == (1.0, True) and g[10.0] == (9.0, True)
+    assert g[1.0] == (1.0, False) and g[5.0] == (5.0, False) and g[9.0] == (9.0, False)
+    assert g[2.0] == (2.0, False)
+    # single-value group clamps to itself; NULLs stay NULL
+    h = [(v, w, c) for grp, v, w, c in got if grp == "h"]
+    assert (5.0, 5.0, False) in h and (None, None, False) in h
+    # all-NULL group passes through (bounds absent)
+    assert [(v, w, c) for grp, v, w, c in got if grp == "n"] == [(None, None, False)]
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        quality.winsorize(df, "grp", "v", lo=0.9, hi=0.1)

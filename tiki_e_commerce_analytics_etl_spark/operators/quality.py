@@ -463,6 +463,53 @@ def grouped_exact_percentiles(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``col`` to the group's
+    [``lo``, ``hi``] exact percentiles — the robust feature-prep step
+    before scaling/training when a long tail would dominate.
+
+    Bounds come from ``grouped_exact_percentiles`` (sort-rank
+    relational form, bit-exact vs quantile_cont); they are a tiny
+    per-group relation broadcast back onto the rows, so the whole op
+    is one group-partitioned window pass + a broadcast join — no
+    second data-sized shuffle.  NULL values stay NULL; groups whose
+    values are all NULL pass through unchanged (their bounds are
+    absent — the clamp coalesces to the value itself, written
+    explicitly so no engine's null-skipping GREATEST semantics are
+    relied on).  Adds ``<out_col>`` (default ``<col>_winsorized``)
+    and ``was_clipped``.
+    """
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got lo={lo} hi={hi}")
+    out_col = out_col or f"{col}_winsorized"
+    bounds = grouped_exact_percentiles(
+        df, group_col, col, [lo, hi], names=["__wlo", "__whi"]
+    ).select(group_col, "__wlo", "__whi")
+    x = F.col(col).cast("double")
+    clamped = F.least(
+        F.greatest(x, F.coalesce(F.col("__wlo"), x)),
+        F.coalesce(F.col("__whi"), x),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col, "left")
+        .withColumn(
+            out_col, F.when(x.isNotNull(), clamped)
+        )
+        .withColumn(
+            "was_clipped",
+            x.isNotNull() & (F.col(out_col) != x),
+        )
+        .drop("__wlo", "__whi")
+    )
+
+
 def equidepth_bins(
     df: DataFrame,
     col: str,
