@@ -2712,6 +2712,35 @@ def q_fx_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.asof_join_backward(li, fx, "ship_date", "date", value_cols=["rate"])
 
 
+def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (keyed): attribute each error
+    event to the closest purchase by the same user — whichever side of
+    the error it falls on, ties to the earlier purchase (pandas
+    merge_asof 'nearest').  One shuffle: both direction frames share a
+    single (user, time, side) sort.  Right side pre-aggregated to one
+    row per (user, ts) so the chosen row is unique and the DuckDB
+    min-distance twin is deterministic."""
+    from tiki_e_commerce_analytics_etl_spark.operators import asof
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof.asof_join_nearest(
+        errors,
+        purchases,
+        "ts",
+        "pts",
+        value_cols=["pts", "purchase_value"],
+        by=["user_id"],
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join via binned interval index (equi-
     join on time bin + exact residual) — shipments falling inside
@@ -3220,6 +3249,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_summary": q_sketch_summary,
         "curation_pipeline": q_curation_pipeline,
         "fx_asof": q_fx_asof,
+        "nearest_event": q_nearest_event,
         "range_join": q_range_join,
         "pivot_trends": q_pivot_trends,
         "session_windows": q_session_windows,
@@ -3765,6 +3795,27 @@ _WINSORIZE_ORACLE = """
                          COALESCE(b.whi, CAST(d.n_chars AS DOUBLE)))
                END <> CAST(d.n_chars AS DOUBLE) AS was_clipped
     FROM documents d LEFT JOIN b ON d.lang = b.lang
+"""
+
+
+_NEAREST_EVENT_ORACLE = """
+    WITH e AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+        SELECT user_id, ts AS pts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT e.event_id, e.user_id, e.ts, p.pts, p.purchase_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY ABS(epoch_us(e.ts) - epoch_us(p.pts)) ASC NULLS LAST,
+                            p.pts ASC NULLS LAST
+               ) AS rn
+        FROM e LEFT JOIN p ON e.user_id = p.user_id
+    )
+    SELECT event_id, user_id, ts, pts, purchase_value FROM j WHERE rn = 1
 """
 
 
@@ -4461,6 +4512,7 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "skew_profile": _SKEW_PROFILE_ORACLE,
+        "nearest_event": _NEAREST_EVENT_ORACLE,
         "winsorize": _WINSORIZE_ORACLE,
         "zorder_key": _zorder_oracle(),
         "split_passages": f"""

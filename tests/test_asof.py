@@ -73,3 +73,130 @@ def test_keyless_carry_is_per_column_with_null_values(spark):
         lk, rk, "ld", "d", ["rate", "source"], by=["k"]
     ).collect()[0]
     assert (keyed.rate, keyed.source) == (out.rate, out.source)
+
+
+def test_asof_forward_per_key(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            ("USD", _d(1), 1),   # before first rate -> that rate (>=)
+            ("USD", _d(5), 2),   # exactly on a rate day -> that rate (>=)
+            ("USD", _d(7), 3),   # between 5 and 10 -> rate of day 10
+            ("USD", _d(30), 4),  # after last -> null
+            ("EUR", _d(7), 5),   # other key: EUR has no later rate -> null
+        ],
+        "ccy: string, d: date, row_id: long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("USD", _d(5), 100.0),
+            ("USD", _d(10), 200.0),
+            ("EUR", _d(6), 7.0),
+        ],
+        "ccy: string, rd: date, rate: double",
+    )
+    out = {
+        r["row_id"]: r["rate"]
+        for r in asof_join_forward(
+            left, right, "d", "rd", value_cols=["rate"], by=["ccy"]
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: 100.0, 3: 200.0, 4: None, 5: None}
+
+
+def test_asof_forward_keyless_binned(spark):
+    """Keyless forward reuses the binned machinery on the negated
+    axis: a left row whose nearest later right row lives bins away
+    (across empty bins) must still be matched."""
+    from tiki_e_commerce_analytics_etl_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(_d(1), 1), (_d(20), 2)], "d: date, row_id: long"
+    )
+    right = spark.createDataFrame([(_d(25), 9.0)], "rd: date, rate: double")
+    # bin_width=2 days -> day 1 and day 25 are 12 bins apart
+    out = {
+        r["row_id"]: r["rate"]
+        for r in asof_join_forward(
+            left, right, "d", "rd", value_cols=["rate"], bin_width=2
+        ).collect()
+    }
+    assert out == {1: 9.0, 2: 9.0}
+
+
+def test_asof_nearest_keyed(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            ("USD", _d(4), 1),   # dist 1 back (d5? no - d5 is 1 later; d-? none) -> 100
+            ("USD", _d(7), 2),   # 2 from d5, 3 from d10 -> 100 (backward closer)
+            ("USD", _d(8), 3),   # 3 from d5, 2 from d10 -> 200 (forward closer)
+            ("USD", _d(15), 4),  # only earlier -> 200
+            ("EUR", _d(7), 5),   # single rate -> 7
+        ],
+        "ccy: string, d: date, row_id: long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("USD", _d(5), 100.0),
+            ("USD", _d(10), 200.0),
+            ("EUR", _d(6), 7.0),
+        ],
+        "ccy: string, rd: date, rate: double",
+    )
+    out = {
+        r["row_id"]: r["rate"]
+        for r in asof_join_nearest(
+            left, right, "d", "rd", value_cols=["rate"], by=["ccy"]
+        ).collect()
+    }
+    assert out == {1: 100.0, 2: 100.0, 3: 200.0, 4: 200.0, 5: 7.0}
+
+    # tie -> backward (pandas semantics): day 7.5 impossible with
+    # dates; use equidistant day 7 from rates at 5 and 9
+    right2 = spark.createDataFrame(
+        [("USD", _d(5), 100.0), ("USD", _d(9), 300.0)],
+        "ccy: string, rd: date, rate: double",
+    )
+    out2 = {
+        r["row_id"]: r["rate"]
+        for r in asof_join_nearest(
+            left.filter("row_id = 2"), right2, "d", "rd",
+            value_cols=["rate"], by=["ccy"],
+        ).collect()
+    }
+    assert out2 == {2: 100.0}
+
+    # tolerance drops far matches (days for dates)
+    out3 = {
+        r["row_id"]: r["rate"]
+        for r in asof_join_nearest(
+            left, right, "d", "rd", value_cols=["rate"], by=["ccy"],
+            tolerance=2,
+        ).collect()
+    }
+    assert out3 == {1: 100.0, 2: 100.0, 3: 200.0, 4: None, 5: 7.0}
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="non-empty"):
+        asof_join_nearest(left, right, "d", "rd", ["rate"], by=[])
+
+
+def test_asof_nearest_row_semantics(spark):
+    """The chosen right ROW supplies every value column, NULLs
+    included — a closer row's NULL must not be patched from a farther
+    row (row semantics, unlike backward's per-column carry)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([("k", _d(10), 1)], "g: string, d: date, row_id: long")
+    right = spark.createDataFrame(
+        [("k", _d(9), None, "near"), ("k", _d(1), 5.0, "far")],
+        "g: string, rd: date, rate: double, src: string",
+    )
+    r = asof_join_nearest(
+        left, right, "d", "rd", value_cols=["rate", "src"], by=["g"]
+    ).collect()[0]
+    assert r["src"] == "near" and r["rate"] is None

@@ -50,6 +50,73 @@ def _time_to_long(col, dtype) -> "F.Column":
     return F.floor(col).cast("long")
 
 
+def _time_image(col, dtype) -> "F.Column":
+    """EXACT monotone integer/numeric image of a time-like column —
+    days for dates, microseconds for timestamps, the raw value for
+    numerics (no floor: unlike ``_time_to_long``, which only feeds
+    bin ASSIGNMENT, this image is used for ordering and distances, so
+    it must not collapse sub-unit differences)."""
+    if isinstance(dtype, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01").cast("date"))
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    return col
+
+
+def _tagged_frames(left, right, left_time, right_time, value_cols, by, timefn):
+    """Shared tag-and-union inputs: left rows carry their full row
+    struct, right rows carry the value columns; ``timefn(col, dtype)``
+    renders the ordering axis."""
+    l_tagged = left.select(
+        *by,
+        timefn(F.col(left_time), left.schema[left_time].dataType).alias("__t"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal times
+        F.struct(*left.columns).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        *by,
+        timefn(F.col(right_time), right.schema[right_time].dataType).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("__lrow"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    return l_tagged, r_tagged
+
+
+def _carry_and_project(
+    left, l_tagged, r_tagged, by, bin_dtype, value_cols, bin_width
+) -> DataFrame:
+    """Shared carry pass: one keyed (or binned keyless) window carrying
+    the last-seen right values onto left rows."""
+    if by:
+        unioned = l_tagged.unionByName(r_tagged)
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        unioned, w = _binned_union(
+            l_tagged, r_tagged, bin_dtype, value_cols, bin_width
+        )
+
+    carried = unioned.select(
+        "__side",
+        "__lrow",
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__cv_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__cv_{c}").alias(c) for c in value_cols],
+    )
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -69,48 +136,155 @@ def asof_join_backward(
     for any value.
     """
     by = by or []
-    lt = F.col(left_time)
+    l_tagged, r_tagged = _tagged_frames(
+        left, right, left_time, right_time, value_cols, by, lambda c, _dt: c
+    )
+    return _carry_and_project(
+        left,
+        l_tagged,
+        r_tagged,
+        by,
+        left.schema[left_time].dataType,
+        value_cols,
+        bin_width,
+    )
 
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    by: list[str] | None = None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """Left as-of join, forward direction: ``value_cols`` from the
+    EARLIEST right row at-or-after the left row's time (pandas
+    merge_asof direction='forward', nulls when no later right row).
+
+    Implemented as the backward join on the NEGATED exact time image
+    (days / microseconds / raw numeric) — the entire carry machinery,
+    including the keyless binned path and its cross-bin seeds, is
+    reused verbatim: "latest ≤" on the negated axis IS "earliest ≥"
+    on the real one, and the right-before-left tie-break keeps the
+    at-or-after inclusive semantics.
+    """
+    by = by or []
+    l_tagged, r_tagged = _tagged_frames(
+        left,
+        right,
+        left_time,
+        right_time,
+        value_cols,
+        by,
+        lambda c, dt: -_time_image(c, dt),
+    )
+    # post-negation the axis is numeric; _binned_union's bin math uses
+    # the numeric branch of _time_to_long
+    return _carry_and_project(
+        left, l_tagged, r_tagged, by, T.LongType(), value_cols, bin_width
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    by: list[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Keyed as-of join, nearest direction: ``value_cols`` from the
+    right ROW minimizing |right_time − left_time| within the key
+    (ties → the earlier/backward row, matching pandas merge_asof).
+    ``tolerance`` (optional) drops matches farther than the given
+    distance in exact image units — days for dates, MICROSECONDS for
+    timestamps, raw units for numerics.
+
+    Unlike backward/forward (whose per-column ignorenulls carry treats
+    each value column independently), nearest is ROW-semantic: the
+    chosen right row supplies every value column, NULLs included —
+    "which observation is closest" is a property of the row, not of
+    one column.
+
+    One shuffle total: both direction frames (last/unbounded-preceding
+    and first/unbounded-following) sit over the SAME (key, time, side)
+    sort.  Keyless nearest is deliberately not offered — it would need
+    two binned carry passes stitched through a join; bucket a coarse
+    time bin into ``by`` yourself, or use backward/forward.
+    """
+    if not by:
+        raise ValueError(
+            "asof_join_nearest requires a non-empty `by`; for keyless "
+            "data use asof_join_backward/forward or add a coarse time "
+            "bin to `by`"
+        )
+    lt_img = _time_image(F.col(left_time), left.schema[left_time].dataType)
+    rt_img = _time_image(F.col(right_time), right.schema[right_time].dataType)
+
+    vt = T.StructType(
+        [T.StructField("t", T.LongType())]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         *by,
-        lt.alias("__t"),
-        F.lit(1).alias("__side"),  # left sorts after right at equal times
+        lt_img.cast("long").alias("__t"),
+        F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(vt).alias("__vrow"),
     )
     r_tagged = right.select(
         *by,
-        F.col(right_time).alias("__t"),
+        rt_img.cast("long").alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
-        ).alias("__lrow"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields
+            )
+            + ">"
+        )
+        .alias("__lrow"),
+        F.struct(
+            rt_img.cast("long").alias("t"), *[F.col(c) for c in value_cols]
+        ).alias("__vrow"),
     )
-
-    if by:
-        unioned = l_tagged.unionByName(r_tagged)
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("__t").asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        unioned, w = _binned_union(
-            l_tagged, r_tagged, left.schema[left_time].dataType, value_cols, bin_width
-        )
-
+    unioned = l_tagged.unionByName(r_tagged)
+    order = [F.col("__t").asc(), F.col("__side").asc()]
+    w_b = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     carried = unioned.select(
         "__side",
+        "__t",
         "__lrow",
-        *[
-            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__cv_{c}")
-            for c in value_cols
-        ],
+        F.last("__vrow", ignorenulls=True).over(w_b).alias("__b"),
+        F.first("__vrow", ignorenulls=True).over(w_f).alias("__f"),
+    ).filter(F.col("__side") == 1)
+
+    bd = F.col("__t") - F.col("__b.t")
+    fd = F.col("__f.t") - F.col("__t")
+    b_ok = F.col("__b").isNotNull() & (
+        F.lit(True) if tolerance is None else bd <= F.lit(tolerance)
     )
-    return carried.filter(F.col("__side") == 1).select(
+    f_ok = F.col("__f").isNotNull() & (
+        F.lit(True) if tolerance is None else fd <= F.lit(tolerance)
+    )
+    pick_b = b_ok & (~f_ok | (bd <= fd))
+    chosen = F.when(pick_b, F.col("__b")).when(f_ok, F.col("__f"))
+    return carried.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__cv_{c}").alias(c) for c in value_cols],
+        *[chosen[c].alias(c) for c in value_cols],
     )
 
 
