@@ -2712,6 +2712,30 @@ def q_fx_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.asof_join_backward(li, fx, "ship_date", "date", value_cols=["rate"])
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-purchase graph (parts that
+    appear in the same order; orders thinned 1-in-7 to keep the graph
+    sparse).  Degree-ordered orientation bounds wedge fan-out by the
+    oriented out-degree — the O(m^1.5) MapReduce triangle recipe —
+    so a degree-65 hub contributes zero wedges instead of C(65,2).
+    Returns one row (nodes, edges, wedges, triangles, gcc ppm); every
+    ratio integer-ppm so the DuckDB triple-join twin is bit-exact."""
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = x.join(y, "ok").filter(F.col("pa") < F.col("pb")).select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    )
+    return graph.triangle_stats(edges)
+
+
 def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of join (keyed): attribute each error
     event to the closest purchase by the same user — whichever side of
@@ -3250,6 +3274,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "fx_asof": q_fx_asof,
         "nearest_event": q_nearest_event,
+        "triangle_count": q_triangle_count,
         "range_join": q_range_join,
         "pivot_trends": q_pivot_trends,
         "session_windows": q_session_windows,
@@ -3795,6 +3820,40 @@ _WINSORIZE_ORACLE = """
                          COALESCE(b.whi, CAST(d.n_chars AS DOUBLE)))
                END <> CAST(d.n_chars AS DOUBLE) AS was_clipped
     FROM documents d LEFT JOIN b ON d.lang = b.lang
+"""
+
+
+_TRIANGLE_COUNT_ORACLE = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        WHERE l_orderkey % 7 = 0
+    ),
+    pe AS (
+        SELECT DISTINCT LEAST(x.l_partkey, y.l_partkey) AS a,
+                        GREATEST(x.l_partkey, y.l_partkey) AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM pe UNION ALL SELECT b AS v FROM pe)
+        GROUP BY v
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM pe e1
+        JOIN pe e2 ON e2.a = e1.b
+        JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pe) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           (SELECT n FROM tri) AS n_triangles,
+           CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                THEN CAST(FLOOR(1000000 * 3 * (SELECT n FROM tri)
+                                / (SELECT SUM(d * (d - 1) / 2) FROM deg))
+                          AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS gcc_ppm
 """
 
 
@@ -4513,6 +4572,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "skew_profile": _SKEW_PROFILE_ORACLE,
         "nearest_event": _NEAREST_EVENT_ORACLE,
+        "triangle_count": _TRIANGLE_COUNT_ORACLE,
         "winsorize": _WINSORIZE_ORACLE,
         "zorder_key": _zorder_oracle(),
         "split_passages": f"""

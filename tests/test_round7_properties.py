@@ -300,3 +300,37 @@ def test_winsorize_hand_computed(request):
 
     with _p.raises(ValueError):
         quality.winsorize(df, "grp", "v", lo=0.9, hi=0.1)
+
+
+def test_triangle_stats_hand_built_graphs(request):
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+    def stats(edge_list):
+        df = spark.createDataFrame(edge_list, "src: long, dst: long")
+        return graph.triangle_stats(df).collect()[0]
+
+    # K4: 4 nodes, 6 edges, 12 wedges, 4 triangles, gcc = 1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = stats(k4)
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 12, 4)
+    assert r["gcc_ppm"] == 1_000_000
+
+    # path 0-1-2: one wedge, no triangle
+    r = stats([(0, 1), (1, 2)])
+    assert (r["n_wedges"], r["n_triangles"], r["gcc_ppm"]) == (1, 0, 0)
+
+    # canonicalization: duplicates, reversed direction, self-loops all collapse
+    messy = [(0, 1), (1, 0), (0, 1), (2, 2), (1, 2), (0, 2)]
+    r = stats(messy)
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+    # star (hub degree 5): orientation sends every edge INTO the hub
+    # -> 0 oriented wedges -> 0 triangles despite 10 unoriented wedges
+    star = [(9, i) for i in range(5)]
+    r = stats(star)
+    assert (r["n_wedges"], r["n_triangles"]) == (10, 0)
+
+    # empty graph (only self-loops)
+    r = stats([(1, 1)])
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["gcc_ppm"]) == (0, 0, 0, 0)

@@ -70,6 +70,13 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     thr = entrymod.IVF_RECALL_THRESHOLD
     out.append(("ivf_recall@10 (worst query)", r, thr, (r - thr) / thr))
 
+    pq = similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, refine=16
+    ).select("query_id", "neighbor_id")
+    r = _recall(exact, pq)
+    thr = entrymod.PQ_RECALL_THRESHOLD
+    out.append(("pq_recall@10 (worst query)", r, thr, (r - thr) / thr))
+
     # semdedup: raw hit ratio behind the coverage_ok boolean
     exact_pairs = similarity.cosine_neardup_pairs(emb, threshold=0.4, method="exact").select("id_a", "id_b")
     sd = similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=16).select("id_a", "id_b")
