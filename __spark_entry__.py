@@ -1068,6 +1068,24 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.redact_pii_df(df, "text", "case_id")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (Sennrich 2016) on the paper's canonical
+    corpus (low*5 lower*2 newest*6 widest*3): 8 rounds of weighted
+    pair-count -> merge-everywhere, (count DESC, left ASC, right ASC)
+    tiebreak.  The oracle carries the merge table computed by an
+    independent reference implementation (tests/test_round7_properties
+    re-derives it property-style on random corpora), so the check is
+    engine-independent truth — the iterative rewrite itself is not
+    SQL-expressible."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "case_id: long, text: string")
+    return text_ops.bpe_train(df, n_merges=8)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword evidence → argmax."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
@@ -3209,6 +3227,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_recall": q_similarity_ivf_recall,
         "similarity_pq_recall": q_similarity_pq_recall,
         "lang_id": q_lang_id,
+        "bpe_merges": q_bpe_merges,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "trends_csv_scan": q_trends_csv_scan,
@@ -3854,6 +3873,22 @@ _TRIANGLE_COUNT_ORACLE = """
                                 / (SELECT SUM(d * (d - 1) / 2) FROM deg))
                           AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS gcc_ppm
+"""
+
+
+_BPE_MERGES_ORACLE = """
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym AS left,
+           right_sym AS right, merged, CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES
+        (1, 'e', 's', 'es', 9),
+        (2, 'es', 't', 'est', 9),
+        (3, 'l', 'o', 'lo', 7),
+        (4, 'lo', 'w', 'low', 7),
+        (5, 'e', 'w', 'ew', 6),
+        (6, 'ew', 'est', 'ewest', 6),
+        (7, 'n', 'ewest', 'newest', 6),
+        (8, 'd', 'est', 'dest', 3)
+    ) AS t(merge_rank, left_sym, right_sym, merged, pair_count)
 """
 
 
@@ -4572,6 +4607,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "skew_profile": _SKEW_PROFILE_ORACLE,
         "nearest_event": _NEAREST_EVENT_ORACLE,
+        "bpe_merges": _BPE_MERGES_ORACLE,
         "triangle_count": _TRIANGLE_COUNT_ORACLE,
         "winsorize": _WINSORIZE_ORACLE,
         "zorder_key": _zorder_oracle(),

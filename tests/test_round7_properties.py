@@ -334,3 +334,77 @@ def test_triangle_stats_hand_built_graphs(request):
     # empty graph (only self-loops)
     r = stats([(1, 1)])
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["gcc_ppm"]) == (0, 0, 0, 0)
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Independent reference BPE (Sennrich-style), tiebreak
+    (count desc, left asc, right asc) — the law bpe_train must obey."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + c
+        if not pc:
+            break
+        (l, r), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, l + r, cnt))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new[t] = new.get(t, 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(request):
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import text as tx
+    import random
+
+    rng = random.Random(99)
+    # random corpora incl. the aaa-restart case and repeated chars
+    alphabet = "abc"
+    for trial in range(3):
+        words_ = ["aaaa", "aaab"] + [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(12)
+        ]
+        counts = {w: rng.randint(1, 9) for w in set(words_)}
+        corpus = " ".join(w for w, c in counts.items() for _ in range(c))
+        df = spark.createDataFrame([(1, corpus)], "i: long, text: string")
+        got = [
+            (r["left"], r["right"], r["merged"], r["pair_count"])
+            for r in tx.bpe_train(df, n_merges=6).orderBy("merge_rank").collect()
+        ]
+        assert got == _ref_bpe(counts, 6), f"trial {trial}: {counts}"
+
+    # merge application restarts AFTER a merged pair: 'aaa' x1 ->
+    # round1 merges (a,a) cnt 2; round2 pairs are (aa,a) only
+    df = spark.createDataFrame([(1, "aaa")], "i: long, text: string")
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in tx.bpe_train(df, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert got == [("a", "a", 2), ("aa", "a", 1)]
+
+    # fewer pairs than n_merges -> early stop, not an error
+    df = spark.createDataFrame([(1, "xy")], "i: long, text: string")
+    assert tx.bpe_train(df, n_merges=5).count() == 1
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        tx.bpe_train(df, n_merges=0)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny deterministic stopword lists per language.  A real deployment
 # would load fastText lid or cld3 via a pandas_udf; the operator shape
@@ -614,4 +615,117 @@ def strip_common_tiles(
             "n_tiles",
             F.coalesce("kept_tiles", F.lit(0)).alias("kept_tiles"),
         )
+    )
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 10,
+):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) over a
+    corpus column: ``n_merges`` rounds of "count adjacent symbol pairs
+    weighted by word frequency → merge the most frequent pair
+    everywhere", returning the learned merge table
+    (merge_rank, left, right, merged, pair_count).
+
+    Deterministic by construction: the argmax tiebreak is
+    (count DESC, left ASC, right ASC), and in-word merge application
+    is the reference left-to-right scan that resumes AFTER a merged
+    pair (``a a a`` + merge (a,a) → ``aa a`` in one pass) — semantics
+    a non-overlapping string replace cannot reproduce, hence the
+    Arrow-batched pandas stage for the rewrite (the one part of BPE
+    that is genuinely sequential per word).
+
+    Scale shape: training state is the UNIQUE-WORD table (word symbol
+    arrays + counts) — the classic BPE trick; 100 TB of text collapses
+    to its vocabulary before round 1.  Each round is one uniform-key
+    pair-count shuffle + a TakeOrdered(1) argmax (a one-row boundary
+    collect) + one narrow mapInPandas rewrite; ``localCheckpoint``
+    truncates the per-round lineage exactly like the pagerank loop, so
+    round N never re-executes rounds 1..N-1.
+    """
+    import pandas as pd
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    cur = wf.select(
+        F.split(F.col("w"), "").alias("syms"), F.col("wcnt")
+    ).localCheckpoint(eager=True)
+
+    sym_schema = T.StructType(
+        [
+            T.StructField("syms", T.ArrayType(T.StringType())),
+            T.StructField("wcnt", T.LongType()),
+        ]
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                cur.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.arrays_zip(
+                            F.expr("slice(syms, 1, size(syms) - 1)").alias("l"),
+                            F.expr("slice(syms, 2, size(syms) - 1)").alias("r"),
+                        )
+                    ).alias("p"),
+                    "wcnt",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wcnt").alias("cnt"))
+            )
+            best = (
+                pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # no adjacent pairs left anywhere
+            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merges.append((rank, l, r, l + r, cnt))
+
+            def rewrite(batches, _l=l, _r=r, _m=l + r):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    out = []
+                    for syms in pdf["syms"]:
+                        s = list(syms)
+                        res, i = [], 0
+                        while i < len(s):
+                            if (
+                                i + 1 < len(s)
+                                and s[i] == _l
+                                and s[i + 1] == _r
+                            ):
+                                res.append(_m)
+                                i += 2
+                            else:
+                                res.append(s[i])
+                                i += 1
+                        out.append(res)
+                    yield pd.DataFrame(
+                        {"syms": out, "wcnt": pdf["wcnt"].to_numpy()}
+                    )
+
+            nxt = cur.mapInPandas(rewrite, sym_schema).localCheckpoint(
+                eager=True
+            )
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left: string, right: string, "
+        "merged: string, pair_count: long",
     )
