@@ -1086,6 +1086,33 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_train(df, n_merges=8)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: tokenize documents with the merge table learned by
+    ``bpe_train`` on the Sennrich canonical corpus (the 8 merges the
+    bpe_merges oracle pins), returning per-doc word/char/BPE-token
+    counts.  The oracle carries hand-derived expected counts (e.g.
+    'lowest' → [low, est] = 2 tokens under those merges); the
+    rank-ordered resume-after-merge scan itself is not
+    SQL-expressible.  tests/test_round7_properties.py re-derives
+    apply against an independent reference on random corpora."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = spark.createDataFrame([(1, corpus)], "case_id: long, text: string")
+    merges = text_ops.bpe_train(train, n_merges=8)
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest widest low"),
+            (2, "newest newest lower"),
+            (3, "wide low lows"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return text_ops.bpe_token_counts(merges_df=merges, df=docs)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword evidence → argmax."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
@@ -2761,15 +2788,19 @@ def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_asof 'nearest').  One shuffle: both direction frames share a
     single (user, time, side) sort.  Right side pre-aggregated to one
     row per (user, ts) so the chosen row is unique and the DuckDB
-    min-distance twin is deterministic."""
+    min-distance twin is deterministic.  NULL-ts rows are filtered on
+    BOTH sides (query and oracle alike): a NULL timestamp has no
+    distance, and the engine/oracle disagree on how to degenerate —
+    the oracle's NULLS-LAST rank would pick the earliest purchase
+    while the engine returns NULL value columns."""
     from tiki_e_commerce_analytics_etl_spark.operators import asof
 
     ev = read_table(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
+    errors = ev.filter(
+        (F.col("event_type") == "error") & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts")
     purchases = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .groupBy("user_id", F.col("ts").alias("pts"))
         .agg(F.max("value").alias("purchase_value"))
     )
@@ -3228,6 +3259,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_pq_recall": q_similarity_pq_recall,
         "lang_id": q_lang_id,
         "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "trends_csv_scan": q_trends_csv_scan,
@@ -3892,13 +3924,32 @@ _BPE_MERGES_ORACLE = """
 """
 
 
+# Hand-derived under the pinned 8-merge table (see _BPE_MERGES_ORACLE):
+#   lowest → [low, est]   widest → [w, i, dest]   low → [low]
+#   newest → [newest]     lower  → [low, e, r]
+#   wide   → [w, i, d, e] lows   → [low, s]
+_BPE_TOKENIZE_ORACLE = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (VALUES
+        (1, 3, 15, 6),
+        (2, 3, 17, 5),
+        (3, 3, 11, 7)
+    ) AS t(doc_id, n_words, n_chars, n_tokens)
+"""
+
+
 _NEAREST_EVENT_ORACLE = """
     WITH e AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'error' AND ts IS NOT NULL
     ),
     p AS (
         SELECT user_id, ts AS pts, MAX(value) AS purchase_value
-        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY 1, 2
     ),
     j AS (
         SELECT e.event_id, e.user_id, e.ts, p.pts, p.purchase_value,
@@ -4608,6 +4659,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_profile": _SKEW_PROFILE_ORACLE,
         "nearest_event": _NEAREST_EVENT_ORACLE,
         "bpe_merges": _BPE_MERGES_ORACLE,
+        "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
         "triangle_count": _TRIANGLE_COUNT_ORACLE,
         "winsorize": _WINSORIZE_ORACLE,
         "zorder_key": _zorder_oracle(),

@@ -200,3 +200,77 @@ def test_asof_nearest_row_semantics(spark):
         left, right, "d", "rd", value_cols=["rate", "src"], by=["g"]
     ).collect()[0]
     assert r["src"] == "near" and r["rate"] is None
+
+
+def test_asof_nearest_fractional_numeric_time(spark):
+    """Advisor regression (round 8): fractional numeric time axes must
+    keep native precision.  Left t=1.6 with rights at 1.0 and 2.1 is
+    nearest to 2.1 (|0.5| < |0.6|); the old long-cast image truncated
+    1.6→1 and 2.1→2 and picked 1.0.  Tolerance must cut on the exact
+    fractional distance too."""
+    from tiki_e_commerce_analytics_etl_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([("k", 1.6, 1)], "g: string, t: double, row_id: long")
+    right = spark.createDataFrame(
+        [("k", 1.0, 100.0), ("k", 2.1, 200.0)],
+        "g: string, rt: double, rate: double",
+    )
+    r = asof_join_nearest(
+        left, right, "t", "rt", value_cols=["rate"], by=["g"]
+    ).collect()[0]
+    assert r["rate"] == 200.0
+
+    # exact fractional tolerance: 0.5 keeps the 2.1 match, 0.4 drops it
+    keep = asof_join_nearest(
+        left, right, "t", "rt", ["rate"], by=["g"], tolerance=0.5
+    ).collect()[0]
+    drop = asof_join_nearest(
+        left, right, "t", "rt", ["rate"], by=["g"], tolerance=0.4
+    ).collect()[0]
+    assert keep["rate"] == 200.0 and drop["rate"] is None
+
+
+def test_asof_forward_keyless_timestamp_bin_units(spark, monkeypatch):
+    """Advisor regression (round 8): keyless forward on a TIMESTAMP
+    axis must denominate bin_width in seconds like backward — the
+    negated image is microseconds, so the width passed to the binned
+    machinery must be scaled by 1e6 (otherwise ~every distinct
+    timestamp lands in its own bin and the binned path's parallelism
+    collapses).  Results must be identical either way."""
+    import datetime as dtm
+
+    from tiki_e_commerce_analytics_etl_spark.operators import asof as asof_mod
+
+    seen = {}
+    real = asof_mod._binned_union
+
+    def spy(l_tagged, r_tagged, time_dtype, value_cols, bin_width):
+        seen["bin_width"] = bin_width
+        return real(l_tagged, r_tagged, time_dtype, value_cols, bin_width)
+
+    monkeypatch.setattr(asof_mod, "_binned_union", spy)
+
+    base = dtm.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(base, 1), (base + dtm.timedelta(seconds=90), 2)],
+        "ts: timestamp, row_id: long",
+    )
+    right = spark.createDataFrame(
+        [(base + dtm.timedelta(seconds=100), 9.0)], "rts: timestamp, rate: double"
+    )
+    out = {
+        r["row_id"]: r["rate"]
+        for r in asof_mod.asof_join_forward(
+            left, right, "ts", "rts", value_cols=["rate"], bin_width=32
+        ).collect()
+    }
+    assert out == {1: 9.0, 2: 9.0}
+    assert seen["bin_width"] == 32 * 1_000_000
+
+    # date axes keep day units — no scaling
+    asof_mod.asof_join_forward(
+        spark.createDataFrame([(_d(1), 1)], "d: date, row_id: long"),
+        spark.createDataFrame([(_d(2), 1.0)], "rd: date, rate: double"),
+        "d", "rd", value_cols=["rate"], bin_width=32,
+    ).collect()
+    assert seen["bin_width"] == 32

@@ -207,6 +207,23 @@ def test_key_skew_profile_hand_computed(request):
     assert top[0]["key"] == "1\x1fx" and top[0]["key_rows"] == 2
     assert [r["key"] for r in top[1:]] == ["1\x1fz", "2\x1fy"]
 
+    # advisor regression (round 8): NULL components must render
+    # explicitly — (NULL,'x'), ('x',NULL) and ('x','x') are THREE
+    # distinct composite keys, not one merged "x" bucket
+    df3 = spark.createDataFrame(
+        [(None, "x"), (None, "x"), ("x", None), ("x", "x")],
+        "a: string, b: string",
+    )
+    nulltop = {
+        r["key"]: r["key_rows"]
+        for r in profile.key_skew_profile(df3, ["a", "b"], top_n=5).collect()
+    }
+    assert nulltop == {"\x00\x1fx": 2, "x\x1f\x00": 1, "x\x1fx": 1}
+    assert all(
+        r["n_keys"] == 3
+        for r in profile.key_skew_profile(df3, ["a", "b"], top_n=5).collect()
+    )
+
     # plan shape: top-N must be TakeOrdered, never a global Sort+Window
     # over the raw counts
     plan = profile.key_skew_profile(df, ["k"])._jdf.queryExecution().executedPlan().toString()
@@ -408,3 +425,73 @@ def test_bpe_train_matches_reference(request):
 
     with _p.raises(ValueError):
         tx.bpe_train(df, n_merges=0)
+
+
+def _ref_bpe_apply(word, merges):
+    """Independent reference BPE APPLY: merges in rank order, each a
+    left-to-right scan resuming after a merged pair."""
+    syms = list(word)
+    for l, r, m in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(m)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_token_counts_matches_reference(request):
+    """bpe_token_counts (the apply step) must agree with an
+    independent reference tokenizer on random corpora, using merge
+    tables produced by bpe_train on OTHER random corpora — train and
+    apply corpora deliberately differ so unseen words exercise the
+    partial-merge path."""
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import text as tx
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcd"
+
+    def rand_words(n, lo=1, hi=7):
+        return [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(lo, hi)))
+            for _ in range(n)
+        ]
+
+    for trial in range(3):
+        train_corpus = " ".join(rand_words(25))
+        tdf = spark.createDataFrame([(1, train_corpus)], "i: long, text: string")
+        mdf = tx.bpe_train(tdf, n_merges=5)
+        merges = [
+            (r["left"], r["right"], r["merged"])
+            for r in mdf.orderBy("merge_rank").collect()
+        ]
+
+        docs = [(i, " ".join(rand_words(rng.randint(1, 8)))) for i in range(4)]
+        ddf = spark.createDataFrame(docs, "doc_id: long, text: string")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+            for r in tx.bpe_token_counts(ddf, mdf).collect()
+        }
+        for doc_id, text in docs:
+            ws = [w for w in text.lower().split() if w]
+            exp = (
+                len(ws),
+                sum(len(w) for w in ws),
+                sum(len(_ref_bpe_apply(w, merges)) for w in ws),
+            )
+            assert got[doc_id] == exp, f"trial {trial} doc {doc_id}: {text!r}"
+
+    # identity merge table (0 merges trained on a 2-char corpus cap):
+    # every word tokenizes to its characters
+    empty_merges = spark.createDataFrame(
+        [], "merge_rank: int, left: string, right: string, merged: string"
+    )
+    ddf = spark.createDataFrame([(1, "ab ba")], "doc_id: long, text: string")
+    r = tx.bpe_token_counts(ddf, empty_merges).collect()[0]
+    assert (r["n_words"], r["n_chars"], r["n_tokens"]) == (2, 4, 4)

@@ -63,6 +63,32 @@ def _time_image(col, dtype) -> "F.Column":
     return col
 
 
+def _image_dtype(dtype) -> "T.DataType":
+    """Spark type of ``_time_image``'s output for a given input type."""
+    if isinstance(dtype, T.DateType):
+        return T.IntegerType()
+    if isinstance(dtype, T.TimestampType):
+        return T.LongType()
+    return dtype
+
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _common_image_type(a: "T.DataType", b: "T.DataType") -> "T.DataType":
+    """Lossless-as-possible common type for the two sides' time images:
+    equal types pass through (fractional numerics keep full native
+    precision — casting them to long would truncate and pick the wrong
+    nearest row), mixed integrals widen to long, anything else falls
+    back to double (the caller mixed units anyway, e.g. date vs
+    timestamp — distances across such a mix are the caller's bug)."""
+    if a == b:
+        return a
+    if isinstance(a, _INTEGRAL) and isinstance(b, _INTEGRAL):
+        return T.LongType()
+    return T.DoubleType()
+
+
 def _tagged_frames(left, right, left_time, right_time, value_cols, by, timefn):
     """Shared tag-and-union inputs: left rows carry their full row
     struct, right rows carry the value columns; ``timefn(col, dtype)``
@@ -169,6 +195,15 @@ def asof_join_forward(
     reused verbatim: "latest ≤" on the negated axis IS "earliest ≥"
     on the real one, and the right-before-left tie-break keeps the
     at-or-after inclusive semantics.
+
+    ``bin_width`` (keyless path only) is denominated like backward's:
+    days for dates, SECONDS for timestamps, raw units for numerics.
+    The negated image is microseconds for timestamps, so the effective
+    bin on that axis is scaled by 1e6 — without the scaling, a
+    seconds-intended width of 32 would put roughly every distinct
+    timestamp in its own bin and collapse the binned path's
+    parallelism (results stay correct either way; binning only picks
+    the partition grain).
     """
     by = by or []
     l_tagged, r_tagged = _tagged_frames(
@@ -180,6 +215,8 @@ def asof_join_forward(
         by,
         lambda c, dt: -_time_image(c, dt),
     )
+    if isinstance(left.schema[left_time].dataType, T.TimestampType):
+        bin_width = bin_width * 1_000_000  # seconds -> micros image units
     # post-negation the axis is numeric; _binned_union's bin math uses
     # the numeric branch of _time_to_long
     return _carry_and_project(
@@ -194,14 +231,17 @@ def asof_join_nearest(
     right_time: str,
     value_cols: list[str],
     by: list[str],
-    tolerance: int | None = None,
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Keyed as-of join, nearest direction: ``value_cols`` from the
     right ROW minimizing |right_time − left_time| within the key
     (ties → the earlier/backward row, matching pandas merge_asof).
     ``tolerance`` (optional) drops matches farther than the given
     distance in exact image units — days for dates, MICROSECONDS for
-    timestamps, raw units for numerics.
+    timestamps, raw NATIVE units for numerics (fractional numeric time
+    axes keep full precision: the image is the column itself, never
+    truncated to long, so nearest picks and tolerance cuts are exact —
+    see ``_common_image_type`` for the mixed-type widening rule).
 
     Unlike backward/forward (whose per-column ignorenulls carry treats
     each value column independently), nearest is ROW-semantic: the
@@ -223,21 +263,25 @@ def asof_join_nearest(
         )
     lt_img = _time_image(F.col(left_time), left.schema[left_time].dataType)
     rt_img = _time_image(F.col(right_time), right.schema[right_time].dataType)
+    t_type = _common_image_type(
+        _image_dtype(left.schema[left_time].dataType),
+        _image_dtype(right.schema[right_time].dataType),
+    )
 
     vt = T.StructType(
-        [T.StructField("t", T.LongType())]
+        [T.StructField("t", t_type)]
         + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
     )
     l_tagged = left.select(
         *by,
-        lt_img.cast("long").alias("__t"),
+        lt_img.cast(t_type).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__lrow"),
         F.lit(None).cast(vt).alias("__vrow"),
     )
     r_tagged = right.select(
         *by,
-        rt_img.cast("long").alias("__t"),
+        rt_img.cast(t_type).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None)
         .cast(
@@ -249,7 +293,7 @@ def asof_join_nearest(
         )
         .alias("__lrow"),
         F.struct(
-            rt_img.cast("long").alias("t"), *[F.col(c) for c in value_cols]
+            rt_img.cast(t_type).alias("t"), *[F.col(c) for c in value_cols]
         ).alias("__vrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)

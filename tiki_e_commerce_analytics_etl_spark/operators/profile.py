@@ -33,7 +33,10 @@ def key_skew_profile(
     Returns ``top_n`` rows (heaviest keys first, key-asc tiebreak):
 
     - ``key``            — the key rendered as a string (composite
-      keys joined with ``0x1f``, the unit separator)
+      keys joined with ``0x1f``, the unit separator; NULL components
+      render as ``0x00`` so (NULL,'x') / ('x',NULL) / ('x','x') stay
+      distinct — plain ``concat_ws`` would drop the NULLs and merge
+      them)
     - ``key_rows``       — exact row count for the key
     - ``heavy_rank``     — 1-based rank by (key_rows desc, key asc)
     - ``share_ppm``      — floor(1e6 · key_rows / total_rows)
@@ -53,11 +56,19 @@ def key_skew_profile(
         raise ValueError("key_skew_profile needs at least one key column")
     if target_rows_per_bucket < 1:
         raise ValueError("target_rows_per_bucket must be >= 1")
-    key = (
-        F.col(key_cols[0]).cast("string")
-        if len(key_cols) == 1
-        else F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    )
+    if len(key_cols) == 1:
+        key = F.col(key_cols[0]).cast("string")
+    else:
+        # concat_ws silently DROPS null components, which would merge
+        # distinct composite keys like (NULL,'x') / ('x',NULL) into one
+        # rendered key and inflate its count.  Coalesce each component
+        # with a NUL sentinel first so nulls render explicitly (a real
+        # value equal to "\x00" would collide, but NUL never survives
+        # the string casts of real data columns).
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+        ]
+        key = F.concat_ws("\x1f", *parts)
     counts = df.select(key.alias("key")).groupBy("key").agg(
         F.count(F.lit(1)).alias("key_rows")
     )

@@ -618,6 +618,22 @@ def strip_common_tiles(
     )
 
 
+def _merge_scan(s: list, l: str, r: str, m: str) -> list:
+    """The reference BPE in-word merge: ONE left-to-right scan that
+    resumes AFTER a merged pair (``a a a`` + merge (a,a) → ``aa a``).
+    Shared by the trainer's per-round rewrite and the tokenizer's
+    apply so train ∘ apply can never drift."""
+    res, i, n = [], 0, len(s)
+    while i < n:
+        if i + 1 < n and s[i] == l and s[i + 1] == r:
+            res.append(m)
+            i += 2
+        else:
+            res.append(s[i])
+            i += 1
+    return res
+
+
 def bpe_train(
     df,
     text_col: str = "text",
@@ -697,22 +713,10 @@ def bpe_train(
                 for pdf in batches:
                     if not len(pdf):
                         continue
-                    out = []
-                    for syms in pdf["syms"]:
-                        s = list(syms)
-                        res, i = [], 0
-                        while i < len(s):
-                            if (
-                                i + 1 < len(s)
-                                and s[i] == _l
-                                and s[i + 1] == _r
-                            ):
-                                res.append(_m)
-                                i += 2
-                            else:
-                                res.append(s[i])
-                                i += 1
-                        out.append(res)
+                    out = [
+                        _merge_scan(list(syms), _l, _r, _m)
+                        for syms in pdf["syms"]
+                    ]
                     yield pd.DataFrame(
                         {"syms": out, "wcnt": pdf["wcnt"].to_numpy()}
                     )
@@ -728,4 +732,78 @@ def bpe_train(
         merges,
         "merge_rank: int, left: string, right: string, "
         "merged: string, pair_count: long",
+    )
+
+
+def bpe_token_counts(
+    df,
+    merges_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BPE tokenization (the APPLY step consuming ``bpe_train``'s
+    merge table): per document, word count, character count and BPE
+    token count after applying every merge in ``merge_rank`` order —
+    each merge the same resume-after-merge left-to-right scan the
+    trainer uses (``_merge_scan``), so train ∘ apply are in lockstep
+    by construction.
+
+    Returns (id_col, n_words, n_chars, n_tokens); ``n_chars`` is the
+    pre-merge symbol count, so ``n_chars / n_tokens`` is the corpus
+    compression the learned vocabulary achieves.
+
+    Scale shape (the WordPiece-apply pattern at
+    ``subword_token_counts``): the sequential scan runs once per
+    UNIQUE word via an Arrow-batched ``mapInPandas`` over the corpus
+    vocabulary — never per occurrence — and per-document counts come
+    from joining word frequencies back on the word key.  The merge
+    table is bounded (``n_merges`` rows), collected once, ordered by
+    rank, and shipped in the UDF closure.
+    """
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges_df.select("merge_rank", "left", "right", "merged")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uw = tf.select("w").distinct()
+
+    def tok_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_sym, n_tok = [], []
+            for w in pdf["w"]:
+                syms = list(w)
+                n_sym.append(len(syms))
+                for l, r, m in merges:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_scan(syms, l, r, m)
+                n_tok.append(len(syms))
+            yield pd.DataFrame(
+                {"w": pdf["w"], "n_sym": n_sym, "n_tok": n_tok}
+            )
+
+    toks = uw.mapInPandas(tok_batches, "w string, n_sym long, n_tok long")
+    return (
+        tf.join(toks, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_sym")).alias("n_chars"),
+            F.sum(F.col("tf") * F.col("n_tok")).alias("n_tokens"),
+        )
+        .withColumnRenamed("id", id_col)
     )
