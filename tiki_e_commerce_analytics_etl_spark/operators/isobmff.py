@@ -176,7 +176,10 @@ def mp4_demux_full(payload: bytes) -> dict:
     "timescale": int, "n_samples": int}, "n_tracks": int}``.
 
     Raises NotImplementedError for anything that is not an ISO-BMFF
-    container (no ``moov`` box at the top level)."""
+    container (no ``moov`` box at the top level), and for FRAGMENTED
+    MP4 (``moof``/``mdat`` fragments with empty moov sample tables) —
+    the most common streaming-origin variant, which this walk does
+    not resolve and must not silently report as zero frames."""
     if payload is None or len(payload) < 16:
         raise NotImplementedError(
             "MP4 demux needs an ISO-BMFF container (ftyp/moov box tree)"
@@ -219,6 +222,17 @@ def mp4_demux_full(payload: bytes) -> dict:
         if handler != b"vide":
             continue
         ranges = _sample_ranges(tables)
+        if not ranges and _find(payload, 0, end, b"moof") is not None:
+            # Fragmented MP4 (fMP4): the moov sample tables are empty
+            # and the samples live in moof/mdat fragments this walk
+            # does not resolve.  Honesty contract: unsupported variants
+            # RAISE (module docstring taxonomy) — silently returning 0
+            # frames would read as "empty video" downstream.
+            raise NotImplementedError(
+                "fragmented MP4 (moof/mdat fragments) is not supported: "
+                "the moov sample tables are empty and samples live in "
+                "movie fragments"
+            )
         frames = [bytes(payload[o : o + s]) for o, s in ranges if o + s <= end]
         stts = tables.get("stts") or []
         if stts and timescale:
