@@ -94,7 +94,12 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in similarity.lsh_topk(df, q, k=5, n_tables=16).collect()
+        # corpus_size passed: the corpus is an in-memory relation with
+        # no catalog stats, and the caller (unlike the engine) knows
+        # its count — exactly what the no-stats warning asks for
+        for r in similarity.lsh_topk(
+            df, q, k=5, n_tables=16, corpus_size=len(rows)
+        ).collect()
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.9, f"lsh recall {recall}"

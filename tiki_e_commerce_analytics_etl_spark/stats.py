@@ -71,12 +71,78 @@ def _local_paths(df: DataFrame) -> list[str]:
     return paths
 
 
-def estimated_row_count(df: DataFrame, require_exact: bool = False) -> int | None:
-    """Row-count estimate from parquet footers — metadata cost only.
+def _read_stats_uri(spark, dir_uri: str) -> dict | None:
+    """``_stats.json`` under ``dir_uri``, any scheme: plain file I/O
+    for local paths, the Hadoop FileSystem API otherwise (one tiny
+    metadata file — the route that still works on object storage,
+    where local parquet-footer reads are impossible)."""
+    parsed = urlparse(dir_uri)
+    if parsed.scheme in ("", "file"):
+        return read_stats(parsed.path or dir_uri)
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(dir_uri.rstrip("/") + "/" + _STATS_FILE)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None
+        stream = fs.open(jpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
+    except Exception:
+        return None
 
-    Returns None when no local parquet inputs back the plan (remote
-    storage, in-memory relations) or, with ``require_exact=True``, when
-    the plan contains non-row-preserving operators.
+
+def _sidecar_row_count(df: DataFrame) -> int | None:
+    """Row count from the ``_stats.json`` sidecars the engine's writes
+    publish (``io.write_partitioned`` / ``write_stats``): each scanned
+    file's table root is found by probing ≤3 ancestor directories
+    (past Hive ``key=value`` partition dirs), each distinct root
+    counts once, and if ANY scanned file has no stats-backed root the
+    whole estimate is abandoned (a partial sum would UNDERcount, the
+    wrong direction for bucket sizing)."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    spark = df.sparkSession
+    probed: dict[str, dict | None] = {}
+    found: dict[str, int] = {}
+    for uri in files:
+        cur = uri.rsplit("/", 1)[0]
+        hit = None
+        for _ in range(3):
+            if cur not in probed:
+                probed[cur] = _read_stats_uri(spark, cur)
+            st = probed[cur]
+            if st is not None and isinstance(st.get("row_count"), int):
+                hit = cur
+                break
+            nxt = cur.rsplit("/", 1)[0]
+            if nxt == cur or nxt.endswith(":/") or nxt.endswith("://") or not nxt:
+                break
+            cur = nxt
+        if hit is None:
+            return None
+        found[hit] = probed[hit]["row_count"]
+    return sum(found.values()) if found else None
+
+
+def estimated_row_count(df: DataFrame, require_exact: bool = False) -> int | None:
+    """Row-count estimate, metadata cost only, tried in order:
+
+    1. **Parquet footers** of locally readable inputs — exact per file.
+    2. **Stats sidecars** (``_stats.json`` published at write time) via
+       the Hadoop FileSystem API — the route that survives REMOTE
+       storage, where (1) sees nothing.  The sidecar carries the whole
+       table's count, so under partition pruning it is an upper bound
+       — the documented (and for bucket sizing, correct) direction.
+
+    Returns None when neither source backs the plan (e.g. in-memory
+    relations) or, with ``require_exact=True``, when the plan contains
+    non-row-preserving operators (sidecars are never used for exact
+    mode: pruned scans keep no marker in the optimized plan).
     """
     try:
         import pyarrow.parquet as pq
@@ -84,7 +150,7 @@ def estimated_row_count(df: DataFrame, require_exact: bool = False) -> int | Non
         return None
     paths = [p for p in _local_paths(df) if p.endswith(".parquet") and os.path.exists(p)]
     if not paths:
-        return None
+        return None if require_exact else _sidecar_row_count(df)
     if require_exact:
         extra = set(_plan_node_names(df)) - _ROW_PRESERVING
         if extra:
