@@ -89,6 +89,11 @@ QUERIES = [
     "equidepth_approx_gate",
     "rfm_approx_gate",
     "curriculum_approx_gate",
+    # round-8 additions: the round-7 operators with strong asymptotic
+    # claims (O(m^1.5) wedges; ~21x-smaller ADC scan) get measured
+    # decades like everything else
+    "triangle_count",
+    "similarity_pq_recall",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
@@ -100,10 +105,38 @@ DOC_SHIFT = 10_000_000
 GENERATION = 3
 
 
+def _base_fingerprint(tables: set | list) -> dict:
+    """Exact row counts of the BASE_SF source tables, from parquet
+    footers (metadata-only).  The driver REGENERATES testdata between
+    rounds; round 8 found the persistent scaled dirs still derived
+    from a 54×-smaller earlier documents table because staleness only
+    checked recipe generation and file existence — never whether the
+    SOURCE still matched."""
+    import pyarrow.parquet as pq
+
+    fp = {}
+    for name in sorted(tables):
+        p = os.path.join(BASE_SF, f"{name}.parquet")
+        if os.path.isdir(p):
+            n = sum(
+                pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+                for dp, _dirs, files in os.walk(p)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        elif os.path.exists(p):
+            n = pq.ParquetFile(p).metadata.num_rows
+        else:
+            continue
+        fp[name] = n
+    return fp
+
+
 def _manifest_stale(target_dir: str, tables: set | None = None) -> bool:
     """True when the dir must be (re)built: no manifest, an older
-    replication recipe, or a table-subset manifest that lacks tables
-    this run needs."""
+    replication recipe, a table-subset manifest that lacks tables this
+    run needs, or a BASE testdata regeneration since the build (source
+    row counts no longer match the recorded fingerprint)."""
     mpath = os.path.join(target_dir, "MANIFEST.json")
     if not os.path.exists(mpath):
         return True
@@ -124,6 +157,13 @@ def _manifest_stale(target_dir: str, tables: set | None = None) -> bool:
     for name in needed:
         if not os.path.exists(os.path.join(target_dir, f"{name}.parquet")):
             return True
+    recorded = m.get("base_rows")
+    if recorded is None:
+        return True  # pre-fingerprint manifest: can't prove freshness
+    current = _base_fingerprint(needed)
+    for name in needed:
+        if recorded.get(name) != current.get(name):
+            return True
     return False
 
 
@@ -137,10 +177,12 @@ def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = Non
     from tiki_e_commerce_analytics_etl_spark.io import read_table
 
     os.makedirs(target_dir, exist_ok=True)
+    built: list[str] = []
 
     def replicate(name: str, shard_fn, fixed: bool = False) -> None:
         if tables is not None and name not in tables:
             return
+        built.append(name)
         out = os.path.join(target_dir, f"{name}.parquet")
         base = read_table(spark, BASE_SF, name)
         # ``fixed`` tables (the product catalog) must be written ONCE:
@@ -220,6 +262,7 @@ def build_scaled(spark, target_dir: str, replicas: int, tables: set | None = Non
                 "replicas": replicas,
                 "generation": GENERATION,
                 "tables": sorted(tables) if tables is not None else None,
+                "base_rows": _base_fingerprint(built),
             },
             f,
         )
@@ -278,7 +321,13 @@ def main() -> None:
             try:
                 with open(os.path.join(x100_dir, "MANIFEST.json")) as f:
                     m = json.load(f)
-                if m.get("generation") == GENERATION and m.get("tables"):
+                if (
+                    m.get("generation") == GENERATION
+                    and m.get("tables")
+                    # base regenerated since the build → everything on
+                    # disk derives from stale sources; rebuild it all
+                    and m.get("base_rows") == _base_fingerprint(set(m["tables"]))
+                ):
                     have = {
                         t for t in m["tables"]
                         if os.path.exists(os.path.join(x100_dir, f"{t}.parquet"))
@@ -296,6 +345,7 @@ def main() -> None:
                     "replicas": 100,
                     "generation": GENERATION,
                     "tables": sorted(x100_tables | have),
+                    "base_rows": _base_fingerprint(x100_tables | have),
                 },
                 f,
             )
@@ -374,6 +424,62 @@ def main() -> None:
         print(json.dumps({"metric": "scaling_ingest_chain", "scales": results}))
         return
 
+    # --bpe [x100]: measure the BPE chain — trainer (per-merge cost
+    # over the unique-word table) and apply (bpe_token_counts over the
+    # corpus with the learned merges) — at 1x and 10x (100x when
+    # 'x100' follows the flag).  The trainer loop is eager (one pair
+    # agg + TakeOrdered(1) + Arrow rewrite per merge), so wall is
+    # measured around the call itself; per_merge_sec is the number the
+    # 100 TB extrapolation needs (each round touches only the unique-
+    # word table, whose growth is sub-linear in corpus size for
+    # natural text — but LINEAR here, since the shard suffixes make
+    # tokens distinct across shards: a worst case, noted in SCALING.md).
+    if "--bpe" in sys.argv:
+        from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+        n_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "20"))
+        scales = [("x1", BASE_DIR), ("x10", SCALED_DIR)]
+        if "x100" in sys.argv:
+            ensure_x100(x100_dir, {"documents"})
+            scales.append(("x100", x100_dir))
+        results = {}
+        for label, d in scales:
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            uw = (
+                docs.selectExpr("explode(split(trim(lower(text)), '\\\\s+')) AS w")
+                .filter("w != ''")
+                .select("w")
+                .distinct()
+                .count()
+            )
+            t0 = time.perf_counter()
+            merges = text_ops.bpe_train(docs, text_col="text", n_merges=n_merges)
+            got = merges.count()
+            train_wall = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            text_ops.bpe_token_counts(docs, merges).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            apply_wall = time.perf_counter() - t1
+            results[label] = {
+                "unique_words": uw,
+                "merges": got,
+                "train_sec": round(train_wall, 3),
+                "per_merge_sec": round(train_wall / max(got, 1), 3),
+                "apply_sec": round(apply_wall, 3),
+            }
+            print(f"bpe {label}: {results[label]}", file=sys.stderr)
+        for a, b in zip(scales, scales[1:]):
+            ra, rb = results[a[0]], results[b[0]]
+            rb[f"train_growth_vs_{a[0]}"] = round(
+                rb["train_sec"] / max(ra["train_sec"], 1e-9), 2
+            )
+            rb[f"apply_growth_vs_{a[0]}"] = round(
+                rb["apply_sec"] / max(ra["apply_sec"], 1e-9), 2
+            )
+        print(json.dumps({"metric": "scaling_bpe", "n_merges": n_merges, "scales": results}))
+        return
+
     # --x100 [probe ...]: a SECOND measured decade (1x -> 10x -> 100x)
     # validating the sub-quadratic extrapolation the 100 TB story rests
     # on.  Default probes are the two worst fact-side 10x scalers;
@@ -395,6 +501,8 @@ def main() -> None:
             "scd2_products": {"lineitem", "orders", "part"},
             "heavy_hitters": {"documents"},
             "chunk_dedup": {"documents"},
+            "triangle_count": {"lineitem"},
+            "similarity_pq_recall": {"embeddings"},
         }
         # fail FAST on unknown probes — before the ~tens-of-minutes
         # 100x build, not after it (an unmapped probe would otherwise
