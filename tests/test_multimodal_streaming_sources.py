@@ -601,15 +601,57 @@ def test_mp4_demux_rejects_non_isobmff():
     )["frames"] == []
 
 
-def test_mp4_demux_fragmented_raises():
-    """Judge ask (round 8): a FRAGMENTED MP4 — empty moov sample
-    tables, samples in moof/mdat fragments — must raise
-    NotImplementedError per the honesty taxonomy, not silently return
-    0 frames (the most common streaming-origin variant)."""
+def test_mp4_fragmented_roundtrip_all_encodings():
+    """Fragmented MP4 (round 8): the streaming-origin moof/mdat layout
+    round-trips through the demux across the tfhd base modes (CMAF
+    default-base-is-moof, explicit u64 base, the spec's implicit
+    first-byte-of-moof default) and all three size sources (trun
+    per-sample, tfhd default, trex default)."""
     from tiki_e_commerce_analytics_etl_spark.operators import isobmff as bm
 
-    # minimal fMP4 shape: a moov whose video stbl has zero samples,
-    # followed by a movie fragment
+    frames = [b"frame-zero", b"f1", b"frame-two!!", b"x"]
+    for base_mode in ("moof", "explicit", "default"):
+        for fpf in (1, 2, 3):
+            d = bm.mp4_demux_full(
+                bm.mp4_mux_fragmented(
+                    frames,
+                    usec_per_frame=40000,
+                    frames_per_fragment=fpf,
+                    base_mode=base_mode,
+                )
+            )
+            assert d["frames"] == frames, (base_mode, fpf)
+            assert d["usec_per_frame"] == 40000
+            assert d["track"]["handler"] == b"vide"
+
+    uniform = [b"aaaa", b"bbbb", b"cccc"]
+    for size_source in ("tfhd", "trex"):
+        d = bm.mp4_demux_full(
+            bm.mp4_mux_fragmented(uniform, frames_per_fragment=2, size_source=size_source)
+        )
+        assert d["frames"] == uniform, size_source
+    with pytest.raises(ValueError, match="uniform"):
+        bm.mp4_mux_fragmented(frames, size_source="tfhd")
+
+    # frame sampling works straight off the fragmented layout
+    p = bm.mp4_mux_fragmented(
+        [b"f0", b"f1", b"f2", b"f3", b"f4"], usec_per_frame=40000, frames_per_fragment=3
+    )
+    assert bm.mp4_frame_sampler(p, 80) == [b"f0", b"f2", b"f4"]
+
+    # dims ride the VisualSampleEntry exactly as in the moov-resident mux
+    d = bm.mp4_demux_full(
+        bm.mp4_mux_fragmented(uniform, width=4, height=1)
+    )
+    assert (d["track"]["width"], d["track"]["height"]) == (4, 1)
+
+
+def test_mp4_demux_fragmented_unresolvable_raises():
+    """Honesty taxonomy: fragments that carry NO resolvable sample
+    runs for the video track (traf-less moof, or runs without any size
+    source) raise NotImplementedError — never a silent 0-frame read."""
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff as bm
+
     init_seg = bm.mp4_mux([])  # ftyp + empty mdat + moov with 0-sample stbl
     moof = bm._box(b"moof", bm._box(b"mfhd", b"\x00" * 8))
     frag = bm._box(b"mdat", b"ENCODEDFRAME")
@@ -617,6 +659,13 @@ def test_mp4_demux_fragmented_raises():
         bm.mp4_demux_full(init_seg + moof + frag)
     with pytest.raises(NotImplementedError, match="fragment"):
         bm.mp4_frame_sampler(init_seg + moof + frag, 80)
+
+    # a trun with samples but NO size source anywhere raises too
+    tfhd = bm._box(b"tfhd", bytes([0]) + (0x020000).to_bytes(3, "big") + (1).to_bytes(4, "big"))
+    trun = bm._box(b"trun", bytes([0]) + (0).to_bytes(3, "big") + (2).to_bytes(4, "big"))
+    bad = init_seg + bm._box(b"moof", bm._box(b"traf", tfhd + trun)) + frag
+    with pytest.raises(NotImplementedError, match="without a size"):
+        bm.mp4_demux_full(bad)
 
     # WITHOUT a moof, an empty sample table is a legitimately empty
     # (zero-frame) video, not an error

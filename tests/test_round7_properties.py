@@ -43,7 +43,8 @@ def _fixtures():
     png = png_min.encode_gray(img)
     avi = mm.avi_mux([b"abcd", b"efgh"], width=4, height=1, bit_count=8)
     mp4 = isobmff.mp4_mux([b"abcd", b"efgh"], width=4, height=1)
-    return {"jpeg": jpeg, "png": png, "avi": avi, "mp4": mp4}
+    fmp4 = isobmff.mp4_mux_fragmented([b"abcd", b"efgh"], width=4, height=1)
+    return {"jpeg": jpeg, "png": png, "avi": avi, "mp4": mp4, "fmp4": fmp4}
 
 
 _FIX = _fixtures()
@@ -111,6 +112,21 @@ def test_mp4_roundtrip_any_frames(frames, spc, co64):
     """Sample tables reproduce ANY frame list byte-exactly under any
     chunking knob."""
     p = isobmff.mp4_mux(frames, samples_per_chunk=spc, co64=co64)
+    assert isobmff.mp4_demux(p)[1] == frames
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    frames=st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=6),
+    fpf=st.integers(min_value=1, max_value=4),
+    base_mode=st.sampled_from(["moof", "explicit", "default"]),
+)
+def test_mp4_fragmented_roundtrip_any_frames(frames, fpf, base_mode):
+    """The fragment run tables reproduce ANY frame list byte-exactly
+    under any fragmentation grain and tfhd base mode (round 8)."""
+    p = isobmff.mp4_mux_fragmented(
+        frames, frames_per_fragment=fpf, base_mode=base_mode
+    )
     assert isobmff.mp4_demux(p)[1] == frames
 
 

@@ -60,6 +60,27 @@ def _find(buf: bytes, off: int, end: int, fourcc: bytes) -> tuple[int, int] | No
     return None
 
 
+def _boxes_hdr(buf: bytes, off: int, end: int) -> Iterator[tuple[bytes, int, int, int]]:
+    """Like ``_boxes`` but also yields the box's HEADER start — needed
+    by the fragment walk, where §8.8.7's default base-data-offset is
+    the first byte of the enclosing ``moof`` box itself."""
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off : off + 4], "big")
+        fourcc = bytes(buf[off + 4 : off + 8])
+        pstart = off + 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(buf[off + 8 : off + 16], "big")
+            pstart = off + 16
+        elif size == 0:
+            size = end - off
+        if size < pstart - off:
+            return
+        yield fourcc, off, pstart, min(off + size, end)
+        off += size
+
+
 def _u32s(buf: bytes, off: int, n: int) -> list[int]:
     return [
         int.from_bytes(buf[off + 4 * i : off + 4 * i + 4], "big")
@@ -162,6 +183,143 @@ def _sample_ranges(tables: dict) -> list[tuple[int, int]]:
     return ranges
 
 
+# tfhd / trun flag bits (ISO/IEC 14496-12 §8.8.7-8.8.8)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+
+
+def _parse_trex(buf: bytes, ms: int, me: int) -> dict[int, dict]:
+    """moov/mvex/trex per-track fragment defaults, keyed by track_ID."""
+    out: dict[int, dict] = {}
+    mvex = _find(buf, ms, me, b"mvex")
+    if mvex is None:
+        return out
+    for fc, ps, pe in _boxes(buf, *mvex):
+        if fc == b"trex" and pe - ps >= 24:
+            tid = int.from_bytes(buf[ps + 4 : ps + 8], "big")
+            out[tid] = {
+                "duration": int.from_bytes(buf[ps + 12 : ps + 16], "big"),
+                "size": int.from_bytes(buf[ps + 16 : ps + 20], "big"),
+            }
+    return out
+
+
+def _parse_fragments(
+    buf: bytes, end: int, track_id: int, trex: dict
+) -> tuple[list[tuple[int, int]], int]:
+    """Walk every top-level ``moof`` and resolve ``track_id``'s samples
+    to absolute (offset, size) byte ranges, honoring tfhd base modes
+    (explicit u64 base-data-offset, default-base-is-moof, and the
+    spec's first-byte-of-moof default), tfhd/trex default sample
+    sizes/durations, per-sample trun tables, multiple truns per traf
+    (data packed consecutively), and signed trun data offsets.
+
+    Returns (ranges, first_sample_duration) — duration 0 when no
+    source (trun/tfhd/trex) declares one.
+    """
+    ranges: list[tuple[int, int]] = []
+    duration = 0
+    for fc, hdr, ms, me in _boxes_hdr(buf, 0, end):
+        if fc != b"moof":
+            continue
+        for tfc, ts, te in _boxes(buf, ms, me):
+            if tfc != b"traf":
+                continue
+            tfhd = _find(buf, ts, te, b"tfhd")
+            if tfhd is None or tfhd[1] - tfhd[0] < 8:
+                continue
+            ps = tfhd[0]
+            flags = int.from_bytes(buf[ps + 1 : ps + 4], "big")
+            if int.from_bytes(buf[ps + 4 : ps + 8], "big") != track_id:
+                continue
+            pos = ps + 8
+            base = hdr  # §8.8.7 default AND the default-base-is-moof bit
+            if flags & _TFHD_BASE_DATA_OFFSET:
+                base = int.from_bytes(buf[pos : pos + 8], "big")
+                pos += 8
+            if flags & _TFHD_SAMPLE_DESC_IDX:
+                pos += 4
+            d_dur = trex.get(track_id, {}).get("duration", 0)
+            if flags & _TFHD_DEFAULT_DURATION:
+                d_dur = int.from_bytes(buf[pos : pos + 4], "big")
+                pos += 4
+            d_size = trex.get(track_id, {}).get("size", 0)
+            if flags & _TFHD_DEFAULT_SIZE:
+                d_size = int.from_bytes(buf[pos : pos + 4], "big")
+                pos += 4
+            # sample data cursor: consecutive across this traf's truns
+            # unless a trun declares its own data_offset
+            cursor = base
+            for rfc, rs, re_ in _boxes(buf, ts, te):
+                if rfc != b"trun" or re_ - rs < 8:
+                    continue
+                tflags = int.from_bytes(buf[rs + 1 : rs + 4], "big")
+                n = int.from_bytes(buf[rs + 4 : rs + 8], "big")
+                p = rs + 8
+                if tflags & _TRUN_DATA_OFFSET:
+                    doff = int.from_bytes(buf[p : p + 4], "big", signed=True)
+                    cursor = base + doff
+                    p += 4
+                if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
+                    p += 4
+                stride = (
+                    (4 if tflags & _TRUN_SAMPLE_DURATION else 0)
+                    + (4 if tflags & _TRUN_SAMPLE_SIZE else 0)
+                    + (4 if tflags & _TRUN_SAMPLE_FLAGS else 0)
+                    + (4 if tflags & _TRUN_SAMPLE_CTS else 0)
+                )
+                if p + stride * n > re_:
+                    raise ValueError(
+                        f"trun sample count {n} exceeds box size"
+                    )
+                if stride == 0 and n > 0:
+                    # no per-sample fields: the box size can't bound n
+                    # (fuzz-found unbounded materialization) — every
+                    # sample must still physically fit in the file
+                    if d_size == 0:
+                        raise NotImplementedError(
+                            "fragmented MP4 sample without a size: no "
+                            "trun per-sample size, tfhd default, or "
+                            "trex default — samples cannot be located"
+                        )
+                    if n * d_size > len(buf):
+                        raise ValueError(
+                            f"trun sample count {n} exceeds file size"
+                        )
+                for _ in range(n):
+                    q = p
+                    s_dur = d_dur
+                    if tflags & _TRUN_SAMPLE_DURATION:
+                        s_dur = int.from_bytes(buf[q : q + 4], "big")
+                        q += 4
+                    s_size = d_size
+                    if tflags & _TRUN_SAMPLE_SIZE:
+                        s_size = int.from_bytes(buf[q : q + 4], "big")
+                        q += 4
+                    if s_size == 0:
+                        raise NotImplementedError(
+                            "fragmented MP4 sample without a size: no "
+                            "trun per-sample size, tfhd default, or "
+                            "trex default — samples cannot be located"
+                        )
+                    if not duration and s_dur:
+                        duration = s_dur
+                    ranges.append((cursor, s_size))
+                    cursor += s_size
+                    p += stride
+    return ranges, duration
+
+
 def mp4_demux_full(payload: bytes) -> dict:
     """Pure-Python ISO-BMFF demux — NO codec involved: walks the box
     tree, resolves each ``trak``'s handler (``hdlr``), media timescale
@@ -175,11 +333,18 @@ def mp4_demux_full(payload: bytes) -> dict:
     "track": None | {"handler": bytes, "format": bytes,
     "timescale": int, "n_samples": int}, "n_tracks": int}``.
 
+    FRAGMENTED MP4 (round 8): when the moov sample tables are empty
+    and top-level ``moof`` boxes exist, the walk resolves the video
+    track's samples from the movie fragments instead — tfhd base
+    modes (explicit u64, default-base-is-moof, spec default), trun
+    per-sample sizes, tfhd/trex default sizes and durations, multiple
+    truns per traf, signed data offsets (``_parse_fragments``).
+
     Raises NotImplementedError for anything that is not an ISO-BMFF
-    container (no ``moov`` box at the top level), and for FRAGMENTED
-    MP4 (``moof``/``mdat`` fragments with empty moov sample tables) —
-    the most common streaming-origin variant, which this walk does
-    not resolve and must not silently report as zero frames."""
+    container (no ``moov`` box at the top level), and for fragmented
+    layouts that cannot be resolved (no per-sample/default sizes, or
+    moofs carrying no traf for the video track) — never a silent
+    0-frame read of a file that visibly has fragments."""
     if payload is None or len(payload) < 16:
         raise NotImplementedError(
             "MP4 demux needs an ISO-BMFF container (ftyp/moov box tree)"
@@ -194,6 +359,7 @@ def mp4_demux_full(payload: bytes) -> dict:
     video: dict | None = None
     frames: list[bytes] = []
     usec = 33333
+    trex = _parse_trex(payload, *moov)
     for fc, ts, te in _boxes(payload, *moov):
         if fc != b"trak":
             continue
@@ -203,6 +369,12 @@ def mp4_demux_full(payload: bytes) -> dict:
         mdia = _find(payload, ts, te, b"mdia")
         if mdia is None:
             continue
+        track_id = 0
+        tkhd = _find(payload, ts, te, b"tkhd")
+        if tkhd is not None and tkhd[1] - tkhd[0] >= 24:
+            # v0: vf(4) ctime(4) mtime(4) track_ID(4); v1: 64-bit times
+            tio = tkhd[0] + (20 if payload[tkhd[0]] == 1 else 12)
+            track_id = int.from_bytes(payload[tio : tio + 4], "big")
         handler = b"\x00" * 4
         timescale = 0
         tables: dict = {}
@@ -222,21 +394,29 @@ def mp4_demux_full(payload: bytes) -> dict:
         if handler != b"vide":
             continue
         ranges = _sample_ranges(tables)
+        frag_duration = 0
         if not ranges and _find(payload, 0, end, b"moof") is not None:
             # Fragmented MP4 (fMP4): the moov sample tables are empty
-            # and the samples live in moof/mdat fragments this walk
-            # does not resolve.  Honesty contract: unsupported variants
-            # RAISE (module docstring taxonomy) — silently returning 0
-            # frames would read as "empty video" downstream.
-            raise NotImplementedError(
-                "fragmented MP4 (moof/mdat fragments) is not supported: "
-                "the moov sample tables are empty and samples live in "
-                "movie fragments"
+            # and the samples live in moof/mdat fragments — resolve
+            # them from the fragment run tables.  Honesty contract:
+            # if the fragments exist but carry NO resolvable samples
+            # for this track, RAISE — silently returning 0 frames
+            # would read as "empty video" downstream.
+            ranges, frag_duration = _parse_fragments(
+                payload, end, track_id, trex
             )
+            if not ranges:
+                raise NotImplementedError(
+                    "fragmented MP4 (moof/mdat fragments) carries no "
+                    "resolvable sample runs for the video track "
+                    f"(track_ID {track_id})"
+                )
         frames = [bytes(payload[o : o + s]) for o, s in ranges if o + s <= end]
         stts = tables.get("stts") or []
         if stts and timescale:
             usec = stts[0][1] * 1_000_000 // timescale
+        elif frag_duration and timescale:
+            usec = frag_duration * 1_000_000 // timescale
         video = {
             "handler": handler,
             "format": tables.get("format", b"\x00" * 4),
@@ -448,6 +628,134 @@ def mp4_mux(
     return ftyp + mdat + moov
 
 
+def mp4_mux_fragmented(
+    frames: list[bytes],
+    usec_per_frame: int = 40000,
+    frames_per_fragment: int = 2,
+    fmt: bytes = b"raw ",
+    base_mode: str = "moof",
+    size_source: str = "trun",
+    width: int | None = None,
+    height: int | None = None,
+) -> bytes:
+    """Fragmented (fMP4/CMAF-style) twin of ``mp4_mux``: ``ftyp`` + a
+    ``moov`` whose video sample tables are EMPTY (plus ``mvex/trex``
+    fragment defaults), followed by ``moof``+``mdat`` pairs of
+    ``frames_per_fragment`` samples each — the streaming-origin layout
+    ``_parse_fragments`` resolves.  Round-trips through ``mp4_demux``
+    byte-exactly.
+
+    ``base_mode``: 'moof' sets tfhd default-base-is-moof (trun
+    data_offset relative to the moof's first byte — the CMAF shape);
+    'explicit' writes a u64 tfhd base-data-offset; 'default' sets
+    NEITHER flag, exercising §8.8.7's implicit first-byte-of-moof
+    base.  ``size_source``: 'trun' writes per-sample trun sizes;
+    'tfhd' writes a tfhd default (requires uniform frames); 'trex'
+    leans on the trex default alone (uniform too).
+    """
+    if frames_per_fragment < 1:
+        raise ValueError("frames_per_fragment must be >= 1")
+    timescale = 1_000_000
+    uniform = len(set(len(f) for f in frames)) <= 1
+    if size_source in ("tfhd", "trex") and not uniform:
+        raise ValueError(f"size_source={size_source!r} needs uniform frames")
+
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomcmfc")
+    if width is not None and height is not None:
+        stsd_entry = (
+            (86).to_bytes(4, "big")
+            + fmt
+            + b"\x00" * 6
+            + (1).to_bytes(2, "big")
+            + b"\x00" * 16
+            + int(width).to_bytes(2, "big")
+            + int(height).to_bytes(2, "big")
+            + (0x00480000).to_bytes(4, "big") * 2
+            + b"\x00" * 4
+            + (1).to_bytes(2, "big")
+            + b"\x00" * 32
+            + (0x0018).to_bytes(2, "big")
+            + (0xFFFF).to_bytes(2, "big")
+        )
+    else:
+        stsd_entry = (16).to_bytes(4, "big") + fmt + b"\x00" * 8
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", (1).to_bytes(4, "big") + stsd_entry)
+        + _full(b"stts", (0).to_bytes(4, "big"))
+        + _full(b"stsc", (0).to_bytes(4, "big"))
+        + _full(b"stsz", (0).to_bytes(8, "big"))
+        + _full(b"stco", (0).to_bytes(4, "big")),
+    )
+    tkhd = _full(b"tkhd", (0).to_bytes(8, "big") + (1).to_bytes(4, "big") + b"\x00" * 68)
+    mdhd = _full(
+        b"mdhd",
+        (0).to_bytes(8, "big") + timescale.to_bytes(4, "big") + (0).to_bytes(4, "big") + b"\x00" * 4,
+    )
+    hdlr = _full(b"hdlr", (0).to_bytes(4, "big") + b"vide" + b"\x00" * 13)
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+    trex_size = len(frames[0]) if (frames and size_source == "trex") else 0
+    trex = _full(
+        b"trex",
+        (1).to_bytes(4, "big")  # track_ID
+        + (1).to_bytes(4, "big")  # default_sample_description_index
+        + int(usec_per_frame).to_bytes(4, "big")
+        + trex_size.to_bytes(4, "big")
+        + (0).to_bytes(4, "big"),
+    )
+    mvhd = _full(
+        b"mvhd",
+        (0).to_bytes(8, "big") + timescale.to_bytes(4, "big") + (0).to_bytes(4, "big") + b"\x00" * 80,
+    )
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+
+    out = ftyp + moov
+    seq = 1
+    for i in range(0, len(frames), frames_per_fragment):
+        chunk = frames[i : i + frames_per_fragment]
+        tfhd_flags = 0
+        tfhd_body = (1).to_bytes(4, "big")  # track_ID
+        if base_mode == "explicit":
+            tfhd_flags |= _TFHD_BASE_DATA_OFFSET
+            tfhd_body += (0).to_bytes(8, "big")  # patched below
+        elif base_mode == "moof":
+            tfhd_flags |= _TFHD_DEFAULT_BASE_IS_MOOF
+        if size_source == "tfhd":
+            tfhd_flags |= _TFHD_DEFAULT_SIZE
+            tfhd_body += len(chunk[0]).to_bytes(4, "big")
+        tfhd = _box(
+            b"tfhd", bytes([0]) + tfhd_flags.to_bytes(3, "big") + tfhd_body
+        )
+        trun_flags = _TRUN_DATA_OFFSET
+        trun_body = len(chunk).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        if size_source == "trun":
+            trun_flags |= _TRUN_SAMPLE_SIZE
+            trun_body += b"".join(len(f).to_bytes(4, "big") for f in chunk)
+        trun = _box(
+            b"trun", bytes([0]) + trun_flags.to_bytes(3, "big") + trun_body
+        )
+        mfhd = _full(b"mfhd", seq.to_bytes(4, "big"))
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        # trun data_offset points at the mdat payload; base depends on
+        # the mode — relative to the moof's first byte ('moof' flag
+        # and the §8.8.7 'default'), or absolute ('explicit')
+        if base_mode == "explicit":
+            base = len(out) + len(moof) + 8  # absolute mdat payload
+            doff = 0
+            # patch tfhd base_data_offset (after 1-byte version,
+            # 3-byte flags, 4-byte track_ID inside the tfhd box body)
+            tfhd_off = moof.find(b"tfhd")
+            bo = tfhd_off + 4 + 4 + 4
+            moof = moof[:bo] + base.to_bytes(8, "big") + moof[bo + 8 :]
+        else:
+            doff = len(moof) + 8
+        toff = moof.find(b"trun") + 4 + 4 + 4
+        moof = moof[:toff] + doff.to_bytes(4, "big", signed=True) + moof[toff + 4 :]
+        out += moof + _box(b"mdat", b"".join(chunk))
+        seq += 1
+    return out
+
+
 def mp4_frame_sampler(payload: bytes, every_ms: int) -> list[bytes]:
     """Container-level frame sampling for ``multimodal.frame_sample``:
     demux the MP4 sample table, keep every k-th video sample where k
@@ -511,6 +819,35 @@ def text_to_mp4_udf(n_frames: int = 4, usec_per_frame: int = 40000):
             frames = [b[i * step : (i + 1) * step] for i in range(n_frames)]
             return mp4_mux(
                 [f for f in frames if f], usec_per_frame=usec_per_frame
+            )
+
+        return texts.map(build)
+
+    return to_mp4
+
+
+def text_to_frag_mp4_udf(
+    n_frames: int = 4,
+    usec_per_frame: int = 40000,
+    frames_per_fragment: int = 2,
+):
+    """Fragmented twin of ``text_to_mp4_udf``: same slice semantics
+    (step = max(len // n_frames, 1), empty slices dropped), muxed
+    through ``mp4_mux_fragmented`` — so a query over it exercises the
+    moof/mdat resolution path end-to-end while reusing the exact SQL
+    arithmetic of the moov-resident oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def to_mp4(texts: pd.Series) -> pd.Series:
+        def build(t: Any) -> bytes:
+            b = (t or "").encode("utf-8")
+            step = max(len(b) // n_frames, 1)
+            frames = [b[i * step : (i + 1) * step] for i in range(n_frames)]
+            return mp4_mux_fragmented(
+                [f for f in frames if f],
+                usec_per_frame=usec_per_frame,
+                frames_per_fragment=frames_per_fragment,
             )
 
         return texts.map(build)
