@@ -1866,6 +1866,45 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially salted join, profiler-driven (round 8): the
+    skew_profile's per-key ``salt_buckets`` column becomes the salt
+    map of ``skew.salted_join_differential`` — each hot user's fact
+    rows spread over its OWN profiled fan-out while cold keys pay
+    nothing (no wholesale right-side replication, no broadcast-size
+    requirement on the hot slice).  The fact side is the events table,
+    the right side a per-user purchase summary; the salt is a pure
+    repartitioning detail, so the result — and the DuckDB oracle — is
+    the plain inner join, aggregated per user for a bounded bit-exact
+    compare."""
+    from tiki_e_commerce_analytics_etl_spark.operators import profile, skew
+
+    ev = read_table(spark, sf_dir, "events")
+    fact = ev.select("event_id", "user_id", "value")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("purchase_total"),
+        )
+    )
+    salt_map = profile.key_skew_profile(
+        fact, ["user_id"], top_n=10, target_rows_per_bucket=100
+    ).select(F.col("key").cast("long").alias("user_id"), "salt_buckets")
+    joined = skew.salted_join_differential(
+        fact, dim, ["user_id"], salt_map, salt_from=["event_id"]
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("sum_value"),
+        F.max("n_purchases").alias("n_purchases"),
+        F.max("purchase_total").alias("purchase_total"),
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent word bigrams via bounded-memory per-partition
     Misra-Gries summaries + exact candidate recount
@@ -3297,6 +3336,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
+        "salted_join": q_salted_join,
         "zorder_key": q_zorder_key,
         "shuffle_shards": q_shuffle_shards,
         "funnel": q_funnel,
@@ -4021,6 +4061,26 @@ _SKEW_PROFILE_ORACLE = """
 """
 
 
+# The salt is a pure repartitioning detail: the oracle is the PLAIN
+# inner join + aggregate, no salting anywhere.
+_SALTED_JOIN_ORACLE = """
+    WITH dim AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                   AS purchase_total
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT f.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(f.value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           MAX(d.n_purchases) AS n_purchases,
+           MAX(d.purchase_total) AS purchase_total
+    FROM events f JOIN dim d ON f.user_id = d.user_id
+    GROUP BY f.user_id
+"""
+
+
 _ANN_RECALL_ORACLE = """
     SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 5
@@ -4686,6 +4746,7 @@ def oracle_sql() -> dict[str, str]:
         # q_heavy_hitters docstring for the margin argument).
         "heavy_hitters": _VOCAB_TOP_NGRAMS_ORACLE.replace("LIMIT 100", "LIMIT 20"),
         "skew_profile": _SKEW_PROFILE_ORACLE,
+        "salted_join": _SALTED_JOIN_ORACLE,
         "nearest_event": _NEAREST_EVENT_ORACLE,
         "bpe_merges": _BPE_MERGES_ORACLE,
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,

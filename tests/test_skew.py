@@ -255,3 +255,48 @@ def test_hybrid_skew_join_equals_plain(spark):
     assert [r.k for r in hot.collect()] == [1]
     plan = skew_ops.hybrid_skew_join(left, right, ["k"], hot_keys=hot)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_differential_equals_plain(spark):
+    """Round 8: per-key differential salting — result is exactly the
+    plain inner join; the hot key's left rows spread across ITS
+    profiled fan-out, cold and unmapped keys keep fan-out 1 (no
+    right-side inflation for them)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import profile, skew as skew_ops
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(2000)]            # hot key
+        + [(k, k) for k in range(2, 50)],        # cold keys
+        "k long, lv long",
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 60)] + [(1, 99)], "k long, rv long"
+    )
+    salt_map = profile.key_skew_profile(
+        left, ["k"], top_n=3, target_rows_per_bucket=100
+    ).select(F.col("key").cast("long").alias("k"), "salt_buckets")
+    got = skew_ops.salted_join_differential(
+        left, right, ["k"], salt_map, salt_from=["lv"]
+    )
+    want = left.join(right, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the profiled fan-out: hot key 1 gets ceil(2000/100)=20 buckets,
+    # and its left rows actually spread across ALL of them
+    fan = {r["k"]: r["salt_buckets"] for r in salt_map.collect()}
+    assert fan[1] == 20
+    l_salted = (
+        left.join(F.broadcast(salt_map), ["k"], "left")
+        .withColumn("__fan", F.coalesce(F.col("salt_buckets"), F.lit(1)))
+        .withColumn("s", F.pmod(F.xxhash64("lv"), F.col("__fan")))
+    )
+    spread = l_salted.filter("k = 1").select("s").distinct().count()
+    assert spread == 20
+    # cold keys never leave salt 0 (fan-out 1)
+    assert l_salted.filter("k != 1").filter("s != 0").count() == 0
+
+    # missing buckets column is a loud error
+    with pytest.raises(ValueError, match="salt_buckets"):
+        skew_ops.salted_join_differential(
+            left, right, ["k"], salt_map.select("k"), salt_from=["lv"]
+        )

@@ -70,6 +70,64 @@ def salted_join_left_skewed(
     return l.join(r, [*keys, "__salt"]).drop("__salt")
 
 
+def salted_join_differential(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    salt_map: DataFrame,
+    salt_from: list[str],
+    buckets_col: str = "salt_buckets",
+) -> DataFrame:
+    """Per-key differentially salted equi-join — the executable form
+    of ``profile.key_skew_profile``'s advice: each key is salted by
+    ITS OWN profiled fan-out instead of a global constant, so the
+    right side inflates only where the left is actually hot.
+
+    ``salt_map`` is a small relation (keys + ``buckets_col``, e.g. the
+    profiler's top-N output with its ``salt_buckets`` column); it is
+    broadcast to both sides.  Keys absent from the map get fan-out 1
+    (no replication, no salt spread).  ``salt_from`` picks the left
+    columns the salt hashes from — high cardinality within a hot key
+    (an event id, a timestamp) so the hot key's rows spread evenly.
+
+    Contrast with the module's other strategies: full salting
+    (``salted_join_left_skewed``) replicates the ENTIRE right side
+    ×n_salts — simple, but at 100 TB the cold 99.9% of keys pay for
+    the hot 0.1%; the hybrid join avoids inflation but needs the hot
+    slice to broadcast.  Differential salting handles the middle
+    regime — hot keys too big to broadcast, right side too big to
+    replicate wholesale.  Result equals the plain inner join exactly
+    (the salt is a partition of each key's left rows; each right
+    replica meets exactly one partition).
+    """
+    if buckets_col not in salt_map.columns:
+        raise ValueError(f"salt_map must carry a {buckets_col!r} column")
+    fanout = F.broadcast(
+        salt_map.select(
+            *keys, F.col(buckets_col).cast("long").alias("__fan")
+        ).dropDuplicates(keys)
+    )
+    l = (
+        left.join(fanout, keys, "left")
+        .withColumn("__fan", F.coalesce(F.col("__fan"), F.lit(1)))
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.col("__fan")),
+        )
+        .drop("__fan")
+    )
+    r = (
+        right.join(fanout, keys, "left")
+        .withColumn("__fan", F.coalesce(F.col("__fan"), F.lit(1)))
+        .withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__fan") - 1)),
+        )
+        .drop("__fan")
+    )
+    return l.join(r, [*keys, "__salt"]).drop("__salt")
+
+
 def detect_hot_keys(
     df: DataFrame,
     keys: list[str],
