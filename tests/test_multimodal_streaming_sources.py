@@ -569,6 +569,9 @@ def test_mp4_mux_demux_roundtrip_all_encodings():
             # minimal (dimension-less) sample entry in this matrix
             "width": 0,
             "height": 0,
+            # no edit list in this matrix (see the elst test)
+            "n_edits": 0,
+            "edit_media_time": 0,
         }
     # equal-size samples emit the compact uniform-stsz form
     uni = [b"aaaa", b"bbbb", b"cccc"]
@@ -670,6 +673,26 @@ def test_mp4_demux_fragmented_unresolvable_raises():
     # WITHOUT a moof, an empty sample table is a legitimately empty
     # (zero-frame) video, not an error
     assert bm.mp4_demux_full(init_seg)["frames"] == []
+
+
+def test_mp4_edit_list_exposed_as_metadata():
+    """Edit lists (round 8): elst affects PRESENTATION timing, never
+    sample bytes — the demux surfaces (n_edits, first non-empty
+    media_time) in the track dict instead of silently dropping the
+    box; frames are unchanged."""
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff as bm
+
+    frames = [b"abcd", b"efgh"]
+    d = bm.mp4_demux_full(bm.mp4_mux(frames))
+    assert (d["track"]["n_edits"], d["track"]["edit_media_time"]) == (0, 0)
+
+    # an empty edit (media_time -1, delays the track) followed by a
+    # head-trim edit: media_time of the FIRST non-empty edit surfaces
+    d = bm.mp4_demux_full(
+        bm.mp4_mux(frames, elst_entries=[(5000, -1), (80000, 40000)])
+    )
+    assert (d["track"]["n_edits"], d["track"]["edit_media_time"]) == (2, 40000)
+    assert d["frames"] == frames
 
 
 def test_container_demux_dispatches_by_magic_bytes():

@@ -375,6 +375,31 @@ def mp4_demux_full(payload: bytes) -> dict:
             # v0: vf(4) ctime(4) mtime(4) track_ID(4); v1: 64-bit times
             tio = tkhd[0] + (20 if payload[tkhd[0]] == 1 else 12)
             track_id = int.from_bytes(payload[tio : tio + 4], "big")
+        # Edit list (§8.6.6): PRESENTATION timing only — it never moves
+        # sample bytes, so the demux exposes it as metadata instead of
+        # silently dropping it (media_time = -1 marks an empty edit
+        # that delays the track; a positive media_time trims its head).
+        edit_media_time = 0
+        n_edits = 0
+        edts = _find(payload, ts, te, b"edts")
+        if edts is not None:
+            elst = _find(payload, *edts, b"elst")
+            if elst is not None and elst[1] - elst[0] >= 8:
+                es, ee = elst
+                version = payload[es]
+                stride = 20 if version == 1 else 12
+                n_edits = _entry_count(payload, es, ee, 8, stride, "elst")
+                p = es + 8
+                for _ in range(n_edits):
+                    mt_off = p + (8 if version == 1 else 4)
+                    mt_len = 8 if version == 1 else 4
+                    mt = int.from_bytes(
+                        payload[mt_off : mt_off + mt_len], "big", signed=True
+                    )
+                    if mt >= 0:
+                        edit_media_time = mt
+                        break
+                    p += stride
         handler = b"\x00" * 4
         timescale = 0
         tables: dict = {}
@@ -424,6 +449,8 @@ def mp4_demux_full(payload: bytes) -> dict:
             "n_samples": len(frames),
             "width": tables.get("width", 0),
             "height": tables.get("height", 0),
+            "n_edits": n_edits,
+            "edit_media_time": edit_media_time,
         }
     return {
         "usec_per_frame": usec or 33333,
@@ -470,6 +497,7 @@ def mp4_mux(
     mdhd_version: int = 0,
     width: int | None = None,
     height: int | None = None,
+    elst_entries: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Inverse of ``mp4_demux``: build a minimal valid ISO-BMFF file
     from encoded frame payloads — ``ftyp`` + ``mdat`` + ``moov`` with
@@ -604,7 +632,17 @@ def mp4_mux(
         hdlr = _full(b"hdlr", (0).to_bytes(4, "big") + handler + b"\x00" * 13)
         minf = _box(b"minf", stbl_boxes(sizes, offsets, per_chunk, sample_fmt, dims))
         mdia = _box(b"mdia", mdhd + hdlr + minf)
-        return _box(b"trak", tkhd + mdia)
+        edts = b""
+        if handler == b"vide" and elst_entries:
+            # v0 elst: (segment_duration u32, media_time i32, rate 1.0)
+            body = len(elst_entries).to_bytes(4, "big") + b"".join(
+                dur.to_bytes(4, "big")
+                + mt.to_bytes(4, "big", signed=True)
+                + (0x00010000).to_bytes(4, "big")
+                for dur, mt in elst_entries
+            )
+            edts = _box(b"edts", _full(b"elst", body))
+        return _box(b"trak", tkhd + edts + mdia)
 
     traks = b""
     next_id = 1
