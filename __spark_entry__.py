@@ -1113,6 +1113,33 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_token_counts(merges_df=merges, df=docs)
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-density screen (round 8): per-document char-level
+    Shannon entropy in integer micro-nats.  Bit-exact oracle: both
+    engines fold the BYTE-SORTED distinct-char terms left-to-right
+    (Spark aggregate ≡ DuckDB list_reduce — float addition is
+    non-associative, a pinned order makes the doubles identical) with
+    the same libm ln; the final value is floor-scaled to an integer.
+    Pure codegen narrow projection — no shuffle, no Python."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.info_density(docs)
+
+
+def q_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE-compressibility quality rule (round 8): per-document
+    zlib-compressed size and ratio_ppm — the Gopher/RefinedWeb "too
+    compressible" screen.  DEFLATE output size has no SQL twin, so
+    this entry carries the driver's rows-only check; the behavioral
+    invariants (repetition compresses harder than shuffled text,
+    bounds, determinism) are pinned in pytest."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.compression_screen(docs)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword evidence → argmax."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
@@ -3324,6 +3351,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf_recall": q_similarity_ivf_recall,
         "similarity_pq_recall": q_similarity_pq_recall,
         "lang_id": q_lang_id,
+        "char_entropy": q_char_entropy,
+        "compression_screen": q_compression_screen,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
         "text_quality": q_text_quality,
@@ -4058,6 +4087,26 @@ _SKEW_PROFILE_ORACLE = """
                 AS BIGINT) AS skew_ppm,
            CAST(FLOOR((r.key_rows + 999) / 1000) AS BIGINT) AS salt_buckets
     FROM r, t WHERE r.heavy_rank <= 10
+"""
+
+
+# Same fold order as the Spark side (byte-sorted distinct chars,
+# left-to-right list_reduce) and the same libm ln → identical doubles,
+# floor-scaled to integer micro-nats.
+_CHAR_ENTROPY_ORACLE = """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 0
+                ELSE CAST(FLOOR(1e6 * list_reduce(
+                  list_transform(
+                    list_sort(list_distinct(string_split(text, ''))),
+                    c -> (length(text) - length(replace(text, c, ''))) *
+                         (ln(CAST(length(text) AS DOUBLE)) -
+                          ln(CAST(length(text) - length(replace(text, c, ''))
+                              AS DOUBLE)))
+                  ), (a, b) -> a + b) / length(text)) AS BIGINT)
+           END AS entropy_upnats
+    FROM documents
 """
 
 
@@ -5217,6 +5266,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """,
         "lang_id": _lang_id_oracle(),
+        "char_entropy": _CHAR_ENTROPY_ORACLE,
+        # compression_screen: deliberately no oracle — DEFLATE output
+        # size is not SQL-expressible; driver records rows-only.
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "golden_join": tdm.GOLDEN_ORACLE_SQL,

@@ -136,6 +136,17 @@ HEADLINE = [
     "mp4_pixel_stats",
     "image_meta",
     "video_frame_dedup",
+    # round-7 second wave + round-8 additions (the r7 judge flagged
+    # that these had no committed per-round timing)
+    "similarity_pq_recall",
+    "skew_profile",
+    "resample_interp",
+    "nearest_event",
+    "orc_roundtrip",
+    "bpe_merges",
+    "bpe_tokenize",
+    "salted_join",
+    "mp4_frag_frame_sample",
 ]
 
 

@@ -511,3 +511,53 @@ def test_bpe_token_counts_matches_reference(request):
     ddf = spark.createDataFrame([(1, "ab ba")], "doc_id: long, text: string")
     r = tx.bpe_token_counts(ddf, empty_merges).collect()[0]
     assert (r["n_words"], r["n_chars"], r["n_tokens"]) == (2, 4, 4)
+
+
+def test_char_entropy_and_compression_screen(request):
+    """Round 8 information-density screens.  Entropy: hand-computable
+    values, degenerate-vs-natural ordering, empty/NULL → 0.
+    Compression: repetition compresses harder than high-entropy text,
+    ratio bounds, determinism across runs."""
+    import math
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),                      # one symbol -> H = 0
+            (2, "abababab"),                      # two equal symbols -> ln 2
+            (3, "abcd"),                          # four equal -> ln 4
+            (4, ""),                              # empty -> 0
+            (5, None),                            # NULL -> 0
+            (6, "the quick brown fox jumps"),     # natural prose
+        ],
+        "doc_id: long, text: string",
+    )
+    ent = {
+        r["doc_id"]: r["entropy_upnats"]
+        for r in tx.info_density(docs).collect()
+    }
+    assert ent[1] == 0 and ent[4] == 0 and ent[5] == 0
+    assert ent[2] == math.floor(1e6 * math.log(2))
+    assert ent[3] == math.floor(1e6 * math.log(4))
+    assert ent[1] < ent[2] < ent[3] < ent[6]
+
+    rep = "spam spam spam spam spam spam spam spam " * 20
+    mixed = "the quick brown fox jumps over the lazy dog 0123456789 " * 14
+    cdocs = spark.createDataFrame(
+        [(1, rep), (2, mixed), (3, "")], "doc_id: long, text: string"
+    )
+    comp = {r["doc_id"]: r for r in tx.compression_screen(cdocs).collect()}
+    assert comp[1]["n_bytes"] == len(rep.encode())
+    # repetition compresses far harder than varied prose
+    assert comp[1]["ratio_ppm"] < comp[2]["ratio_ppm"]
+    for d in (1, 2):
+        assert 0 < comp[d]["compressed_bytes"] < comp[d]["n_bytes"]
+        assert comp[d]["ratio_ppm"] == (
+            1_000_000 * comp[d]["compressed_bytes"] // comp[d]["n_bytes"]
+        )
+    assert (comp[3]["n_bytes"], comp[3]["ratio_ppm"]) == (0, 0)
+    # deterministic across runs
+    again = {r["doc_id"]: r["compressed_bytes"] for r in tx.compression_screen(cdocs).collect()}
+    assert again == {k: v["compressed_bytes"] for k, v in comp.items()}

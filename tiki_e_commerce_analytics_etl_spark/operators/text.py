@@ -807,3 +807,95 @@ def bpe_token_counts(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def char_entropy_ppm(text: Column) -> Column:
+    """Character-level Shannon entropy of the text in integer
+    micro-nats (floor(1e6 · H), H in nats) — the classic
+    information-density screen (degenerate/repeated content scores
+    near 0, natural prose ~3e6, random bytes ~ln(alphabet)·1e6).
+
+    Formulation chosen for ORACLE bit-exactness: per distinct char c,
+    count(c) = len − len(replace(text, c)); the fold runs over the
+    BYTE-SORTED distinct-char array LEFT-TO-RIGHT (float addition is
+    non-associative — a fixed order makes Spark's ``aggregate`` and
+    DuckDB's ``list_reduce`` produce identical doubles, same libm ln).
+    Cost is O(distinct_chars × len) per document of pure codegen
+    string work — for natural text ~100× len, all narrow projection,
+    versus the explode-per-char alternative whose (doc, char) shuffle
+    would dwarf it at scale.  Empty/NULL text scores 0.
+    """
+    n = F.length(text)
+    chars = F.array_sort(F.array_distinct(F.split(text, "")))
+    cnt = lambda c: n - F.length(F.replace(text, c))  # noqa: E731
+    term = lambda c: cnt(c).cast("double") * (  # noqa: E731
+        F.log(n.cast("double")) - F.log(cnt(c).cast("double"))
+    )
+    ent = F.floor(
+        F.lit(1e6)
+        * F.aggregate(F.transform(chars, term), F.lit(0.0), lambda a, b: a + b)
+        / n
+    ).cast("long")
+    return F.when(n.isNull() | (n == 0), F.lit(0).cast("long")).otherwise(ent)
+
+
+def info_density(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document information-density report: character count and
+    char-entropy (micro-nats).  Pure narrow projection — no shuffle,
+    no Python."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        char_entropy_ppm(F.col(text_col)).alias("entropy_upnats"),
+    )
+
+
+def compression_screen(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+):
+    """Per-document DEFLATE compression ratio — the Gopher/RefinedWeb
+    "too compressible" quality rule: boilerplate and degenerate
+    repetition compress far below natural prose.  Returns
+    (id_col, n_bytes, compressed_bytes, ratio_ppm) with ratio_ppm =
+    floor(1e6 · compressed / raw) (0 for empty text).
+
+    Arrow-batched ``mapInPandas`` over the documents (stdlib zlib —
+    deterministic for a fixed level, vendored nowhere); unlike the
+    unique-word operators this is inherently per-document work, but
+    it is embarrassingly parallel and byte-bounded.  No SQL oracle
+    exists for DEFLATE output size, so the registered query carries a
+    rows-only driver check; the invariants (repetition compresses
+    harder than shuffled text, ratio bounds, determinism) are pinned
+    in pytest instead.
+    """
+    import pandas as pd
+    import zlib
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            raw = [
+                (t if isinstance(t, str) else "").encode("utf-8")
+                for t in pdf[text_col]
+            ]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(b) for b in raw],
+                    "compressed_bytes": comp,
+                    "ratio_ppm": [
+                        (1_000_000 * c) // len(b) if b else 0
+                        for b, c in zip(raw, comp)
+                    ],
+                }
+            )
+
+    schema = (
+        f"{id_col} long, n_bytes long, compressed_bytes long, ratio_ppm long"
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
