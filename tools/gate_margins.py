@@ -250,6 +250,17 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     r = text_ops.rarity_score(docs, "text", "doc_id")
     e = worst_boundary_rank_err(r, "rarity_scaled", 4)
     out.append(("curriculum_approx.rank_err", e, 1.0, (1.0 - e) / 1.0))
+
+    # embedding_pca eigen-law gate (round 8): the laws hold exactly in
+    # real arithmetic; the only slack consumed is float accumulation in
+    # the distributed Gram pass, so the margin is |sum(explained)-1|
+    # against the 1e-6 bound (must stay BELOW)
+    from tiki_e_commerce_analytics_etl_spark.operators import ml as ml_ops
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    _, model = ml_ops.embedding_pca(emb, k=64)
+    drift = abs(sum(float(v) for v in model.explainedVariance) - 1.0)
+    out.append(("pca_spectrum.total_drift", drift, 1e-6, (1e-6 - drift) / 1e-6))
     return out
 
 

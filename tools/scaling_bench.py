@@ -94,6 +94,11 @@ QUERIES = [
     # decades like everything else
     "triangle_count",
     "similarity_pq_recall",
+    # round-8 operators over the growing tables (salted join on the
+    # events fact; entropy/compressibility over the documents corpus)
+    "salted_join",
+    "char_entropy",
+    "compression_screen",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
