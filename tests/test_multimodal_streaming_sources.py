@@ -649,6 +649,41 @@ def test_mp4_fragmented_roundtrip_all_encodings():
     assert (d["track"]["width"], d["track"]["height"]) == (4, 1)
 
 
+def test_mp4_fragmented_skips_other_tracks_trafs():
+    """Fragment resolution must match the VIDEO track's track_ID: a
+    moof carrying an audio traf (different track_ID) before the video
+    traf must contribute only the video run — audio samples never leak
+    into the frame list."""
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff as bm
+
+    frames = [b"VID0", b"VID1"]
+    p = bytearray(bm.mp4_mux_fragmented(frames, frames_per_fragment=2))
+    # splice an audio traf (track_ID 7) in front of the video traf of
+    # the single moof: find the moof, rebuild it with an extra traf
+    i = bytes(p).index(b"moof")
+    moof_start = i - 4
+    moof_size = int.from_bytes(p[moof_start : moof_start + 4], "big")
+    moof_payload = bytes(p[moof_start + 8 : moof_start + moof_size])
+    audio_tfhd = bm._box(
+        b"tfhd",
+        bytes([0]) + (0x020000).to_bytes(3, "big") + (7).to_bytes(4, "big"),
+    )
+    audio_trun = bm._box(
+        b"trun",
+        bytes([0])
+        + (bm._TRUN_SAMPLE_SIZE).to_bytes(3, "big")
+        + (1).to_bytes(4, "big")
+        + (4).to_bytes(4, "big"),
+    )
+    new_moof = bm._box(b"moof", moof_payload + bm._box(b"traf", audio_tfhd + audio_trun))
+    rebuilt = bytes(p[:moof_start]) + new_moof + bytes(p[moof_start + moof_size :])
+    d = bm.mp4_demux_full(rebuilt)
+    # data offsets in the video trun are moof-relative ('moof' base
+    # mode) and the moof GREW, so ranges shift — what must hold is the
+    # COUNT and that no audio run was added to the video track
+    assert d["track"]["n_samples"] == 2
+
+
 def test_mp4_demux_fragmented_unresolvable_raises():
     """Honesty taxonomy: fragments that carry NO resolvable sample
     runs for the video track (traf-less moof, or runs without any size
