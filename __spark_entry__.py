@@ -1140,6 +1140,31 @@ def q_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.compression_screen(docs)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen (round 8): PSI of l_extendedprice
+    between the low-quantity (reference) and high-quantity (current)
+    shipment populations — price scales with quantity, so the drift
+    is real and the split is robust to testdata regeneration (a date
+    split died on a generation whose dates start in 1995).  Equi-depth
+    bins fixed by the REFERENCE's exact percentiles (bit-exact ≡
+    quantile_cont), integer counts per side, and the per-bin
+    (p−q)·ln(p/q) term as one double formula per row (no float
+    summation order anywhere; the scalar PSI is the consumer's
+    trivial fold).  Empty-on-either-side bins score NULL rather than
+    an epsilon clamp."""
+    from tiki_e_commerce_analytics_etl_spark.operators import quality
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), F.col("l_quantity").alias("qty")
+    )
+    return quality.psi_drift(
+        li.filter(F.col("qty") <= 25),
+        li.filter(F.col("qty") > 25),
+        "v",
+        n_bins=10,
+    )
+
+
 _N_MOMENT_DIMS = 8
 
 
@@ -3399,6 +3424,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_screen": q_compression_screen,
         "embedding_moments": q_embedding_moments,
         "embedding_pca": q_embedding_pca,
+        "psi_drift": q_psi_drift,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
         "text_quality": q_text_quality,
@@ -4162,6 +4188,53 @@ _EMBEDDING_MOMENTS_ORACLE = (
 _EMBEDDING_PCA_ORACLE = """
     SELECT CAST(64 AS INTEGER) AS dim,
            TRUE AS monotone_ok, TRUE AS total_ok
+"""
+
+
+# Same shape as the Spark plan: reference-percentile boundaries
+# (quantile_cont ≡ exact_percentiles bit-for-bit), integer bin counts,
+# one double formula per row — the (p−q)·ln(p/q) text matches the
+# Spark expression exactly, so the doubles match exactly.
+_PSI_DRIFT_ORACLE = """
+    WITH ref AS (
+        SELECT l_extendedprice AS v FROM lineitem
+        WHERE l_quantity <= 25 AND l_extendedprice IS NOT NULL
+    ),
+    cur AS (
+        SELECT l_extendedprice AS v FROM lineitem
+        WHERE l_quantity > 25 AND l_extendedprice IS NOT NULL
+    ),
+    b AS (
+        SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+        FROM ref
+    ),
+    rbin AS (
+        SELECT list_sum(list_transform(bs, t -> CASE WHEN v > t THEN 1 ELSE 0 END)) AS bin
+        FROM ref, b
+    ),
+    cbin AS (
+        SELECT list_sum(list_transform(bs, t -> CASE WHEN v > t THEN 1 ELSE 0 END)) AS bin
+        FROM cur, b
+    ),
+    rc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS ref_n FROM rbin GROUP BY bin),
+    cc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cur_n FROM cbin GROUP BY bin),
+    bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(10)),
+    j AS (
+        SELECT bins.bin,
+               COALESCE(rc.ref_n, 0) AS ref_n,
+               COALESCE(cc.cur_n, 0) AS cur_n
+        FROM bins LEFT JOIN rc ON bins.bin = rc.bin
+                  LEFT JOIN cc ON bins.bin = cc.bin
+    ),
+    t AS (SELECT SUM(ref_n) AS ref_total, SUM(cur_n) AS cur_total FROM j)
+    SELECT j.bin, j.ref_n, j.cur_n,
+           CASE WHEN j.ref_n > 0 AND j.cur_n > 0 THEN
+               (CAST(j.ref_n AS DOUBLE) / t.ref_total
+                - CAST(j.cur_n AS DOUBLE) / t.cur_total)
+               * LN((CAST(j.ref_n AS DOUBLE) / t.ref_total)
+                    / (CAST(j.cur_n AS DOUBLE) / t.cur_total))
+           END AS psi_term
+    FROM j, t
 """
 
 
@@ -5346,6 +5419,7 @@ def oracle_sql() -> dict[str, str]:
         # size is not SQL-expressible; driver records rows-only.
         "embedding_moments": _EMBEDDING_MOMENTS_ORACLE,
         "embedding_pca": _EMBEDDING_PCA_ORACLE,
+        "psi_drift": _PSI_DRIFT_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "golden_join": tdm.GOLDEN_ORACLE_SQL,

@@ -605,3 +605,36 @@ def test_embedding_pca_laws(request):
 
     gate = ml_ops.pca_spectrum_gate(df, dim=d).collect()[0]
     assert (gate["dim"], gate["monotone_ok"], gate["total_ok"]) == (d, True, True)
+
+
+def test_psi_drift_hand_computed(request):
+    """Round 8 PSI drift: hand-computable counts and terms on planted
+    populations; identical populations score ~0; empty-on-one-side
+    bins score NULL (not an epsilon clamp)."""
+    import math
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import quality
+
+    # reference uniform over 1..100 (one value per row); current
+    # shifted upward: all mass in the top half
+    ref = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v: double")
+    cur = spark.createDataFrame([(float(i),) for i in range(51, 151)], "v: double")
+    out = {r["bin"]: r for r in quality.psi_drift(ref, cur, "v", n_bins=2).collect()}
+    # ref boundary = median 50.5; ref splits 50/50; cur: 0 <=50.5... no,
+    # cur has none below 50.5 except... 51..150 all > 50.5 -> bin 1
+    assert (out[0]["ref_n"], out[0]["cur_n"]) == (50, 0)
+    assert (out[1]["ref_n"], out[1]["cur_n"]) == (50, 100)
+    assert out[0]["psi_term"] is None  # empty current bin -> NULL
+    # bin 1: p=0.5, q=1.0 -> (0.5-1.0)*ln(0.5) = 0.3465735...
+    assert abs(out[1]["psi_term"] - (-0.5) * math.log(0.5)) < 1e-12
+
+    # identical populations: every term finite and ~0
+    same = quality.psi_drift(ref, ref, "v", n_bins=4).collect()
+    assert all(abs(r["psi_term"]) < 1e-12 for r in same)
+    assert sum(r["ref_n"] for r in same) == 100
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        quality.psi_drift(ref, cur, "v", n_bins=1)

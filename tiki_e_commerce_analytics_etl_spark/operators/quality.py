@@ -563,3 +563,86 @@ def equidepth_bins(
             F.max(col).alias("hi"),
         )
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Population Stability Index (PSI) drift screen between a
+    REFERENCE snapshot and a CURRENT one — the standard "did this
+    column's distribution move since training/last load" data-quality
+    check.  Bin boundaries are the reference's equi-depth percentiles
+    (the convention: bins are fixed by the baseline, the current
+    population is scored against them); per bin,
+    ``psi_term = (p − q) · ln(p / q)`` with p/q = ref/cur shares.
+    Sum of psi_term is the PSI (rule of thumb: <0.1 stable, >0.25
+    shifted); the per-bin relation is returned instead of the scalar
+    so consumers see WHERE the mass moved, and so every value is
+    bit-exact against a SQL oracle (integer counts; one double
+    formula per row — no float summation order anywhere).
+
+    Bins either side never observed score NULL (ln(0) is the
+    documented PSI degenerate case; standard practice is an epsilon
+    clamp, which would bury the signal — NULL surfaces it).
+
+    Plan: boundary scalars from the reference (``exact_percentiles``
+    — distributed sort-rank, or t-digest at ``exact=False`` for
+    100 TB), then ONE hash aggregate per side over codegen bin
+    comparisons, a static ``range(n_bins)`` frame left-joining both
+    count relations (n_bins rows — broadcast), and per-row double
+    arithmetic.  Neither input is ever sorted globally.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    spark = ref.sparkSession
+    qs = [i / n_bins for i in range(1, n_bins)]
+    if exact:
+        bounds = exact_percentiles(ref, col, qs)
+    else:
+        arr = "array(" + ", ".join(repr(q) for q in qs) + ")"
+        bounds = (
+            ref.agg(
+                F.expr(f"approx_percentile({col}, {arr}, {accuracy})").alias("bs")
+            ).collect()[0]["bs"]
+            or []
+        )
+
+    def bin_counts(df: DataFrame, out: str) -> DataFrame:
+        bin_expr = F.lit(0)
+        for b in bounds:
+            bin_expr = bin_expr + F.when(F.col(col) > F.lit(float(b)), 1).otherwise(0)
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rc = bin_counts(ref, "ref_n")
+    cc = bin_counts(cur, "cur_n")
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(F.broadcast(rc), "bin", "left")
+        .join(F.broadcast(cc), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("ref_n"), F.lit(0)).alias("ref_n"),
+            F.coalesce(F.col("cur_n"), F.lit(0)).alias("cur_n"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("ref_total"), F.sum("cur_n").alias("cur_total")
+    )
+    p = F.col("ref_n").cast("double") / F.col("ref_total")
+    q = F.col("cur_n").cast("double") / F.col("cur_total")
+    term = F.when(
+        (F.col("ref_n") > 0) & (F.col("cur_n") > 0), (p - q) * F.log(p / q)
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bin", "ref_n", "cur_n", term.alias("psi_term")
+    )
