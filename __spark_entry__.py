@@ -1165,6 +1165,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (round 8) over order totals: per
+    digit 1-9, observed count vs the log10(1+1/d) expectation, all
+    integer ppm — bit-exact oracle, no float summation.  The first
+    significant digit is read from the decimal RENDERING (notation-
+    free), never from a divide-by-power-of-ten."""
+    from tiki_e_commerce_analytics_etl_spark.operators import quality
+
+    orders = read_table(spark, sf_dir, "orders")
+    return quality.benford_screen(orders, "o_totalprice")
+
+
 _N_MOMENT_DIMS = 8
 
 
@@ -3425,6 +3437,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_moments": q_embedding_moments,
         "embedding_pca": q_embedding_pca,
         "psi_drift": q_psi_drift,
+        "benford": q_benford,
         "bpe_merges": q_bpe_merges,
         "bpe_tokenize": q_bpe_tokenize,
         "text_quality": q_text_quality,
@@ -4189,6 +4202,38 @@ _EMBEDDING_PCA_ORACLE = """
     SELECT CAST(64 AS INTEGER) AS dim,
            TRUE AS monotone_ok, TRUE AS total_ok
 """
+
+
+# Expected shares embed the SAME math.log10 literals the operator
+# computes at runtime; digit extraction mirrors the decimal-rendering
+# route (plain notation, first char in [1-9]).
+_BENFORD_ORACLE = (
+    "WITH e(digit, expected_ppm) AS (VALUES "
+    + ", ".join(
+        f"({d}, CAST({__import__('math').floor(1_000_000 * __import__('math').log10(1 + 1 / d))} AS BIGINT))"
+        for d in range(1, 10)
+    )
+    + """),
+    c AS (
+        SELECT CAST(regexp_extract(
+                   CAST(CAST(ABS(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+                   '([1-9])', 1) AS INTEGER) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND regexp_extract(
+                  CAST(CAST(ABS(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+                  '([1-9])', 1) <> ''
+        GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, c.n, e.expected_ppm,
+           CAST(FLOOR(1000000 * c.n / t.total) AS BIGINT) AS observed_ppm,
+           CAST(FLOOR(1000000 * c.n / t.total) AS BIGINT) - e.expected_ppm
+               AS dev_ppm
+    FROM c JOIN e ON c.digit = e.digit, t
+"""
+)
 
 
 # Same shape as the Spark plan: reference-percentile boundaries
@@ -5420,6 +5465,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_moments": _EMBEDDING_MOMENTS_ORACLE,
         "embedding_pca": _EMBEDDING_PCA_ORACLE,
         "psi_drift": _PSI_DRIFT_ORACLE,
+        "benford": _BENFORD_ORACLE,
         "text_quality": _TEXT_QUALITY_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "golden_join": tdm.GOLDEN_ORACLE_SQL,

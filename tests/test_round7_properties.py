@@ -638,3 +638,29 @@ def test_psi_drift_hand_computed(request):
 
     with _p.raises(ValueError):
         quality.psi_drift(ref, cur, "v", n_bins=1)
+
+
+def test_benford_screen_hand_computed(request):
+    """Round 8 Benford screen: first-significant-digit extraction over
+    tricky magnitudes (sub-1 fractions, negatives, zero, NULL) and
+    exact ppm arithmetic on a planted distribution."""
+    import math
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import quality
+
+    rows = (
+        [(100.0,)] * 3        # digit 1
+        + [(0.002,)] * 2      # sub-1: first significant digit 2
+        + [(-30.5,)]          # negative: abs -> 3
+        + [(9.99,)]           # 9
+        + [(0.0,), (None,)]   # excluded
+    )
+    df = spark.createDataFrame(rows, "v: double")
+    out = {r["digit"]: r for r in quality.benford_screen(df, "v").collect()}
+    assert {d: out[d]["n"] for d in out} == {1: 3, 2: 2, 3: 1, 9: 1}
+    total = 7
+    for d, r in out.items():
+        assert r["observed_ppm"] == 1_000_000 * r["n"] // total
+        assert r["expected_ppm"] == math.floor(1_000_000 * math.log10(1 + 1 / d))
+        assert r["dev_ppm"] == r["observed_ppm"] - r["expected_ppm"]

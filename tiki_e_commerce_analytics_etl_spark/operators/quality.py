@@ -10,6 +10,7 @@ input is a 100 TB scan.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Row, Window
@@ -645,4 +646,52 @@ def psi_drift(
     )
     return joined.crossJoin(F.broadcast(totals)).select(
         "bin", "ref_n", "cur_n", term.alias("psi_term")
+    )
+
+
+def benford_screen(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit screen — the classic anomaly/fraud
+    check for naturally-occurring positive magnitudes (prices,
+    populations, transaction amounts): observed first-significant-
+    digit counts against the expected ``log10(1 + 1/d)`` shares.
+
+    Returns one row per digit 1-9: (digit, n, expected_ppm,
+    observed_ppm, dev_ppm = observed − expected) — all integer ppm
+    (floor), so the oracle compare is bit-exact with zero float
+    summation anywhere.  The first significant digit comes from the
+    DECIMAL RENDERING of abs(value) (first char in [1-9] of the
+    plain-notation string), which is exact for any magnitude —
+    dividing by a computed power of ten would round through doubles.
+    Rows that are NULL, zero, or have no nonzero digit are excluded
+    from n.  One narrow projection + one 9-key hash aggregate + a
+    broadcast total; nothing sorts.
+    """
+    # format_number/casts render scientific notation for extreme
+    # doubles; regexp over the plain string form of a DECIMAL cast is
+    # notation-free.  38,6 covers the engine's numeric surfaces.
+    s = F.abs(F.col(col)).cast("decimal(38,6)").cast("string")
+    digit = F.regexp_extract(s, r"([1-9])", 1)
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(digit.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy(F.col("d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    expected = {d: math.floor(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+    exp_expr = F.lit(None).cast("long")
+    for d, ppm in expected.items():
+        exp_expr = F.when(F.col("digit") == d, F.lit(ppm)).otherwise(exp_expr)
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        exp_expr.alias("expected_ppm"),
+        F.floor(F.lit(1_000_000) * F.col("n") / F.col("total"))
+        .cast("long")
+        .alias("observed_ppm"),
+        (
+            F.floor(F.lit(1_000_000) * F.col("n") / F.col("total")).cast("long")
+            - exp_expr
+        ).alias("dev_ppm"),
     )
