@@ -147,6 +147,12 @@ HEADLINE = [
     "bpe_tokenize",
     "salted_join",
     "mp4_frag_frame_sample",
+    "char_entropy",
+    "compression_screen",
+    "embedding_moments",
+    "embedding_pca",
+    "psi_drift",
+    "benford",
 ]
 
 
