@@ -300,3 +300,19 @@ def test_salted_join_differential_equals_plain(spark):
         skew_ops.salted_join_differential(
             left, right, ["k"], salt_map.select("k"), salt_from=["lv"]
         )
+
+    # LEFT join: unmatched left keys null-pad exactly once — never
+    # duplicated across salts, never dropped (right covers every salt
+    # of an existing key; an absent key has no replicas at all)
+    left2 = left.unionByName(
+        spark.createDataFrame([(999, 7)], "k long, lv long")  # no right match
+    )
+    got_l = skew_ops.salted_join_differential(
+        left2, right, ["k"], salt_map, salt_from=["lv"], how="left"
+    )
+    want_l = left2.join(right, ["k"], "left")
+    assert sorted(map(tuple, got_l.collect())) == sorted(map(tuple, want_l.collect()))
+    with pytest.raises(ValueError, match="how"):
+        skew_ops.salted_join_differential(
+            left, right, ["k"], salt_map, salt_from=["lv"], how="full"
+        )

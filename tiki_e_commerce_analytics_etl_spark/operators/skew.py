@@ -77,6 +77,7 @@ def salted_join_differential(
     salt_map: DataFrame,
     salt_from: list[str],
     buckets_col: str = "salt_buckets",
+    how: str = "inner",
 ) -> DataFrame:
     """Per-key differentially salted equi-join — the executable form
     of ``profile.key_skew_profile``'s advice: each key is salted by
@@ -96,10 +97,16 @@ def salted_join_differential(
     the hot 0.1%; the hybrid join avoids inflation but needs the hot
     slice to broadcast.  Differential salting handles the middle
     regime — hot keys too big to broadcast, right side too big to
-    replicate wholesale.  Result equals the plain inner join exactly
+    replicate wholesale.  Result equals the plain join exactly
     (the salt is a partition of each key's left rows; each right
-    replica meets exactly one partition).
+    replica meets exactly one partition).  ``how`` supports 'inner'
+    and 'left': an unmatched left row carries some salt s and the
+    right side, when the key exists at all, is replicated across
+    EVERY salt 0..fan-1 ⊇ {s}, so left rows null-pad exactly once —
+    never duplicated, never dropped.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if buckets_col not in salt_map.columns:
         raise ValueError(f"salt_map must carry a {buckets_col!r} column")
     fanout = F.broadcast(
@@ -125,7 +132,7 @@ def salted_join_differential(
         )
         .drop("__fan")
     )
-    return l.join(r, [*keys, "__salt"]).drop("__salt")
+    return l.join(r, [*keys, "__salt"], how).drop("__salt")
 
 
 def detect_hot_keys(
