@@ -2625,6 +2625,27 @@ def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_sample_stats(media)
 
 
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features (round 8): 400-sample window energy
+    and peak over REAL decoded 16-bit PCM — the VAD/silence-trim
+    building block, audio twin of per-frame video stats.  Samples are
+    (byte-128)<<8 of the text bytes (the wav_sample_stats route), so
+    DuckDB reproduces every window's integer energy/peak
+    arithmetically from the text column."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    to_wav = mm.text_to_wav_udf(framerate=8000)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        to_wav(F.col("text")).alias("payload"),
+    )
+    return mm.audio_window_energy(media, window_samples=400)
+
+
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/CCNet-style duplicated-span REMOVAL: every
     non-overlapping 3-word tile appearing in >= 4 distinct documents
@@ -3512,6 +3533,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_meta": q_image_meta,
         "video_frame_dedup": q_video_frame_dedup,
         "wav_sample_stats": q_wav_sample_stats,
+        "audio_window_energy": q_audio_window_energy,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
         "event_transitions": q_event_transitions,
@@ -4981,6 +5003,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_min(s) AS BIGINT) AS s_min,
                    CAST(list_max(s) AS BIGINT) AS s_max
             FROM d
+        """,
+        "audio_window_energy": """
+            -- window w covers samples [w*400, (w+1)*400); samples ARE
+            -- (byte-128)<<8 of the text bytes (ASCII-only docs)
+            WITH d AS (
+                SELECT doc_id AS media_id, text FROM documents
+                WHERE length(text) = octet_length(encode(text))
+                  AND length(text) > 0
+            ),
+            s AS (
+                SELECT media_id,
+                       CAST((t.i - 1) // 400 AS BIGINT) AS win_idx,
+                       (unicode(substr(text, CAST(t.i AS INTEGER), 1)) - 128)
+                           * 256 AS smp
+                FROM d,
+                     LATERAL (
+                         SELECT unnest(range(1, length(d.text) + 1)) AS i
+                     ) t
+            )
+            SELECT media_id, win_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(smp * smp) AS BIGINT) AS energy,
+                   CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+            FROM s GROUP BY 1, 2
         """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,

@@ -694,3 +694,39 @@ def test_bpe_corpus_merges_matches_reference_on_real_docs(request):
     )
     assert got == _ref_bpe(dict(counts), 10)
     assert len(got) == 10
+
+
+def test_audio_window_energy_hand_computed(request):
+    """Round 8 windowed audio energy: hand-computed energy/peak per
+    window, short tail window (never zero-padded), empty audio yields
+    no rows, bad window validation."""
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    # 'abcdef' -> samples (ord-128)*256; windows of 4 -> [4, 2]
+    docs = spark.createDataFrame([(1, "abcdef"), (2, "")], "doc_id: long, text: string")
+    to_wav = mm.text_to_wav_udf(framerate=8000)
+    from pyspark.sql import functions as F
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        to_wav("text").alias("payload"),
+    )
+    out = {
+        (r["media_id"], r["win_idx"]): r
+        for r in mm.audio_window_energy(media, window_samples=4).collect()
+    }
+    smp = [(ord(c) - 128) * 256 for c in "abcdef"]
+    assert set(out) == {(1, 0), (1, 1)}  # doc 2 is empty -> no rows
+    w0, w1 = out[(1, 0)], out[(1, 1)]
+    assert (w0["n_samples"], w1["n_samples"]) == (4, 2)  # short tail kept short
+    assert w0["energy"] == sum(s * s for s in smp[:4])
+    assert w1["energy"] == sum(s * s for s in smp[4:])
+    assert w0["peak"] == max(abs(s) for s in smp[:4])
+    assert w1["peak"] == max(abs(s) for s in smp[4:])
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        mm.audio_window_energy(media, window_samples=0)
