@@ -153,6 +153,7 @@ HEADLINE = [
     "embedding_pca",
     "psi_drift",
     "benford",
+    "audio_window_energy",
 ]
 
 
