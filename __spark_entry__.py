@@ -2625,6 +2625,30 @@ def q_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_sample_stats(media)
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (round 8): each ASCII document's first
+    64 bytes become a REAL 1×N grayscale PNG (vendored encoder:
+    zlib + filters + CRC), decoded back bit-exactly and dHashed —
+    block-mean 8×9 grid, 64 brighter-than-right-neighbor bits, hex.
+    Because PNG round-trips exactly, the hash is an integer function
+    of the text bytes and DuckDB reproduces it arithmetically
+    (list-slice block means + the same bit fold).  Near-dup image
+    GROUPS then fall out of a hash aggregate — the image twin of
+    SimHash (radius joins reuse the pigeonhole machinery)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    to_png = mm.text_to_png_udf(max_bytes=64)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        to_png(F.col("text")).alias("payload"),
+    )
+    return mm.image_dhash(media)
+
+
 def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level audio features (round 8): 400-sample window energy
     and peak over REAL decoded 16-bit PCM — the VAD/silence-trim
@@ -3534,6 +3558,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_dedup": q_video_frame_dedup,
         "wav_sample_stats": q_wav_sample_stats,
         "audio_window_energy": q_audio_window_energy,
+        "image_dhash": q_image_dhash,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
         "event_transitions": q_event_transitions,
@@ -5027,6 +5052,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(smp * smp) AS BIGINT) AS energy,
                    CAST(MAX(ABS(smp)) AS BIGINT) AS peak
             FROM s GROUP BY 1, 2
+        """,
+        "image_dhash": """
+            -- dHash of the 1xN gray image whose pixels ARE the first
+            -- 64 text bytes: block-mean cells with the SAME floor
+            -- boundaries as dhash_hex (lo=min(j*n//9, n-1),
+            -- hi=max(lo+1, (j+1)*n//9)); height 1 makes all 8 grid
+            -- rows identical, so the hex is one row byte repeated
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       list_transform(
+                           string_split(substr(text, 1, 64), ''),
+                           ch -> unicode(ch)
+                       ) AS b
+                FROM documents
+                WHERE length(text) = octet_length(encode(text))
+                  AND length(text) > 0
+            ),
+            cells AS (
+                SELECT media_id, len(b) AS n,
+                       list_transform(range(0, 9), j -> (
+                           list_sum(b[
+                               least(CAST(j * len(b) // 9 AS BIGINT),
+                                     len(b) - 1) + 1 :
+                               greatest(least(CAST(j * len(b) // 9 AS BIGINT),
+                                              len(b) - 1) + 1,
+                                        CAST((j + 1) * len(b) // 9 AS BIGINT))
+                           ])
+                           // (greatest(least(CAST(j * len(b) // 9 AS BIGINT),
+                                              len(b) - 1) + 1,
+                                        CAST((j + 1) * len(b) // 9 AS BIGINT))
+                               - least(CAST(j * len(b) // 9 AS BIGINT),
+                                       len(b) - 1))
+                       )) AS c
+                FROM d
+            ),
+            rb AS (
+                SELECT media_id, n,
+                       list_reduce(
+                           list_transform(range(0, 8), j ->
+                               CASE WHEN c[CAST(j AS INTEGER) + 1]
+                                         > c[CAST(j AS INTEGER) + 2]
+                                    THEN CAST(power(2, 7 - j) AS BIGINT)
+                                    ELSE 0 END),
+                           (a, x) -> a + x
+                       ) AS rowbyte
+                FROM cells
+            )
+            SELECT media_id,
+                   repeat(printf('%02x', rowbyte), 8) AS dhash,
+                   CAST(n AS INTEGER) AS width,
+                   CAST(1 AS INTEGER) AS height
+            FROM rb
         """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,

@@ -730,3 +730,72 @@ def test_audio_window_energy_hand_computed(request):
 
     with _p.raises(ValueError):
         mm.audio_window_energy(media, window_samples=0)
+
+
+def test_dhash_properties():
+    """dHash laws (pure byte work, no Spark): identical images hash
+    equal; a mild brightness shift moves ZERO bits (difference-based);
+    small local noise moves few bits; structurally different images
+    are far apart; sub-grid images hash without dividing by zero."""
+    import numpy as np
+
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 200, size=(32, 40), dtype=np.uint8)
+    h1 = mm.dhash_hex(img)
+    assert h1 == mm.dhash_hex(img.copy()) and len(h1) == 16
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    # uniform brightness shift: every cell moves equally -> same bits
+    assert ham(h1, mm.dhash_hex(np.clip(img.astype(int) + 30, 0, 255))) == 0
+    # small local noise: few bits
+    noisy = img.copy()
+    noisy[3, 5] = 255
+    assert ham(h1, mm.dhash_hex(noisy)) <= 4
+    # different structure: far
+    other = rng.integers(0, 200, size=(32, 40), dtype=np.uint8)
+    assert ham(h1, mm.dhash_hex(other)) > 10
+
+    # tiny images (below the 8x9 grid) still hash deterministically
+    assert len(mm.dhash_hex(np.array([[1, 2], [3, 4]], dtype=np.uint8))) == 16
+    assert len(mm.dhash_hex(np.array([[7]], dtype=np.uint8))) == 16
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        mm.dhash_hex(np.zeros((0, 4), dtype=np.uint8))
+
+
+def test_image_dhash_stage_dispatches_png_and_jpeg(request):
+    """image_dhash decodes BOTH containers by magic bytes: a PNG and a
+    JPEG of the same flat image land on the same hash (JPEG q1 decode
+    of a constant image is exact)."""
+    import numpy as np
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import (
+        jpeg_min,
+        multimodal as mm,
+        png_min,
+    )
+
+    img = np.full((16, 18), 128, dtype=np.uint8)
+    img[:, :9] = 40  # left-dark / right-bright structure
+    png = png_min.encode_gray(img)
+    jpg = jpeg_min.encode_gray(img)
+    media = spark.createDataFrame(
+        [(1, "image", png), (2, "image", jpg), (3, "image", None)],
+        "media_id: long, media_type: string, payload: binary",
+    )
+    out = {r["media_id"]: r for r in mm.image_dhash(media).collect()}
+    assert set(out) == {1, 2}  # NULL payload dropped
+    assert (out[1]["width"], out[1]["height"]) == (18, 16)
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    # same structure through two codecs -> near-identical hashes
+    assert ham(out[1]["dhash"], out[2]["dhash"]) <= 2

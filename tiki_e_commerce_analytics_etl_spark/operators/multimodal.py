@@ -1071,6 +1071,120 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def dhash_hex(img) -> str:
+    """Difference-hash (dHash) of a grayscale image as a 16-char hex
+    string: block-mean downsample to an 8×9 grid (integer floor
+    arithmetic — boundaries ``lo=min(i·n//k, n−1)``,
+    ``hi=max(lo+1, (i+1)·n//k)``, so images smaller than the grid
+    repeat nearest rows/cols instead of dividing by zero), then 64
+    bits of "is this cell brighter than its right neighbor".
+    Perceptual: re-encoding, mild noise and small brightness shifts
+    move few bits, so near-duplicate images sit at small Hamming
+    distance — the image twin of SimHash, and the same
+    chunked-index Hamming join applies downstream."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.int64)
+    if a.ndim != 2 or a.size == 0:
+        raise ValueError("dhash needs a non-empty 2-D grayscale image")
+    h, w = a.shape
+
+    def blocks(n: int, k: int):
+        los = [min(i * n // k, n - 1) for i in range(k)]
+        his = [max(lo + 1, (i + 1) * n // k) for i, lo in enumerate(los)]
+        return los, his
+
+    rlo, rhi = blocks(h, 8)
+    clo, chi = blocks(w, 9)
+    cells = [
+        [
+            int(a[rl:rh, cl:ch].sum()) // ((rh - rl) * (ch - cl))
+            for cl, ch in zip(clo, chi)
+        ]
+        for rl, rh in zip(rlo, rhi)
+    ]
+    out = []
+    for r in range(8):
+        byte = 0
+        for j in range(8):
+            byte = (byte << 1) | (1 if cells[r][j] > cells[r][j + 1] else 0)
+        out.append(f"{byte:02x}")
+    return "".join(out)
+
+
+def text_to_png_udf(max_bytes: int = 64):
+    """Vectorized (Arrow) column builder: UTF-8 text → a real PNG
+    (vendored :mod:`.png_min` encoder, zlib + filters + CRC) carrying
+    a 1×N 8-bit grayscale row whose pixels ARE the first
+    ``max_bytes`` text bytes — PNG round-trips BIT-exactly (unlike
+    JPEG), so downstream pixel math is an exact function of the text
+    and DuckDB can reproduce it arithmetically."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from . import png_min
+
+    @pandas_udf("binary")
+    def to_png(texts: pd.Series) -> pd.Series:
+        def build(t) -> bytes | None:
+            b = (t or "").encode("utf-8")[:max_bytes]
+            if not b:
+                return None
+            return png_min.encode_gray(
+                np.frombuffer(b, dtype=np.uint8).reshape(1, len(b))
+            )
+
+        return texts.map(build)
+
+    return to_png
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual image hashing stage: decode each image payload (PNG
+    via the vendored codec, JPEG via PIL-or-vendored — magic-byte
+    dispatch) and emit its 64-bit dHash as hex, plus decoded dims.
+    One Arrow stage; NULL payloads are dropped; non-image bytes raise
+    the decoders' documented errors.  Exact-duplicate groups fall out
+    of a hash aggregate on ``dhash``; near-duplicates at Hamming
+    radius r use the same chunked-index pigeonhole join as
+    ``dedup.simhash_hamming_pairs``."""
+    from . import png_min
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode_jpeg = _jpeg_gray_decoder()
+        for pdf in batches:
+            ids, hashes, ws, hs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = p if p is None or isinstance(p, bytes) else bytes(p)
+                if raw is None:
+                    continue
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = png_min.decode(raw)
+                else:
+                    img = decode_jpeg(raw)
+                ids.append(mid)
+                hashes.append(dhash_hex(img))
+                hs.append(int(img.shape[0]))
+                ws.append(int(img.shape[1]))
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash": hashes, "width": ws, "height": hs}
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        run, DHASH_SCHEMA
+    )
+
+
 def resize_images(
     media: DataFrame,
     width: int = 224,
