@@ -154,6 +154,7 @@ HEADLINE = [
     "psi_drift",
     "benford",
     "audio_window_energy",
+    "image_dhash",
 ]
 
 
