@@ -799,3 +799,43 @@ def test_image_dhash_stage_dispatches_png_and_jpeg(request):
 
     # same structure through two codecs -> near-identical hashes
     assert ham(out[1]["dhash"], out[2]["dhash"]) <= 2
+
+
+def test_dhash_matches_independent_reference():
+    """dhash_hex vs an independently-written reference (plain per-pixel
+    loops, no shared code or numpy slicing) over random images of many
+    shapes, including sub-grid sizes."""
+    import numpy as np
+
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    def ref_dhash(img):
+        h, w = len(img), len(img[0])
+        cells = []
+        for r in range(8):
+            rlo = min(r * h // 8, h - 1)
+            rhi = max(rlo + 1, (r + 1) * h // 8)
+            row = []
+            for j in range(9):
+                clo = min(j * w // 9, w - 1)
+                chi = max(clo + 1, (j + 1) * w // 9)
+                s = 0
+                for y in range(rlo, rhi):
+                    for x in range(clo, chi):
+                        s += int(img[y][x])
+                row.append(s // ((rhi - rlo) * (chi - clo)))
+            cells.append(row)
+        hexs = ""
+        for r in range(8):
+            byte = 0
+            for j in range(8):
+                byte = byte * 2 + (1 if cells[r][j] > cells[r][j + 1] else 0)
+            hexs += f"{byte:02x}"
+        return hexs
+
+    rng = np.random.default_rng(321)
+    shapes = [(1, 5), (1, 64), (2, 3), (7, 9), (8, 9), (16, 16), (33, 50)]
+    for h, w in shapes:
+        for _ in range(3):
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            assert mm.dhash_hex(img) == ref_dhash(img.tolist()), (h, w)
