@@ -2649,6 +2649,28 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_dhash(media)
 
 
+def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image (near-)duplicate PAIRS end-to-end (round 8): dHash every
+    document-derived PNG (the image_dhash stage), then the Manku
+    pigeonhole join over the hex signature at radius 8 —
+    candidates from a (chunk_idx, chunk_hex) equi-join, exact
+    per-nibble bit_count(xor) rerank, each unordered pair once with
+    its distance (0 = exact duplicate).  Radius 8 because this
+    corpus's 1-row images repeat one hash byte ×8, making every
+    nonzero distance a multiple of 8; the chunk split (radius+1 = 9
+    chunks over 16 hex chars) still guarantees candidate recall by
+    pigeonhole.  Oracle: DuckDB recomputes the hashes arithmetically
+    (image_dhash oracle) and brute-forces the pair distances — the
+    engine must find exactly the same pair set WITHOUT the all-pairs
+    scan."""
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+
+    hashes = q_image_dhash(spark, sf_dir).select("media_id", "dhash")
+    return dedup_ops.hex_hamming_pairs(
+        hashes, id_col="media_id", sig_col="dhash", radius=8
+    )
+
+
 def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level audio features (round 8): 400-sample window energy
     and peak over REAL decoded 16-bit PCM — the VAD/silence-trim
@@ -3559,6 +3581,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_sample_stats": q_wav_sample_stats,
         "audio_window_energy": q_audio_window_energy,
         "image_dhash": q_image_dhash,
+        "image_neardup_pairs": q_image_neardup_pairs,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
         "event_transitions": q_event_transitions,
@@ -4264,6 +4287,57 @@ _EMBEDDING_MOMENTS_ORACLE = (
 _EMBEDDING_PCA_ORACLE = """
     SELECT CAST(64 AS INTEGER) AS dim,
            TRUE AS monotone_ok, TRUE AS total_ok
+"""
+
+
+# Shared dHash recomputation (text bytes -> 1xN gray -> block-mean
+# cells -> row byte), used by both the image_dhash oracle and the
+# near-dup pairs oracle.  dHash of the 1xN image whose pixels ARE
+# the first 64 text bytes: block-mean cells with the SAME floor
+# boundaries as dhash_hex (lo=min(j*n//9, n-1), hi=max(lo+1,
+# (j+1)*n//9)); height 1 makes all 8 grid rows identical, so the
+# hex is one row byte repeated.
+_IMAGE_DHASH_CORE = """
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       list_transform(
+                           string_split(substr(text, 1, 64), ''),
+                           ch -> unicode(ch)
+                       ) AS b
+                FROM documents
+                WHERE length(text) = octet_length(encode(text))
+                  AND length(text) > 0
+            ),
+            cells AS (
+                SELECT media_id, len(b) AS n,
+                       list_transform(range(0, 9), j -> (
+                           list_sum(b[
+                               least(CAST(j * len(b) // 9 AS BIGINT),
+                                     len(b) - 1) + 1 :
+                               greatest(least(CAST(j * len(b) // 9 AS BIGINT),
+                                              len(b) - 1) + 1,
+                                        CAST((j + 1) * len(b) // 9 AS BIGINT))
+                           ])
+                           // (greatest(least(CAST(j * len(b) // 9 AS BIGINT),
+                                              len(b) - 1) + 1,
+                                        CAST((j + 1) * len(b) // 9 AS BIGINT))
+                               - least(CAST(j * len(b) // 9 AS BIGINT),
+                                       len(b) - 1))
+                       )) AS c
+                FROM d
+            ),
+            rb AS (
+                SELECT media_id, n,
+                       list_reduce(
+                           list_transform(range(0, 8), j ->
+                               CASE WHEN c[CAST(j AS INTEGER) + 1]
+                                         > c[CAST(j AS INTEGER) + 2]
+                                    THEN CAST(power(2, 7 - j) AS BIGINT)
+                                    ELSE 0 END),
+                           (a, x) -> a + x
+                       ) AS rowbyte
+                FROM cells
+            )
 """
 
 
@@ -5053,57 +5127,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(ABS(smp)) AS BIGINT) AS peak
             FROM s GROUP BY 1, 2
         """,
-        "image_dhash": """
-            -- dHash of the 1xN gray image whose pixels ARE the first
-            -- 64 text bytes: block-mean cells with the SAME floor
-            -- boundaries as dhash_hex (lo=min(j*n//9, n-1),
-            -- hi=max(lo+1, (j+1)*n//9)); height 1 makes all 8 grid
-            -- rows identical, so the hex is one row byte repeated
-            WITH d AS (
-                SELECT doc_id AS media_id,
-                       list_transform(
-                           string_split(substr(text, 1, 64), ''),
-                           ch -> unicode(ch)
-                       ) AS b
-                FROM documents
-                WHERE length(text) = octet_length(encode(text))
-                  AND length(text) > 0
-            ),
-            cells AS (
-                SELECT media_id, len(b) AS n,
-                       list_transform(range(0, 9), j -> (
-                           list_sum(b[
-                               least(CAST(j * len(b) // 9 AS BIGINT),
-                                     len(b) - 1) + 1 :
-                               greatest(least(CAST(j * len(b) // 9 AS BIGINT),
-                                              len(b) - 1) + 1,
-                                        CAST((j + 1) * len(b) // 9 AS BIGINT))
-                           ])
-                           // (greatest(least(CAST(j * len(b) // 9 AS BIGINT),
-                                              len(b) - 1) + 1,
-                                        CAST((j + 1) * len(b) // 9 AS BIGINT))
-                               - least(CAST(j * len(b) // 9 AS BIGINT),
-                                       len(b) - 1))
-                       )) AS c
-                FROM d
-            ),
-            rb AS (
-                SELECT media_id, n,
-                       list_reduce(
-                           list_transform(range(0, 8), j ->
-                               CASE WHEN c[CAST(j AS INTEGER) + 1]
-                                         > c[CAST(j AS INTEGER) + 2]
-                                    THEN CAST(power(2, 7 - j) AS BIGINT)
-                                    ELSE 0 END),
-                           (a, x) -> a + x
-                       ) AS rowbyte
-                FROM cells
-            )
+        "image_dhash": _IMAGE_DHASH_CORE + """
             SELECT media_id,
                    repeat(printf('%02x', rowbyte), 8) AS dhash,
                    CAST(n AS INTEGER) AS width,
                    CAST(1 AS INTEGER) AS height
             FROM rb
+        """,
+        "image_neardup_pairs": _IMAGE_DHASH_CORE + """
+            , h AS (
+                SELECT media_id, repeat(printf('%02x', rowbyte), 8) AS dhash
+                FROM rb
+            ),
+            p AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       CAST(list_sum(list_transform(range(1, 17), i ->
+                           bit_count(xor(
+                               strpos('0123456789abcdef',
+                                      substr(a.dhash, CAST(i AS INTEGER), 1)) - 1,
+                               strpos('0123456789abcdef',
+                                      substr(b.dhash, CAST(i AS INTEGER), 1)) - 1
+                           )))) AS INTEGER) AS hamming
+                FROM h a JOIN h b ON a.media_id < b.media_id
+            )
+            SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
         """,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,

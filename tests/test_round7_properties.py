@@ -839,3 +839,45 @@ def test_dhash_matches_independent_reference():
         for _ in range(3):
             img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
             assert mm.dhash_hex(img) == ref_dhash(img.tolist()), (h, w)
+
+
+def test_hex_hamming_pairs_complete_vs_brute_force(request):
+    """hex_hamming_pairs must find EXACTLY the brute-force pair set
+    (pigeonhole completeness at the configured radius) on random hex
+    signatures, including exact duplicates (distance 0)."""
+    import itertools
+    import random
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+
+    rng = random.Random(11)
+    base = rng.getrandbits(64)
+    sigs = []
+    for i in range(40):
+        v = base
+        for _ in range(rng.randint(0, 12)):  # up to 12 bit flips away
+            v ^= 1 << rng.randrange(64)
+        sigs.append((i, f"{v:016x}"))
+    sigs += [(100, sigs[0][1]), (101, sigs[1][1])]  # planted exact dups
+    df = spark.createDataFrame(sigs, "id: long, h: string")
+
+    for radius in (0, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup_ops.hex_hamming_pairs(
+                df, id_col="id", sig_col="h", radius=radius
+            ).collect()
+        }
+        want = set()
+        for (ia, ha), (ib, hb) in itertools.combinations(sigs, 2):
+            d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
+            if d <= radius:
+                a, b = min(ia, ib), max(ia, ib)
+                want.add((a, b, d))
+        assert got == want, f"radius {radius}"
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        dedup_ops.hex_hamming_pairs(df, "id", "h", radius=64)

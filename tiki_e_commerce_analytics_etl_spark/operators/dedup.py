@@ -935,3 +935,65 @@ def simhash_hamming_pairs(
         .select("id_a", "id_b", dist.alias("hamming"))
         .distinct()
     )
+
+
+def hex_hamming_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    sig_col: str,
+    radius: int,
+    hex_len: int = 16,
+) -> DataFrame:
+    """Duplicate / near-duplicate pairs within Hamming distance
+    ``radius`` over FIXED-LENGTH HEX signatures (e.g. the 16-char
+    64-bit ``multimodal.dhash_hex``) — the string-signature twin of
+    ``simhash_hamming_pairs``, same Manku pigeonhole design: split
+    the hex into ``radius + 1`` disjoint chunks (4-bit-aligned, so
+    plain ``substring``); two signatures within ``radius`` bit flips
+    agree exactly on at least one chunk, so candidates come from an
+    equi-join on (chunk_idx, chunk_hex) and the exact per-nibble
+    ``bit_count(xor)`` sum reranks only candidates.  Emits each
+    unordered pair once with its distance (0 = exact duplicate).
+
+    Selectivity note for sizing: a chunk of c hex chars gives a
+    16^c-way bucket space; radius close to ``hex_len`` forces 1-char
+    chunks (16 buckets) and candidate volume degrades toward
+    all-pairs — keep radius ≪ 4·hex_len bits, exactly as with the
+    integer variant.
+    """
+    if not 0 <= radius < 4 * hex_len:
+        raise ValueError(f"radius must be in [0, {4 * hex_len})")
+    n_chunks = min(radius + 1, hex_len)
+    bounds = [i * hex_len // n_chunks for i in range(n_chunks + 1)]
+
+    def chunked(side: str) -> DataFrame:
+        sig = F.col(sig_col)
+        arr = F.array(
+            *[
+                F.substring(sig, lo + 1, hi - lo)
+                for lo, hi in zip(bounds, bounds[1:])
+            ]
+        )
+        return signatures.select(
+            F.col(id_col).alias(f"id_{side}"),
+            sig.alias(f"sig_{side}"),
+            F.posexplode(arr).alias("chunk_idx", "chunk_hex"),
+        )
+
+    cand = (
+        chunked("a")
+        .join(chunked("b"), ["chunk_idx", "chunk_hex"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    nib = lambda c, i: F.conv(F.substring(c, i + 1, 1), 16, 10).cast("int")  # noqa: E731
+    dist = sum(
+        F.bit_count(nib(F.col("sig_a"), i).bitwiseXOR(nib(F.col("sig_b"), i)))
+        for i in range(hex_len)
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", dist.alias("hamming"))
+        .where(F.col("hamming") <= radius)
+        .distinct()
+    )
