@@ -155,6 +155,7 @@ HEADLINE = [
     "benford",
     "audio_window_energy",
     "image_dhash",
+    "image_neardup_pairs",
 ]
 
 
