@@ -969,12 +969,28 @@ def hex_hamming_pairs(
     chunks (16 buckets) and candidate volume degrades toward
     all-pairs — over the distinct-signature relation, which bounds
     the damage but does not remove it.  Keep radius ≪ 4·hex_len bits.
+
+    Pigeonhole bound: ``radius + 1`` disjoint chunks need at least
+    one hex char each, so the chunk join is only complete for
+    ``radius < hex_len``.  For ``hex_len <= radius < 4*hex_len`` —
+    where >= 1/4 of the bits may differ, i.e. far outside any
+    near-duplicate regime — the operator stays CORRECT by falling
+    back to the exact all-pairs comparison over the DISTINCT-
+    signature relation (quadratic over distinct signatures, bounded
+    by the duplicate collapse; a deliberate completeness-over-speed
+    trade documented here rather than a silently-incomplete chunk
+    join, per round-8 advice).
+
+    Input contract: duplicate ``(id, sig)`` rows are collapsed (one
+    id contributes each signature once); an id appearing with SEVERAL
+    distinct signatures participates once per signature, so a pair of
+    such ids can legitimately appear at more than one distance.
     """
     if not 0 <= radius < 4 * hex_len:
         raise ValueError(f"radius must be in [0, {4 * hex_len})")
     members = signatures.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
-    )
+    ).dropDuplicates(["__id", "__sig"])
     uniq = members.select("__sig").distinct()
     n_chunks = min(radius + 1, hex_len)
     bounds = [i * hex_len // n_chunks for i in range(n_chunks + 1)]
@@ -997,15 +1013,29 @@ def hex_hamming_pairs(
         F.bit_count(nib(F.col("sig_a"), i).bitwiseXOR(nib(F.col("sig_b"), i)))
         for i in range(hex_len)
     ).cast("int")
-    sig_pairs = (
-        chunked("a")
-        .join(chunked("b"), ["chunk_idx", "chunk_hex"])
-        .where(F.col("sig_a") < F.col("sig_b"))
-        .select("sig_a", "sig_b")
-        .distinct()
-        .select("sig_a", "sig_b", dist.alias("hamming"))
-        .where(F.col("hamming") <= radius)
-    )
+    if radius >= hex_len:
+        # pigeonhole needs radius+1 >= hex_len+1 disjoint chunks of
+        # >= 1 hex char — impossible: exact all-pairs over DISTINCT
+        # signatures (see docstring)
+        sig_pairs = (
+            uniq.select(F.col("__sig").alias("sig_a"))
+            .join(
+                uniq.select(F.col("__sig").alias("sig_b")),
+                F.col("sig_a") < F.col("sig_b"),
+            )
+            .select("sig_a", "sig_b", dist.alias("hamming"))
+            .where(F.col("hamming") <= radius)
+        )
+    else:
+        sig_pairs = (
+            chunked("a")
+            .join(chunked("b"), ["chunk_idx", "chunk_hex"])
+            .where(F.col("sig_a") < F.col("sig_b"))
+            .select("sig_a", "sig_b")
+            .distinct()
+            .select("sig_a", "sig_b", dist.alias("hamming"))
+            .where(F.col("hamming") <= radius)
+        )
     near = (
         sig_pairs.join(
             members.select(F.col("__id").alias("__ia"), F.col("__sig").alias("sig_a")),

@@ -226,12 +226,25 @@ def _parse_fragments(
 
     Returns (ranges, first_sample_duration) — duration 0 when no
     source (trun/tfhd/trex) declares one.
+
+    Implicit-base mode (§8.8.7, round-9 advice fix): when neither
+    tfhd base flag is set, the base data offset is the first byte of
+    the enclosing moof ONLY for the moof's FIRST traf; for second and
+    subsequent trafs it is the END of the data defined by the
+    preceding traf.  Every traf is therefore walked (not just
+    ``track_id``'s) so the running data end is known; a preceding
+    traf whose samples cannot be located (e.g. no size source for a
+    foreign track) leaves the implicit base unresolvable and a later
+    traf that needs it raises NotImplementedError instead of
+    silently resolving wrong byte ranges.
     """
     ranges: list[tuple[int, int]] = []
     duration = 0
     for fc, hdr, ms, me in _boxes_hdr(buf, 0, end):
         if fc != b"moof":
             continue
+        first_traf = True
+        prev_end: int | None = None  # data end of the preceding traf
         for tfc, ts, te in _boxes(buf, ms, me):
             if tfc != b"traf":
                 continue
@@ -240,83 +253,117 @@ def _parse_fragments(
                 continue
             ps = tfhd[0]
             flags = int.from_bytes(buf[ps + 1 : ps + 4], "big")
-            if int.from_bytes(buf[ps + 4 : ps + 8], "big") != track_id:
-                continue
+            tid = int.from_bytes(buf[ps + 4 : ps + 8], "big")
             pos = ps + 8
-            base = hdr  # §8.8.7 default AND the default-base-is-moof bit
             if flags & _TFHD_BASE_DATA_OFFSET:
                 base = int.from_bytes(buf[pos : pos + 8], "big")
                 pos += 8
+            elif flags & _TFHD_DEFAULT_BASE_IS_MOOF or first_traf:
+                base = hdr
+            elif prev_end is not None:
+                base = prev_end  # §8.8.7: end of the preceding traf
+            else:
+                raise NotImplementedError(
+                    "fragmented MP4 traf in implicit-base mode after a "
+                    "traf whose data end could not be located — base "
+                    "data offset is unresolvable"
+                )
+            first_traf = False
             if flags & _TFHD_SAMPLE_DESC_IDX:
                 pos += 4
-            d_dur = trex.get(track_id, {}).get("duration", 0)
+            d_dur = trex.get(tid, {}).get("duration", 0)
             if flags & _TFHD_DEFAULT_DURATION:
                 d_dur = int.from_bytes(buf[pos : pos + 4], "big")
                 pos += 4
-            d_size = trex.get(track_id, {}).get("size", 0)
+            d_size = trex.get(tid, {}).get("size", 0)
             if flags & _TFHD_DEFAULT_SIZE:
                 d_size = int.from_bytes(buf[pos : pos + 4], "big")
                 pos += 4
-            # sample data cursor: consecutive across this traf's truns
-            # unless a trun declares its own data_offset
-            cursor = base
-            for rfc, rs, re_ in _boxes(buf, ts, te):
-                if rfc != b"trun" or re_ - rs < 8:
-                    continue
-                tflags = int.from_bytes(buf[rs + 1 : rs + 4], "big")
-                n = int.from_bytes(buf[rs + 4 : rs + 8], "big")
-                p = rs + 8
-                if tflags & _TRUN_DATA_OFFSET:
-                    doff = int.from_bytes(buf[p : p + 4], "big", signed=True)
-                    cursor = base + doff
-                    p += 4
-                if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
-                    p += 4
-                stride = (
-                    (4 if tflags & _TRUN_SAMPLE_DURATION else 0)
-                    + (4 if tflags & _TRUN_SAMPLE_SIZE else 0)
-                    + (4 if tflags & _TRUN_SAMPLE_FLAGS else 0)
-                    + (4 if tflags & _TRUN_SAMPLE_CTS else 0)
-                )
-                if p + stride * n > re_:
-                    raise ValueError(
-                        f"trun sample count {n} exceeds box size"
+            def walk_truns(base: int) -> tuple[list[tuple[int, int]], int, int]:
+                """Resolve THIS traf's samples: (ranges, first_dur,
+                data_end).  data_end is the max byte past any sample —
+                the §8.8.7 implicit base for the next traf."""
+                traf_ranges: list[tuple[int, int]] = []
+                traf_dur = 0
+                traf_end = base  # a sample-less traf defines no data
+                # sample data cursor: consecutive across this traf's
+                # truns unless a trun declares its own data_offset
+                cursor = base
+                for rfc, rs, re_ in _boxes(buf, ts, te):
+                    if rfc != b"trun" or re_ - rs < 8:
+                        continue
+                    tflags = int.from_bytes(buf[rs + 1 : rs + 4], "big")
+                    n = int.from_bytes(buf[rs + 4 : rs + 8], "big")
+                    p = rs + 8
+                    if tflags & _TRUN_DATA_OFFSET:
+                        doff = int.from_bytes(buf[p : p + 4], "big", signed=True)
+                        cursor = base + doff
+                        p += 4
+                    if tflags & _TRUN_FIRST_SAMPLE_FLAGS:
+                        p += 4
+                    stride = (
+                        (4 if tflags & _TRUN_SAMPLE_DURATION else 0)
+                        + (4 if tflags & _TRUN_SAMPLE_SIZE else 0)
+                        + (4 if tflags & _TRUN_SAMPLE_FLAGS else 0)
+                        + (4 if tflags & _TRUN_SAMPLE_CTS else 0)
                     )
-                if stride == 0 and n > 0:
-                    # no per-sample fields: the box size can't bound n
-                    # (fuzz-found unbounded materialization) — every
-                    # sample must still physically fit in the file
-                    if d_size == 0:
-                        raise NotImplementedError(
-                            "fragmented MP4 sample without a size: no "
-                            "trun per-sample size, tfhd default, or "
-                            "trex default — samples cannot be located"
-                        )
-                    if n * d_size > len(buf):
+                    if p + stride * n > re_:
                         raise ValueError(
-                            f"trun sample count {n} exceeds file size"
+                            f"trun sample count {n} exceeds box size"
                         )
-                for _ in range(n):
-                    q = p
-                    s_dur = d_dur
-                    if tflags & _TRUN_SAMPLE_DURATION:
-                        s_dur = int.from_bytes(buf[q : q + 4], "big")
-                        q += 4
-                    s_size = d_size
-                    if tflags & _TRUN_SAMPLE_SIZE:
-                        s_size = int.from_bytes(buf[q : q + 4], "big")
-                        q += 4
-                    if s_size == 0:
-                        raise NotImplementedError(
-                            "fragmented MP4 sample without a size: no "
-                            "trun per-sample size, tfhd default, or "
-                            "trex default — samples cannot be located"
-                        )
-                    if not duration and s_dur:
-                        duration = s_dur
-                    ranges.append((cursor, s_size))
-                    cursor += s_size
-                    p += stride
+                    if stride == 0 and n > 0:
+                        # no per-sample fields: the box size can't bound
+                        # n (fuzz-found unbounded materialization) —
+                        # every sample must still physically fit
+                        if d_size == 0:
+                            raise NotImplementedError(
+                                "fragmented MP4 sample without a size: no "
+                                "trun per-sample size, tfhd default, or "
+                                "trex default — samples cannot be located"
+                            )
+                        if n * d_size > len(buf):
+                            raise ValueError(
+                                f"trun sample count {n} exceeds file size"
+                            )
+                    for _ in range(n):
+                        q = p
+                        s_dur = d_dur
+                        if tflags & _TRUN_SAMPLE_DURATION:
+                            s_dur = int.from_bytes(buf[q : q + 4], "big")
+                            q += 4
+                        s_size = d_size
+                        if tflags & _TRUN_SAMPLE_SIZE:
+                            s_size = int.from_bytes(buf[q : q + 4], "big")
+                            q += 4
+                        if s_size == 0:
+                            raise NotImplementedError(
+                                "fragmented MP4 sample without a size: no "
+                                "trun per-sample size, tfhd default, or "
+                                "trex default — samples cannot be located"
+                            )
+                        if not traf_dur and s_dur:
+                            traf_dur = s_dur
+                        traf_ranges.append((cursor, s_size))
+                        cursor += s_size
+                        traf_end = max(traf_end, cursor)
+                        p += stride
+                return traf_ranges, traf_dur, traf_end
+
+            if tid == track_id:
+                traf_ranges, traf_dur, traf_end = walk_truns(base)
+                ranges.extend(traf_ranges)
+                if not duration and traf_dur:
+                    duration = traf_dur
+                prev_end = traf_end
+            else:
+                # foreign track: walked ONLY to locate its data end
+                # (the next traf's implicit base); a foreign traf that
+                # cannot be resolved leaves prev_end unknown instead
+                # of failing the target track's demux
+                try:
+                    _fr, _fd, prev_end = walk_truns(base)
+                except (NotImplementedError, ValueError):
+                    prev_end = None
     return ranges, duration
 
 
