@@ -1101,6 +1101,24 @@ def q_bpe_corpus_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_train(docs, text_col="text", n_merges=10)
 
 
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training (Kudo
+    2018, round 9) on the canonical unigram example corpus (hug*10
+    pug*5 pun*12 bun*4 hugs*5): seed-substring counts -> hard-EM
+    Viterbi recounts -> prune to vocab_size=10, per
+    text.unigram_train's pinned algorithm.  The oracle carries the
+    vocabulary computed by an independent pure-Python reference
+    implementation (tests/test_round9.py re-derives it property-style
+    on random corpora too); the EM loop itself is not SQL-expressible,
+    the fixed-corpus VALUES table is."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    wc = {"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}
+    corpus = " ".join(w for w, c in wc.items() for _ in range(c))
+    df = spark.createDataFrame([(1, corpus)], "case_id: long, text: string")
+    return text_ops.unigram_train(df, vocab_size=10, seed_max_len=3)
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE APPLY: tokenize documents with the merge table learned by
     ``bpe_train`` on the Sennrich canonical corpus (the 8 merges the
@@ -2671,6 +2689,36 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-level near-duplicate pairs (round 9): documents become
+    8-frame grayscale MP4s (frame i = text byte slice i), every frame
+    is demuxed and perceptually hashed (multimodal.frame_dhash), and
+    videos pair by SHARED frame hashes with distinct-hash containment
+    and the longest ORDERED frame run (dedup.frame_signature_pairs) —
+    the composition video_frame_dedup's exact md5 stops short of: a
+    uniformly brightness-shifted or re-encoded rendition keeps its
+    dHashes and still pairs (pytest proves that case; the corpus
+    oracle proves the arithmetic).  Frames ≡ text byte slices, so
+    DuckDB recomputes every frame's dHash row-byte arithmetically and
+    brute-forces the same pair scores."""
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    to_mp4 = isobmff.text_to_gray_mp4_udf(n_frames=8)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        to_mp4(F.col("text")).alias("payload"),
+    )
+    frames = mm.frame_sample(media, every_ms=40, sampler=isobmff.mp4_frame_sampler)
+    return dedup_ops.frame_signature_pairs(
+        mm.frame_dhash(frames), min_containment_ppm=500_000
+    )
+
+
 def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level audio features (round 8): 400-sample window energy
     and peak over REAL decoded 16-bit PCM — the VAD/silence-trim
@@ -2690,6 +2738,19 @@ def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_wav(F.col("text")).alias("payload"),
     )
     return mm.audio_window_energy(media, window_samples=400)
+
+
+def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array-style exact substring dedup (Lee et al. 2022,
+    round 9): document pairs sharing an exact word-span >= 6 words at
+    ARBITRARY offsets, with the EXACT longest-common-word-run length
+    per pair — sliding-window anchor hashes, uniform-key candidate
+    join, slice-verified matches, diagonal streak extension
+    (dedup.exact_substring_pairs).  Complements chunk_dedup (aligned
+    tiles, per-doc fractions) with the arbitrary-offset PAIR view the
+    suffix array gives single-node."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_substring_pairs(docs, "text", "doc_id", min_words=6)
 
 
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3490,6 +3551,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_pairs": q_duplicate_pairs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "chunk_dedup": q_chunk_dedup,
+        "exact_substring_pairs": q_exact_substring_pairs,
         "bloom_screen": q_bloom_screen,
         "cms_counts": q_cms_counts,
         "pagerank_parts": q_pagerank_parts,
@@ -3523,6 +3585,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_corpus_merges": q_bpe_corpus_merges,
         "bpe_tokenize": q_bpe_tokenize,
+        "unigram_vocab": q_unigram_vocab,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "trends_csv_scan": q_trends_csv_scan,
@@ -3582,6 +3645,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_energy": q_audio_window_energy,
         "image_dhash": q_image_dhash,
         "image_neardup_pairs": q_image_neardup_pairs,
+        "video_neardup_pairs": q_video_neardup_pairs,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
         "event_transitions": q_event_transitions,
@@ -4338,6 +4402,89 @@ _IMAGE_DHASH_CORE = """
                        ) AS rowbyte
                 FROM cells
             )
+"""
+
+
+# Per-frame dHash twin of _IMAGE_DHASH_CORE for the video pipeline:
+# frame i of the gray MP4 is text byte slice [i*step, (i+1)*step)
+# (step = max(len//8, 1), empty tail frames dropped — kept indices are
+# always the contiguous prefix, so oracle frame_idx == demux
+# frame_idx), each frame's dHash row-byte is recomputed with the same
+# floor block boundaries, and the pair scores brute-force
+# dedup.frame_signature_pairs' contract (distinct-shared hashes,
+# all-alignment diagonal runs, integer containment ppm).
+_VIDEO_NEARDUP_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), ch -> unicode(ch)) AS bs,
+               greatest(length(text) // 8, 1) AS step
+        FROM documents
+        WHERE length(text) = octet_length(encode(text)) AND length(text) > 0
+    ),
+    f AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+               bs[CAST(i * step + 1 AS BIGINT) :
+                  least(CAST((i + 1) * step AS BIGINT), len(bs))] AS b
+        FROM d, unnest(range(0, 8)) AS t(i)
+        WHERE i * step + 1 <= len(bs)
+    ),
+    cells AS (
+        SELECT doc_id, frame_idx,
+               list_transform(range(0, 9), j -> (
+                   list_sum(b[
+                       least(CAST(j * len(b) // 9 AS BIGINT), len(b) - 1) + 1 :
+                       greatest(least(CAST(j * len(b) // 9 AS BIGINT),
+                                      len(b) - 1) + 1,
+                                CAST((j + 1) * len(b) // 9 AS BIGINT))
+                   ])
+                   // (greatest(least(CAST(j * len(b) // 9 AS BIGINT),
+                                      len(b) - 1) + 1,
+                                CAST((j + 1) * len(b) // 9 AS BIGINT))
+                       - least(CAST(j * len(b) // 9 AS BIGINT), len(b) - 1))
+               )) AS c
+        FROM f
+    ),
+    rb AS (
+        SELECT doc_id, frame_idx,
+               list_reduce(
+                   list_transform(range(0, 8), j ->
+                       CASE WHEN c[CAST(j AS INTEGER) + 1]
+                                 > c[CAST(j AS INTEGER) + 2]
+                            THEN CAST(power(2, 7 - j) AS BIGINT)
+                            ELSE 0 END),
+                   (a, x) -> a + x) AS h
+        FROM cells
+    ),
+    nv AS (SELECT doc_id, COUNT(DISTINCT h) AS n FROM rb GROUP BY doc_id),
+    m AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.frame_idx AS ia, b.frame_idx AS ib, a.h
+        FROM rb a JOIN rb b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    sh AS (SELECT id_a, id_b,
+                  CAST(COUNT(DISTINCT h) AS BIGINT) AS shared_hashes
+           FROM m GROUP BY id_a, id_b),
+    runs AS (
+        SELECT id_a, id_b, ia - ib AS dg,
+               ia - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS sk
+        FROM m
+    ),
+    rl AS (SELECT id_a, id_b, COUNT(*) AS run
+           FROM runs GROUP BY id_a, id_b, dg, sk),
+    mr AS (SELECT id_a, id_b, CAST(MAX(run) AS INTEGER) AS max_run_frames
+           FROM rl GROUP BY id_a, id_b)
+    SELECT sh.id_a, sh.id_b, sh.shared_hashes,
+           CAST(na.n AS BIGINT) AS n_frames_a,
+           CAST(nb.n AS BIGINT) AS n_frames_b,
+           CAST(FLOOR(1000000.0 * sh.shared_hashes / least(na.n, nb.n))
+                AS BIGINT) AS containment_ppm,
+           mr.max_run_frames
+    FROM sh
+    JOIN mr USING (id_a, id_b)
+    JOIN nv na ON na.doc_id = sh.id_a
+    JOIN nv nb ON nb.doc_id = sh.id_b
+    WHERE 1000000.0 * sh.shared_hashes / least(na.n, nb.n) >= 500000
 """
 
 
@@ -5134,6 +5281,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS height
             FROM rb
         """,
+        "video_neardup_pairs": _VIDEO_NEARDUP_ORACLE,
         "image_neardup_pairs": _IMAGE_DHASH_CORE + """
             , h AS (
                 SELECT media_id, repeat(printf('%02x', rowbyte), 8) AS dhash
@@ -5177,6 +5325,26 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": _SALTED_JOIN_ORACLE,
         "nearest_event": _NEAREST_EVENT_ORACLE,
         "bpe_merges": _BPE_MERGES_ORACLE,
+        # independent pure-Python reference implementation's output on
+        # the canonical corpus (re-derived property-style in
+        # tests/test_round9.py): vocab_size=10 = 7 chars + 3 multis
+        "unigram_vocab": """
+            SELECT CAST(rank AS INTEGER) AS rank, piece,
+                   CAST(piece_len AS INTEGER) AS piece_len,
+                   CAST(count AS BIGINT) AS count
+            FROM (VALUES
+                (1, 'hug', 3, 15),
+                (2, 'pun', 3, 12),
+                (3, 'pug', 3, 5),
+                (4, 's', 1, 5),
+                (5, 'b', 1, 4),
+                (6, 'n', 1, 4),
+                (7, 'u', 1, 4),
+                (8, 'g', 1, 0),
+                (9, 'h', 1, 0),
+                (10, 'p', 1, 0)
+            ) AS t(rank, piece, piece_len, count)
+        """,
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
         "triangle_count": _TRIANGLE_COUNT_ORACLE,
         "winsorize": _WINSORIZE_ORACLE,
@@ -5424,6 +5592,36 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(*) FILTER (d.n_docs >= 2)) / COUNT(*) AS dup_fraction
             FROM e JOIN d USING (h)
             GROUP BY e.doc_id
+        """,
+        "exact_substring_pairs": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+                       WHERE trim(text) <> ''),
+            wins AS (
+                SELECT doc_id, i AS off, array_to_string(ws[i:i+5], ' ') AS win
+                FROM w, unnest(range(1, len(ws) - 4)) AS t(i)
+                WHERE len(ws) >= 6
+            ),
+            m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.off AS off_a, b.off AS off_b, a.win
+                FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+            ),
+            runs AS (
+                SELECT id_a, id_b, off_a - off_b AS d,
+                       off_a - ROW_NUMBER() OVER (
+                           PARTITION BY id_a, id_b, off_a - off_b
+                           ORDER BY off_a) AS sk
+                FROM m
+            ),
+            rl AS (SELECT id_a, id_b, CAST(COUNT(*) + 5 AS BIGINT) AS run_words
+                   FROM runs GROUP BY id_a, id_b, d, sk),
+            agg AS (SELECT id_a, id_b, MAX(run_words) AS max_run_words
+                    FROM rl GROUP BY id_a, id_b),
+            sh AS (SELECT id_a, id_b,
+                          CAST(COUNT(DISTINCT win) AS BIGINT) AS shared_windows
+                   FROM m GROUP BY id_a, id_b)
+            SELECT sh.id_a, sh.id_b, sh.shared_windows, agg.max_run_words
+            FROM sh JOIN agg USING (id_a, id_b)
         """,
         "bloom_screen": _bloom_screen_oracle(),
         "cms_counts": _cms_counts_oracle(),

@@ -156,6 +156,8 @@ HEADLINE = [
     "audio_window_energy",
     "image_dhash",
     "image_neardup_pairs",
+    "exact_substring_pairs",
+    "video_neardup_pairs",
 ]
 
 

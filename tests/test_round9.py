@@ -58,6 +58,42 @@ def test_hex_hamming_pairs_large_radius_falls_back_complete(request):
         assert got == want, f"radius {radius}"
 
 
+def test_hex_hamming_pairs_multi_index_complete(request):
+    """agree >= 2 (Manku multi-index, the diverse-corpus route) must
+    find EXACTLY the brute-force pair set — completeness of the
+    chunk-combination join at every supported agree level."""
+    spark = request.getfixturevalue("spark")
+    rng = random.Random(23)
+    # diverse sigs: random base per doc, then planted near-dups
+    sigs = [(i, f"{rng.getrandbits(64):016x}") for i in range(25)]
+    for i in range(25, 40):  # near-dups of earlier sigs
+        v = int(sigs[i % 25][1], 16)
+        for _ in range(rng.randint(0, 8)):
+            v ^= 1 << rng.randrange(64)
+        sigs.append((i, f"{v:016x}"))
+    df = spark.createDataFrame(sigs, "id: long, h: string")
+
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(sigs, 2):
+        d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
+        want[(min(ia, ib), max(ia, ib))] = d
+
+    for radius, agree in ((8, 2), (8, 3), (4, 4), (0, 2), (13, 3)):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup_ops.hex_hamming_pairs(
+                df, id_col="id", sig_col="h", radius=radius, agree=agree
+            ).collect()
+        }
+        expect = {(a, b, d) for (a, b), d in want.items() if d <= radius}
+        assert got == expect, f"radius {radius} agree {agree}"
+
+    with pytest.raises(ValueError):  # radius+agree > hex_len
+        dedup_ops.hex_hamming_pairs(df, "id", "h", radius=15, agree=2)
+    with pytest.raises(ValueError):
+        dedup_ops.hex_hamming_pairs(df, "id", "h", radius=8, agree=0)
+
+
 def test_hex_hamming_pairs_duplicate_id_sig_rows_collapse(request):
     """Duplicate (id, sig) input rows are collapsed: each unordered
     pair appears exactly once, on both the pigeonhole and the exact
@@ -75,6 +111,44 @@ def test_hex_hamming_pairs_duplicate_id_sig_rows_collapse(request):
     out = dedup_ops.hex_hamming_pairs(df, "id", "h", radius=2).collect()
     got = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in out)
     assert got == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
+
+
+def test_exact_substring_pairs_planted_duplicates(request):
+    """Planted spans at arbitrary offsets: max_run_words must be the
+    EXACT longest common word-run, including the internally-repetitive
+    case where first-occurrence-only window indexing undercounts."""
+    spark = request.getfixturevalue("spark")
+
+    span = "one two three four five six seven eight"  # 8 words
+    rows = [
+        # span at offset 0 of A, offset 3 of B (arbitrary alignment)
+        (1, span + " tail1 tail2"),
+        (2, "pre1 pre2 pre3 " + span),
+        # unrelated doc, no >=4-word overlap
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        # internally-repetitive: shared span 'p q p q r s' (6 words)
+        # repeats its leading bigram — all-occurrence diagonals must
+        # still recover the full 6-word run
+        (4, "p q p q r s xx yy"),
+        (5, "zz p q p q r s"),
+        # exact duplicate pair
+        (6, "dup dup2 dup3 dup4 dup5 dup6 dup7"),
+        (7, "dup dup2 dup3 dup4 dup5 dup6 dup7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        (r["id_a"], r["id_b"]): (r["shared_windows"], r["max_run_words"])
+        for r in dedup_ops.exact_substring_pairs(
+            df, "text", "doc_id", min_words=4
+        ).collect()
+    }
+    # (1,2): span of 8 -> runs of 8 words, 5 distinct 4-windows
+    assert out[(1, 2)] == (5, 8)
+    # (4,5): 'p q p q r s' = 6-word run -> 3 distinct 4-windows
+    assert out[(4, 5)] == (3, 6)
+    # (6,7): identical 7-word docs -> run 7, 4 windows
+    assert out[(6, 7)] == (4, 7)
+    assert not any(3 in pair for pair in out)  # doc 3 shares nothing
 
 
 def _traf(track_id: int, sizes: list[int], data_offset: int | None) -> bytes:
@@ -154,3 +228,183 @@ def test_fmp4_single_traf_implicit_base_unchanged():
     )
     usec, got = isobmff.mp4_demux(p)
     assert got == frames
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM trainer: independent pure-Python reference implementation
+# (structured over a word-count dict, written separately from the
+# operator) — the value oracle for text.unigram_train.
+# ---------------------------------------------------------------------------
+
+def _ref_unigram(word_counts, vocab_size, seed_max_len=4, seed_multi=1000,
+                 shrink=0.75):
+    import math
+    from collections import Counter
+
+    seed = Counter()
+    for w, c in word_counts.items():
+        for s in range(len(w)):
+            for e in range(s + 1, min(s + seed_max_len, len(w)) + 1):
+                seed[w[s:e]] += c
+    chars = {p: n for p, n in seed.items() if len(p) == 1}
+    multis = sorted(
+        (p for p in seed if len(p) > 1), key=lambda p: (-seed[p], p)
+    )[:seed_multi]
+    counts = dict(chars)
+    counts.update({p: seed[p] for p in multis})
+    target = max(vocab_size - len(chars), 0)
+
+    def viterbi(w, logp, ml):
+        n = len(w)
+        best = [0.0] + [None] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            bs = bj = None
+            for ln in range(1, min(ml, i) + 1):
+                j = i - ln
+                if best[j] is None:
+                    continue
+                lp = logp.get(w[j:i])
+                if lp is None:
+                    continue
+                sc = best[j] + lp
+                if bs is None or sc > bs or (sc == bs and j < bj):
+                    bs, bj = sc, j
+            best[i], back[i] = bs, bj
+        out, i = [], n
+        while i > 0:
+            out.append(w[back[i]:i])
+            i = back[i]
+        return out[::-1]
+
+    import math as _m
+    while True:
+        total = sum(counts.values())
+        logp = {
+            p: _m.log(max(c, 0.5)) - _m.log(total) for p, c in counts.items()
+        }
+        ml = max(len(p) for p in logp)
+        from collections import Counter as _C
+        used = _C()
+        for w, c in word_counts.items():
+            for piece in viterbi(w, logp, ml):
+                used[piece] += c
+        counts = {ch: used.get(ch, 0) for ch in chars}
+        counts.update({p: n for p, n in used.items() if len(p) > 1})
+        ms = [p for p in counts if len(p) > 1]
+        if len(ms) <= target:
+            break
+        keep_n = max(target, min(len(ms) - 1, _m.ceil(len(ms) * shrink)))
+        keep = sorted(ms, key=lambda p: (-counts[p], p))[:keep_n]
+        counts = {
+            **{ch: counts[ch] for ch in chars},
+            **{p: counts[p] for p in keep},
+        }
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_unigram_train_matches_independent_reference(request):
+    """text.unigram_train must reproduce the independent reference on
+    the canonical corpus AND random corpora (random word shapes, dup
+    structure, vocab sizes)."""
+    import random
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import text as t
+
+    def run_case(word_counts, vocab_size, seed_max_len):
+        corpus = " ".join(w for w, c in word_counts.items() for _ in range(c))
+        df = spark.createDataFrame([(1, corpus)], "id: long, text: string")
+        got = [
+            (r["rank"], r["piece"], r["piece_len"], r["count"])
+            for r in t.unigram_train(
+                df, vocab_size=vocab_size, seed_max_len=seed_max_len
+            ).collect()
+        ]
+        ref = _ref_unigram(
+            word_counts, vocab_size=vocab_size, seed_max_len=seed_max_len
+        )
+        want = [(i + 1, p, len(p), c) for i, (p, c) in enumerate(ref)]
+        assert got == want, (word_counts, vocab_size, seed_max_len)
+
+    # canonical fixture (the unigram_vocab oracle)
+    run_case({"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}, 10, 3)
+
+    rng = random.Random(91)
+    alphabet = "abcdef"
+    for trial in range(4):
+        words = {
+            "".join(
+                rng.choice(alphabet) for _ in range(rng.randint(2, 7))
+            ): rng.randint(1, 20)
+            for _ in range(rng.randint(5, 25))
+        }
+        run_case(words, rng.randint(8, 24), rng.choice((3, 4)))
+
+
+def test_unigram_train_vocab_size_and_chars_kept(request):
+    """Every seen character survives; multi-char pieces respect the
+    vocab budget; ranks are dense from 1."""
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab bbbc bbbc ccc")], "id: long, text: string"
+    )
+    rows = t.unigram_train(df, vocab_size=5, seed_max_len=4).collect()
+    pieces = {r["piece"] for r in rows}
+    assert {"a", "b", "c"} <= pieces
+    assert sum(1 for p in pieces if len(p) > 1) <= max(5 - 3, 0)
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_frame_signature_pairs_reencoded_twin(request):
+    """Video near-dup catches what exact md5 cannot: a rendition with
+    every pixel brightness-shifted by +1 keeps all frame dHashes
+    (block-mean comparisons are shift-invariant) while every md5
+    changes; a trimmed rendition still reaches containment 1e6 with a
+    shorter ordered run."""
+    import hashlib
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    frames_a = [
+        bytes(rng.randrange(0, 200) for _ in range(16)) for _ in range(4)
+    ]
+    frames_b = [bytes(v + 1 for v in fr) for fr in frames_a]  # re-encode
+    frames_c = frames_a[1:]  # trimmed rendition
+    frames_d = [
+        bytes(rng.randrange(0, 200) for _ in range(16)) for _ in range(4)
+    ]
+    vids = {1: frames_a, 2: frames_b, 3: frames_c, 4: frames_d}
+    rows = [
+        (vid, "video", isobmff.mp4_mux(frs, width=16, height=1))
+        for vid, frs in vids.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id: long, media_type: string, payload: binary"
+    )
+    frames = mm.frame_sample(
+        media, every_ms=40, sampler=isobmff.mp4_frame_sampler
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup_ops.frame_signature_pairs(
+            mm.frame_dhash(frames), min_containment_ppm=500_000
+        ).collect()
+    }
+
+    # exact md5 sees nothing shared between A and its +1 rendition
+    assert not set(hashlib.md5(f).hexdigest() for f in frames_a) & set(
+        hashlib.md5(f).hexdigest() for f in frames_b
+    )
+    ab = pairs[(1, 2)]
+    assert ab["containment_ppm"] == 1_000_000
+    assert ab["max_run_frames"] == 4
+    ac = pairs[(1, 3)]  # trim: full containment, run = 3 (offset diagonal)
+    assert ac["containment_ppm"] == 1_000_000
+    assert ac["max_run_frames"] == 3
+    assert (1, 4) not in pairs and (2, 4) not in pairs

@@ -11,6 +11,7 @@ expressed as shuffle-conscious DataFrame plans (no driver-side loops).
 
 from __future__ import annotations
 
+import itertools
 import re
 
 import numpy as np
@@ -943,6 +944,7 @@ def hex_hamming_pairs(
     sig_col: str,
     radius: int,
     hex_len: int = 16,
+    agree: int = 1,
 ) -> DataFrame:
     """Duplicate / near-duplicate pairs within Hamming distance
     ``radius`` over FIXED-LENGTH HEX signatures (e.g. the 16-char
@@ -985,56 +987,134 @@ def hex_hamming_pairs(
     id contributes each signature once); an id appearing with SEVERAL
     distinct signatures participates once per signature, so a pair of
     such ids can legitimately appear at more than one distance.
+
+    ``agree`` — the Manku (2007) multi-index generalization for
+    DIVERSE-signature corpora (flag-gated; default 1 = the plain
+    pigeonhole above).  With ``radius + agree`` disjoint chunks, at
+    most ``radius`` chunks can contain a flipped bit, so two
+    signatures within ``radius`` agree on >= ``agree`` chunks — the
+    join key becomes every ``agree``-sized chunk COMBINATION
+    (combo_idx + concatenated chunk values), one permuted-prefix
+    table per combination in Manku's terms.  Trade: the explode
+    factor grows to C(radius+agree, agree) rows per distinct
+    signature, but the key space grows ~16^(agree·chars), collapsing
+    candidate volume by orders of magnitude when distinct signatures
+    approach corpus size (random 64-bit sigs at radius 8: agree=1
+    buckets are 16-256-way → candidates ~n²/32; agree=3 buckets are
+    ~16^4-16^6-way).  Requires ``radius + agree <= hex_len``.
+
+    Measured (radius 8, uniform-random sigs, local[32] —
+    ``tools/scaling_bench.py --hamming``): agree=1 wins while the
+    n²/32 candidate volume stays cheap (200k distinct: 30 s vs 44 s)
+    and degrades quadratically past it (632k: 362 s); agree=3 grows
+    sub-quadratically (63k/200k/632k = 21/44/166 s) and takes over
+    between 200k and 632k distinct signatures.  Duplicate-collapsed
+    corpora (5M ids over 2k signatures: 34 s, input-scan-bound) never
+    need agree > 1.
     """
     if not 0 <= radius < 4 * hex_len:
         raise ValueError(f"radius must be in [0, {4 * hex_len})")
+    if agree < 1:
+        raise ValueError("agree must be >= 1")
     members = signatures.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
     ).dropDuplicates(["__id", "__sig"])
     uniq = members.select("__sig").distinct()
-    n_chunks = min(radius + 1, hex_len)
+    n_chunks = radius + agree
+    if agree > 1 and n_chunks > hex_len:
+        raise ValueError(
+            f"agree={agree} needs radius+agree <= hex_len ({hex_len}); "
+            f"got {n_chunks}"
+        )
+    n_chunks = min(n_chunks, hex_len)
     bounds = [i * hex_len // n_chunks for i in range(n_chunks + 1)]
+    combos = list(itertools.combinations(range(n_chunks), agree))
+
+    # Per-signature integer image, computed ONCE on the DISTINCT
+    # relation: 8-hex-char words conv'd to bigint (32 bits each, no
+    # signed-overflow risk).  The exact rerank is then a handful of
+    # xor+bit_count per candidate — cheap enough that Catalyst
+    # pushing the ``hamming <= radius`` filter INTO the chunk join is
+    # a win.  The first formulation conv'd each nibble per candidate
+    # (32 string convs/pair); with the filter pushed below the
+    # pair-distinct it evaluated on every candidate OCCURRENCE and
+    # measured 165 s on 20k random signatures — 30x the cost of the
+    # join itself.
+    n_words = (hex_len + 7) // 8
+    word_bounds = [(i * 8, min(8, hex_len - i * 8)) for i in range(n_words)]
+
+    def with_words(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            "*",
+            *[
+                F.conv(F.substring(F.col(f"sig_{prefix}"), lo + 1, ln), 16, 10)
+                .cast("bigint")
+                .alias(f"__{prefix}w{i}")
+                for i, (lo, ln) in enumerate(word_bounds)
+            ],
+        )
+
+    dist = sum(
+        F.bit_count(F.col(f"__aw{i}").bitwiseXOR(F.col(f"__bw{i}")))
+        for i in range(n_words)
+    ).cast("int")
 
     def chunked(side: str) -> DataFrame:
         sig = F.col("__sig")
         arr = F.array(
             *[
-                F.substring(sig, lo + 1, hi - lo)
-                for lo, hi in zip(bounds, bounds[1:])
+                F.concat(
+                    *[
+                        F.substring(sig, bounds[c] + 1, bounds[c + 1] - bounds[c])
+                        for c in combo
+                    ]
+                )
+                for combo in combos
             ]
         )
-        return uniq.select(
-            sig.alias(f"sig_{side}"),
-            F.posexplode(arr).alias("chunk_idx", "chunk_hex"),
+        return with_words(
+            uniq.select(
+                sig.alias(f"sig_{side}"),
+                F.posexplode(arr).alias("chunk_idx", "chunk_hex"),
+            ),
+            side,
         )
 
-    nib = lambda c, i: F.conv(F.substring(c, i + 1, 1), 16, 10).cast("int")  # noqa: E731
-    dist = sum(
-        F.bit_count(nib(F.col("sig_a"), i).bitwiseXOR(nib(F.col("sig_b"), i)))
-        for i in range(hex_len)
-    ).cast("int")
+    word_cols = [f"__{s}w{i}" for s in ("a", "b") for i in range(n_words)]
     if radius >= hex_len:
         # pigeonhole needs radius+1 >= hex_len+1 disjoint chunks of
         # >= 1 hex char — impossible: exact all-pairs over DISTINCT
         # signatures (see docstring)
         sig_pairs = (
-            uniq.select(F.col("__sig").alias("sig_a"))
+            with_words(uniq.select(F.col("__sig").alias("sig_a")), "a")
             .join(
-                uniq.select(F.col("__sig").alias("sig_b")),
+                with_words(uniq.select(F.col("__sig").alias("sig_b")), "b"),
                 F.col("sig_a") < F.col("sig_b"),
             )
             .select("sig_a", "sig_b", dist.alias("hamming"))
             .where(F.col("hamming") <= radius)
         )
     else:
+        # repartition on the join keys: Catalyst sizes the join inputs
+        # from the PRE-Generate subtree (the distinct-signature
+        # relation), so a diverse corpus at agree=3 tried to BROADCAST
+        # a 100M-row exploded side (built single-threaded on the
+        # driver); a forced shuffle_hash hint then OOM'd the build
+        # maps at 632k distinct sigs (SHJ builds don't spill).  An
+        # explicit exchange on (chunk_idx, chunk_hex) makes AQE plan
+        # the join from the MEASURED post-explode size instead: tiny
+        # duplicate-collapsed corpora still get a broadcast, diverse
+        # corpora get a spill-safe sort-merge with skew splitting.
         sig_pairs = (
             chunked("a")
-            .join(chunked("b"), ["chunk_idx", "chunk_hex"])
-            .where(F.col("sig_a") < F.col("sig_b"))
-            .select("sig_a", "sig_b")
-            .distinct()
+            .repartition("chunk_idx", "chunk_hex")
+            .join(
+                chunked("b").repartition("chunk_idx", "chunk_hex"),
+                ["chunk_idx", "chunk_hex"],
+            )
+            .where((F.col("sig_a") < F.col("sig_b")) & (dist <= radius))
             .select("sig_a", "sig_b", dist.alias("hamming"))
-            .where(F.col("hamming") <= radius)
+            .distinct()
         )
     near = (
         sig_pairs.join(
@@ -1059,3 +1139,214 @@ def hex_hamming_pairs(
         .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
     )
     return exact.unionByName(near)
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 6,
+) -> DataFrame:
+    """Cross-document EXACT SUBSTRING pairs at ARBITRARY offsets — the
+    suffix-array dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022) re-expressed relationally:
+    instead of a suffix array over the concatenated corpus, every
+    SLIDING ``min_words``-word window is hashed (the anchor), cross-
+    document anchor matches become candidates via a uniform-key
+    equi-join, candidates are VERIFIED by re-slicing both documents
+    (so a 64-bit hash collision can add nothing), and verified
+    matches are extended to MAXIMAL runs on their alignment diagonal
+    (off_a - off_b) with a row_number streak — the relational twin of
+    suffix-array neighborhood extension.
+
+    Exactness: a common word-span of m >= min_words at (a0, b0)
+    yields verified window matches at (a0+j, b0+j), j = 0..m-k, all
+    on one diagonal and offset-consecutive, so the streak length
+    c = m-k+1 recovers m = c+k-1 exactly; conversely any streak of c
+    consecutive verified windows chains (overlap k-1) into a common
+    span of c+k-1 words.  ``max_run_words`` is therefore the EXACT
+    longest common word-substring length (>= min_words) per pair —
+    including internally-repetitive documents, because ALL window
+    occurrences participate, not just first occurrences.
+
+    Returns (id_a, id_b, shared_windows, max_run_words) with
+    id_a < id_b; ``shared_windows`` = number of DISTINCT window
+    strings the two documents share.
+
+    Scale shape (the thing the suffix array buys single-node, bought
+    here with shuffles): one narrow explode of (id, off, xxhash64)
+    per word position — O(corpus words) rows of 20 bytes, never the
+    window STRINGS; one equi-join on the uniform 64-bit anchor hash;
+    verification and extension touch only candidates.  Windows shared
+    by many documents fan out quadratically in the candidate join —
+    inherent to PAIR output (Lee et al. emit spans, not pairs);
+    callers wanting per-doc duplication fractions at boilerplate
+    scale use duplicate_chunk_stats (inverted-index shape, no pair
+    expansion).  Text is normalized like every dedup hash here
+    (lowercase, collapse whitespace — ``_normalized``).
+    """
+    k = int(min_words)
+    if k < 2:
+        raise ValueError("min_words must be >= 2")
+    words = F.split(_normalized(F.col(text_col)), " ")
+    tok = (
+        df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .where((F.size("__w") >= k) & (F.element_at("__w", 1) != ""))
+    )
+    # anchor stream: (id, 1-based word offset, window hash).  The
+    # hash array is materialized in its OWN projection so the
+    # transform lambda is evaluated once per doc, not re-inlined per
+    # downstream reference (HOF re-evaluation trap, see module
+    # docstrings).
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - F.lit(k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
+    )
+    wins = (
+        tok.select("__id", hashes.alias("__hs"))
+        .select("__id", F.posexplode("__hs").alias("__p", "__h"))
+        .select("__id", (F.col("__p") + 1).alias("__off"), "__h")
+    )
+    cand = (
+        wins.select(
+            F.col("__id").alias("id_a"), F.col("__off").alias("off_a"), "__h"
+        )
+        .join(
+            wins.select(
+                F.col("__id").alias("id_b"), F.col("__off").alias("off_b"), "__h"
+            ),
+            "__h",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    # verify candidates against the actual word slices (collision-proof)
+    ta = tok.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    tb = tok.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(
+            F.slice(F.col("__wa"), F.col("off_a"), k)
+            == F.slice(F.col("__wb"), F.col("off_b"), k)
+        )
+        .select("id_a", "id_b", "off_a", "off_b", "__h")
+    )
+    diag = (F.col("off_a") - F.col("off_b")).alias("__d")
+    w = Window.partitionBy("id_a", "id_b", "__d").orderBy("off_a")
+    streaks = (
+        verified.select("id_a", "id_b", "off_a", diag)
+        .withColumn("__sk", F.col("off_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "__d", "__sk")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).alias("__run"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__run").alias("max_run_words"))
+    )
+    shared = (
+        verified.select("id_a", "id_b", "__h")
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    return shared.join(streaks, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "shared_windows", "max_run_words"
+    )
+
+
+def frame_signature_pairs(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    hash_col: str = "dhash",
+    min_containment_ppm: int = 0,
+) -> DataFrame:
+    """VIDEO-level near-duplicate pairs from per-frame perceptual
+    hashes (round 9) — the composition the frame-level operators
+    stopped short of: ``multimodal.frame_dhash`` gives each sampled
+    frame a dHash; here two videos become a candidate pair iff they
+    SHARE a frame hash, and each pair is scored by
+
+    - ``shared_hashes``  — distinct frame hashes in both videos,
+    - ``n_frames_a/b``   — each video's distinct-hash count,
+    - ``containment_ppm``— floor(1e6·shared/min(n_a, n_b)): 1e6 means
+      one rendition's frame set is contained in the other's (re-encode,
+      brightness shift, trim — the cases exact-md5
+      ``video_frame_dedup`` misses),
+    - ``max_run_frames`` — the longest ORDERED run of consecutive
+      frame indices (both sides) with matching hashes: the diagonal
+      (idx_a − idx_b) streak trick of ``exact_substring_pairs`` at
+      window size 1, so temporal structure counts, not just the bag
+      of frames.
+
+    Input contract: one row per (video, frame_idx).  All-integer
+    outputs — no float summation order anywhere.
+    ``min_containment_ppm`` drops low-overlap pairs BEFORE run
+    extension (the diagonal window then sees only surviving pairs via
+    a semi-join) — essential when the per-frame hash space is coarse
+    (tiny frames) and coincidental single-frame shares would swamp
+    the output.
+
+    Scale shape: candidates come ONLY from the equi-join on the
+    64-bit frame hash (uniform keys; a hash shared by m videos costs
+    m² pair rows — inherent to pair output, same argument as
+    ``hex_hamming_pairs``); per-pair scores are two hash aggregates
+    and one bounded window over matched frames.  No all-pairs scan of
+    the video table.
+    """
+    f = frames.select(
+        F.col(id_col).alias("__id"),
+        F.col(idx_col).cast("int").alias("__idx"),
+        F.col(hash_col).alias("__h"),
+    )
+    per_video = f.groupBy("__id").agg(
+        F.countDistinct("__h").alias("__n")
+    )
+    da = f.select(F.col("__id").alias("id_a"), F.col("__idx").alias("__ia"), "__h")
+    db = f.select(F.col("__id").alias("id_b"), F.col("__idx").alias("__ib"), "__h")
+    matched = da.join(db, "__h").where(F.col("id_a") < F.col("id_b"))
+    shared = (
+        matched.select("id_a", "id_b", "__h")
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_hashes"))
+    )
+    na = per_video.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_frames_a"))
+    nb = per_video.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_frames_b"))
+    scored = (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "containment_ppm",
+            F.floor(
+                F.lit(1_000_000)
+                * F.col("shared_hashes")
+                / F.least("n_frames_a", "n_frames_b")
+            ).cast("long"),
+        )
+    )
+    pairs_in = matched.select(
+        "id_a", "id_b", "__ia", (F.col("__ia") - F.col("__ib")).alias("__d")
+    )
+    if min_containment_ppm > 0:
+        scored = scored.where(F.col("containment_ppm") >= min_containment_ppm)
+        # run extension only for surviving pairs: the diagonal window
+        # sorts the (usually 100x smaller) survivor match set
+        pairs_in = pairs_in.join(
+            scored.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        )
+    w = Window.partitionBy("id_a", "id_b", "__d").orderBy("__ia")
+    runs = (
+        pairs_in.withColumn("__sk", F.col("__ia") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "__d", "__sk")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__run").cast("int").alias("max_run_frames"))
+    )
+    return scored.join(runs, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "shared_hashes",
+        "n_frames_a",
+        "n_frames_b",
+        "containment_ppm",
+        "max_run_frames",
+    )

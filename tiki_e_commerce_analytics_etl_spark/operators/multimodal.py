@@ -1235,6 +1235,51 @@ def resize_images(
     return media.filter(F.col("media_type") == "image").mapInPandas(run, MEDIA_SCHEMA)
 
 
+def frame_dhash(frames: DataFrame, height: int = 1) -> DataFrame:
+    """Per-frame perceptual hashing stage (round 9): each sampled
+    frame's RAW grayscale bytes (the ``'raw '``/DIB demux output —
+    ``height`` rows, tightly packed) get the same 64-bit dHash as
+    ``image_dhash``, emitted as (media_id, frame_idx, dhash).  One
+    Arrow stage over the frame rows; empty frames are dropped.  The
+    per-VIDEO near-duplicate composition is
+    ``dedup.frame_signature_pairs`` downstream — perceptual, so two
+    renditions whose pixels shifted uniformly (re-encode, brightness)
+    still collide where ``video_frame_dedup``'s exact md5 cannot."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("dhash", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, fi, fr in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                raw = fr if fr is None or isinstance(fr, bytes) else bytes(fr)
+                if not raw:
+                    continue
+                a = np.frombuffer(raw, dtype=np.uint8)
+                w = len(a) // height
+                if w == 0 or w * height != len(a):
+                    raise ValueError(
+                        f"frame of {len(a)} bytes is not {height} tight rows"
+                    )
+                ids.append(mid)
+                idxs.append(int(fi))
+                hashes.append(dhash_hex(a.reshape(height, w)))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "dhash": hashes}
+            )
+
+    return frames.mapInPandas(run, schema)
+
+
 def frame_sample(
     media: DataFrame,
     every_ms: int = 1000,

@@ -809,6 +809,191 @@ def bpe_token_counts(
     )
 
 
+def _unigram_viterbi(word: str, logp: dict, max_len: int) -> list:
+    """Viterbi segmentation of ``word`` into vocabulary pieces
+    maximizing total log-probability — the unigram-LM E-step
+    (Kudo 2018).  Deterministic tiebreak: on exactly-equal score the
+    LONGER last piece wins (smaller split point).  Falls back to
+    per-character pieces only if the word is unsegmentable (cannot
+    happen while every seen character stays in the vocab)."""
+    n = len(word)
+    best = [0.0] + [None] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        bs, bj = None, None
+        for ln in range(1, min(max_len, i) + 1):
+            j = i - ln
+            if best[j] is None:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            s = best[j] + lp
+            if bs is None or s > bs or (s == bs and j < bj):
+                bs, bj = s, j
+        best[i], back[i] = bs, bj
+    if best[n] is None:
+        return list(word)
+    pieces, i = [], n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces
+
+
+def unigram_train(
+    df,
+    text_col: str = "text",
+    vocab_size: int = 30,
+    seed_max_len: int = 4,
+    seed_multi: int = 1000,
+    shrink: float = 0.75,
+):
+    """Unigram-LM (SentencePiece-style) tokenizer training (Kudo
+    2018) — the third industry-standard trainer next to ``bpe_train``
+    and the WordPiece apply, sharing their unique-word-collapse
+    skeleton: 100 TB of text reduces to its vocabulary before the
+    first EM round.
+
+    Algorithm (pinned, so an independent reference implementation
+    reproduces it bit-for-bit — the tests do):
+
+    1. Seed: every substring of every unique word with length <=
+       ``seed_max_len``, counted per OCCURRENCE (overlaps included)
+       weighted by word frequency.  The vocabulary starts as all
+       single characters (never pruned) plus the top ``seed_multi``
+       multi-char substrings by (count DESC, piece ASC).
+    2. EM round (hard EM): piece log-probs are
+       ``log(max(count, 0.5)) - log(sum counts)`` (0.5 pseudo-count
+       keeps required chars usable); every unique word is Viterbi-
+       segmented (``_unigram_viterbi``, longer-last-piece tiebreak)
+       and pieces are recounted weighted by word frequency.  Multi-
+       char pieces the segmentation stopped using drop out.
+    3. Prune: while more than ``vocab_size - n_chars`` multi-char
+       pieces survive, keep the top ``max(target, ceil(n*shrink))``
+       (strictly decreasing) by (count DESC, piece ASC) and rerun the
+       EM round, so reported counts always come from a segmentation
+       under the FINAL vocabulary.
+
+    Returns (rank, piece, piece_len, count) ordered by
+    (count DESC, piece ASC) — integer counts only, no float columns,
+    so the oracle comparison is exact.
+
+    Scale shape: the E-step is one Arrow-batched ``mapInPandas`` over
+    the UNIQUE-word table per round with the bounded vocabulary
+    (<= seed_multi + charset) broadcast, followed by one uniform-key
+    aggregate; the only collects are the bounded vocab/count tables
+    (same boundary class as bpe_train's one-row argmax).  The prune
+    loop is O(log_{1/shrink}(seed_multi / vocab_size)) rounds.
+    """
+    import math
+
+    import pandas as pd
+
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if not 0.0 < shrink < 1.0:
+        raise ValueError("shrink must be in (0, 1)")
+    spark = df.sparkSession
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        subs = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda s: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.lit(seed_max_len), F.length("w") - s + 1),
+                    ),
+                    lambda ln: F.col("w").substr(s, ln),
+                ),
+            )
+        )
+        seed = (
+            wf.select(F.explode(subs).alias("piece"), "wcnt")
+            .groupBy("piece")
+            .agg(F.sum("wcnt").alias("cnt"))
+        )
+        # bounded collects: the charset and the capped multi-char seed
+        chars = {
+            r["piece"]: int(r["cnt"])
+            for r in seed.where(F.length("piece") == 1).collect()
+        }
+        multi = {
+            r["piece"]: int(r["cnt"])
+            for r in seed.where(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(seed_multi)
+            .collect()
+        }
+        target_multi = max(vocab_size - len(chars), 0)
+        counts = {**chars, **multi}
+
+        def estep(vocab_counts: dict) -> dict:
+            total = sum(vocab_counts.values())
+            logp = {
+                p: math.log(max(c, 0.5)) - math.log(total)
+                for p, c in vocab_counts.items()
+            }
+            max_len = max(len(p) for p in logp)
+            bc = spark.sparkContext.broadcast((logp, max_len))
+
+            def seg_batches(batches):
+                lp, ml = bc.value
+                for pdf in batches:
+                    agg: dict = {}
+                    for w, c in zip(pdf["w"], pdf["wcnt"]):
+                        for piece in _unigram_viterbi(w, lp, ml):
+                            agg[piece] = agg.get(piece, 0) + int(c)
+                    yield pd.DataFrame(
+                        {"piece": list(agg), "cnt": list(agg.values())}
+                    )
+
+            rows = (
+                wf.mapInPandas(seg_batches, "piece string, cnt long")
+                .groupBy("piece")
+                .agg(F.sum("cnt").alias("cnt"))
+                .collect()  # bounded by |vocab|
+            )
+            used = {r["piece"]: int(r["cnt"]) for r in rows}
+            # chars always survive (0-count allowed); multis must be used
+            out = {c: used.get(c, 0) for c in chars}
+            out.update({p: n for p, n in used.items() if len(p) > 1})
+            return out
+
+        while True:
+            counts = estep(counts)
+            multis = [p for p in counts if len(p) > 1]
+            if len(multis) <= target_multi:
+                break
+            keep_n = max(
+                target_multi, min(len(multis) - 1, math.ceil(len(multis) * shrink))
+            )
+            keep = sorted(multis, key=lambda p: (-counts[p], p))[:keep_n]
+            counts = {
+                **{c: counts[c] for c in chars},
+                **{p: counts[p] for p in keep},
+            }
+    finally:
+        wf.unpersist()
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [
+            (i + 1, p, len(p), int(c))
+            for i, (p, c) in enumerate(ranked)
+        ],
+        "rank: int, piece: string, piece_len: int, count: long",
+    )
+
+
 def char_entropy_ppm(text: Column) -> Column:
     """Character-level Shannon entropy of the text in integer
     micro-nats (floor(1e6 · H), H in nats) — the classic
