@@ -1146,6 +1146,33 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_token_counts(merges_df=merges, df=docs)
 
 
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM APPLY (round 9): tokenize fixed documents with the
+    vocabulary ``unigram_train`` learns on the canonical corpus (the
+    10 pieces the unigram_vocab oracle pins), returning per-doc
+    word/char/token counts — train ∘ apply share ``_unigram_viterbi``
+    so they cannot drift.  The oracle carries hand-derived counts
+    ('hugs' → [hug, s] = 2; 'bun' → 3 chars after its piece was
+    pruned; unseen-charset 'zebra' → per-char fallback = 5); the
+    Viterbi DP itself is not SQL-expressible.  tests/test_round9.py
+    re-derives apply against an independent exhaustive-DP reference."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    wc = {"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}
+    corpus = " ".join(w for w, c in wc.items() for _ in range(c))
+    train = spark.createDataFrame([(1, corpus)], "case_id: long, text: string")
+    vocab = text_ops.unigram_train(train, vocab_size=10, seed_max_len=3)
+    docs = spark.createDataFrame(
+        [
+            (1, "hug hugs pun"),
+            (2, "bun bun pug"),
+            (3, "zebra hug"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return text_ops.unigram_token_counts(docs, vocab)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Information-density screen (round 8): per-document char-level
     Shannon entropy in integer micro-nats.  Bit-exact oracle: both
@@ -3586,6 +3613,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_corpus_merges": q_bpe_corpus_merges,
         "bpe_tokenize": q_bpe_tokenize,
         "unigram_vocab": q_unigram_vocab,
+        "unigram_tokenize": q_unigram_tokenize,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "trends_csv_scan": q_trends_csv_scan,
@@ -5344,6 +5372,19 @@ def oracle_sql() -> dict[str, str]:
                 (9, 'h', 1, 0),
                 (10, 'p', 1, 0)
             ) AS t(rank, piece, piece_len, count)
+        """,
+        # hand-derived under the pinned canonical vocabulary (see
+        # q_unigram_tokenize docstring); independent exhaustive-DP
+        # reference in tests/test_round9.py
+        "unigram_tokenize": """
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM (VALUES
+                (1, 3, 10, 4),
+                (2, 3, 9, 7),
+                (3, 2, 8, 6)
+            ) AS t(doc_id, n_words, n_chars, n_tokens)
         """,
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
         "triangle_count": _TRIANGLE_COUNT_ORACLE,

@@ -145,6 +145,8 @@ HEADLINE = [
     "orc_roundtrip",
     "bpe_merges",
     "bpe_tokenize",
+    "unigram_vocab",
+    "unigram_tokenize",
     "salted_join",
     "mp4_frag_frame_sample",
     "char_entropy",

@@ -408,3 +408,93 @@ def test_frame_signature_pairs_reencoded_twin(request):
     assert ac["containment_ppm"] == 1_000_000
     assert ac["max_run_frames"] == 3
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_unigram_token_counts_lockstep_with_trainer(request):
+    """Apply must segment with the SAME Viterbi as the trainer's
+    E-step: per-word token counts equal the reference segmentation
+    lengths; train∘apply consistency means re-counting pieces from
+    apply's segmentation reproduces the trainer's final counts."""
+    import math
+
+    spark = request.getfixturevalue("spark")
+    from tiki_e_commerce_analytics_etl_spark.operators import text as t
+
+    wc = {"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5}
+    corpus = " ".join(w for w, c in wc.items() for _ in range(c))
+    train_df = spark.createDataFrame([(1, corpus)], "id: long, text: string")
+    vocab = t.unigram_train(train_df, vocab_size=10, seed_max_len=3)
+
+    # independent expected counts: reference viterbi over the reference
+    # vocabulary (already proven equal to the trainer's)
+    ref = dict(_ref_unigram(wc, vocab_size=10, seed_max_len=3))
+    total = sum(ref.values())
+    logp = {p: math.log(max(c, 0.5)) - math.log(total) for p, c in ref.items()}
+
+    def ref_tokens(w):
+        # exhaustive DP (independent of _unigram_viterbi's structure)
+        n = len(w)
+        best = {0: (0.0, [])}
+        for i in range(1, n + 1):
+            cands = []
+            for j in range(i):
+                piece = w[j:i]
+                if piece in logp and j in best:
+                    sc, seg = best[j]
+                    cands.append((sc + logp[piece], j, seg + [piece]))
+            if cands:
+                # max score; tie -> smaller j (longer last piece)
+                sc = max(c[0] for c in cands)
+                js = [c for c in cands if c[0] == sc]
+                best[i] = (sc, min(js, key=lambda c: c[1])[2])
+        return best[n][1] if n in best else list(w)
+
+    docs = [
+        (1, "hug hugs pun"),
+        (2, "bun bun pug"),
+        (3, "zebra hug"),  # 'z','e','r','a' unseen -> per-char fallback
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in t.unigram_token_counts(df, vocab).collect()
+    }
+    for doc_id, text in docs:
+        ws = text.split()
+        want = (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(len(ref_tokens(w)) for w in ws),
+        )
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+    # sanity: the learned multis actually compress
+    assert got[1][2] < got[1][1]
+
+
+def test_hex_hamming_pairs_auto_agree(request):
+    """agree='auto': the approx-distinct pass picks agree=1 under the
+    threshold and the multi-index above it (threshold shrunk so the
+    test stays tiny); results equal the brute-force set either way."""
+    spark = request.getfixturevalue("spark")
+    rng = random.Random(41)
+    sigs = [(i, f"{rng.getrandbits(64):016x}") for i in range(60)]
+    sigs += [(100 + i, sigs[i][1]) for i in range(5)]  # planted dups
+    df = spark.createDataFrame(sigs, "id: long, h: string")
+
+    want = set()
+    for (ia, ha), (ib, hb) in itertools.combinations(sigs, 2):
+        d = bin(int(ha, 16) ^ int(hb, 16)).count("1")
+        if d <= 8:
+            want.add((min(ia, ib), max(ia, ib), d))
+
+    for threshold in (10, 10_000_000):  # force multi-index / force plain
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup_ops.hex_hamming_pairs(
+                df, "id", "h", radius=8, agree="auto", auto_threshold=threshold
+            ).collect()
+        }
+        assert got == want, threshold
+
+    with pytest.raises(ValueError):
+        dedup_ops.hex_hamming_pairs(df, "id", "h", radius=8, agree="bogus")

@@ -944,7 +944,8 @@ def hex_hamming_pairs(
     sig_col: str,
     radius: int,
     hex_len: int = 16,
-    agree: int = 1,
+    agree: int | str = 1,
+    auto_threshold: int = 300_000,
 ) -> DataFrame:
     """Duplicate / near-duplicate pairs within Hamming distance
     ``radius`` over FIXED-LENGTH HEX signatures (e.g. the 16-char
@@ -1011,15 +1012,32 @@ def hex_hamming_pairs(
     between 200k and 632k distinct signatures.  Duplicate-collapsed
     corpora (5M ids over 2k signatures: 34 s, input-scan-bound) never
     need agree > 1.
+
+    ``agree="auto"`` picks the route from the MEASURED crossover: one
+    eager ``approx_count_distinct`` pass over the signature column
+    (±5%, plenty for a 300k threshold decision — same
+    eager-job-inside-the-builder pattern as ``bpe_train``) chooses
+    agree=1 below ``auto_threshold`` distinct signatures and the
+    largest valid agree ≤ 3 above it.  Callers who know their corpus
+    shape pass the integer directly and skip the pass.
     """
     if not 0 <= radius < 4 * hex_len:
         raise ValueError(f"radius must be in [0, {4 * hex_len})")
-    if agree < 1:
-        raise ValueError("agree must be >= 1")
     members = signatures.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
     ).dropDuplicates(["__id", "__sig"])
     uniq = members.select("__sig").distinct()
+    if agree == "auto":
+        approx = members.agg(
+            F.approx_count_distinct("__sig").alias("n")
+        ).collect()[0]["n"]  # one-row boundary collect
+        if approx >= auto_threshold and radius < hex_len:
+            # largest multi-index arity that still fits the hex length
+            agree = max(1, min(3, hex_len - radius))
+        else:
+            agree = 1
+    if not isinstance(agree, int) or agree < 1:
+        raise ValueError("agree must be >= 1 or 'auto'")
     n_chunks = radius + agree
     if agree > 1 and n_chunks > hex_len:
         raise ValueError(

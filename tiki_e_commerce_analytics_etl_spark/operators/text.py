@@ -994,6 +994,77 @@ def unigram_train(
     )
 
 
+def unigram_token_counts(
+    df,
+    vocab_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Unigram-LM tokenization (the APPLY step consuming
+    ``unigram_train``'s vocabulary): per document, word count,
+    character count and unigram token count under the SAME Viterbi
+    segmentation the trainer's E-step uses (``_unigram_viterbi``,
+    piece log-probs ``log(max(count, 0.5)) - log(total)``) — train ∘
+    apply cannot drift by construction, the same lockstep guarantee
+    as ``bpe_token_counts``/``_merge_scan``.
+
+    A word containing characters outside the vocabulary is
+    unsegmentable and falls back to one token per character for that
+    whole word (the documented ``_unigram_viterbi`` fallback) — apply
+    must be total over unseen text.
+
+    Returns (id_col, n_words, n_chars, n_tokens).
+
+    Scale shape (the established apply pattern): the vocabulary is
+    bounded → collected once and broadcast; Viterbi runs once per
+    UNIQUE word in one Arrow stage; per-document totals come from
+    joining word frequencies back on the word key.
+    """
+    import math
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = vocab_df.select("piece", "count").collect()  # bounded vocab
+    total = sum(max(int(r["count"]), 0) for r in rows) or 1
+    logp = {
+        r["piece"]: math.log(max(int(r["count"]), 0.5)) - math.log(total)
+        for r in rows
+    }
+    max_len = max((len(p) for p in logp), default=1)
+    bc = spark.sparkContext.broadcast((logp, max_len))
+
+    tf = (
+        df.select(F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws"))
+        .select("id", F.explode("__ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uw = tf.select("w").distinct()
+
+    def tok_batches(batches):
+        lp, ml = bc.value
+        for pdf in batches:
+            n_sym = [len(w) for w in pdf["w"]]
+            n_tok = [
+                len(_unigram_viterbi(w, lp, ml)) for w in pdf["w"]
+            ]
+            yield pd.DataFrame({"w": pdf["w"], "n_sym": n_sym, "n_tok": n_tok})
+
+    toks = uw.mapInPandas(tok_batches, "w string, n_sym long, n_tok long")
+    return (
+        tf.join(toks, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_sym")).alias("n_chars"),
+            F.sum(F.col("tf") * F.col("n_tok")).alias("n_tokens"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def char_entropy_ppm(text: Column) -> Column:
     """Character-level Shannon entropy of the text in integer
     micro-nats (floor(1e6 · H), H in nats) — the classic

@@ -570,6 +570,9 @@ def main() -> None:
             "chunk_dedup": {"documents"},
             "triangle_count": {"lineitem"},
             "similarity_pq_recall": {"embeddings"},
+            "image_neardup_pairs": {"documents"},
+            "exact_substring_pairs": {"documents"},
+            "video_neardup_pairs": {"documents"},
         }
         # fail FAST on unknown probes — before the ~tens-of-minutes
         # 100x build, not after it (an unmapped probe would otherwise
