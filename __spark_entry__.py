@@ -2780,6 +2780,40 @@ def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_substring_pairs(docs, "text", "doc_id", min_words=6)
 
 
+def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-level near-duplicate pairs (round 9) — the audio modality
+    joining the image/video/text near-dup family, composed entirely
+    from existing pieces: documents become 16-bit PCM WAVs, each
+    64-sample window's integer energy (audio_window_energy) is
+    quantized to a coarse envelope bucket (energy >> 16 — a small
+    per-window edit moves only that window's bucket, so edited
+    renditions still share most windows), and
+    dedup.frame_signature_pairs scores pairs by distinct-bucket
+    containment + longest ordered window run.  All-integer end to
+    end; DuckDB recomputes every window energy arithmetically from
+    the text bytes and brute-forces the same pair scores."""
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
+    )
+    to_wav = mm.text_to_wav_udf(framerate=8000)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        to_wav(F.col("text")).alias("payload"),
+    )
+    feats = mm.audio_window_energy(media, window_samples=64)
+    sigs = feats.select(
+        "media_id",
+        F.col("win_idx").cast("int").alias("frame_idx"),
+        F.shiftright(F.col("energy"), 16).alias("sig"),
+    )
+    return dedup_ops.frame_signature_pairs(
+        sigs, hash_col="sig", min_containment_ppm=500_000
+    )
+
+
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/CCNet-style duplicated-span REMOVAL: every
     non-overlapping 3-word tile appearing in >= 4 distinct documents
@@ -3674,6 +3708,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "image_neardup_pairs": q_image_neardup_pairs,
         "video_neardup_pairs": q_video_neardup_pairs,
+        "audio_neardup_pairs": q_audio_neardup_pairs,
         "strip_boilerplate": q_strip_boilerplate,
         "jsonl_corpus_scan": q_jsonl_corpus_scan,
         "event_transitions": q_event_transitions,
@@ -5310,6 +5345,62 @@ def oracle_sql() -> dict[str, str]:
             FROM rb
         """,
         "video_neardup_pairs": _VIDEO_NEARDUP_ORACLE,
+        # window energies from the audio_window_energy arithmetic at
+        # window 64, bucketed >> 16; pair scoring brute-forces
+        # frame_signature_pairs' contract like the video twin
+        "audio_neardup_pairs": """
+            WITH d AS (
+                SELECT doc_id AS media_id, text FROM documents
+                WHERE length(text) = octet_length(encode(text))
+                  AND length(text) > 0
+            ),
+            s AS (
+                SELECT media_id,
+                       CAST((t.i - 1) // 64 AS INTEGER) AS win_idx,
+                       (unicode(substr(text, CAST(t.i AS INTEGER), 1)) - 128)
+                           * 256 AS smp
+                FROM d,
+                     LATERAL (
+                         SELECT unnest(range(1, length(d.text) + 1)) AS i
+                     ) t
+            ),
+            rb AS (
+                SELECT media_id, win_idx,
+                       CAST(SUM(smp * smp) AS BIGINT) >> 16 AS h
+                FROM s GROUP BY 1, 2
+            ),
+            nv AS (SELECT media_id, COUNT(DISTINCT h) AS n
+                   FROM rb GROUP BY media_id),
+            m AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       a.win_idx AS ia, b.win_idx AS ib, a.h
+                FROM rb a JOIN rb b ON a.h = b.h AND a.media_id < b.media_id
+            ),
+            sh AS (SELECT id_a, id_b,
+                          CAST(COUNT(DISTINCT h) AS BIGINT) AS shared_hashes
+                   FROM m GROUP BY id_a, id_b),
+            runs AS (
+                SELECT id_a, id_b, ia - ib AS dg,
+                       ia - ROW_NUMBER() OVER (
+                           PARTITION BY id_a, id_b, ia - ib ORDER BY ia) AS sk
+                FROM m
+            ),
+            rl AS (SELECT id_a, id_b, COUNT(*) AS run
+                   FROM runs GROUP BY id_a, id_b, dg, sk),
+            mr AS (SELECT id_a, id_b, CAST(MAX(run) AS INTEGER) AS max_run_frames
+                   FROM rl GROUP BY id_a, id_b)
+            SELECT sh.id_a, sh.id_b, sh.shared_hashes,
+                   CAST(na.n AS BIGINT) AS n_frames_a,
+                   CAST(nb.n AS BIGINT) AS n_frames_b,
+                   CAST(FLOOR(1000000.0 * sh.shared_hashes / least(na.n, nb.n))
+                        AS BIGINT) AS containment_ppm,
+                   mr.max_run_frames
+            FROM sh
+            JOIN mr USING (id_a, id_b)
+            JOIN nv na ON na.media_id = sh.id_a
+            JOIN nv nb ON nb.media_id = sh.id_b
+            WHERE 1000000.0 * sh.shared_hashes / least(na.n, nb.n) >= 500000
+        """,
         "image_neardup_pairs": _IMAGE_DHASH_CORE + """
             , h AS (
                 SELECT media_id, repeat(printf('%02x', rowbyte), 8) AS dhash

@@ -160,6 +160,7 @@ HEADLINE = [
     "image_neardup_pairs",
     "exact_substring_pairs",
     "video_neardup_pairs",
+    "audio_neardup_pairs",
 ]
 
 

@@ -498,3 +498,44 @@ def test_hex_hamming_pairs_auto_agree(request):
 
     with pytest.raises(ValueError):
         dedup_ops.hex_hamming_pairs(df, "id", "h", radius=8, agree="bogus")
+
+
+def test_audio_neardup_edited_rendition_pairs(request):
+    """Audio near-dup: an edited rendition (one window's samples
+    changed) still pairs at high containment with a shorter ordered
+    run; unrelated audio does not pair."""
+    spark = request.getfixturevalue("spark")
+    from pyspark.sql import functions as F
+
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    rng = random.Random(5)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(64 * 6))  # 6 windows
+    edited = base[: 64 * 2] + ("Z" * 64) + base[64 * 3 :]  # window 2 replaced
+    other = "".join(rng.choice("qrstuvwx ") for _ in range(64 * 6))
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "doc_id: long, text: string"
+    )
+    to_wav = mm.text_to_wav_udf(framerate=8000)
+    media = df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        to_wav(F.col("text")).alias("payload"),
+    )
+    feats = mm.audio_window_energy(media, window_samples=64)
+    sigs = feats.select(
+        "media_id",
+        F.col("win_idx").cast("int").alias("frame_idx"),
+        F.shiftright(F.col("energy"), 16).alias("sig"),
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup_ops.frame_signature_pairs(
+            sigs, hash_col="sig", min_containment_ppm=500_000
+        ).collect()
+    }
+    p = pairs[(1, 2)]
+    assert p["shared_hashes"] >= 5  # 5 of 6 windows intact
+    assert p["containment_ppm"] >= 800_000
+    assert p["max_run_frames"] == 3  # run broken at the edited window
+    assert (1, 3) not in pairs and (2, 3) not in pairs

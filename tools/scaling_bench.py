@@ -111,6 +111,7 @@ QUERIES = [
     # round-9: video-level near-dup (per-frame dHash -> shared-hash
     # pair join with containment threshold)
     "video_neardup_pairs",
+    "audio_neardup_pairs",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
@@ -573,6 +574,7 @@ def main() -> None:
             "image_neardup_pairs": {"documents"},
             "exact_substring_pairs": {"documents"},
             "video_neardup_pairs": {"documents"},
+            "audio_neardup_pairs": {"documents"},
         }
         # fail FAST on unknown probes — before the ~tens-of-minutes
         # 100x build, not after it (an unmapped probe would otherwise
