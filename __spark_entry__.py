@@ -2741,8 +2741,20 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_mp4(F.col("text")).alias("payload"),
     )
     frames = mm.frame_sample(media, every_ms=40, sampler=isobmff.mp4_frame_sampler)
+    # 1-pixel-tall frames carry only 8 dHash bits (grid rows identical)
+    # — a 256-value space where EVERY video pairs by chance and the
+    # pair join degrades quadratically (measured at the 10x sweep).
+    # Widen the join signature with a coarse luminance bucket; real
+    # 2-D frames have the full 64-bit space and skip this.
+    sigs = mm.frame_dhash(frames).select(
+        "media_id",
+        "frame_idx",
+        F.concat_ws(
+            "-", F.col("dhash"), F.shiftright(F.col("pix_sum"), 4)
+        ).alias("sig"),
+    )
     return dedup_ops.frame_signature_pairs(
-        mm.frame_dhash(frames), min_containment_ppm=500_000
+        sigs, hash_col="sig", min_containment_ppm=500_000
     )
 
 
@@ -2812,6 +2824,19 @@ def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.frame_signature_pairs(
         sigs, hash_col="sig", min_containment_ppm=500_000
     )
+
+
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array dedup REMOVAL step (Lee et al. 2022, round 9):
+    every word position inside a >= 6-word span shared with a
+    smaller-id document is dropped and the document reassembled from
+    its surviving words (dedup.strip_duplicate_spans — shares the
+    verified-window front-end with exact_substring_pairs, so detect ∘
+    remove cannot drift).  DuckDB brute-forces the same window
+    matches over actual strings and rebuilds with an ordered
+    string_agg."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.strip_duplicate_spans(docs, "text", "doc_id", min_words=6)
 
 
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3613,6 +3638,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "chunk_dedup": q_chunk_dedup,
         "exact_substring_pairs": q_exact_substring_pairs,
+        "strip_dup_spans": q_strip_dup_spans,
         "bloom_screen": q_bloom_screen,
         "cms_counts": q_cms_counts,
         "pagerank_parts": q_pagerank_parts,
@@ -4493,6 +4519,7 @@ _VIDEO_NEARDUP_ORACLE = """
     ),
     cells AS (
         SELECT doc_id, frame_idx,
+               CAST(list_sum(b) AS BIGINT) AS psum,
                list_transform(range(0, 9), j -> (
                    list_sum(b[
                        least(CAST(j * len(b) // 9 AS BIGINT), len(b) - 1) + 1 :
@@ -4509,13 +4536,15 @@ _VIDEO_NEARDUP_ORACLE = """
     ),
     rb AS (
         SELECT doc_id, frame_idx,
-               list_reduce(
-                   list_transform(range(0, 8), j ->
-                       CASE WHEN c[CAST(j AS INTEGER) + 1]
-                                 > c[CAST(j AS INTEGER) + 2]
-                            THEN CAST(power(2, 7 - j) AS BIGINT)
-                            ELSE 0 END),
-                   (a, x) -> a + x) AS h
+               repeat(printf('%02x',
+                   list_reduce(
+                       list_transform(range(0, 8), j ->
+                           CASE WHEN c[CAST(j AS INTEGER) + 1]
+                                     > c[CAST(j AS INTEGER) + 2]
+                                THEN CAST(power(2, 7 - j) AS BIGINT)
+                                ELSE 0 END),
+                       (a, x) -> a + x)), 8)
+               || '-' || CAST(psum >> 4 AS VARCHAR) AS h
         FROM cells
     ),
     nv AS (SELECT doc_id, COUNT(DISTINCT h) AS n FROM rb GROUP BY doc_id),
@@ -5754,6 +5783,46 @@ def oracle_sql() -> dict[str, str]:
                    FROM m GROUP BY id_a, id_b)
             SELECT sh.id_a, sh.id_b, sh.shared_windows, agg.max_run_words
             FROM sh JOIN agg USING (id_a, id_b)
+        """,
+        "strip_dup_spans": f"""
+            WITH w AS (
+                SELECT doc_id, {_NORM_WORDS_SQL} AS ws,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, i AS off, array_to_string(ws[i:i+5], ' ') AS win
+                FROM w, unnest(range(1, len(ws) - 4)) AS t(i)
+                WHERE norm <> '' AND len(ws) >= 6
+            ),
+            cov AS (
+                SELECT DISTINCT b.doc_id, b.off + u.j AS pos
+                FROM wins a
+                JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id,
+                     unnest(range(0, 6)) AS u(j)
+            ),
+            toks AS (
+                SELECT doc_id, t.i AS pos, ws[CAST(t.i AS INTEGER)] AS word
+                FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+                WHERE norm <> ''
+            ),
+            kept AS (
+                SELECT toks.doc_id, toks.pos, toks.word
+                FROM toks ANTI JOIN cov
+                     ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+            ),
+            reb AS (
+                SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                       CAST(COUNT(*) AS INTEGER) AS kept_words
+                FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   COALESCE(reb.clean_text, '') AS clean_text,
+                   CAST(CASE WHEN w.norm = '' THEN 0 ELSE len(w.ws) END
+                        AS INTEGER) AS n_words,
+                   COALESCE(reb.kept_words, 0) AS kept_words
+            FROM w LEFT JOIN reb USING (doc_id)
         """,
         "bloom_screen": _bloom_screen_oracle(),
         "cms_counts": _cms_counts_oracle(),

@@ -161,6 +161,7 @@ HEADLINE = [
     "exact_substring_pairs",
     "video_neardup_pairs",
     "audio_neardup_pairs",
+    "strip_dup_spans",
 ]
 
 

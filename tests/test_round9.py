@@ -539,3 +539,33 @@ def test_audio_neardup_edited_rendition_pairs(request):
     assert p["containment_ppm"] >= 800_000
     assert p["max_run_frames"] == 3  # run broken at the edited window
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_strip_duplicate_spans_planted(request):
+    """Removal policy: the smaller id keeps every shared span; larger
+    ids lose exactly the covered words; short docs and docs with no
+    cross-doc span pass through intact."""
+    spark = request.getfixturevalue("spark")
+
+    span = "one two three four five"  # 5 words, k=4 -> 2 windows
+    rows = [
+        (1, span + " tailA tailB"),
+        (2, "preX preY " + span + " endZ"),   # loses the 5 span words
+        (3, "totally different words here now"),
+        (4, "tiny doc"),                        # < k words: intact
+        (5, span),                              # exact span only -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_ops.strip_duplicate_spans(
+            df, "text", "doc_id", min_words=4
+        ).collect()
+    }
+    assert out[1]["clean_text"] == span + " taila tailb"  # keeper, normalized
+    assert out[1]["kept_words"] == 7
+    assert out[2]["clean_text"] == "prex prey endz"
+    assert (out[2]["n_words"], out[2]["kept_words"]) == (8, 3)
+    assert out[3]["clean_text"] == "totally different words here now"
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[5]["clean_text"] == "" and out[5]["kept_words"] == 0

@@ -1159,6 +1159,63 @@ def hex_hamming_pairs(
     return exact.unionByName(near)
 
 
+def _verified_window_matches(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front-end of the suffix-array-style dedup family: the
+    tokenized corpus (``__id``, ``__w`` word array) and the VERIFIED
+    cross-document sliding-window matches (id_a < id_b, off_a, off_b,
+    __h) — xxhash64 anchors over one narrow explode, uniform-key
+    candidate equi-join, slice verification so a hash collision can
+    add nothing.  Consumed by ``exact_substring_pairs`` (pair scores)
+    and ``strip_duplicate_spans`` (span removal) so detect ∘ remove
+    cannot drift."""
+    words = F.split(_normalized(F.col(text_col)), " ")
+    tok = (
+        df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .where((F.size("__w") >= k) & (F.element_at("__w", 1) != ""))
+    )
+    # anchor stream: (id, 1-based word offset, window hash).  The
+    # hash array is materialized in its OWN projection so the
+    # transform lambda is evaluated once per doc, not re-inlined per
+    # downstream reference (HOF re-evaluation trap, see module
+    # docstrings).
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - F.lit(k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
+    )
+    wins = (
+        tok.select("__id", hashes.alias("__hs"))
+        .select("__id", F.posexplode("__hs").alias("__p", "__h"))
+        .select("__id", (F.col("__p") + 1).alias("__off"), "__h")
+    )
+    cand = (
+        wins.select(
+            F.col("__id").alias("id_a"), F.col("__off").alias("off_a"), "__h"
+        )
+        .join(
+            wins.select(
+                F.col("__id").alias("id_b"), F.col("__off").alias("off_b"), "__h"
+            ),
+            "__h",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    # verify candidates against the actual word slices (collision-proof)
+    ta = tok.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    tb = tok.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(
+            F.slice(F.col("__wa"), F.col("off_a"), k)
+            == F.slice(F.col("__wb"), F.col("off_b"), k)
+        )
+        .select("id_a", "id_b", "off_a", "off_b", "__h")
+    )
+    return tok, verified
+
+
 def exact_substring_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1206,49 +1263,7 @@ def exact_substring_pairs(
     k = int(min_words)
     if k < 2:
         raise ValueError("min_words must be >= 2")
-    words = F.split(_normalized(F.col(text_col)), " ")
-    tok = (
-        df.select(F.col(id_col).alias("__id"), words.alias("__w"))
-        .where((F.size("__w") >= k) & (F.element_at("__w", 1) != ""))
-    )
-    # anchor stream: (id, 1-based word offset, window hash).  The
-    # hash array is materialized in its OWN projection so the
-    # transform lambda is evaluated once per doc, not re-inlined per
-    # downstream reference (HOF re-evaluation trap, see module
-    # docstrings).
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.size("__w") - F.lit(k - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
-    )
-    wins = (
-        tok.select("__id", hashes.alias("__hs"))
-        .select("__id", F.posexplode("__hs").alias("__p", "__h"))
-        .select("__id", (F.col("__p") + 1).alias("__off"), "__h")
-    )
-    cand = (
-        wins.select(
-            F.col("__id").alias("id_a"), F.col("__off").alias("off_a"), "__h"
-        )
-        .join(
-            wins.select(
-                F.col("__id").alias("id_b"), F.col("__off").alias("off_b"), "__h"
-            ),
-            "__h",
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-    )
-    # verify candidates against the actual word slices (collision-proof)
-    ta = tok.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
-    tb = tok.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
-    verified = (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
-        .where(
-            F.slice(F.col("__wa"), F.col("off_a"), k)
-            == F.slice(F.col("__wb"), F.col("off_b"), k)
-        )
-        .select("id_a", "id_b", "off_a", "off_b", "__h")
-    )
+    tok, verified = _verified_window_matches(df, text_col, id_col, k)
     diag = (F.col("off_a") - F.col("off_b")).alias("__d")
     w = Window.partitionBy("id_a", "id_b", "__d").orderBy("off_a")
     streaks = (
@@ -1267,6 +1282,89 @@ def exact_substring_pairs(
     )
     return shared.join(streaks, ["id_a", "id_b"]).select(
         "id_a", "id_b", "shared_windows", "max_run_words"
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 6,
+) -> DataFrame:
+    """The REMOVAL step of suffix-array dedup (Lee et al. 2022 strip
+    one copy of every duplicated span): every word position of a
+    document that falls inside a >= ``min_words``-word span shared
+    with a SMALLER-id document is dropped, and the document is
+    reassembled from its surviving words in order — the smallest id
+    in a duplicate group keeps its copy (the ``exact_dedup``
+    keep-smallest convention), a document can simultaneously be
+    keeper (vs larger ids) and loser (vs smaller ids), and
+    cross-document spans only (within-document repeats are a
+    different policy, see ``strip_common_tiles`` for the
+    boilerplate-tile variant).
+
+    Shares ``_verified_window_matches`` with ``exact_substring_pairs``
+    so detect ∘ remove cannot drift: a position is covered iff it lies
+    in some verified k-word window match — exactly the positions the
+    pair query's runs cover, since maximal runs are unions of
+    overlapping verified windows.
+
+    Returns (id_col, clean_text, n_words, kept_words); documents whose
+    every word was duplicated come back with clean_text = '' rather
+    than disappearing (the strip_common_tiles convention).  Text is
+    normalized (lowercase, collapsed whitespace) like every dedup
+    operator here.
+
+    Scale shape: the pair-family joins plus one bounded explode of
+    covered ranges (matches × k rows), an anti-join on (id, word
+    position), and one per-doc reassembly aggregate with an explicit
+    (pos, word) sort — partitioning-invariant output.
+    """
+    k = int(min_words)
+    if k < 2:
+        raise ValueError("min_words must be >= 2")
+    _tok, verified = _verified_window_matches(df, text_col, id_col, k)
+    covered = (
+        verified.select(
+            F.col("id_b").alias("__id"),
+            F.explode(
+                F.sequence(F.col("off_b"), F.col("off_b") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    # reassembly tokenizes ALL docs: documents shorter than k words
+    # hold no window, are never covered, and must pass through intact
+    words = F.split(_normalized(F.col(text_col)), " ")
+    toks = (
+        df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .select("__id", F.posexplode("__w").alias("__p", "__word"))
+        .where(F.col("__word") != "")
+        .select("__id", (F.col("__p") + 1).alias("__pos"), "__word")
+    )
+    kept = toks.join(covered, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__word"))),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("kept_words"),
+    )
+    n_words = F.when(
+        _normalized(F.col(text_col)) != "", F.size(words)
+    ).otherwise(F.lit(0))
+    base = df.select(F.col(id_col), n_words.cast("int").alias("n_words"))
+    return (
+        base.join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_words",
+            F.coalesce("kept_words", F.lit(0)).alias("kept_words"),
+        )
     )
 
 

@@ -1244,7 +1244,15 @@ def frame_dhash(frames: DataFrame, height: int = 1) -> DataFrame:
     per-VIDEO near-duplicate composition is
     ``dedup.frame_signature_pairs`` downstream — perceptual, so two
     renditions whose pixels shifted uniformly (re-encode, brightness)
-    still collide where ``video_frame_dedup``'s exact md5 cannot."""
+    still collide where ``video_frame_dedup``'s exact md5 cannot.
+
+    Also emits the integer pixel SUM: a 1-pixel-tall frame's dHash
+    carries only 8 distinct bits (all grid rows identical), so a
+    corpus of such frames has a 256-value signature space and every
+    video pairs with every other by chance — callers in that regime
+    widen the join signature with a coarse luminance bucket
+    (``pix_sum >> s``).  Real 2-D frames use the full 64-bit hash and
+    don't need it."""
     import numpy as np
 
     schema = T.StructType(
@@ -1252,12 +1260,13 @@ def frame_dhash(frames: DataFrame, height: int = 1) -> DataFrame:
             T.StructField("media_id", T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
             T.StructField("dhash", T.StringType()),
+            T.StructField("pix_sum", T.LongType()),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
+            ids, idxs, hashes, sums = [], [], [], []
             for mid, fi, fr in zip(
                 pdf["media_id"], pdf["frame_idx"], pdf["frame"]
             ):
@@ -1273,8 +1282,14 @@ def frame_dhash(frames: DataFrame, height: int = 1) -> DataFrame:
                 ids.append(mid)
                 idxs.append(int(fi))
                 hashes.append(dhash_hex(a.reshape(height, w)))
+                sums.append(int(a.sum()))
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "dhash": hashes}
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "dhash": hashes,
+                    "pix_sum": sums,
+                }
             )
 
     return frames.mapInPandas(run, schema)

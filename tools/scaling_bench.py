@@ -112,6 +112,8 @@ QUERIES = [
     # pair join with containment threshold)
     "video_neardup_pairs",
     "audio_neardup_pairs",
+    # round-9: the Lee et al. removal step (covered-position anti-join)
+    "strip_dup_spans",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
@@ -575,6 +577,7 @@ def main() -> None:
             "exact_substring_pairs": {"documents"},
             "video_neardup_pairs": {"documents"},
             "audio_neardup_pairs": {"documents"},
+            "strip_dup_spans": {"documents"},
         }
         # fail FAST on unknown probes — before the ~tens-of-minutes
         # 100x build, not after it (an unmapped probe would otherwise
