@@ -1184,10 +1184,15 @@ def _verified_window_matches(
         F.sequence(F.lit(1), F.size("__w") - F.lit(k - 1)),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__w"), i, k))),
     )
+    # one canonical exchange on the join key: both candidate-join
+    # sides reference the SAME repartitioned plan, so Spark's
+    # ReuseExchange computes the tokenize→hash→explode front-end once
+    # (without it the subtree re-executes per join branch)
     wins = (
         tok.select("__id", hashes.alias("__hs"))
         .select("__id", F.posexplode("__hs").alias("__p", "__h"))
         .select("__id", (F.col("__p") + 1).alias("__off"), "__h")
+        .repartition("__h")
     )
     cand = (
         wins.select(
@@ -1204,6 +1209,11 @@ def _verified_window_matches(
     # verify candidates against the actual word slices (collision-proof)
     ta = tok.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
     tb = tok.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    # pair-keyed exchange: every consumer (shared counts, diagonal
+    # streaks, covered positions) groups on a superset of
+    # (id_a, id_b), so this single exchange satisfies them all AND
+    # ReuseExchange runs the candidate join + verification once
+    # instead of once per consumer
     verified = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
@@ -1212,6 +1222,7 @@ def _verified_window_matches(
             == F.slice(F.col("__wb"), F.col("off_b"), k)
         )
         .select("id_a", "id_b", "off_a", "off_b", "__h")
+        .repartition("id_a", "id_b")
     )
     return tok, verified
 
@@ -1408,17 +1419,27 @@ def frame_signature_pairs(
     and one bounded window over matched frames.  No all-pairs scan of
     the video table.
     """
+    # one canonical exchange on the frame-hash key: the per-video
+    # counts and BOTH pair-join sides reference the same repartitioned
+    # plan, so ReuseExchange runs the (expensive — demux + dHash
+    # upstream) frame stage ONCE instead of once per branch (the first
+    # formulation's plan carried 5-6 copies of the Arrow stage)
     f = frames.select(
         F.col(id_col).alias("__id"),
         F.col(idx_col).cast("int").alias("__idx"),
         F.col(hash_col).alias("__h"),
-    )
+    ).repartition("__h")
     per_video = f.groupBy("__id").agg(
         F.countDistinct("__h").alias("__n")
     )
     da = f.select(F.col("__id").alias("id_a"), F.col("__idx").alias("__ia"), "__h")
     db = f.select(F.col("__id").alias("id_b"), F.col("__idx").alias("__ib"), "__h")
-    matched = da.join(db, "__h").where(F.col("id_a") < F.col("id_b"))
+    matched = (
+        da.join(db, "__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        # pair-keyed exchange shared by shared-counts and run extension
+        .repartition("id_a", "id_b")
+    )
     shared = (
         matched.select("id_a", "id_b", "__h")
         .distinct()
