@@ -569,3 +569,46 @@ def test_strip_duplicate_spans_planted(request):
     assert out[3]["clean_text"] == "totally different words here now"
     assert out[4]["clean_text"] == "tiny doc"
     assert out[5]["clean_text"] == "" and out[5]["kept_words"] == 0
+
+
+def test_exact_substring_pairs_max_doc_freq_cap(request):
+    """Hot-window cap: a boilerplate window shared by every document
+    no longer generates pairs on its own; pairs with sub-cap evidence
+    keep exactly that evidence (runs extend only through surviving
+    windows)."""
+    spark = request.getfixturevalue("spark")
+
+    boiler = "all rights reserved contact us"  # 5 words, k=4 -> hot
+    rows = [
+        (i, f"doc{i}a doc{i}b " + boiler + f" doc{i}c") for i in range(1, 6)
+    ]
+    # plus a REAL duplicate pair whose span includes non-boiler words
+    span = "real shared content here five six"
+    rows += [(10, span + " x1 x2"), (11, "y0 " + span)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    capped = {
+        (r["id_a"], r["id_b"]): (r["shared_windows"], r["max_run_words"])
+        for r in dedup_ops.exact_substring_pairs(
+            df, "text", "doc_id", min_words=4, max_doc_freq=3
+        ).collect()
+    }
+    # boilerplate-only pairs (every 1..5 pair) are gone
+    assert all(a >= 10 for a, b in capped)
+    # the real pair survives with its full 6-word run (3 windows)
+    assert capped[(10, 11)] == (3, 6)
+
+    uncapped = dedup_ops.exact_substring_pairs(
+        df, "text", "doc_id", min_words=4
+    ).count()
+    assert uncapped == 1 + 10  # real pair + C(5,2) boilerplate pairs
+
+    # removal honors the cap too: boilerplate spans stay in place
+    kept = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_ops.strip_duplicate_spans(
+            df, "text", "doc_id", min_words=4, max_doc_freq=3
+        ).collect()
+    }
+    assert boiler in kept[2]           # not stripped under the cap
+    assert "real shared" not in kept[11]  # true dup span still stripped

@@ -1160,7 +1160,8 @@ def hex_hamming_pairs(
 
 
 def _verified_window_matches(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame, text_col: str, id_col: str, k: int,
+    max_doc_freq: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared front-end of the suffix-array-style dedup family: the
     tokenized corpus (``__id``, ``__w`` word array) and the VERIFIED
@@ -1169,7 +1170,21 @@ def _verified_window_matches(
     candidate equi-join, slice verification so a hash collision can
     add nothing.  Consumed by ``exact_substring_pairs`` (pair scores)
     and ``strip_duplicate_spans`` (span removal) so detect ∘ remove
-    cannot drift."""
+    cannot drift.
+
+    ``max_doc_freq`` — the hot-window scale lever: a window shared by
+    m documents fans out to ~m²/2 candidate rows, so one
+    boilerplate window in a million documents is a 5·10¹¹-row join
+    ON ITS OWN.  When set, windows whose hash appears in more than
+    ``max_doc_freq`` DISTINCT documents are excluded from candidate
+    generation (one extra uniform-key distinct-doc count + broadcast-
+    able anti-join on the bounded hot-hash set — the same strategy as
+    ``strip_common_tiles``'s max_df).  Trade, stated exactly: a pair
+    whose ONLY shared windows are boilerplate-hot is no longer found
+    (Lee et al. treat such spans as boilerplate, not duplication —
+    their removal tool caps the same way); any pair sharing at least
+    one sub-cap window keeps that evidence, and spans extend only
+    through surviving windows."""
     words = F.split(_normalized(F.col(text_col)), " ")
     tok = (
         df.select(F.col(id_col).alias("__id"), words.alias("__w"))
@@ -1194,6 +1209,18 @@ def _verified_window_matches(
         .select("__id", (F.col("__p") + 1).alias("__off"), "__h")
         .repartition("__h")
     )
+    if max_doc_freq is not None:
+        if max_doc_freq < 1:
+            raise ValueError("max_doc_freq must be >= 1")
+        hot = (
+            wins.select("__h", "__id")
+            .distinct()
+            .groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("__h")
+        )
+        wins = wins.join(hot, "__h", "left_anti").repartition("__h")
     cand = (
         wins.select(
             F.col("__id").alias("id_a"), F.col("__off").alias("off_a"), "__h"
@@ -1232,6 +1259,7 @@ def exact_substring_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words: int = 6,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Cross-document EXACT SUBSTRING pairs at ARBITRARY offsets — the
     suffix-array dedup of "Deduplicating Training Data Makes Language
@@ -1274,7 +1302,9 @@ def exact_substring_pairs(
     k = int(min_words)
     if k < 2:
         raise ValueError("min_words must be >= 2")
-    tok, verified = _verified_window_matches(df, text_col, id_col, k)
+    tok, verified = _verified_window_matches(
+        df, text_col, id_col, k, max_doc_freq=max_doc_freq
+    )
     diag = (F.col("off_a") - F.col("off_b")).alias("__d")
     w = Window.partitionBy("id_a", "id_b", "__d").orderBy("off_a")
     streaks = (
@@ -1301,6 +1331,7 @@ def strip_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words: int = 6,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """The REMOVAL step of suffix-array dedup (Lee et al. 2022 strip
     one copy of every duplicated span): every word position of a
@@ -1334,7 +1365,9 @@ def strip_duplicate_spans(
     k = int(min_words)
     if k < 2:
         raise ValueError("min_words must be >= 2")
-    _tok, verified = _verified_window_matches(df, text_col, id_col, k)
+    _tok, verified = _verified_window_matches(
+        df, text_col, id_col, k, max_doc_freq=max_doc_freq
+    )
     covered = (
         verified.select(
             F.col("id_b").alias("__id"),

@@ -550,6 +550,51 @@ def main() -> None:
         print(json.dumps({"metric": "scaling_hamming", "radius": 8, "runs": results}))
         return
 
+    # --substring: stress exact_substring_pairs' hot-window regime
+    # (round-9 lever): a boilerplate 6-gram present in EVERY document
+    # makes the candidate join C(n,2) on its own; max_doc_freq excises
+    # it for the cost of one distinct-doc count.  Synthetic corpora of
+    # n docs = 4 unique tokens + the shared 6-gram.
+    if "--substring" in sys.argv:
+        from pyspark.sql import functions as F
+
+        from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+
+        boiler = "common header all rights reserved today"
+
+        def corpus(n: int):
+            u = lambda tag: F.concat(F.lit(tag), F.col("id").cast("string"))  # noqa: E731
+            return spark.range(n).select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ", u("ua"), u("ub"), F.lit(boiler), u("uc"), u("ud")
+                ).alias("text"),
+            )
+
+        def run_sub(n: int, cap: int | None) -> float:
+            runs = []
+            for _ in range(max(1, reps - 1)):
+                start = time.perf_counter()
+                dedup_ops.exact_substring_pairs(
+                    corpus(n), "text", "doc_id", min_words=6, max_doc_freq=cap
+                ).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - start)
+            return round(statistics.median(runs), 3)
+
+        results = {}
+        for label, n, cap in (
+            ("hot_5k_uncapped", 5_000, None),
+            ("hot_16k_uncapped", 16_000, None),
+            ("hot_5k_cap100", 5_000, 100),
+            ("hot_16k_cap100", 16_000, 100),
+            ("hot_50k_cap100", 50_000, 100),
+            ("hot_160k_cap100", 160_000, 100),
+        ):
+            results[label] = run_sub(n, cap)
+            print(f"substring {label}: {results[label]}s", file=sys.stderr)
+        print(json.dumps({"metric": "scaling_substring_hot", "runs": results}))
+        return
+
     # --x100 [probe ...]: a SECOND measured decade (1x -> 10x -> 100x)
     # validating the sub-quadratic extrapolation the 100 TB story rests
     # on.  Default probes are the two worst fact-side 10x scalers;
