@@ -2839,6 +2839,56 @@ def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.strip_duplicate_spans(docs, "text", "doc_id", min_words=6)
 
 
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CURATION DASHBOARD (round 9) — the composition a
+    training-data pipeline actually runs before dropping/trimming
+    documents, one row per doc joining the independent dedup signals:
+    exact partners (md5 of normalized text, count of other docs in the
+    group), duplicated-span words (n_words − kept after
+    strip_duplicate_spans at 6 words), and perceptual image partners
+    (the image_neardup_pairs radius-8 set).  Every signal is an
+    already-oracle-verified operator; this query verifies the JOINED
+    view end-to-end (the oracle recomputes all three in SQL and joins
+    the same way)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import _normalized
+
+    docs = read_table(spark, sf_dir, "documents")
+    stripped = dedup_ops.strip_duplicate_spans(
+        docs, "text", "doc_id", min_words=6
+    ).select("doc_id", "n_words", "kept_words")
+    exact = (
+        docs.select("doc_id", F.md5(_normalized(F.col("text"))).alias("__h"))
+        .withColumn(
+            "exact_partners",
+            (F.count(F.lit(1)).over(Window.partitionBy("__h")) - 1).cast("long"),
+        )
+        .select("doc_id", "exact_partners")
+    )
+    pairs = q_image_neardup_pairs(spark, sf_dir)
+    img = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("image_partners"))
+    )
+    return (
+        stripped.join(exact, "doc_id")
+        .join(img, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "kept_words",
+            (F.col("n_words") - F.col("kept_words"))
+            .cast("int")
+            .alias("dup_span_words"),
+            "exact_partners",
+            F.coalesce("image_partners", F.lit(0)).cast("long").alias(
+                "image_partners"
+            ),
+        )
+    )
+
+
 def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb/CCNet-style duplicated-span REMOVAL: every
     non-overlapping 3-word tile appearing in >= 4 distinct documents
@@ -3639,6 +3689,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "exact_substring_pairs": q_exact_substring_pairs,
         "strip_dup_spans": q_strip_dup_spans,
+        "curation_report": q_curation_report,
         "bloom_screen": q_bloom_screen,
         "cms_counts": q_cms_counts,
         "pagerank_parts": q_pagerank_parts,
@@ -4580,6 +4631,68 @@ _VIDEO_NEARDUP_ORACLE = """
 """
 
 
+_IMAGE_NEARDUP_ORACLE = _IMAGE_DHASH_CORE + """
+            , h AS (
+                SELECT media_id, repeat(printf('%02x', rowbyte), 8) AS dhash
+                FROM rb
+            ),
+            p AS (
+                SELECT a.media_id AS id_a, b.media_id AS id_b,
+                       CAST(list_sum(list_transform(range(1, 17), i ->
+                           bit_count(xor(
+                               strpos('0123456789abcdef',
+                                      substr(a.dhash, CAST(i AS INTEGER), 1)) - 1,
+                               strpos('0123456789abcdef',
+                                      substr(b.dhash, CAST(i AS INTEGER), 1)) - 1
+                           )))) AS INTEGER) AS hamming
+                FROM h a JOIN h b ON a.media_id < b.media_id
+            )
+            SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
+        """
+
+
+_STRIP_DUP_SPANS_ORACLE = f"""
+            WITH w AS (
+                SELECT doc_id, {_NORM_WORDS_SQL} AS ws,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id, i AS off, array_to_string(ws[i:i+5], ' ') AS win
+                FROM w, unnest(range(1, len(ws) - 4)) AS t(i)
+                WHERE norm <> '' AND len(ws) >= 6
+            ),
+            cov AS (
+                SELECT DISTINCT b.doc_id, b.off + u.j AS pos
+                FROM wins a
+                JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id,
+                     unnest(range(0, 6)) AS u(j)
+            ),
+            toks AS (
+                SELECT doc_id, t.i AS pos, ws[CAST(t.i AS INTEGER)] AS word
+                FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+                WHERE norm <> ''
+            ),
+            kept AS (
+                SELECT toks.doc_id, toks.pos, toks.word
+                FROM toks ANTI JOIN cov
+                     ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+            ),
+            reb AS (
+                SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                       CAST(COUNT(*) AS INTEGER) AS kept_words
+                FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   COALESCE(reb.clean_text, '') AS clean_text,
+                   CAST(CASE WHEN w.norm = '' THEN 0 ELSE len(w.ws) END
+                        AS INTEGER) AS n_words,
+                   COALESCE(reb.kept_words, 0) AS kept_words
+            FROM w LEFT JOIN reb USING (doc_id)
+        """
+
+
 # Expected shares embed the SAME math.log10 literals the operator
 # computes at runtime; digit extraction mirrors the decimal-rendering
 # route (plain notation, first char in [1-9]).
@@ -5430,24 +5543,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN nv nb ON nb.media_id = sh.id_b
             WHERE 1000000.0 * sh.shared_hashes / least(na.n, nb.n) >= 500000
         """,
-        "image_neardup_pairs": _IMAGE_DHASH_CORE + """
-            , h AS (
-                SELECT media_id, repeat(printf('%02x', rowbyte), 8) AS dhash
-                FROM rb
-            ),
-            p AS (
-                SELECT a.media_id AS id_a, b.media_id AS id_b,
-                       CAST(list_sum(list_transform(range(1, 17), i ->
-                           bit_count(xor(
-                               strpos('0123456789abcdef',
-                                      substr(a.dhash, CAST(i AS INTEGER), 1)) - 1,
-                               strpos('0123456789abcdef',
-                                      substr(b.dhash, CAST(i AS INTEGER), 1)) - 1
-                           )))) AS INTEGER) AS hamming
-                FROM h a JOIN h b ON a.media_id < b.media_id
-            )
-            SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
-        """,
+        "image_neardup_pairs": _IMAGE_NEARDUP_ORACLE,
         "embedding_neardup": _EMBEDDING_NEARDUP_ORACLE,
         "sessionize": _SESSIONIZE_ORACLE,
         "event_windows": _EVENT_WINDOWS_ORACLE,
@@ -5784,45 +5880,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT sh.id_a, sh.id_b, sh.shared_windows, agg.max_run_words
             FROM sh JOIN agg USING (id_a, id_b)
         """,
-        "strip_dup_spans": f"""
-            WITH w AS (
-                SELECT doc_id, {_NORM_WORDS_SQL} AS ws,
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
-                           AS norm
+        "strip_dup_spans": _STRIP_DUP_SPANS_ORACLE,
+        # joined view of three independently-verified signals: the
+        # oracle recomputes each (nested CTE subqueries over the
+        # lifted constants) and joins identically
+        "curation_report": f"""
+            WITH strip AS (SELECT * FROM ({_STRIP_DUP_SPANS_ORACLE})),
+            ex AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) OVER (PARTITION BY md5(trim(
+                           regexp_replace(lower(text), '\\s+', ' ', 'g')
+                       ))) - 1 AS BIGINT) AS exact_partners
                 FROM documents
             ),
-            wins AS (
-                SELECT doc_id, i AS off, array_to_string(ws[i:i+5], ' ') AS win
-                FROM w, unnest(range(1, len(ws) - 4)) AS t(i)
-                WHERE norm <> '' AND len(ws) >= 6
-            ),
-            cov AS (
-                SELECT DISTINCT b.doc_id, b.off + u.j AS pos
-                FROM wins a
-                JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id,
-                     unnest(range(0, 6)) AS u(j)
-            ),
-            toks AS (
-                SELECT doc_id, t.i AS pos, ws[CAST(t.i AS INTEGER)] AS word
-                FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
-                WHERE norm <> ''
-            ),
-            kept AS (
-                SELECT toks.doc_id, toks.pos, toks.word
-                FROM toks ANTI JOIN cov
-                     ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
-            ),
-            reb AS (
-                SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
-                       CAST(COUNT(*) AS INTEGER) AS kept_words
-                FROM kept GROUP BY doc_id
+            imgp AS (SELECT * FROM ({_IMAGE_NEARDUP_ORACLE})),
+            ic AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS image_partners
+                FROM (SELECT id_a AS doc_id FROM imgp
+                      UNION ALL SELECT id_b FROM imgp)
+                GROUP BY doc_id
             )
-            SELECT w.doc_id,
-                   COALESCE(reb.clean_text, '') AS clean_text,
-                   CAST(CASE WHEN w.norm = '' THEN 0 ELSE len(w.ws) END
-                        AS INTEGER) AS n_words,
-                   COALESCE(reb.kept_words, 0) AS kept_words
-            FROM w LEFT JOIN reb USING (doc_id)
+            SELECT strip.doc_id, strip.n_words, strip.kept_words,
+                   CAST(strip.n_words - strip.kept_words AS INTEGER)
+                       AS dup_span_words,
+                   ex.exact_partners,
+                   COALESCE(ic.image_partners, 0) AS image_partners
+            FROM strip
+            JOIN ex USING (doc_id)
+            LEFT JOIN ic USING (doc_id)
         """,
         "bloom_screen": _bloom_screen_oracle(),
         "cms_counts": _cms_counts_oracle(),

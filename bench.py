@@ -162,6 +162,7 @@ HEADLINE = [
     "video_neardup_pairs",
     "audio_neardup_pairs",
     "strip_dup_spans",
+    "curation_report",
 ]
 
 

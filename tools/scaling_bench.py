@@ -114,6 +114,7 @@ QUERIES = [
     "audio_neardup_pairs",
     # round-9: the Lee et al. removal step (covered-position anti-join)
     "strip_dup_spans",
+    "curation_report",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
@@ -623,6 +624,7 @@ def main() -> None:
             "video_neardup_pairs": {"documents"},
             "audio_neardup_pairs": {"documents"},
             "strip_dup_spans": {"documents"},
+            "curation_report": {"documents"},
         }
         # fail FAST on unknown probes — before the ~tens-of-minutes
         # 100x build, not after it (an unmapped probe would otherwise
