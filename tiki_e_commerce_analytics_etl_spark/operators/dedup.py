@@ -1248,7 +1248,20 @@ def _verified_window_matches(
             F.slice(F.col("__wa"), F.col("off_a"), k)
             == F.slice(F.col("__wb"), F.col("off_b"), k)
         )
-        .select("id_a", "id_b", "off_a", "off_b", "__h")
+        # __win: the verified window STRING (not its hash) — only
+        # materialized for the candidate sliver, so shared-window
+        # counts are collision-proof (two distinct strings that
+        # xxhash64-collide must still count as two)
+        .select(
+            "id_a",
+            "id_b",
+            "off_a",
+            "off_b",
+            "__h",
+            F.concat_ws(
+                " ", F.slice(F.col("__wa"), F.col("off_a"), k)
+            ).alias("__win"),
+        )
         .repartition("id_a", "id_b")
     )
     return tok, verified
@@ -1316,7 +1329,7 @@ def exact_substring_pairs(
         .agg(F.max("__run").alias("max_run_words"))
     )
     shared = (
-        verified.select("id_a", "id_b", "__h")
+        verified.select("id_a", "id_b", "__win")
         .distinct()
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_windows"))

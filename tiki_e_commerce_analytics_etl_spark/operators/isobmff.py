@@ -262,12 +262,20 @@ def _parse_fragments(
                 base = hdr
             elif prev_end is not None:
                 base = prev_end  # §8.8.7: end of the preceding traf
-            else:
+            elif tid == track_id:
                 raise NotImplementedError(
                     "fragmented MP4 traf in implicit-base mode after a "
                     "traf whose data end could not be located — base "
                     "data offset is unresolvable"
                 )
+            else:
+                # foreign traf with an unresolvable implicit base: it
+                # is only walked to locate the NEXT traf's base, so
+                # treat it like a failed walk_truns (prev_end stays
+                # unknown) instead of aborting the target track's demux
+                first_traf = False
+                prev_end = None
+                continue
             first_traf = False
             if flags & _TFHD_SAMPLE_DESC_IDX:
                 pos += 4

@@ -936,6 +936,12 @@ def unigram_train(
         }
         target_multi = max(vocab_size - len(chars), 0)
         counts = {**chars, **multi}
+        if not counts:
+            # empty/whitespace-only corpus: no seed charset, nothing
+            # to estimate — return an empty vocabulary, not a crash
+            return spark.createDataFrame(
+                [], "rank: int, piece: string, piece_len: int, count: long"
+            )
 
         def estep(vocab_counts: dict) -> dict:
             total = sum(vocab_counts.values())
@@ -957,12 +963,17 @@ def unigram_train(
                         {"piece": list(agg), "cnt": list(agg.values())}
                     )
 
-            rows = (
-                wf.mapInPandas(seg_batches, "piece string, cnt long")
-                .groupBy("piece")
-                .agg(F.sum("cnt").alias("cnt"))
-                .collect()  # bounded by |vocab|
-            )
+            try:
+                rows = (
+                    wf.mapInPandas(seg_batches, "piece string, cnt long")
+                    .groupBy("piece")
+                    .agg(F.sum("cnt").alias("cnt"))
+                    .collect()  # bounded by |vocab|
+                )
+            finally:
+                # one broadcast per EM/prune round: release it once the
+                # round's collect is done, or long sessions leak them
+                bc.destroy()
             used = {r["piece"]: int(r["cnt"]) for r in rows}
             # chars always survive (0-count allowed); multis must be used
             out = {c: used.get(c, 0) for c in chars}
