@@ -2711,8 +2711,14 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
 
     hashes = q_image_dhash(spark, sf_dir).select("media_id", "dhash")
+    # agree="auto": this corpus's signatures duplicate-collapse (the
+    # approx-distinct pass picks the measured-fastest agree=1 route),
+    # but a corpus whose signatures stay diverse past ~300k distinct
+    # re-enters the quadratic regime under a pinned agree=1 (measured
+    # 362 s at 632k in the --hamming ladder) — the route choice is a
+    # pure repartitioning detail, the pair set is identical.
     return dedup_ops.hex_hamming_pairs(
-        hashes, id_col="media_id", sig_col="dhash", radius=8
+        hashes, id_col="media_id", sig_col="dhash", radius=8, agree="auto"
     )
 
 

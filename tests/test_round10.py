@@ -91,6 +91,51 @@ def test_mp4_foreign_traf_after_unresolvable_foreign_traf():
         bm.mp4_demux_full(broken)
 
 
+def test_hex_hamming_auto_route(spark, monkeypatch):
+    """agree='auto' must pick agree=1 on a duplicate-collapsing corpus
+    and a multi-index agree>=2 on a diverse corpus above the
+    threshold — and the route is a pure repartitioning detail: the
+    diverse corpus's pair set equals brute force either way."""
+    import random
+
+    chosen = []
+    orig = dedup_ops._auto_agree
+
+    def spy(members, radius, hex_len, auto_threshold):
+        a = orig(members, radius, hex_len, auto_threshold)
+        chosen.append(a)
+        return a
+
+    monkeypatch.setattr(dedup_ops, "_auto_agree", spy)
+
+    # duplicate-collapsed: 60 ids over 3 distinct signatures
+    dup = spark.createDataFrame(
+        [(i, ["%016x" % 0, "%016x" % 0xFF, "%016x" % (0xFF << 32)][i % 3])
+         for i in range(60)],
+        "id: long, sig: string",
+    )
+    dedup_ops.hex_hamming_pairs(dup, "id", "sig", radius=8, agree="auto").count()
+    assert chosen[-1] == 1
+
+    # diverse: 40 random signatures, threshold forced below the count
+    rng = random.Random(101)
+    sigs = [(i, "%016x" % rng.getrandbits(64)) for i in range(40)]
+    div = spark.createDataFrame(sigs, "id: long, sig: string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_ops.hex_hamming_pairs(
+            div, "id", "sig", radius=8, agree="auto", auto_threshold=10
+        ).collect()
+    )
+    assert chosen[-1] >= 2
+    want = sorted(
+        (a, b, bin(int(sa, 16) ^ int(sb, 16)).count("1"))
+        for (a, sa), (b, sb) in __import__("itertools").combinations(sigs, 2)
+        if bin(int(sa, 16) ^ int(sb, 16)).count("1") <= 8
+    )
+    assert got == want
+
+
 def test_unigram_train_empty_corpus(spark):
     """Empty / whitespace-only corpora yield an empty vocabulary (same
     schema), not a ValueError from max() over an empty seed charset."""
