@@ -1101,6 +1101,56 @@ def q_bpe_corpus_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_train(docs, text_col="text", n_merges=10)
 
 
+def q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge training (Schuster & Nakajima 2012, round 10 —
+    completes the trainer family next to bpe_merges and unigram_vocab)
+    on the same Sennrich canonical corpus (low*5 lower*2 newest*6
+    widest*3): 8 rounds of likelihood-gain argmax
+    score = count(ab) / (count(a)·count(b)) compared as EXACT
+    rationals, (left ASC, right ASC) tiebreak, ``##`` continuation
+    convention.  Note the contrast with BPE on the IDENTICAL corpus:
+    likelihood scoring merges the rare 'wid' symbols first where
+    frequency scoring starts at ('e','s').  The oracle carries the
+    merge table computed by an independent pure-Python reference
+    implementation (tests/test_round10.py re-derives it
+    property-style on random corpora); the iterative rewrite itself
+    is not SQL-expressible, the fixed-corpus VALUES table is."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(1, corpus)], "case_id: long, text: string")
+    return text_ops.wordpiece_train(df, n_merges=8)
+
+
+def q_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLY (round 10): tokenize documents by replaying the
+    merge table ``wordpiece_train`` learns on the canonical corpus —
+    train ∘ apply share ``_merge_scan`` + ``_wp_syms`` so they cannot
+    drift.  The oracle carries hand-derived expected counts (e.g.
+    'lowest' → [low, ##est] = 2 tokens under those merges, 'wide' →
+    [wid, ##e]); the rank-ordered resume-after-merge scan itself is
+    not SQL-expressible.  tests/test_round10.py re-derives apply
+    against an independent reference on random corpora."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    train = spark.createDataFrame([(1, corpus)], "case_id: long, text: string")
+    merges = text_ops.wordpiece_train(train, n_merges=8)
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest widest low"),
+            (2, "newest newest lower"),
+            (3, "wide low lows"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return text_ops.wordpiece_token_counts(merges_df=merges, df=docs)
+
+
 def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training (Kudo
     2018, round 9) on the canonical unigram example corpus (hug*10
@@ -3729,6 +3779,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_corpus_merges": q_bpe_corpus_merges,
         "bpe_tokenize": q_bpe_tokenize,
+        "wordpiece_merges": q_wordpiece_merges,
+        "wordpiece_tokenize": q_wordpiece_tokenize,
         "unigram_vocab": q_unigram_vocab,
         "unigram_tokenize": q_unigram_tokenize,
         "text_quality": q_text_quality,
@@ -4415,6 +4467,46 @@ _BPE_TOKENIZE_ORACLE = """
         (1, 3, 15, 6),
         (2, 3, 17, 5),
         (3, 3, 11, 7)
+    ) AS t(doc_id, n_words, n_chars, n_tokens)
+"""
+
+
+# Computed by the independent pure-Python WordPiece reference
+# (tests/test_round10.py `ref_wordpiece`) on the Sennrich canonical
+# corpus; exact-rational scores, (left ASC, right ASC) tiebreak.
+_WORDPIECE_MERGES_ORACLE = """
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym AS left,
+           right_sym AS right, merged,
+           CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(left_count AS BIGINT) AS left_count,
+           CAST(right_count AS BIGINT) AS right_count
+    FROM (VALUES
+        (1, '##i', '##d', '##id', 3, 3, 3),
+        (2, 'w', '##id', 'wid', 3, 3, 3),
+        (3, 'l', '##o', 'lo', 7, 7, 7),
+        (4, '##s', '##t', '##st', 9, 9, 9),
+        (5, 'lo', '##w', 'low', 7, 7, 13),
+        (6, '##e', '##r', '##er', 2, 17, 2),
+        (7, 'low', '##er', 'lower', 2, 7, 2),
+        (8, '##e', '##st', '##est', 9, 15, 9)
+    ) AS t(merge_rank, left_sym, right_sym, merged,
+           pair_count, left_count, right_count)
+"""
+
+
+# Hand-derived under the pinned 8-merge WordPiece table:
+#   lowest → [low, ##est]         widest → [wid, ##est]   low → [low]
+#   newest → [n, ##e, ##w, ##est] lower  → [lower]
+#   wide   → [wid, ##e]           lows   → [low, ##s]
+_WORDPIECE_TOKENIZE_ORACLE = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (VALUES
+        (1, 3, 15, 5),
+        (2, 3, 17, 9),
+        (3, 3, 11, 5)
     ) AS t(doc_id, n_words, n_chars, n_tokens)
 """
 
@@ -5609,6 +5701,8 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(doc_id, n_words, n_chars, n_tokens)
         """,
         "bpe_tokenize": _BPE_TOKENIZE_ORACLE,
+        "wordpiece_merges": _WORDPIECE_MERGES_ORACLE,
+        "wordpiece_tokenize": _WORDPIECE_TOKENIZE_ORACLE,
         "triangle_count": _TRIANGLE_COUNT_ORACLE,
         "winsorize": _WINSORIZE_ORACLE,
         "zorder_key": _zorder_oracle(),

@@ -1076,6 +1076,262 @@ def unigram_token_counts(
     )
 
 
+def _wp_syms(word: str) -> list:
+    """WordPiece initial segmentation: first character bare, every
+    continuation character ``##``-prefixed (the Schuster & Nakajima /
+    BERT convention shared with ``subword_token_counts``'s greedy
+    matcher)."""
+    return [word[0]] + ["##" + c for c in word[1:]]
+
+
+def wordpiece_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 10,
+):
+    """WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    tokenizer's trainer) — completes the tokenizer-trainer family
+    next to ``bpe_train`` (frequency argmax) and ``unigram_train``
+    (EM prune): per round, adjacent symbol pairs are scored by
+    LIKELIHOOD GAIN ``score(a,b) = count(ab) / (count(a) · count(b))``
+    and the best pair is merged everywhere; the merged symbol drops
+    the right side's ``##`` prefix (``low`` + ``##er`` → ``lower``).
+
+    Deterministic by construction (so an independent reference
+    reproduces it bit-for-bit — the tests do):
+
+    - initial symbols per word: ``_wp_syms`` (first char bare, rest
+      ``##``-prefixed);
+    - ``count(x)`` is the occurrence count of symbol x across the
+      CURRENT segmentation of the corpus, weighted by word frequency
+      (multiple occurrences inside one word all count);
+    - pair scores are compared as EXACT RATIONALS — the engine takes
+      the double-score argmax, re-collects every pair within a 1e-9
+      relative band of it (a bounded sliver: exact ties plus float
+      neighbors), and resolves the winner driver-side with
+      ``fractions.Fraction`` — so float rounding can never pick a
+      different merge than exact arithmetic;
+    - tiebreak on exactly-equal score: (left ASC, right ASC);
+    - in-word rewrite is the shared ``_merge_scan`` (resume after a
+      merged pair), the same scan ``bpe_train`` and the apply twin
+      use, so train ∘ apply cannot drift.
+
+    Returns (merge_rank, left, right, merged, pair_count, left_count,
+    right_count) — integer counts only (the exact score is
+    pair_count / (left_count · right_count)), so the oracle
+    comparison is exact.
+
+    Scale shape (the ``bpe_train`` skeleton): training state is the
+    UNIQUE-WORD table; each round is one uniform-key pair-count
+    shuffle, one symbol-count shuffle joined back on the pair's two
+    sides, a one-row double argmax plus the bounded near-tie collect,
+    and one narrow Arrow rewrite; ``localCheckpoint`` truncates
+    per-round lineage so round N never re-executes rounds 1..N-1.
+    """
+    from fractions import Fraction
+
+    import pandas as pd
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    first = F.array(F.element_at("chars", 1))
+    rest = F.transform(
+        F.slice("chars", 2, F.greatest(F.size("chars") - 1, F.lit(0))),
+        lambda c: F.concat(F.lit("##"), c),
+    )
+    cur = (
+        wf.select(F.split("w", "").alias("chars"), "wcnt")
+        .select(F.concat(first, rest).alias("syms"), "wcnt")
+        .localCheckpoint(eager=True)
+    )
+
+    sym_schema = T.StructType(
+        [
+            T.StructField("syms", T.ArrayType(T.StringType())),
+            T.StructField("wcnt", T.LongType()),
+        ]
+    )
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            sym_counts = (
+                cur.select(F.explode("syms").alias("s"), "wcnt")
+                .groupBy("s")
+                .agg(F.sum("wcnt").alias("scnt"))
+            )
+            pairs = (
+                cur.filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.arrays_zip(
+                            F.expr("slice(syms, 1, size(syms) - 1)").alias("l"),
+                            F.expr("slice(syms, 2, size(syms) - 1)").alias("r"),
+                        )
+                    ).alias("p"),
+                    "wcnt",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wcnt").alias("cnt"))
+            )
+            scored = (
+                pairs.join(
+                    sym_counts.select(
+                        F.col("s").alias("l"), F.col("scnt").alias("ca")
+                    ),
+                    "l",
+                )
+                .join(
+                    sym_counts.select(
+                        F.col("s").alias("r"), F.col("scnt").alias("cb")
+                    ),
+                    "r",
+                )
+                .withColumn(
+                    "score",
+                    F.col("cnt").cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double"),
+                )
+                .localCheckpoint(eager=True)  # scored once, probed twice
+            )
+            try:
+                top = (
+                    scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
+                    .limit(1)
+                    .collect()
+                )
+                if not top:
+                    break  # no adjacent pairs left anywhere
+                # exact-rational resolution over the near-tie band:
+                # every pair within 1e-9 RELATIVE of the double max —
+                # float error is ~1e-16/op, so the true argmax is
+                # always inside; exact ties are all inside
+                band = top[0]["score"] * (1.0 - 1e-9)
+                cands = scored.where(F.col("score") >= band).collect()
+            finally:
+                scored.unpersist()
+            best = None
+            best_fr = None
+            for row in cands:
+                fr = Fraction(int(row["cnt"]), int(row["ca"]) * int(row["cb"]))
+                if (
+                    best is None
+                    or fr > best_fr
+                    or (fr == best_fr and (row["l"], row["r"]) < (best[0], best[1]))
+                ):
+                    best, best_fr = (row["l"], row["r"], row), fr
+            l, r, row = best[0], best[1], best[2]
+            m = l + r[2:]  # the right side is always a ##-continuation
+            merges.append(
+                (rank, l, r, m, int(row["cnt"]), int(row["ca"]), int(row["cb"]))
+            )
+
+            def rewrite(batches, _l=l, _r=r, _m=m):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    out = [
+                        _merge_scan(list(syms), _l, _r, _m)
+                        for syms in pdf["syms"]
+                    ]
+                    yield pd.DataFrame(
+                        {"syms": out, "wcnt": pdf["wcnt"].to_numpy()}
+                    )
+
+            nxt = cur.mapInPandas(rewrite, sym_schema).localCheckpoint(
+                eager=True
+            )
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left: string, right: string, merged: string, "
+        "pair_count: long, left_count: long, right_count: long",
+    )
+
+
+def wordpiece_token_counts(
+    df,
+    merges_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """WordPiece tokenization (the APPLY step consuming
+    ``wordpiece_train``'s merge table): per document, word count,
+    character count, and WordPiece token count after replaying every
+    merge in ``merge_rank`` order over the ``_wp_syms`` initial
+    segmentation — the SAME ``_merge_scan`` the trainer uses, so
+    train ∘ apply are in lockstep by construction (the
+    ``bpe_token_counts`` guarantee; greedy longest-match inference
+    against a flat vocabulary is the separate ``subword_token_counts``
+    operator).
+
+    Returns (id_col, n_words, n_chars, n_tokens); ``n_chars`` is the
+    pre-merge symbol count, so ``n_chars / n_tokens`` is the corpus
+    compression the learned vocabulary achieves.
+
+    Scale shape (the established apply pattern): the bounded merge
+    table is collected once and shipped in the closure; the scan runs
+    once per UNIQUE word in one Arrow stage; per-document totals come
+    from joining word frequencies back on the word key.
+    """
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges_df.select("merge_rank", "left", "right", "merged")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uw = tf.select("w").distinct()
+
+    def tok_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_sym, n_tok = [], []
+            for w in pdf["w"]:
+                syms = _wp_syms(w)
+                n_sym.append(len(syms))
+                for l, r, m in merges:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_scan(syms, l, r, m)
+                n_tok.append(len(syms))
+            yield pd.DataFrame(
+                {"w": pdf["w"], "n_sym": n_sym, "n_tok": n_tok}
+            )
+
+    toks = uw.mapInPandas(tok_batches, "w string, n_sym long, n_tok long")
+    return (
+        tf.join(toks, "w")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_words"),
+            F.sum(F.col("tf") * F.col("n_sym")).alias("n_chars"),
+            F.sum(F.col("tf") * F.col("n_tok")).alias("n_tokens"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def char_entropy_ppm(text: Column) -> Column:
     """Character-level Shannon entropy of the text in integer
     micro-nats (floor(1e6 · H), H in nats) — the classic
