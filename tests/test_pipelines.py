@@ -1233,3 +1233,155 @@ def test_compact_loses_race_to_ingest_and_retries(spark, tmp_path, monkeypatch):
     # batch 1's chain finished inside the race; states must match
     assert _store_state(spark, acid_mod, raced) == want
     assert ingest_mod.ingest_batch(spark, raced, b1, 1) == {"replay_skipped": True}
+
+
+def test_substring_ingest_incremental_equals_oneshot(spark, tmp_path):
+    """Round 10: batch-incremental exact-substring dedup ≡ the
+    one-shot operator on the union.  Three batches with in-batch,
+    adjacent-batch, and batch-1-vs-batch-3 shared spans: the union of
+    per-batch pairs_df outputs AND substring_pairs_from_index must
+    both equal exact_substring_pairs over the final corpus."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    span = "the quick brown fox jumps over the lazy dog tonight"
+    other = "completely different words about ships and harbors on tuesday"
+    batches = [
+        [  # in-batch pair (1, 2)
+            (1, f"intro words then {span} and a tail"),
+            (2, f"{span} with another ending entirely"),
+            (3, other),
+        ],
+        [  # cross-batch pair (1, 4), (2, 4)
+            (4, f"prefix {span} suffix words here"),
+            (5, "no shared content in this document at all whatsoever"),
+        ],
+        [  # batch-1-vs-batch-3 pair incl. doc 3's other-span; short doc
+            (6, f"{other} trailing extra"),
+            (7, "tiny doc"),
+        ],
+    ]
+    incremental = []
+    for i, rows in enumerate(batches):
+        r = ingest_mod.ingest_batch_substring(spark, store, _mk_docs(spark, rows), i)
+        assert r["admitted"] == len(rows)
+        incremental += [
+            (p["id_a"], p["id_b"], p["shared_windows"], p["max_run_words"])
+            for p in r["pairs_df"].collect()
+        ]
+
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    want = sorted(
+        (p["id_a"], p["id_b"], p["shared_windows"], p["max_run_words"])
+        for p in dedup_ops.exact_substring_pairs(
+            corpus, min_words=store.substring_k
+        ).collect()
+    )
+    assert sorted(incremental) == want
+    assert want  # the fixture genuinely creates pairs
+    got_index = sorted(
+        (p["id_a"], p["id_b"], p["shared_windows"], p["max_run_words"])
+        for p in ingest_mod.substring_pairs_from_index(spark, store).collect()
+    )
+    assert got_index == want
+
+    # replay: whole-batch no-op, no duplicate index rows
+    assert ingest_mod.ingest_batch_substring(
+        spark, store, _mk_docs(spark, batches[0]), 0
+    ) == {"replay_skipped": True}
+    anchors = acid_mod.read_atomic(spark, store.anchors)
+    assert anchors.count() == anchors.distinct().count()
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_substring_ingest_crash_matrix_invariants(spark, tmp_path, monkeypatch, crash_at):
+    """Exhaustive crash positions across the substring commit chain
+    (corpus=1, hashes=2, bloom=3, anchors=4): after the NEXT batch
+    heals, anchor rows cover exactly the corpus docs (>= k words) and
+    the index-derived pair set still equals the one-shot operator on
+    the healed corpus — the anchor table obeys the same
+    reconstructible-from-change-feed contract as bands."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    span = "many moons ago a caravan crossed the salt desert slowly"
+    b0 = _mk_docs(spark, [(1, f"begin {span} end")])
+    ingest_mod.ingest_batch_substring(spark, store, b0, 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == crash_at:
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    b1 = _mk_docs(spark, [(2, f"another copy holding {span} within it")])
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch_substring(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # next batch arrives out-of-order (no redelivery of batch 1) and
+    # shares the span too: its probe must see the HEALED index
+    b2 = _mk_docs(spark, [(3, f"third rendition of {span} again")])
+    r2 = ingest_mod.ingest_batch_substring(spark, store, b2, 2)
+
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    ids = sorted(r.doc_id for r in corpus.collect())
+    assert ids == ([1, 3] if crash_at == 1 else [1, 2, 3])
+    anchor_ids = sorted(
+        set(r["__id"] for r in acid_mod.read_atomic(spark, store.anchors).collect())
+    )
+    assert anchor_ids == ids
+    # batch 2's own pair detection saw the healed batch-1 doc
+    expected_partners = {1} if crash_at == 1 else {1, 2}
+    got_partners = {
+        p["id_a"] for p in r2["pairs_df"].collect() if p["id_b"] == 3
+    }
+    assert got_partners == expected_partners
+    # index-derived pairs == one-shot on the healed corpus
+    want = sorted(
+        (p["id_a"], p["id_b"], p["shared_windows"], p["max_run_words"])
+        for p in dedup_ops.exact_substring_pairs(
+            corpus, min_words=store.substring_k
+        ).collect()
+    )
+    got = sorted(
+        (p["id_a"], p["id_b"], p["shared_windows"], p["max_run_words"])
+        for p in ingest_mod.substring_pairs_from_index(spark, store).collect()
+    )
+    assert got == want
+
+
+def test_forget_scrubs_anchor_index(spark, tmp_path):
+    """Forget over a store with a substring index: the forgotten doc's
+    anchor rows leave with it (content-derived data), its pairs vanish
+    from the index-derived set, and its content becomes admissible
+    again through the substring entry point."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    span = "seven silver spoons sat silently on the shelf upstairs today"
+    b0 = _mk_docs(
+        spark,
+        [(1, f"first {span} alpha"), (2, f"second {span} beta")],
+    )
+    r0 = ingest_mod.ingest_batch_substring(spark, store, b0, 0)
+    assert r0["substring_pairs"] == 1
+
+    ingest_mod.forget(spark, store, spark.createDataFrame([(2,)], "doc_id long"), 10)
+    anchors = acid_mod.read_atomic(spark, store.anchors)
+    assert sorted(set(r["__id"] for r in anchors.collect())) == [1]
+    assert ingest_mod.substring_pairs_from_index(spark, store).count() == 0
+
+    # the forgotten content is admissible again and re-pairs with doc 1
+    b1 = _mk_docs(spark, [(9, f"second {span} beta")])
+    r1 = ingest_mod.ingest_batch_substring(spark, store, b1, 1)
+    assert r1["admitted"] == 1 and r1["substring_pairs"] == 1

@@ -1171,32 +1171,19 @@ def hex_hamming_pairs(
     return exact.unionByName(near)
 
 
-def _verified_window_matches(
-    df: DataFrame, text_col: str, id_col: str, k: int,
-    max_doc_freq: int | None = None,
+def window_anchors(
+    df: DataFrame, text_col: str, id_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared front-end of the suffix-array-style dedup family: the
-    tokenized corpus (``__id``, ``__w`` word array) and the VERIFIED
-    cross-document sliding-window matches (id_a < id_b, off_a, off_b,
-    __h) — xxhash64 anchors over one narrow explode, uniform-key
-    candidate equi-join, slice verification so a hash collision can
-    add nothing.  Consumed by ``exact_substring_pairs`` (pair scores)
-    and ``strip_duplicate_spans`` (span removal) so detect ∘ remove
-    cannot drift.
-
-    ``max_doc_freq`` — the hot-window scale lever: a window shared by
-    m documents fans out to ~m²/2 candidate rows, so one
-    boilerplate window in a million documents is a 5·10¹¹-row join
-    ON ITS OWN.  When set, windows whose hash appears in more than
-    ``max_doc_freq`` DISTINCT documents are excluded from candidate
-    generation (one extra uniform-key distinct-doc count + broadcast-
-    able anti-join on the bounded hot-hash set — the same strategy as
-    ``strip_common_tiles``'s max_df).  Trade, stated exactly: a pair
-    whose ONLY shared windows are boilerplate-hot is no longer found
-    (Lee et al. treat such spans as boilerplate, not duplication —
-    their removal tool caps the same way); any pair sharing at least
-    one sub-cap window keeps that evidence, and spans extend only
-    through surviving windows."""
+    """The anchor front-end of the suffix-array-style dedup family,
+    factored out so the incremental ingest chain can PERSIST it: the
+    tokenized corpus (``__id``, ``__w`` word array; docs with < k
+    words excluded) and the anchor stream (``__id``, ``__off``
+    1-based word offset, ``__h`` xxhash64 of the k-word window) —
+    O(corpus words) rows of 20 bytes, never the window strings,
+    repartitioned on the uniform 64-bit hash so every consumer's
+    equi-join reuses one canonical exchange.  Text normalization is
+    the dedup-family ``_normalized`` (lowercase, collapse
+    whitespace)."""
     words = F.split(_normalized(F.col(text_col)), " ")
     tok = (
         df.select(F.col(id_col).alias("__id"), words.alias("__w"))
@@ -1221,6 +1208,39 @@ def _verified_window_matches(
         .select("__id", (F.col("__p") + 1).alias("__off"), "__h")
         .repartition("__h")
     )
+    return tok, wins
+
+
+def _verified_window_matches(
+    df: DataFrame, text_col: str, id_col: str, k: int,
+    max_doc_freq: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front-end of the suffix-array-style dedup family: the
+    tokenized corpus (``__id``, ``__w`` word array) and the VERIFIED
+    cross-document sliding-window matches (id_a < id_b, off_a, off_b,
+    __h, __win) — xxhash64 anchors over one narrow explode, uniform-key
+    candidate equi-join, slice verification so a hash collision can
+    add nothing.  Consumed by ``exact_substring_pairs`` (pair scores)
+    and ``strip_duplicate_spans`` (span removal) so detect ∘ remove
+    cannot drift.
+
+    ``max_doc_freq`` — the hot-window scale lever: a window shared by
+    m documents fans out to ~m²/2 candidate rows, so one
+    boilerplate window in a million documents is a 5·10¹¹-row join
+    ON ITS OWN.  When set, windows whose hash appears in more than
+    ``max_doc_freq`` DISTINCT documents are excluded from candidate
+    generation (one extra uniform-key distinct-doc count + broadcast-
+    able anti-join on the bounded hot-hash set — the same strategy as
+    ``strip_common_tiles``'s max_df).  On web-scale (100 TB) corpora
+    SET THIS (~100 is a good default): one boilerplate window shared
+    by m docs alone costs m²/2 candidate rows, and the cap's cost is
+    one distinct-doc count.  Trade, stated exactly: a pair
+    whose ONLY shared windows are boilerplate-hot is no longer found
+    (Lee et al. treat such spans as boilerplate, not duplication —
+    their removal tool caps the same way); any pair sharing at least
+    one sub-cap window keeps that evidence, and spans extend only
+    through surviving windows."""
+    tok, wins = window_anchors(df, text_col, id_col, k)
     if max_doc_freq is not None:
         if max_doc_freq < 1:
             raise ValueError("max_doc_freq must be >= 1")
@@ -1248,22 +1268,31 @@ def _verified_window_matches(
     # verify candidates against the actual word slices (collision-proof)
     ta = tok.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
     tb = tok.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
-    # pair-keyed exchange: every consumer (shared counts, diagonal
-    # streaks, covered positions) groups on a superset of
-    # (id_a, id_b), so this single exchange satisfies them all AND
-    # ReuseExchange runs the candidate join + verification once
-    # instead of once per consumer
-    verified = (
+    return tok, _verify_window_candidates(cand, ta, tb, k)
+
+
+def _verify_window_candidates(
+    cand: DataFrame, ta: DataFrame, tb: DataFrame, k: int
+) -> DataFrame:
+    """Slice-verify candidate window matches (collision-proof):
+    ``cand`` (id_a, id_b, off_a, off_b, __h) joined to the per-doc
+    word arrays ``ta`` (id_a, __wa) / ``tb`` (id_b, __wb); survivors
+    carry the verified window STRING ``__win`` — only materialized
+    for the candidate sliver, so shared-window counts are
+    collision-proof (two distinct strings that xxhash64-collide must
+    still count as two).  The output rides one pair-keyed exchange:
+    every consumer (shared counts, diagonal streaks, covered
+    positions) groups on a superset of (id_a, id_b), so this single
+    exchange satisfies them all AND ReuseExchange runs the candidate
+    join + verification once instead of once per consumer.  Shared by
+    the one-shot family and the incremental ingest index probe."""
+    return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
         .where(
             F.slice(F.col("__wa"), F.col("off_a"), k)
             == F.slice(F.col("__wb"), F.col("off_b"), k)
         )
-        # __win: the verified window STRING (not its hash) — only
-        # materialized for the candidate sliver, so shared-window
-        # counts are collision-proof (two distinct strings that
-        # xxhash64-collide must still count as two)
         .select(
             "id_a",
             "id_b",
@@ -1276,7 +1305,6 @@ def _verified_window_matches(
         )
         .repartition("id_a", "id_b")
     )
-    return tok, verified
 
 
 def exact_substring_pairs(
@@ -1323,6 +1351,14 @@ def exact_substring_pairs(
     scale use duplicate_chunk_stats (inverted-index shape, no pair
     expansion).  Text is normalized like every dedup hash here
     (lowercase, collapse whitespace — ``_normalized``).
+
+    100 TB scale note: on web-scale corpora SET ``max_doc_freq``
+    (~100 is a good default) — one boilerplate window shared by m
+    documents alone costs m²/2 candidate rows (measured: 178 s
+    uncapped at 16k docs vs flat 1.7 s capped), and the cap's cost is
+    one distinct-doc count + a broadcast anti-join on the bounded
+    hot-hash set.  The recall trade is stated at
+    ``_verified_window_matches``.
     """
     k = int(min_words)
     if k < 2:
@@ -1330,6 +1366,16 @@ def exact_substring_pairs(
     tok, verified = _verified_window_matches(
         df, text_col, id_col, k, max_doc_freq=max_doc_freq
     )
+    return _pair_scores(verified, k)
+
+
+def _pair_scores(verified: DataFrame, k: int) -> DataFrame:
+    """Pair scoring over a verified-window-match relation (id_a,
+    id_b, off_a, off_b, __win): distinct shared window strings +
+    the diagonal row_number streak that turns c consecutive verified
+    windows into an EXACT longest-common-run of c+k-1 words.  Shared
+    by ``exact_substring_pairs`` and the incremental ingest chain's
+    index-probe path so batch and one-shot scoring cannot drift."""
     diag = (F.col("off_a") - F.col("off_b")).alias("__d")
     w = Window.partitionBy("id_a", "id_b", "__d").orderBy("off_a")
     streaks = (
@@ -1386,6 +1432,13 @@ def strip_duplicate_spans(
     covered ranges (matches × k rows), an anti-join on (id, word
     position), and one per-doc reassembly aggregate with an explicit
     (pos, word) sort — partitioning-invariant output.
+
+    100 TB scale note: SET ``max_doc_freq`` (~100) on web-scale
+    corpora — the hot-window quadratic and the recall trade are the
+    same as ``exact_substring_pairs``'s (see its scale note); a
+    boilerplate-hot window then simply stays in every document, which
+    for removal is usually the WANTED behavior (strip duplication,
+    keep boilerplate for ``strip_common_tiles``).
     """
     k = int(min_words)
     if k < 2:

@@ -53,17 +53,20 @@ class IngestStore:
         lsh_bands: int = 8,
         lsh_shingle_k: int = 5,
         lsh_jaccard: float = 0.5,
+        substring_k: int = 6,
     ) -> None:
         self.corpus = f"{root}/corpus"
         self.hashes = f"{root}/hashes"
         self.bloom = f"{root}/bloom"
         self.bands = f"{root}/bands"
+        self.anchors = f"{root}/anchors"
         self.m_bits = m_bits
         self.k = k
         self.lsh_num_hashes = lsh_num_hashes
         self.lsh_bands = lsh_bands
         self.lsh_shingle_k = lsh_shingle_k
         self.lsh_jaccard = lsh_jaccard
+        self.substring_k = substring_k
 
 
 def _has_table(path: str) -> bool:
@@ -89,11 +92,38 @@ def _commit_rows(
     return feed.filter(F.col("_change_type") == "insert").drop("_change_type")
 
 
+def _anchor_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """The window-anchor index rows for one batch's admitted docs:
+    (__id, __off, __h) per sliding k-word window — a pure function of
+    the admitted rows, so chain healing can reconstruct them from the
+    corpus commit's change feed."""
+    from tiki_e_commerce_analytics_etl_spark.operators.dedup import window_anchors
+
+    _tok, wins = window_anchors(df, text_col, id_col, k)
+    return wins.select("__id", "__off", "__h")
+
+
+def _chain_tail(
+    store: IngestStore, with_bands: bool, with_anchors: bool
+) -> str:
+    """The LAST table of the commit chain — the replay cursor / heal
+    tail.  Commit order is corpus → hashes → bloom → bands → anchors,
+    so the tail is the furthest-downstream table in play."""
+    if with_anchors:
+        return store.anchors
+    if with_bands:
+        return store.bands
+    return store.bloom
+
+
 def _heal_chain(
     spark: SparkSession,
     store: IngestStore,
     app_id: str,
     band_params: tuple | None = None,  # (text_col, id_col) when the band index is in play
+    anchor_params: tuple | None = None,  # (text_col, id_col) when the anchor index is in play
 ) -> int:
     """Bring the downstream tables level with the corpus cursor: for
     every corpus commit whose (app) txn version exceeds the LAST table
@@ -115,7 +145,7 @@ def _heal_chain(
     ordering structural for maintenance: heal every app chain, THEN
     prune.  Do not call ``acid.vacuum`` directly on a store with
     possibly-unhealed chains."""
-    tail = store.bands if band_params is not None else store.bloom
+    tail = _chain_tail(store, band_params is not None, anchor_params is not None)
     tail_v = acid.last_txn_version(tail, app_id)
     corpus_v = acid.last_txn_version(store.corpus, app_id)
     if corpus_v <= tail_v:
@@ -143,6 +173,15 @@ def _heal_chain(
                         store.lsh_shingle_k,
                     ),
                     store.bands,
+                    mode="append",
+                    txn_app=app_id,
+                    txn_version=cur,
+                )
+            if anchor_params is not None:
+                text_col, id_col = anchor_params
+                acid.atomic_overwrite_partitions(
+                    _anchor_rows(admitted, text_col, id_col, store.substring_k),
+                    store.anchors,
                     mode="append",
                     txn_app=app_id,
                     txn_version=cur,
@@ -251,17 +290,20 @@ def ingest_batch(
     bloom-breaking — set); it recovers the EXACT admitted rows from
     the corpus commit's change feed and finishes the chain.
 
-    Variant mixing: when a ``bands`` near-dup index exists on this
-    store (some batches went through ``ingest_batch_neardup``), this
-    plain path MAINTAINS it — appends band rows for its admitted docs,
-    extends the commit chain (and the replay cursor / heal tail) to
-    ``bands`` — so the index never silently misses this batch's rows
-    and later near-dup screens stay complete.  It still performs no
-    near-dup REJECTION of its own.
+    Variant mixing: when a ``bands`` near-dup index and/or an
+    ``anchors`` substring index exists on this store (some batches
+    went through ``ingest_batch_neardup`` / ``ingest_batch_substring``),
+    this plain path MAINTAINS them — appends band/anchor rows for its
+    admitted docs, extends the commit chain (and the replay cursor /
+    heal tail) downstream — so the indexes never silently miss this
+    batch's rows and later screens stay complete.  It still performs
+    no near-dup rejection or substring detection of its own.
     """
     with_bands = _has_table(store.bands)
-    tail = store.bands if with_bands else store.bloom
+    with_anchors = _has_table(store.anchors)
     band_params = (text_col, id_col) if with_bands else None
+    anchor_params = (text_col, id_col) if with_anchors else None
+    tail = _chain_tail(store, with_bands, with_anchors)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     # finish any commit chain a crash left behind BEFORE screening:
@@ -269,7 +311,9 @@ def ingest_batch(
     # out-of-order case (an earlier batch crashed, this is a NEWER one
     # — its screen must see the healed hashes/bloom or it re-admits
     # committed content)
-    healed = _heal_chain(spark, store, app_id, band_params=band_params)
+    healed = _heal_chain(
+        spark, store, app_id, band_params=band_params, anchor_params=anchor_params
+    )
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
         return {"recovered_replay": True, "healed_commits": healed}
 
@@ -295,6 +339,14 @@ def ingest_batch(
                 store.lsh_shingle_k,
             ),
             store.bands,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    if with_anchors:
+        acid.atomic_overwrite_partitions(
+            _anchor_rows(admitted, text_col, id_col, store.substring_k),
+            store.anchors,
             mode="append",
             txn_app=app_id,
             txn_version=batch_id,
@@ -330,32 +382,38 @@ def forget(
     no other owner and must go too (otherwise a re-ingest of the same
     content would be wrongly rejected — the forgotten content becomes
     admissible again, which is exactly what deletion means).  Band
-    rows are content-derived data and leave with their documents.
+    rows and window-anchor rows are content-derived data and leave
+    with their documents.
 
     Exactly-once per (app_id, batch_id) like ingest_batch; replays
     are whole-batch no-ops.  Returns {'removed': n}.
 
     Crash consistency: forget FIRST heals any ingest chain a crash
     left behind (``ingest_app_id``) — healing replays corpus change
-    feeds into hashes/bloom/bands, so it must never run AFTER a forget
-    rewrote them (it would resurrect the forgotten content's hash and
-    bits from the old corpus files).  The whole-batch replay check is
-    against the LAST table in forget's own chain (bands when present,
-    else bloom).  A partial-crash replay needs no change-feed recovery
-    — re-deriving from live state is naturally idempotent here
-    (anti-joining keys already removed removes nothing more, the bloom
-    rebuild is a pure function of the surviving hashes), and the
-    per-table commits skip themselves where already landed.
+    feeds into hashes/bloom/bands/anchors, so it must never run AFTER
+    a forget rewrote them (it would resurrect the forgotten content's
+    hash, bits, and anchors from the old corpus files).  The
+    whole-batch replay check is against the LAST table in forget's own
+    chain (anchors, else bands, else bloom).  A partial-crash replay
+    needs no change-feed recovery — re-deriving from live state is
+    naturally idempotent here (anti-joining keys already removed
+    removes nothing more, the bloom rebuild is a pure function of the
+    surviving hashes), and the per-table commits skip themselves where
+    already landed.
     """
     with_bands = _has_table(store.bands)
-    tail = store.bands if with_bands else store.bloom
+    with_anchors = _has_table(store.anchors)
+    band_params = (text_col, id_col) if with_bands else None
+    anchor_params = (text_col, id_col) if with_anchors else None
+    tail = _chain_tail(store, with_bands, with_anchors)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     _heal_chain(
         spark,
         store,
         ingest_app_id,
-        band_params=(text_col, id_col) if with_bands else None,
+        band_params=band_params,
+        anchor_params=anchor_params,
     )
     keys = F.broadcast(doc_ids.select(id_col).distinct())
     corpus = acid.read_atomic(spark, store.corpus)
@@ -382,6 +440,13 @@ def forget(
         acid.atomic_overwrite_partitions(
             kept_bands, store.bands, txn_app=app_id, txn_version=batch_id
         )
+    if with_anchors:
+        kept_anchors = acid.read_atomic(spark, store.anchors).join(
+            keys.withColumnRenamed(id_col, "__id"), "__id", "left_anti"
+        )
+        acid.atomic_overwrite_partitions(
+            kept_anchors, store.anchors, txn_app=app_id, txn_version=batch_id
+        )
     return {"removed": n_removed}
 
 
@@ -403,8 +468,7 @@ def unhealed_floor(
     """
     if not _has_table(store.corpus):
         return None
-    with_bands = _has_table(store.bands)
-    tail = store.bands if with_bands else store.bloom
+    tail = _chain_tail(store, _has_table(store.bands), _has_table(store.anchors))
     hist = sorted(acid.table_history(store.corpus), key=lambda h: h["version"])
     floor: int | None = None
     for app in app_ids:
@@ -442,17 +506,23 @@ def vacuum_store(
     Returns the list of removed paths across tables.
     """
     with_bands = _has_table(store.bands)
+    with_anchors = _has_table(store.anchors)
     band_params = (text_col, id_col) if with_bands else None
+    anchor_params = (text_col, id_col) if with_anchors else None
     for app in app_ids:
-        _heal_chain(spark, store, app, band_params=band_params)
+        _heal_chain(
+            spark, store, app, band_params=band_params, anchor_params=anchor_params
+        )
     # Post-heal the floor is None; passing it anyway makes the
     # invariant structural — if a heal ever fails silently (or a new
     # chain commits between heal and prune), the floor still protects
     # the manifests recovery needs.
     floor = unhealed_floor(store, app_ids)
     removed: list[str] = []
-    tables = [store.corpus, store.hashes, store.bloom] + (
-        [store.bands] if with_bands else []
+    tables = (
+        [store.corpus, store.hashes, store.bloom]
+        + ([store.bands] if with_bands else [])
+        + ([store.anchors] if with_anchors else [])
     )
     for path in tables:
         if _has_table(path):
@@ -519,11 +589,12 @@ def ingest_batch_neardup(
     5. survivors append to corpus/hashes/bloom AND their band rows to
        the index.
 
-    Commit chain corpus → hashes → bloom → bands; whole-batch replay
-    cursor on the LAST table (bands); a partial crash after the corpus
-    commit replays via the change-feed recovery (band rows are a pure
-    function of the recovered rows, so the index commit is
-    reconstructible).
+    Commit chain corpus → hashes → bloom → bands (→ anchors when the
+    substring index exists on this store — variant mixing maintains
+    it); whole-batch replay cursor on the LAST table; a partial crash
+    after the corpus commit replays via the change-feed recovery (band
+    and anchor rows are pure functions of the recovered rows, so the
+    index commits are reconstructible).
 
     The LSH family (num_hashes / bands / shingle_k) and the Jaccard
     threshold come from the ``store`` — the persisted index is only
@@ -535,9 +606,18 @@ def ingest_batch_neardup(
         store.lsh_shingle_k,
     )
     jaccard_threshold = store.lsh_jaccard
-    if acid.last_txn_version(store.bands, app_id) >= batch_id:
+    with_anchors = _has_table(store.anchors)
+    anchor_params = (text_col, id_col) if with_anchors else None
+    tail = _chain_tail(store, True, with_anchors)
+    if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
-    healed = _heal_chain(spark, store, app_id, band_params=(text_col, id_col))
+    healed = _heal_chain(
+        spark,
+        store,
+        app_id,
+        band_params=(text_col, id_col),
+        anchor_params=anchor_params,
+    )
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
         return {"recovered_replay": True, "healed_commits": healed}
 
@@ -616,6 +696,14 @@ def ingest_batch_neardup(
         txn_app=app_id,
         txn_version=batch_id,
     )
+    if with_anchors:
+        acid.atomic_overwrite_partitions(
+            _anchor_rows(admitted, text_col, id_col, store.substring_k),
+            store.anchors,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
     return {
         "batch": n_batch,
         "in_batch_dups": n_batch - n_first,
@@ -624,3 +712,231 @@ def ingest_batch_neardup(
         "near_dup_rejected_in_batch": n_rej_batch,
         "admitted": n_admitted,
     }
+
+
+def ingest_batch_substring(
+    spark: SparkSession,
+    store: IngestStore,
+    batch: DataFrame,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "ingest",
+) -> dict:
+    """``ingest_batch`` extended with INCREMENTAL exact-substring
+    dedup (Lee et al. 2022) at index cost: a persistent window-anchor
+    table (``anchors`` — one (id, off, xxhash64) row per sliding
+    ``store.substring_k``-word window of every admitted doc) is the
+    substring index of everything ever admitted.  Per batch, after
+    the exact content screen:
+
+    1. anchor rows for the content-new docs (the
+       ``dedup.window_anchors`` front-end, computed ONCE — probe,
+       in-batch pairs, and the index commit all read the same
+       checkpoint);
+    2. history candidates = equi-join of those anchors against the
+       INDEX on the 64-bit hash — O(batch anchors × bucket occupancy),
+       NEVER a re-anchoring of history text;
+    3. slice verification touches only candidate partner docs (a
+       point-lookup semi-join into ``corpus`` for the old sides —
+       the only corpus-body access, proportional to candidates);
+    4. in-batch candidates from the batch-anchor self-join;
+    5. verified matches from both sources score through the SAME
+       ``dedup._pair_scores`` as the one-shot operator, so
+       batch-incremental pair output ≡ ``exact_substring_pairs`` on
+       the union by construction (pytest-proven);
+    6. the batch's docs append to corpus/hashes/bloom and their
+       anchors to the index.
+
+    This variant DETECTS (it returns the batch's new duplicate-span
+    pairs under ``pairs_df`` — id_a < id_b, shared_windows,
+    max_run_words — for the caller's curation policy); admission
+    itself stays exact-content dedup, matching Lee et al.'s
+    span-level framing where removal is a separate pass.
+
+    Commit chain corpus → hashes → bloom (→ bands when the near-dup
+    index exists — variant mixing maintains it) → anchors; whole-batch
+    replay cursor on the LAST table (anchors); a partial crash after
+    the corpus commit replays via the change-feed recovery (anchor
+    rows are a pure function of the recovered rows).  Replayed
+    batches return no pairs_df — pair detection belongs to the first
+    successful pass; ``substring_pairs_from_index`` recomputes any
+    pair set from the healed index.
+    """
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+
+    k = store.substring_k
+    with_bands = _has_table(store.bands)
+    band_params = (text_col, id_col) if with_bands else None
+    if acid.last_txn_version(store.anchors, app_id) >= batch_id:
+        return {"replay_skipped": True}
+    healed = _heal_chain(
+        spark,
+        store,
+        app_id,
+        band_params=band_params,
+        anchor_params=(text_col, id_col),
+    )
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        return {"recovered_replay": True, "healed_commits": healed}
+
+    hashed = _hashed(batch, text_col, id_col)
+    n_batch = hashed.count()
+    first = _first_per_hash(hashed, id_col)
+    definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
+    admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+
+    tok_new, wins_new = dedup_ops.window_anchors(admitted, text_col, id_col, k)
+    wins_new = wins_new.localCheckpoint(eager=True)
+
+    # history candidates: batch anchors probe the persisted index —
+    # id order decides (a, b) so scoring matches the one-shot operator
+    try:
+        hist = acid.read_atomic(spark, store.anchors)
+    except FileNotFoundError:
+        hist = None
+    verified_parts = []
+    tok_frames = [tok_new]
+    if hist is not None:
+        cand_h = wins_new.select(
+            F.col("__id").alias("__nid"), F.col("__off").alias("__noff"), "__h"
+        ).join(
+            hist.select(
+                F.col("__id").alias("__oid"), F.col("__off").alias("__ooff"), "__h"
+            ),
+            "__h",
+        )
+        new_first = F.col("__nid") < F.col("__oid")
+        cand_h = cand_h.where(F.col("__nid") != F.col("__oid")).select(
+            F.least("__nid", "__oid").alias("id_a"),
+            F.greatest("__nid", "__oid").alias("id_b"),
+            F.when(new_first, F.col("__noff")).otherwise(F.col("__ooff")).alias("off_a"),
+            F.when(new_first, F.col("__ooff")).otherwise(F.col("__noff")).alias("off_b"),
+            "__h",
+        )
+        old_ids = cand_h.select(F.col("id_a").alias(id_col)).unionByName(
+            cand_h.select(F.col("id_b").alias(id_col))
+        ).distinct()
+        old_docs = (
+            acid.read_atomic(spark, store.corpus)
+            .join(old_ids, id_col, "left_semi")
+            .select(id_col, text_col)
+        )
+        tok_old, _ = dedup_ops.window_anchors(old_docs, text_col, id_col, k)
+        tok_frames.append(tok_old)
+        verified_parts.append(cand_h)
+
+    # in-batch candidates: the batch-anchor self-join
+    cand_b = (
+        wins_new.select(
+            F.col("__id").alias("id_a"), F.col("__off").alias("off_a"), "__h"
+        )
+        .join(
+            wins_new.select(
+                F.col("__id").alias("id_b"), F.col("__off").alias("off_b"), "__h"
+            ),
+            "__h",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    verified_parts.append(cand_b)
+
+    # the old-side tokens only hold candidate ids, so dropDuplicates
+    # keeps the relation minimal when a doc is both batch- and
+    # candidate-side (cannot happen with unique ids, but cheap safety)
+    toks = tok_frames[0]
+    for extra in tok_frames[1:]:
+        toks = toks.unionByName(extra)
+    toks = toks.dropDuplicates(["__id"])
+    ta = toks.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    tb = toks.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    cand_all = verified_parts[0]
+    for extra in verified_parts[1:]:
+        cand_all = cand_all.unionByName(extra)
+    verified = dedup_ops._verify_window_candidates(cand_all, ta, tb, k)
+    pairs = dedup_ops._pair_scores(verified, k).localCheckpoint(eager=True)
+
+    n_first = first.count()
+    n_maybe = maybe.count()
+    n_admitted = admitted.count()
+    n_pairs = pairs.count()
+
+    _commit_admitted(spark, store, admitted, batch_id, app_id)
+    if with_bands:
+        acid.atomic_overwrite_partitions(
+            _band_rows(
+                admitted,
+                text_col,
+                id_col,
+                store.lsh_num_hashes,
+                store.lsh_bands,
+                store.lsh_shingle_k,
+            ),
+            store.bands,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    acid.atomic_overwrite_partitions(
+        wins_new.select("__id", "__off", "__h"),
+        store.anchors,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    return {
+        "batch": n_batch,
+        "in_batch_dups": n_batch - n_first,
+        "definitely_new": n_first - n_maybe,
+        "maybe_seen": n_maybe,
+        "admitted": n_admitted,
+        "substring_pairs": n_pairs,
+        "pairs_df": pairs,
+    }
+
+
+def substring_pairs_from_index(
+    spark: SparkSession,
+    store: IngestStore,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The store's FULL exact-substring pair set computed from the
+    persisted anchor index: candidates from the index self-join on
+    the 64-bit anchor hash, slice verification against only the
+    candidate docs' corpus text (a point-lookup semi-join — the
+    tokenize→hash→explode of the whole corpus is exactly what the
+    index already paid for), scored through the same
+    ``dedup._pair_scores`` as the one-shot operator.  ≡
+    ``exact_substring_pairs(corpus, min_words=store.substring_k)``
+    by construction (pytest-proven), at O(candidates) cost per call
+    instead of O(corpus words)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+
+    k = store.substring_k
+    anchors = acid.read_atomic(spark, store.anchors)
+    cand = (
+        anchors.select(
+            F.col("__id").alias("id_a"), F.col("__off").alias("off_a"), "__h"
+        )
+        .join(
+            anchors.select(
+                F.col("__id").alias("id_b"), F.col("__off").alias("off_b"), "__h"
+            ),
+            "__h",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    cids = cand.select(F.col("id_a").alias(id_col)).unionByName(
+        cand.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    docs = (
+        acid.read_atomic(spark, store.corpus)
+        .join(cids, id_col, "left_semi")
+        .select(id_col, text_col)
+    )
+    toks, _ = dedup_ops.window_anchors(docs, text_col, id_col, k)
+    ta = toks.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    tb = toks.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    verified = dedup_ops._verify_window_candidates(cand, ta, tb, k)
+    return dedup_ops._pair_scores(verified, k)
