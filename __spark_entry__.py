@@ -2800,14 +2800,11 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-pixel-tall frames carry only 8 dHash bits (grid rows identical)
     # — a 256-value space where EVERY video pairs by chance and the
     # pair join degrades quadratically (measured at the 10x sweep).
-    # Widen the join signature with a coarse luminance bucket; real
-    # 2-D frames have the full 64-bit space and skip this.
-    sigs = mm.frame_dhash(frames).select(
-        "media_id",
-        "frame_idx",
-        F.concat_ws(
-            "-", F.col("dhash"), F.shiftright(F.col("pix_sum"), 4)
-        ).alias("sig"),
+    # widen_shift=4 is the operator's documented fix for that regime:
+    # the join signature gains a coarse luminance bucket; real 2-D
+    # frames have the full 64-bit space and skip it.
+    sigs = mm.frame_dhash(frames, widen_shift=4).select(
+        "media_id", "frame_idx", "sig"
     )
     return dedup_ops.frame_signature_pairs(
         sigs, hash_col="sig", min_containment_ppm=500_000

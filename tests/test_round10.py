@@ -136,6 +136,61 @@ def test_hex_hamming_auto_route(spark, monkeypatch):
     assert got == want
 
 
+def test_frame_dhash_widen_shift_fixes_degenerate_signatures(spark):
+    """The 1-row-frame degeneracy fix as a PUBLIC operator option
+    (round 10): with all-constant 1-pixel-tall frames every dHash is
+    identical, so unrelated videos pair by chance; frame_dhash's
+    widen_shift joins a coarse luminance bucket into the ``sig``
+    column and separates them, while a +2-per-pixel re-encoded twin
+    still pairs at widen_shift=7 (bucket spans 128 pix_sum units ≫
+    width 16 · Δ2 = 32) even though two of its frames straddle a
+    bucket boundary — containment scoring absorbs the quantization."""
+    import random
+
+    from tiki_e_commerce_analytics_etl_spark.operators import isobmff
+    from tiki_e_commerce_analytics_etl_spark.operators import multimodal as mm
+
+    rng = random.Random(5)
+    # constant-brightness frames: dHash degenerates to one value
+    frames_a = [bytes([60 + i]) * 16 for i in range(4)]
+    frames_b = [bytes([v + 2 for v in fr]) for fr in frames_a]  # re-encode
+    frames_d = [bytes([180 + i]) * 16 for i in range(4)]  # unrelated
+    vids = {1: frames_a, 2: frames_b, 4: frames_d}
+    media = spark.createDataFrame(
+        [
+            (vid, "video", isobmff.mp4_mux(frs, width=16, height=1))
+            for vid, frs in vids.items()
+        ],
+        "media_id: long, media_type: string, payload: binary",
+    )
+    frames = mm.frame_sample(media, every_ms=40, sampler=isobmff.mp4_frame_sampler)
+
+    # without widening, the unrelated video pairs by chance
+    naked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.frame_signature_pairs(
+            mm.frame_dhash(frames), min_containment_ppm=500_000
+        ).collect()
+    }
+    assert (1, 4) in naked
+
+    widened = mm.frame_dhash(frames, widen_shift=7)
+    assert "sig" in widened.columns
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup_ops.frame_signature_pairs(
+            widened.select("media_id", "frame_idx", "sig"),
+            hash_col="sig",
+            min_containment_ppm=500_000,
+        ).collect()
+    }
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    assert pairs[(1, 2)]["containment_ppm"] == 1_000_000
+
+    with pytest.raises(ValueError):
+        mm.frame_dhash(frames, widen_shift=-1)
+
+
 def test_unigram_train_empty_corpus(spark):
     """Empty / whitespace-only corpora yield an empty vocabulary (same
     schema), not a ValueError from max() over an empty seed charset."""

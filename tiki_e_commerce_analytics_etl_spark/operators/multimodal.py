@@ -1235,7 +1235,9 @@ def resize_images(
     return media.filter(F.col("media_type") == "image").mapInPandas(run, MEDIA_SCHEMA)
 
 
-def frame_dhash(frames: DataFrame, height: int = 1) -> DataFrame:
+def frame_dhash(
+    frames: DataFrame, height: int = 1, widen_shift: int | None = None
+) -> DataFrame:
     """Per-frame perceptual hashing stage (round 9): each sampled
     frame's RAW grayscale bytes (the ``'raw '``/DIB demux output —
     ``height`` rows, tightly packed) get the same 64-bit dHash as
@@ -1249,10 +1251,23 @@ def frame_dhash(frames: DataFrame, height: int = 1) -> DataFrame:
     Also emits the integer pixel SUM: a 1-pixel-tall frame's dHash
     carries only 8 distinct bits (all grid rows identical), so a
     corpus of such frames has a 256-value signature space and every
-    video pairs with every other by chance — callers in that regime
-    widen the join signature with a coarse luminance bucket
-    (``pix_sum >> s``).  Real 2-D frames use the full 64-bit hash and
-    don't need it."""
+    video pairs with every other by chance — the degenerate regime
+    the 10× sweep measured going quadratic.  ``widen_shift`` is the
+    documented fix AS AN OPTION (round 10; previously buried in the
+    corpus query): when set, an extra ``sig`` column =
+    ``dhash || '-' || (pix_sum >> widen_shift)`` joins the hash with
+    a coarse luminance bucket, ready to feed
+    ``frame_signature_pairs(hash_col="sig")``.  Real 2-D frames use
+    the full 64-bit hash and don't need it.  Bucket granularity: one
+    bucket spans ``2**widen_shift`` pix_sum units =
+    ``2**widen_shift / width`` per-pixel brightness levels, so pick
+    ``widen_shift`` with ``width·Δ ≪ 2**widen_shift`` for the
+    uniform shifts Δ that should usually still collide — it is a
+    QUANTIZATION, not a tolerance window (a shift can straddle a
+    bucket boundary and split some frames), which the containment
+    scoring downstream absorbs (the re-encoded-twin pytest pins a
+    boundary-straddling Δ=2 at width 16, widen_shift=7 and still
+    reaches containment 1e6)."""
     import numpy as np
 
     schema = T.StructType(
@@ -1292,7 +1307,17 @@ def frame_dhash(frames: DataFrame, height: int = 1) -> DataFrame:
                 }
             )
 
-    return frames.mapInPandas(run, schema)
+    out = frames.mapInPandas(run, schema)
+    if widen_shift is not None:
+        if widen_shift < 0:
+            raise ValueError("widen_shift must be >= 0")
+        out = out.withColumn(
+            "sig",
+            F.concat_ws(
+                "-", F.col("dhash"), F.shiftright("pix_sum", widen_shift)
+            ),
+        )
+    return out
 
 
 def frame_sample(
