@@ -2845,6 +2845,22 @@ def q_exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_substring_pairs(docs, "text", "doc_id", min_words=6)
 
 
+def q_exact_substring_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-window-capped twin of exact_substring_pairs (round 10
+    — the 100 TB production configuration surfaced as its own
+    oracle-checked query): max_doc_freq=2 excises every window shared
+    by 3+ documents BEFORE candidate generation, the scale lever a
+    web-scale corpus needs (one boilerplate window in m docs is m²/2
+    candidate rows on its own).  The oracle applies the identical
+    doc-frequency filter in SQL; the subset law capped ⊆ uncapped
+    (pairs AND per-pair shared_windows/max_run_words) is additionally
+    asserted in pytest against a planted-boilerplate corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_substring_pairs(
+        docs, "text", "doc_id", min_words=6, max_doc_freq=2
+    )
+
+
 def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUDIO-level near-duplicate pairs (round 9) — the audio modality
     joining the image/video/text near-dup family, composed entirely
@@ -3741,6 +3757,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "chunk_dedup": q_chunk_dedup,
         "exact_substring_pairs": q_exact_substring_pairs,
+        "exact_substring_pairs_capped": q_exact_substring_pairs_capped,
         "strip_dup_spans": q_strip_dup_spans,
         "curation_report": q_curation_report,
         "bloom_screen": q_bloom_screen,
@@ -5954,6 +5971,45 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, i AS off, array_to_string(ws[i:i+5], ' ') AS win
                 FROM w, unnest(range(1, len(ws) - 4)) AS t(i)
                 WHERE len(ws) >= 6
+            ),
+            m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.off AS off_a, b.off AS off_b, a.win
+                FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+            ),
+            runs AS (
+                SELECT id_a, id_b, off_a - off_b AS d,
+                       off_a - ROW_NUMBER() OVER (
+                           PARTITION BY id_a, id_b, off_a - off_b
+                           ORDER BY off_a) AS sk
+                FROM m
+            ),
+            rl AS (SELECT id_a, id_b, CAST(COUNT(*) + 5 AS BIGINT) AS run_words
+                   FROM runs GROUP BY id_a, id_b, d, sk),
+            agg AS (SELECT id_a, id_b, MAX(run_words) AS max_run_words
+                    FROM rl GROUP BY id_a, id_b),
+            sh AS (SELECT id_a, id_b,
+                          CAST(COUNT(DISTINCT win) AS BIGINT) AS shared_windows
+                   FROM m GROUP BY id_a, id_b)
+            SELECT sh.id_a, sh.id_b, sh.shared_windows, agg.max_run_words
+            FROM sh JOIN agg USING (id_a, id_b)
+        """,
+        # the capped twin: identical pipeline with windows of doc
+        # frequency > 2 excised BEFORE candidate generation (the
+        # max_doc_freq=2 production lever)
+        "exact_substring_pairs_capped": f"""
+            WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+                       WHERE trim(text) <> ''),
+            wins0 AS (
+                SELECT doc_id, i AS off, array_to_string(ws[i:i+5], ' ') AS win
+                FROM w, unnest(range(1, len(ws) - 4)) AS t(i)
+                WHERE len(ws) >= 6
+            ),
+            wins AS (
+                SELECT * FROM wins0 WHERE win IN (
+                    SELECT win FROM wins0
+                    GROUP BY win HAVING COUNT(DISTINCT doc_id) <= 2
+                )
             ),
             m AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

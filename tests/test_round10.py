@@ -350,6 +350,46 @@ def test_wordpiece_train_on_real_corpus(spark):
     assert got == want
 
 
+def test_capped_substring_pairs_subset_law(spark):
+    """max_doc_freq capping can only REMOVE evidence: on a planted
+    corpus with one boilerplate window hot across all docs plus true
+    pairwise duplication, the capped pair set is a subset of the
+    uncapped one, per-pair shared_windows/max_run_words never exceed
+    the uncapped values, and the boilerplate-only pair disappears
+    while the sub-cap evidence survives.  (The registered corpus
+    query exact_substring_pairs_capped pins the same law against the
+    DuckDB oracle at max_doc_freq=2.)"""
+    boiler = "all rights reserved by the example corporation worldwide"
+    dup = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{dup} intro {boiler}"),
+            (2, f"{dup} outro {boiler}"),
+            (3, f"unrelated body text here {boiler} trailing words"),
+            (4, f"other unrelated material {boiler} and more filler"),
+        ],
+        "doc_id: long, text: string",
+    )
+
+    def rows(df):
+        return {
+            (r["id_a"], r["id_b"]): (r["shared_windows"], r["max_run_words"])
+            for r in df.collect()
+        }
+
+    uncapped = rows(dedup_ops.exact_substring_pairs(docs, min_words=6))
+    capped = rows(
+        dedup_ops.exact_substring_pairs(docs, min_words=6, max_doc_freq=2)
+    )
+    assert set(capped) < set(uncapped)  # strictly smaller here
+    for pair, (sw, run) in capped.items():
+        usw, urun = uncapped[pair]
+        assert sw <= usw and run <= urun
+    # boilerplate-only pairs (3,4 etc.) vanish; the true dup survives
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    assert (1, 2) in capped and capped[(1, 2)][1] >= 9
+
+
 def test_verified_windows_carry_window_strings(spark):
     """The verified-match relation carries the window STRING (__win),
     so shared_windows counts distinct strings — an xxhash64 collision
