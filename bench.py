@@ -147,6 +147,8 @@ HEADLINE = [
     "bpe_tokenize",
     "unigram_vocab",
     "unigram_tokenize",
+    "wordpiece_merges",
+    "wordpiece_tokenize",
     "salted_join",
     "mp4_frag_frame_sample",
     "char_entropy",
@@ -159,6 +161,7 @@ HEADLINE = [
     "image_dhash",
     "image_neardup_pairs",
     "exact_substring_pairs",
+    "exact_substring_pairs_capped",
     "video_neardup_pairs",
     "audio_neardup_pairs",
     "strip_dup_spans",
