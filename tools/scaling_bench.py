@@ -445,6 +445,78 @@ def main() -> None:
         print(json.dumps({"metric": "scaling_ingest_chain", "scales": results}))
         return
 
+    # --substring-chain: what the round-10 anchor index BUYS — the
+    # cost of answering "which of this batch's spans already exist in
+    # history" incrementally (anchor the batch once + hash-probe the
+    # persisted index + verify candidate slivers) vs re-running the
+    # one-shot exact_substring_pairs over history ∪ batch.  History is
+    # seeded in one commit (its anchor build is the amortized setup
+    # the index exists to never repeat); the measured number is the
+    # PER-BATCH wall as history scales 10x.
+    if "--substring-chain" in sys.argv:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+        from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+        def run_chain(sf_dir: str) -> dict:
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            history = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+            root = tempfile.mkdtemp(prefix="scaling_substr_")
+            store = ingest_mod.IngestStore(os.path.join(root, "store"))
+            try:
+                t0 = time.perf_counter()
+                seeded = ingest_mod.ingest_batch_substring(
+                    spark, store, history, batch_id=1
+                )["admitted"]
+                seed_wall = time.perf_counter() - t0
+                t1 = time.perf_counter()
+                out = ingest_mod.ingest_batch_substring(
+                    spark, store, batch, batch_id=2
+                )
+                batch_wall = time.perf_counter() - t1
+                t2 = time.perf_counter()
+                dedup_ops.exact_substring_pairs(
+                    docs, "text", "doc_id", min_words=store.substring_k
+                ).write.format("noop").mode("overwrite").save()
+                oneshot_wall = time.perf_counter() - t2
+                return {
+                    "history_docs": seeded,
+                    "batch_docs": out["admitted"],
+                    "batch_pairs": out["substring_pairs"],
+                    "seed_sec": round(seed_wall, 3),
+                    "batch_sec": round(batch_wall, 3),
+                    "oneshot_sec": round(oneshot_wall, 3),
+                    "batch_vs_oneshot": round(
+                        batch_wall / max(oneshot_wall, 1e-9), 2
+                    ),
+                }
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        scales = [("x1", BASE_DIR), ("x10", SCALED_DIR)]
+        if "x100" in sys.argv:
+            ensure_x100(x100_dir, {"documents"})
+            scales.append(("x100", x100_dir))
+        results = {}
+        for label, d in scales:
+            results[label] = run_chain(d)
+            print(f"substring chain {label}: {results[label]}", file=sys.stderr)
+        for a, b in zip(scales, scales[1:]):
+            ra, rb = results[a[0]], results[b[0]]
+            rb[f"batch_growth_vs_{a[0]}"] = round(
+                rb["batch_sec"] / max(ra["batch_sec"], 1e-9), 2
+            )
+            rb[f"oneshot_growth_vs_{a[0]}"] = round(
+                rb["oneshot_sec"] / max(ra["oneshot_sec"], 1e-9), 2
+            )
+        print(json.dumps({"metric": "scaling_substring_chain", "scales": results}))
+        return
+
     # --bpe [x100]: measure the BPE chain — trainer (per-merge cost
     # over the unique-word table) and apply (bpe_token_counts over the
     # corpus with the learned merges) — at 1x and 10x (100x when
