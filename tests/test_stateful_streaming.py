@@ -536,3 +536,65 @@ def test_streaming_ingest_sink_neardup_exactly_once(spark, tmp_path):
     assert sorted(
         r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()
     ) == [1, 2, 5]
+
+
+def test_streaming_ingest_sink_substring_exactly_once(spark, tmp_path):
+    """foreachBatch face of the round-10 substring chain: micro-batches
+    maintain the window-anchor index with the batch id as txn version;
+    the healed index answers the full pair set identically to the
+    one-shot operator, and availableNow replays are no-ops."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import IngestStore
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    schema = "doc_id long, text string"
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    spark.createDataFrame(
+        [(1, f"{span} first tail"), (2, "wholly different content on another subject")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_ingest(store, substring=True))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second delivery shares the span with history
+    spark.createDataFrame(
+        [(3, f"other prefix {span} second tail")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # idempotent restart: nothing new, replays are no-ops
+
+    corpus = acid.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 3]
+    got = sorted(
+        (p["id_a"], p["id_b"], p["shared_windows"], p["max_run_words"])
+        for p in ingest_mod.substring_pairs_from_index(spark, store).collect()
+    )
+    want = sorted(
+        (p["id_a"], p["id_b"], p["shared_windows"], p["max_run_words"])
+        for p in dedup_ops.exact_substring_pairs(
+            corpus, min_words=store.substring_k
+        ).collect()
+    )
+    assert got == want and got  # the (1, 3) span pair is found
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="one screening mode"):
+        foreach_batch_ingest(store, near_dup=True, substring=True)

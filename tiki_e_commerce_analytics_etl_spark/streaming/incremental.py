@@ -277,26 +277,42 @@ def foreach_batch_ingest(
     id_col: str = "doc_id",
     app_id: str = "stream-ingest",
     near_dup: bool = False,
+    substring: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming face of the incremental corpus ingest
     (pipelines/ingest.py): each micro-batch runs the full admission
     pipeline — in-batch dedup, bloom-gated history-wide exact dedup,
     and (``near_dup=True``) the persistent-band-index near-duplicate
-    screen — with the micro-batch id as the exactly-once transaction
-    version.  Restart replays are whole-batch no-ops, and a crash
-    inside the multi-table commit chain recovers via the corpus
-    change feed on the next delivery of the same batch id (the
-    pipeline's own crash-consistency protocol; the streaming engine
-    redelivers the batch from the checkpoint).  The LSH family for the
-    near-dup screen comes from the ``store`` (the persisted band index
-    is only probe-able with the family that built it).
+    screen or (``substring=True``, round 10) the persistent
+    window-anchor exact-substring index — with the micro-batch id as
+    the exactly-once transaction version.  Restart replays are
+    whole-batch no-ops, and a crash inside the multi-table commit
+    chain recovers via the corpus change feed on the next delivery of
+    the same batch id (the pipeline's own crash-consistency protocol;
+    the streaming engine redelivers the batch from the checkpoint).
+    The LSH family for the near-dup screen and the substring window
+    width come from the ``store`` (a persisted index is only
+    probe-able with the family that built it).  The substring mode
+    DETECTS (the per-batch pair output is discarded here — a
+    streaming caller wanting it queries
+    ``substring_pairs_from_index`` on the healed store); choose ONE
+    screening mode per sink — plain ingest maintains whichever
+    indexes already exist either way (variant mixing).
     """
     from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    if near_dup and substring:
+        raise ValueError("choose one screening mode: near_dup or substring")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if near_dup:
             ingest_mod.ingest_batch_neardup(
+                spark, store, batch, batch_id,
+                text_col=text_col, id_col=id_col, app_id=app_id,
+            )
+        elif substring:
+            ingest_mod.ingest_batch_substring(
                 spark, store, batch, batch_id,
                 text_col=text_col, id_col=id_col, app_id=app_id,
             )
