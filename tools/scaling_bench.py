@@ -115,6 +115,9 @@ QUERIES = [
     # round-9: the Lee et al. removal step (covered-position anti-join)
     "strip_dup_spans",
     "curation_report",
+    # round-10: the hot-window-capped production twin (the extra
+    # distinct-doc count + anti-join must not change the curve class)
+    "exact_substring_pairs_capped",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
