@@ -1045,9 +1045,15 @@ def hex_hamming_pairs(
     members = signatures.select(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
     ).dropDuplicates(["__id", "__sig"])
-    uniq = members.select("__sig").distinct()
     if agree == "auto":
+        # the route decision is an EAGER pass over members — checkpoint
+        # first so an expensive upstream (e.g. the Arrow image-decode →
+        # dHash pipeline feeding image_neardup_pairs) is computed once,
+        # not once for the count and again for the join (measured:
+        # 1.67 → 2.99 s on the image query without this)
+        members = members.localCheckpoint(eager=True)
         agree = _auto_agree(members, radius, hex_len, auto_threshold)
+    uniq = members.select("__sig").distinct()
     if not isinstance(agree, int) or agree < 1:
         raise ValueError("agree must be >= 1 or 'auto'")
     n_chunks = radius + agree
