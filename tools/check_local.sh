@@ -5,12 +5,19 @@
 #   tools/check_local.sh 7 > CHECK_LOCAL_r7.txt
 # Run it AFTER the final code commit; commit the output as its own
 # artifact-only commit quoting the same hash.
+#
+# The dirty check EXCLUDES the CHECK_LOCAL_r*.txt artifacts themselves:
+# `> CHECK_LOCAL_rN.txt` truncates the tracked output file before the
+# script runs, which used to self-mark every run `-dirty` (the round-8
+# trap; rounds 8-10 each worked around it with a /tmp redirect + mv).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 N="${1:?round number required}"
 HEAD="$(git rev-parse --short HEAD)"
 DIRTY=""
-git diff --quiet && git diff --cached --quiet || DIRTY="-dirty"
+git diff --quiet -- . ':(exclude)CHECK_LOCAL_r*.txt' \
+  && git diff --cached --quiet -- . ':(exclude)CHECK_LOCAL_r*.txt' \
+  || DIRTY="-dirty"
 NQ="$(python -c "import __spark_entry__ as e; print(len(e.queries()))")"
 echo "CHECK_LOCAL_r${N} — full strict oracle gate (+count-shaped probe) at code HEAD ${HEAD}${DIRTY} (${NQ} queries)"
 for sf in 0.001 0.01 0.1; do
