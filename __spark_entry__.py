@@ -3714,6 +3714,103 @@ def q_trends_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transform_trends(wide.withColumn("isPartial", F.lit(False)))
 
 
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999) trained on the even-doc_id half of the corpus — the
+    language model behind CCNet's perplexity filter (Wenzek et al.
+    2020), which rarity_score/bigram_rarity approximate without
+    smoothing.  Exact integer count columns + floor(1e9·p) from ONE
+    shared double formula (text._KN_PROB_SQL) so the oracle is
+    bit-exact (text.kn_bigram_lm)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.kn_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+
+
+def q_kn_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style held-out scoring: odd-doc_id documents scored under
+    the even-half Kneser-Ney bigram LM — mean bigram log-probability in
+    integer micro-nats, terms folded in pinned (w1, w2) order (the
+    char_entropy bit-exactness pattern), add-one-smoothed continuation
+    backoff for unseen prefixes/words (text.kn_doc_logprob)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.kn_doc_logprob(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: exact tertile boundaries
+    of the held-out KN mean log-probability (perplexity is a monotone
+    transform, so the buckets are identical), assigned by boundary
+    SCALARS — the equidepth pattern, no global sort (two tiny percentile
+    aggregations + a narrow CASE; Wenzek et al. 2020 §4.3)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    lp = text_ops.kn_doc_logprob(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    bounds = lp.agg(
+        F.expr(
+            "percentile(logprob_unats, array(1.0D/3.0D, 2.0D/3.0D))"
+        ).alias("bs")
+    ).collect()[0]["bs"]
+    b1, b2 = float(bounds[0]), float(bounds[1])
+    bucket = (
+        F.when(F.col("logprob_unats") > F.lit(b2), F.lit("head"))
+        .when(F.col("logprob_unats") > F.lit(b1), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return lp.select("id", "n_bigrams", "logprob_unats", bucket.alias("bucket"))
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition-signal suite (Rae et al. 2021 §A1.1,
+    Dolma/NeMo formulas): per doc, most-covering repeated n-gram char
+    fraction (n=2,3,4) and duplicated n-gram char fraction (n=5..10),
+    integer ppm — one n-as-a-column explode, two hash aggregates, one
+    conditional pivot (text.gopher_repetition)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.gopher_repetition(docs)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling log-weights (Xie et al. 2023):
+    hashed-unigram bag models (portable md5 mod 4096), target = the
+    'src0' source domain, raw = the whole corpus; per-doc weight
+    log p_target − log p_raw in integer micro-nats, terms folded in
+    pinned bucket order (features.dsir_weights)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import features as feat_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return feat_ops.dsir_weights(
+        docs, docs.filter(F.col("source") == "src0"), dim=4096
+    )
+
+
+def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level benchmark decontamination (GPT-3 appendix C /
+    Lee et al. 2022 §6.2): corpus docs sharing an exact >= 5-word span
+    with the held-out eval slice (doc_id % 53 == 0), with the exact
+    longest shared run — the verified-window machinery of
+    exact_substring_pairs joined cross-set, eval anchors broadcast
+    (dedup.substring_decontaminate)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.substring_decontaminate(
+        docs.filter(F.col("doc_id") % 53 != 0),
+        docs.filter(F.col("doc_id") % 53 == 0),
+        min_words=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3758,6 +3855,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "exact_substring_pairs": q_exact_substring_pairs,
         "exact_substring_pairs_capped": q_exact_substring_pairs_capped,
+        "substring_decontam": q_substring_decontam,
+        "kn_bigram_lm": q_kn_bigram_lm,
+        "kn_doc_logprob": q_kn_doc_logprob,
+        "perplexity_buckets": q_perplexity_buckets,
+        "gopher_repetition": q_gopher_repetition,
+        "dsir_weights": q_dsir_weights,
         "strip_dup_spans": q_strip_dup_spans,
         "curation_report": q_curation_report,
         "bloom_screen": q_bloom_screen,
@@ -5266,8 +5369,206 @@ _GRAY_PIXEL_STATS_ORACLE = """
 """
 
 
+# Kneser-Ney bigram LM oracles (round 10b).  The probability formulas
+# are imported from the operator module so the expression TEXT — and
+# therefore the IEEE operation order — is identical by construction.
+def _kn_oracle_parts() -> tuple[str, str, str]:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        _KN_PROB_SQL,
+        _KN_SCORE_PROB_SQL,
+    )
+
+    train_ctes = f"""
+        w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+              WHERE doc_id % 2 = 0 AND trim(text) <> ''),
+        bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+               FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+        cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg
+                FROM bg GROUP BY w1, w2),
+        pre AS (SELECT w1, CAST(SUM(cbg) AS BIGINT) AS cpre,
+                       CAST(COUNT(*) AS BIGINT) AS n1p FROM cbg GROUP BY w1),
+        cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont
+                 FROM cbg GROUP BY w2),
+        scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM cbg)"""
+    score_ctes = f"""{train_ctes},
+        voc AS (SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS v FROM
+                (SELECT unnest(ws) AS w FROM w) t WHERE t.w <> ''),
+        dvt AS (SELECT dd, dd + v + 1 AS dv FROM scal CROSS JOIN voc),
+        sw AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+               WHERE doc_id % 2 = 1 AND trim(text) <> ''),
+        sbg AS (SELECT doc_id AS id, ws[i] AS w1, ws[i+1] AS w2
+                FROM sw, unnest(range(1, len(ws))) AS t(i)
+                WHERE len(ws) >= 2),
+        tf AS (SELECT id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM sbg GROUP BY id, w1, w2),
+        terms AS (
+            SELECT id, w1, w2, tf,
+                   CAST(tf AS DOUBLE) * ln({_KN_SCORE_PROB_SQL}) AS term
+            FROM (SELECT tf.id, tf.w1, tf.w2, tf.tf,
+                         COALESCE(cbg.cbg, 0) AS c0, pre.cpre, pre.n1p,
+                         COALESCE(cont.ncont, 0) AS ncont0, dvt.dv
+                  FROM tf LEFT JOIN cbg ON tf.w1 = cbg.w1 AND tf.w2 = cbg.w2
+                  LEFT JOIN pre ON tf.w1 = pre.w1
+                  LEFT JOIN cont ON tf.w2 = cont.w2
+                  CROSS JOIN dvt)
+        ),
+        g AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                     list(term ORDER BY w1, w2) AS ts
+              FROM terms GROUP BY id),
+        lpq AS (SELECT id, n_bigrams,
+                       CAST(FLOOR((1.0E6 * list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE), ts),
+                           (a, b) -> a + b)) / n_bigrams) AS BIGINT)
+                           AS logprob_unats
+                FROM g)"""
+    return train_ctes, score_ctes, _KN_PROB_SQL
+
+
+def _kn_oracles() -> dict[str, str]:
+    train_ctes, score_ctes, prob_sql = _kn_oracle_parts()
+    return {
+        "kn_bigram_lm": f"""
+            WITH {train_ctes}
+            SELECT w1, w2, cbg, cpre, n1p, ncont,
+                   CAST(FLOOR(1.0E9 * ({prob_sql})) AS BIGINT) AS prob_ppb
+            FROM cbg JOIN pre USING (w1) JOIN cont USING (w2)
+            CROSS JOIN scal
+        """,
+        "kn_doc_logprob": f"""
+            WITH {score_ctes}
+            SELECT id, n_bigrams, logprob_unats FROM lpq
+        """,
+        "perplexity_buckets": f"""
+            WITH {score_ctes},
+            bounds AS (SELECT quantile_cont(logprob_unats,
+                           [1.0/3.0, 2.0/3.0]) AS bs FROM lpq)
+            SELECT id, n_bigrams, logprob_unats,
+                   CASE WHEN logprob_unats > bs[2] THEN 'head'
+                        WHEN logprob_unats > bs[1] THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lpq CROSS JOIN bounds
+        """,
+    }
+
+
+def _gopher_repetition_oracle(
+    top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
+) -> str:
+    ns_all = sorted(set(tuple(top_ns) + tuple(dup_ns)))
+    sel = []
+    outer = []
+    for n in top_ns:
+        sel.append(
+            f"MAX(CASE WHEN n = {n} THEN"
+            f" (1000000 * top_chars) // n_chars END) AS top_{n}_ppm"
+        )
+        outer.append(
+            f"CAST(COALESCE(m.top_{n}_ppm, 0) AS BIGINT) AS top_{n}_ppm"
+        )
+    for n in dup_ns:
+        sel.append(
+            f"MAX(CASE WHEN n = {n} THEN"
+            f" (1000000 * dup_chars) // n_chars END) AS dup_{n}_ppm"
+        )
+        outer.append(
+            f"CAST(COALESCE(m.dup_{n}_ppm, 0) AS BIGINT) AS dup_{n}_ppm"
+        )
+    return f"""
+        WITH w AS (SELECT doc_id AS id, {_NORM_WORDS_SQL} AS ws
+                   FROM documents WHERE trim(text) <> ''),
+        base AS (SELECT id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+                        CAST(length(array_to_string(ws, ' ')) AS BIGINT)
+                            AS n_chars FROM w),
+        g AS (SELECT id, n_words, n_chars, n,
+                     array_to_string(ws[s:s+n-1], ' ') AS gram
+              FROM base,
+                   unnest([{', '.join(str(n) for n in ns_all)}]) AS tn(n),
+                   unnest(range(1, len(ws) - n + 2)) AS ts(s)
+              WHERE len(ws) >= n),
+        cnt AS (SELECT id, n_words, n_chars, n, gram, COUNT(*) AS c
+                FROM g GROUP BY ALL),
+        per_n AS (SELECT id, n_words, n_chars, n,
+                      CAST(MAX(CASE WHEN c >= 2 THEN c * length(gram)
+                               ELSE 0 END) AS BIGINT) AS top_chars,
+                      CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram)
+                               ELSE 0 END) AS BIGINT) AS dup_chars
+                  FROM cnt GROUP BY id, n_words, n_chars, n),
+        metrics AS (SELECT id, {', '.join(sel)} FROM per_n GROUP BY id)
+        SELECT b.id, b.n_words, b.n_chars, {', '.join(outer)}
+        FROM base b LEFT JOIN metrics m USING (id)
+    """
+
+
+def _dsir_weights_oracle(dim: int = 4096) -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.features import (
+        DSIR_TERM_SQL,
+    )
+
+    term = DSIR_TERM_SQL.format(dim=dim)
+    return f"""
+        WITH tokr AS (SELECT doc_id AS id,
+                 CAST('0x' || substr(md5(t.w), 1, 12) AS BIGINT) % {dim} AS f
+              FROM (SELECT doc_id, unnest({_NORM_WORDS_SQL}) AS w
+                    FROM documents) t(doc_id, w)
+              WHERE t.w <> ''),
+        tokt AS (SELECT doc_id AS id,
+                 CAST('0x' || substr(md5(t.w), 1, 12) AS BIGINT) % {dim} AS f
+              FROM (SELECT doc_id, unnest({_NORM_WORDS_SQL}) AS w
+                    FROM documents WHERE source = 'src0') t(doc_id, w)
+              WHERE t.w <> ''),
+        cr AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS cr FROM tokr GROUP BY f),
+        ct AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ct FROM tokt GROUP BY f),
+        tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr FROM tokr),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM tokt),
+        tf AS (SELECT id, f, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tokr GROUP BY id, f),
+        terms AS (SELECT id, f, tf, {term} AS term
+                  FROM (SELECT tf.id, tf.f, tf.tf,
+                               COALESCE(ct.ct, 0) AS ct, cr.cr, tt.tt, tr.tr
+                        FROM tf JOIN cr USING (f) LEFT JOIN ct USING (f)
+                        CROSS JOIN tr CROSS JOIN tt)),
+        g AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                     list(term ORDER BY f) AS ts
+              FROM terms GROUP BY id)
+        SELECT id, n_tokens,
+               CAST(FLOOR(1.0E6 * list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), ts),
+                   (a, b) -> a + b)) AS BIGINT) AS dsir_unats
+        FROM g
+    """
+
+
+_SUBSTRING_DECONTAM_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+               WHERE trim(text) <> ''),
+    wins AS (SELECT doc_id, i AS off, array_to_string(ws[i:i+4], ' ') AS win
+             FROM w, unnest(range(1, len(ws) - 3)) AS t(i)
+             WHERE len(ws) >= 5),
+    m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.off AS off_a, b.off AS off_b, a.win
+          FROM wins a JOIN wins b ON a.win = b.win
+          WHERE a.doc_id % 53 <> 0 AND b.doc_id % 53 = 0),
+    runs AS (SELECT id_a, id_b, off_a - off_b AS d,
+                    off_a - ROW_NUMBER() OVER (
+                        PARTITION BY id_a, id_b, off_a - off_b
+                        ORDER BY off_a) AS sk
+             FROM m),
+    rl AS (SELECT id_a, id_b, CAST(COUNT(*) + 4 AS BIGINT) AS run_words
+           FROM runs GROUP BY id_a, id_b, d, sk),
+    agg AS (SELECT id_a, id_b, MAX(run_words) AS max_run
+            FROM rl GROUP BY id_a, id_b)
+    SELECT id_a AS id, CAST(COUNT(*) AS BIGINT) AS n_eval_partners,
+           MAX(max_run) AS max_shared_run_words
+    FROM agg GROUP BY id_a
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_kn_oracles(),
+        "gopher_repetition": _gopher_repetition_oracle(),
+        "dsir_weights": _dsir_weights_oracle(),
+        "substring_decontam": _SUBSTRING_DECONTAM_ORACLE,
         "similarity_topk": _SIMILARITY_ORACLE,
         "snapshot_fact": """
             SELECT * FROM (VALUES

@@ -166,6 +166,12 @@ HEADLINE = [
     "audio_neardup_pairs",
     "strip_dup_spans",
     "curation_report",
+    "substring_decontam",
+    "kn_bigram_lm",
+    "kn_doc_logprob",
+    "perplexity_buckets",
+    "gopher_repetition",
+    "dsir_weights",
 ]
 
 

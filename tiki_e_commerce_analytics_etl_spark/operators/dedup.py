@@ -1612,3 +1612,57 @@ def frame_signature_pairs(
         "containment_ppm",
         "max_run_frames",
     )
+
+
+def substring_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 6,
+) -> DataFrame:
+    """SUBSTRING-level benchmark decontamination (the GPT-3 appendix-C
+    / Lee et al. 2022 §6.2 flavor): flag every training document that
+    shares an exact word-span of >= ``min_words`` with ANY held-out
+    evaluation document, with the exact longest shared run — stronger
+    evidence than the bag-of-grams ``decontaminate`` (which broadcasts
+    the eval gram SET and loses offsets/runs) and the exact tool the
+    published decontamination pipelines actually use.
+
+    Reuses the verified-window machinery of ``exact_substring_pairs``
+    verbatim — anchors from ``window_anchors``, slice verification via
+    ``_verify_window_candidates`` (hash collisions can add nothing),
+    run extension via ``_pair_scores`` — but joins CORPUS anchors
+    against EVAL anchors only, so candidate fan-out is corpus-side ×
+    eval-side per window (never corpus²).  The eval side is tiny by
+    construction (benchmarks are thousands of docs against billions),
+    so its anchor stream rides an EXPLICIT broadcast: the corpus-side
+    O(corpus words) anchor stream never shuffles at all.
+
+    Returns (id, n_eval_partners, max_shared_run_words) — one row per
+    CONTAMINATED corpus document (consumers anti-join or inspect);
+    id_a/id_b universes are disjoint so no ordering filter applies.
+    """
+    k = int(min_words)
+    if k < 2:
+        raise ValueError("min_words must be >= 2")
+    tok_c, wins_c = window_anchors(corpus, text_col, id_col, k)
+    tok_e, wins_e = window_anchors(eval_df, text_col, id_col, k)
+    cand = wins_c.select(
+        F.col("__id").alias("id_a"), F.col("__off").alias("off_a"), "__h"
+    ).join(
+        F.broadcast(
+            wins_e.select(
+                F.col("__id").alias("id_b"), F.col("__off").alias("off_b"), "__h"
+            )
+        ),
+        "__h",
+    )
+    ta = tok_c.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
+    tb = tok_e.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
+    verified = _verify_window_candidates(cand, ta, tb, k)
+    pairs = _pair_scores(verified, k)
+    return pairs.groupBy(F.col("id_a").alias("id")).agg(
+        F.countDistinct("id_b").alias("n_eval_partners"),
+        F.max("max_run_words").alias("max_shared_run_words"),
+    )

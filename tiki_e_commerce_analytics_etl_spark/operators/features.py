@@ -62,3 +62,102 @@ def hashed_tfidf(
         .groupBy(id_col, "feature")
         .agg(F.sum("__w").cast("double").alias("weight"))
     )
+
+
+# DSIR importance-weight term: one shared double formula per hashed
+# feature bucket (Laplace-smoothed target and raw bucket unigram
+# probabilities), so Spark and the DuckDB oracle produce identical
+# doubles before the pinned-order fold (psi_drift precedent).  Columns:
+# tf (doc bucket count), ct/cr (target/raw bucket totals), tt/tr
+# (target/raw token totals); {dim} is formatted in.
+DSIR_TERM_SQL = (
+    "CAST(tf AS DOUBLE) * ("
+    "ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + {dim} AS DOUBLE))"
+    " - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + {dim} AS DOUBLE)))"
+)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    DSIR): per raw-corpus document, the hashed-unigram importance
+    log-weight  log p_target(doc) − log p_raw(doc)  under bag-of-
+    buckets unigram models — the score DSIR resamples on to tilt a
+    raw corpus toward a target domain.  Feature = portable 48-bit md5
+    of the token mod ``dim`` (the hashing trick — no vocabulary
+    build); both bucket distributions are Laplace-smoothed
+    (cnt+1)/(total+dim) so unseen buckets stay finite.
+
+    Returns (id, n_tokens, dsir_unats) with dsir_unats = floor(1e6 ·
+    Σ_buckets tf · (ln p_t − ln p_r)) — higher = more target-like.
+
+    ORACLE bit-exactness: each bucket's term is ONE shared double
+    formula (`DSIR_TERM_SQL`) over exact integer counts, and the
+    per-document sum folds terms in PINNED bucket-ascending order
+    (Spark ``aggregate`` over the array-sorted collect_list ≡ DuckDB
+    ``list_reduce`` over ``list(term ORDER BY f)``).
+
+    Scale shape: the two distribution fits are single hash aggregates
+    on the BOUNDED bucket key (dim rows out — broadcastable), doc
+    features are one (doc, bucket) hash aggregate, the distribution
+    joins are broadcasts, and the fold is bounded by ``dim`` terms
+    per document.  Nothing collects; the target corpus is typically
+    tiny next to raw and never shuffles the raw side.
+    """
+    from .text import words
+
+    def buckets(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("w"),
+        ).where(F.col("w") != "").select(
+            "id", (md5_48(F.col("w")) % F.lit(dim)).alias("f")
+        )
+
+    raw_b = buckets(raw)
+    tgt_b = buckets(target)
+    cr = raw_b.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
+    ct = tgt_b.groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
+    tr = raw_b.agg(F.count(F.lit(1)).alias("tr"))
+    tt = tgt_b.agg(F.count(F.lit(1)).alias("tt"))
+    tf = raw_b.groupBy("id", "f").agg(F.count(F.lit(1)).alias("tf"))
+    terms = (
+        tf.join(F.broadcast(cr), "f")
+        .join(F.broadcast(ct), "f", "left")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "id",
+            "f",
+            "tf",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            "cr",
+            "tt",
+            "tr",
+        )
+        .select(
+            "id",
+            "f",
+            "tf",
+            F.expr(DSIR_TERM_SQL.format(dim=dim)).alias("term"),
+        )
+    )
+    g = terms.groupBy("id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("f", "term"))).alias("__ts"),
+    )
+    total = F.aggregate(
+        F.transform(F.col("__ts"), lambda t: t["term"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return g.select(
+        "id",
+        "n_tokens",
+        F.floor(F.lit(1.0e6) * total).cast("long").alias("dsir_unats"),
+    )

@@ -1422,3 +1422,336 @@ def compression_screen(
         f"{id_col} long, n_bytes long, compressed_bytes long, ratio_ppm long"
     )
     return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM + CCNet-style perplexity filtering (round 10b)
+# ---------------------------------------------------------------------------
+
+# Interpolated Kneser-Ney with absolute discount d = 3/4, multiplied
+# through by 4 so every operand is an INTEGER column before the single
+# double-division:  p(w2|w1) = (max(c-d,0) + d·N1+(w1·)·Pcont(w2)) / c(w1·)
+# with Pcont(w2) = N1+(·w2)/D  becomes
+#   (max(4·cbg-3, 0)·D + 3·n1p·ncont) / (4·cpre·D).
+# The formula is ONE shared expression string evaluated by both Spark
+# (F.expr) and the DuckDB oracle, so the IEEE operation order — and
+# therefore every rounding — is identical (the psi_drift precedent).
+_KN_PROB_SQL = (
+    "(GREATEST(CAST(4 * cbg - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " * CAST(dd AS DOUBLE)"
+    " + 3.0E0 * CAST(n1p AS DOUBLE) * CAST(ncont AS DOUBLE))"
+    " / (4.0E0 * CAST(cpre AS DOUBLE) * CAST(dd AS DOUBLE))"
+)
+
+# Held-out scoring form: the continuation distribution gets add-one
+# smoothing over D + V1 outcomes (V1 = training vocabulary + 1 unseen
+# bucket) so every probability is strictly positive — an unseen
+# continuation word scores (0+1)/dv, an unseen PREFIX backs off to the
+# smoothed continuation probability alone (pure KN backoff semantics).
+_KN_SCORE_PROB_SQL = (
+    "CASE WHEN cpre IS NULL THEN"
+    " CAST(ncont0 + 1 AS DOUBLE) / CAST(dv AS DOUBLE)"
+    " ELSE (GREATEST(CAST(4 * c0 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " * CAST(dv AS DOUBLE)"
+    " + 3.0E0 * CAST(n1p AS DOUBLE) * CAST(ncont0 + 1 AS DOUBLE))"
+    " / (4.0E0 * CAST(cpre AS DOUBLE) * CAST(dv AS DOUBLE)) END"
+)
+
+
+def _kn_bigram_stats(train, text_col: str, id_col: str):
+    """Shared count tables of the bigram KN family: per-bigram counts
+    ``cbg``, per-prefix totals/continuation-type counts (``cpre``,
+    ``n1p``), per-word left-context-type counts ``ncont``, and the
+    1-row scalars (D = distinct bigram types, V = vocabulary size).
+    Three hash aggregations over one bigram explode — every key is a
+    word or word pair (AQE handles the stopword skew), nothing
+    collects."""
+    toks = train.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 2) & (F.element_at("__ws", 1) != ""))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 1),"
+                " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cbg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    pre = cbg.groupBy("w1").agg(
+        F.sum("cbg").alias("cpre"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = cbg.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    scal = cbg.agg(F.count(F.lit(1)).alias("dd"))
+    vocab = (
+        train.select(F.explode(words(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    return cbg, pre, cont, scal, vocab
+
+
+def kn_bigram_lm(
+    train,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney
+    1995; Chen & Goodman 1999) trained relationally — the LM behind
+    CCNet-style perplexity filtering (Wenzek et al. 2020), which the
+    rarity/bigram_rarity screens approximate without smoothing.
+
+    Returns one row per SEEN bigram: (w1, w2, cbg, cpre, n1p, ncont,
+    prob_ppb) where prob_ppb = floor(1e9 · p_KN(w2|w1)) with absolute
+    discount d = 3/4.  All model statistics are exact integers; the
+    probability is ONE shared double formula (`_KN_PROB_SQL`) so the
+    DuckDB oracle reproduces it bit-for-bit before the floor — no
+    float summation anywhere (the discounted and continuation mass
+    combine in a single expression per row).
+
+    Scale shape: one bigram explode (O(corpus words) narrow rows),
+    three hash aggregations (bigram / prefix / continuation keys, all
+    map-side combining), two broadcast joins of the bounded scalar
+    rows, and ordinary hash joins on word keys for the stats —
+    exactly the bigram_rarity topology plus one more bounded
+    aggregate.  The model table is O(distinct bigrams) — it never
+    collects; apply-side consumers join it.
+    """
+    cbg, pre, cont, scal, _ = _kn_bigram_stats(train, text_col, id_col)
+    return (
+        cbg.join(pre, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w1",
+            "w2",
+            "cbg",
+            "cpre",
+            "n1p",
+            "ncont",
+            F.expr(
+                f"CAST(FLOOR(1.0E9 * ({_KN_PROB_SQL})) AS BIGINT)"
+            ).alias("prob_ppb"),
+        )
+    )
+
+
+def kn_doc_logprob(
+    train,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style held-out document scoring under the Kneser-Ney
+    bigram LM of ``train``: per scored document, the MEAN bigram
+    log-probability in integer micro-nats (floor(1e6 · Σ tf·ln p /
+    n_bigrams)) — the ranking CCNet's perplexity filter sorts on
+    (perplexity = exp(-mean logprob), a monotone transform, so
+    bucketing on either is identical).
+
+    Smoothing for held-out text: the continuation distribution takes
+    add-one over D + V + 1 outcomes (`_KN_SCORE_PROB_SQL`), so unseen
+    continuations and unseen prefixes score finite, strictly-positive
+    probabilities (an unseen prefix backs off to the smoothed
+    continuation probability — textbook KN backoff).
+
+    ORACLE bit-exactness: each bigram's term tf·ln(p) is one shared
+    double formula over exact integer columns, and the per-document
+    sum folds the terms in PINNED (w1 ASC, w2 ASC) order left-to-right
+    (float addition is non-associative — Spark ``aggregate`` over the
+    array-sorted collect_list ≡ DuckDB ``list_reduce`` over
+    ``list(term ORDER BY w1, w2)``; the char_entropy precedent).
+
+    Scale shape: scored docs aggregate to (id, w1, w2, tf) first, so
+    the LM joins touch one row per DISTINCT doc-bigram; three hash
+    joins against the bounded-key model tables (left joins — OOV rows
+    survive with NULL stats); scalars broadcast.  The per-doc
+    collect_list is bounded by the document's distinct-bigram count —
+    the same envelope as the document itself.
+    """
+    cbg, pre, cont, scal, vocab = _kn_bigram_stats(train, text_col, id_col)
+    dv = (
+        scal.crossJoin(F.broadcast(vocab))
+        .select("dd", (F.col("dd") + F.col("v") + F.lit(1)).alias("dv"))
+    )
+    toks = score.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 2) & (F.element_at("__ws", 1) != ""))
+    tf = (
+        toks.select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1),"
+                    " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("id", "bg.w1", "bg.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = (
+        tf.join(cbg, ["w1", "w2"], "left")
+        .join(pre, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(dv))
+        .select(
+            "id",
+            "w1",
+            "w2",
+            "tf",
+            F.coalesce(F.col("cbg"), F.lit(0)).alias("c0"),
+            "cpre",
+            "n1p",
+            F.coalesce(F.col("ncont"), F.lit(0)).alias("ncont0"),
+            "dv",
+        )
+        .select(
+            "id",
+            "w1",
+            "w2",
+            "tf",
+            F.expr(
+                f"CAST(tf AS DOUBLE) * ln({_KN_SCORE_PROB_SQL})"
+            ).alias("term"),
+        )
+    )
+    g = terms.groupBy("id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.array_sort(F.collect_list(F.struct("w1", "w2", "term"))).alias("__ts"),
+    )
+    total = F.aggregate(
+        F.transform(F.col("__ts"), lambda t: t["term"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return g.select(
+        "id",
+        "n_bigrams",
+        F.floor((F.lit(1.0e6) * total) / F.col("n_bigrams"))
+        .cast("long")
+        .alias("logprob_unats"),
+    )
+
+
+def gopher_repetition(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+):
+    """The FULL Gopher repetition-signal suite (Rae et al. 2021 §A1.1,
+    the formulas as reimplemented by Dolma / NeMo Curator): per
+    document, for each small n the fraction of characters covered by
+    the single most-covering repeated word n-gram, and for each large
+    n the fraction of characters inside word n-grams occurring at
+    least twice.  ``repetition_stats`` carries the unigram signals
+    (distinct ratio, top-word fraction); this adds the n-gram family
+    the published filter actually thresholds (e.g. drop docs with
+    top_2_ppm > 0.20e6 or dup_10_ppm > 0.10e6).
+
+    Determinism note: "top" maximizes cnt·len(gram) — the most
+    CHARACTER-COVERING repeated n-gram — rather than "most frequent
+    with an unspecified tiebreak", so both engines agree bit-exactly
+    with a plain MAX.  Character coverage is the standard
+    occurrence-count approximation (cnt · gram_chars), not the
+    overlap-deduplicated position union (Dolma does the same); all
+    fractions are floor-scaled integer ppm of the normalized document
+    text (words joined by single spaces).
+
+    Returns (id, n_words, n_chars, top_{n}_ppm ..., dup_{n}_ppm ...)
+    with 0 where the document is shorter than n words.
+
+    Scale shape: ONE n-gram explode with n as a column (fan-out
+    bounded by len(ns) ≈ 9 rows per corpus word position), one
+    (doc, n, gram) hash aggregate whose keys are near-unique, one
+    (doc, n) fold, one conditional-aggregation pivot on the bounded n
+    — no joins, no windows, no Python.
+    """
+    ns = sorted(set(tuple(top_ns) + tuple(dup_ns)))
+    base = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 1) & (F.element_at("__ws", 1) != ""))
+    base = base.select(
+        "id",
+        "__ws",
+        F.size("__ws").cast("long").alias("n_words"),
+        F.length(F.array_join("__ws", " ")).cast("long").alias("n_chars"),
+    )
+    grams = (
+        base.select(
+            "id",
+            "n_words",
+            "n_chars",
+            "__ws",
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("n"),
+        )
+        .filter(F.size("__ws") >= F.col("n"))
+        .select(
+            "id",
+            "n_words",
+            "n_chars",
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - n + 1),"
+                    " s -> concat_ws(' ', slice(__ws, s, n)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    cnt = grams.groupBy("id", "n_words", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_n = cnt.groupBy("id", "n_words", "n_chars", "n").agg(
+        F.max(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(
+                F.lit(0)
+            )
+        ).alias("top_chars"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_chars"),
+    )
+    aggs = []
+    names = []
+    for n in top_ns:
+        names.append(f"top_{n}_ppm")
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.expr("(1000000 * top_chars) div n_chars"),
+                )
+            )
+            .cast("long")
+            .alias(f"top_{n}_ppm")
+        )
+    for n in dup_ns:
+        names.append(f"dup_{n}_ppm")
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    F.expr("(1000000 * dup_chars) div n_chars"),
+                )
+            )
+            .cast("long")
+            .alias(f"dup_{n}_ppm")
+        )
+    metrics = per_n.groupBy("id").agg(*aggs)
+    # docs shorter than min(ns) words have no gram rows at all — they
+    # still emit a row (all metrics 0): filters consume this as a
+    # per-doc join, a missing row would read as "not screened"
+    return base.select("id", "n_words", "n_chars").join(
+        metrics, "id", "left"
+    ).select(
+        "id",
+        "n_words",
+        "n_chars",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in names],
+    )
