@@ -3770,6 +3770,47 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lp.select("id", "n_bigrams", "logprob_unats", bucket.alias("bucket"))
 
 
+def q_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM on the even-doc_id half —
+    the full Chen & Goodman recursion (trigram level → continuation-
+    count bigram level → type-based unigram continuation), ten exact
+    integer statistics per seen trigram + floor(1e9·p) from ONE nested
+    shared double formula (text.kn_trigram_lm)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.kn_trigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multinomial corpus mixing report (T5 / XLM-R
+    / Llama recipe, alpha = 0.3): per source, sampling rate q_ppm =
+    n^alpha / Z, token allocation of a 1M budget, and the over-epoching
+    diagnostic — bounded-row arithmetic over one corpus aggregate,
+    normalizer folded in pinned source order
+    (sampling.temperature_mix_report)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select(
+            "source",
+            text_ops.token_count_from_words(
+                text_ops.words(F.col("text"))
+            ).alias("token_est"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("token_est").alias("n_tokens"),
+        )
+    )
+    return sampling.temperature_mix_report(
+        per_source, alpha=0.3, budget_tokens=1_000_000
+    )
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher repetition-signal suite (Rae et al. 2021 §A1.1,
     Dolma/NeMo formulas): per doc, most-covering repeated n-gram char
@@ -3857,7 +3898,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_pairs_capped": q_exact_substring_pairs_capped,
         "substring_decontam": q_substring_decontam,
         "kn_bigram_lm": q_kn_bigram_lm,
+        "kn_trigram_lm": q_kn_trigram_lm,
         "kn_doc_logprob": q_kn_doc_logprob,
+        "temperature_mix": q_temperature_mix,
         "perplexity_buckets": q_perplexity_buckets,
         "gopher_repetition": q_gopher_repetition,
         "dsir_weights": q_dsir_weights,
@@ -5538,6 +5581,64 @@ def _dsir_weights_oracle(dim: int = 4096) -> str:
     """
 
 
+def _kn_trigram_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        _KN3_PROB_SQL,
+    )
+
+    return f"""
+        WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+                   WHERE doc_id % 2 = 0 AND trim(text) <> ''),
+        tg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+               FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+               WHERE len(ws) >= 3),
+        c123 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+                 FROM tg GROUP BY w1, w2, w3),
+        pre12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+                         CAST(COUNT(*) AS BIGINT) AS n1p12
+                  FROM c123 GROUP BY w1, w2),
+        nc AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS nc123
+               FROM c123 GROUP BY w2, w3),
+        mid AS (SELECT w2, CAST(SUM(nc123) AS BIGINT) AS ncmid,
+                       CAST(COUNT(*) AS BIGINT) AS n1p2
+                FROM nc GROUP BY w2),
+        cont3 AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS ncont3
+                  FROM nc GROUP BY w3),
+        scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS d2 FROM nc)
+        SELECT w1, w2, w3, c123, c12, n1p12, nc123, ncmid, n1p2, ncont3,
+               CAST(FLOOR(1.0E9 * ({_KN3_PROB_SQL})) AS BIGINT) AS prob_ppb
+        FROM c123 JOIN pre12 USING (w1, w2) JOIN nc USING (w2, w3)
+        JOIN mid USING (w2) JOIN cont3 USING (w3) CROSS JOIN scal
+    """
+
+
+_TEMPERATURE_MIX_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CAST(list_aggregate(
+                   list_transform({_NORM_WORDS_SQL},
+                                  x -> 1 + CAST(FLOOR(GREATEST(len(x) - 4, 0) / 4) AS BIGINT)),
+                   'sum') AS BIGINT) AS token_est
+        FROM documents
+    ),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(token_est) AS BIGINT) AS n_tokens
+          FROM w GROUP BY source),
+    m AS (SELECT source, n_docs, n_tokens,
+                 power(CAST(n_tokens AS DOUBLE), 0.3E0) AS __m FROM s),
+    z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(__m ORDER BY source)), (a, b) -> a + b) AS __z
+          FROM m)
+    SELECT source, n_docs, n_tokens,
+           CAST(FLOOR((1.0E6 * __m) / __z) AS BIGINT) AS q_ppm,
+           CAST(FLOOR((CAST(1000000.0 AS DOUBLE) * __m) / __z) AS BIGINT)
+               AS alloc_tokens,
+           CAST(FLOOR(((1.0E6 * CAST(1000000.0 AS DOUBLE)) * __m) / __z
+                / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS epochs_ppm
+    FROM m CROSS JOIN z
+"""
+
+
 _SUBSTRING_DECONTAM_ORACLE = f"""
     WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
                WHERE trim(text) <> ''),
@@ -5566,6 +5667,8 @@ _SUBSTRING_DECONTAM_ORACLE = f"""
 def oracle_sql() -> dict[str, str]:
     return {
         **_kn_oracles(),
+        "kn_trigram_lm": _kn_trigram_oracle(),
+        "temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "gopher_repetition": _gopher_repetition_oracle(),
         "dsir_weights": _dsir_weights_oracle(),
         "substring_decontam": _SUBSTRING_DECONTAM_ORACLE,

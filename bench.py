@@ -168,7 +168,9 @@ HEADLINE = [
     "curation_report",
     "substring_decontam",
     "kn_bigram_lm",
+    "kn_trigram_lm",
     "kn_doc_logprob",
+    "temperature_mix",
     "perplexity_buckets",
     "gopher_repetition",
     "dsir_weights",

@@ -301,3 +301,151 @@ def test_substring_decontam_run_is_exact_not_window_count(spark):
     )
     [r] = dedup_ops.substring_decontaminate(corpus, ev, min_words=6).collect()
     assert r["max_shared_run_words"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Trigram Kneser-Ney
+# ---------------------------------------------------------------------------
+
+
+def _py_kn3(texts):
+    """Independent pure-Python interpolated trigram-KN reference."""
+    from collections import Counter
+
+    c123 = Counter()
+    for t in texts:
+        ws = t.lower().split()
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            c123[(a, b, c)] += 1
+    c12 = Counter()
+    n1p12 = Counter()
+    nc = Counter()
+    for (a, b, c), n in c123.items():
+        c12[(a, b)] += n
+        n1p12[(a, b)] += 1
+        nc[(b, c)] += 1
+    ncmid = Counter()
+    n1p2 = Counter()
+    ncont3 = Counter()
+    for (b, c), n in nc.items():
+        ncmid[b] += n
+        n1p2[b] += 1
+        ncont3[c] += 1
+    d2 = len(nc)
+    out = {}
+    for (a, b, c), n in c123.items():
+        p_mid = (max(4 * nc[(b, c)] - 3, 0) * d2 + 3 * n1p2[b] * ncont3[c]) / (
+            4.0 * ncmid[b] * d2
+        )
+        p = (max(4 * n - 3, 0) + 3.0 * n1p12[(a, b)] * p_mid) / (
+            4.0 * c12[(a, b)]
+        )
+        out[(a, b, c)] = math.floor(1e9 * p)
+    return out
+
+
+def test_kn_trigram_lm_matches_independent_reference(spark):
+    texts = [
+        "the cat sat on the mat and the cat ran",
+        "the dog sat on the log and the dog ran",
+        "a cat and a dog sat on a mat",
+    ]
+    lm = {
+        (r["w1"], r["w2"], r["w3"]): r["prob_ppb"]
+        for r in text_ops.kn_trigram_lm(_docs(spark, texts)).collect()
+    }
+    assert lm == _py_kn3(texts)
+
+
+def test_kn_trigram_probabilities_sum_to_one_per_context(spark):
+    """Summed over the full vocabulary (seen trigrams + the backoff
+    mass for unseen w3), each (w1, w2) context's probabilities total 1
+    — the property that proves both interpolation levels normalize."""
+    texts = [
+        "x y z x y w x y z q y z",
+        "y z x w x y q z y x w q",
+    ]
+    rows = text_ops.kn_trigram_lm(_docs(spark, texts)).collect()
+    vocab = {r["w1"] for r in rows} | {r["w2"] for r in rows} | {r["w3"] for r in rows}
+    # reconstruct the middle-model stats from the output columns
+    nc = {}
+    ncont3 = {}
+    n1p2 = {}
+    ncmid = {}
+    for r in rows:
+        nc[(r["w2"], r["w3"])] = r["nc123"]
+        ncont3[r["w3"]] = r["ncont3"]
+        n1p2[r["w2"]] = r["n1p2"]
+        ncmid[r["w2"]] = r["ncmid"]
+    d2 = sum(c for _, c in {(w3, ncont3[w3]) for (_, w3) in nc})
+    by_ctx = {}
+    for r in rows:
+        by_ctx.setdefault((r["w1"], r["w2"]), []).append(r)
+    for (w1, w2), rs in by_ctx.items():
+        c12, n1p12 = rs[0]["c12"], rs[0]["n1p12"]
+        seen = {r["w3"] for r in rs}
+
+        def p_mid(w3):
+            ncv = nc.get((w2, w3), 0)
+            return (
+                max(4 * ncv - 3, 0) * d2
+                + 3 * n1p2[w2] * ncont3.get(w3, 0)
+            ) / (4.0 * ncmid[w2] * d2)
+
+        total = sum(
+            (max(4 * r["c123"] - 3, 0) + 3.0 * n1p12 * p_mid(r["w3"]))
+            / (4.0 * c12)
+            for r in rs
+        )
+        total += sum(
+            3.0 * n1p12 * p_mid(w3) / (4.0 * c12) for w3 in vocab - seen
+        )
+        assert total == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_hand_values(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    per_source = spark.createDataFrame(
+        [("a", 10, 1000), ("b", 5, 8000), ("c", 2, 100)],
+        "source string, n_docs long, n_tokens long",
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in sampling.temperature_mix_report(
+            per_source, alpha=0.3, budget_tokens=1_000_000
+        ).collect()
+    }
+    ms = {s: n**0.3 for s, n in [("a", 1000), ("b", 8000), ("c", 100)]}
+    z = ms["a"] + ms["b"] + ms["c"]  # source-ASC fold order
+    for s in ms:
+        assert out[s]["q_ppm"] == math.floor(1e6 * ms[s] / z)
+        assert out[s]["alloc_tokens"] == math.floor(1e6 * ms[s] / z)
+    # alpha < 1 upweights the small source vs proportional mixing
+    assert out["c"]["q_ppm"] / 1e6 > 100 / 9100
+    assert out["b"]["q_ppm"] / 1e6 < 8000 / 9100
+    # the tiny source over-epochs: allocation exceeds its own tokens
+    assert out["c"]["epochs_ppm"] > 1_000_000
+    # budget conservation (floors may drop a few tokens, never add)
+    assert sum(o["alloc_tokens"] for o in out.values()) <= 1_000_000
+
+
+def test_temperature_mix_alpha_one_is_proportional(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    per_source = spark.createDataFrame(
+        [("a", 1, 3000), ("b", 1, 1000)],
+        "source string, n_docs long, n_tokens long",
+    )
+    out = {
+        r["source"]: r["q_ppm"]
+        for r in sampling.temperature_mix_report(
+            per_source, alpha=1.0, budget_tokens=100
+        ).collect()
+    }
+    assert out["a"] == 750_000 and out["b"] == 250_000

@@ -240,3 +240,60 @@ def weighted_hash_sample(
     """
     thr = F.floor(F.least(F.lit(base_fraction) * weight, F.lit(1.0)) * _BUCKETS)
     return df.filter(hash_bucket(F.col(key_col)) < thr)
+
+
+def temperature_mix_report(
+    per_source: DataFrame,
+    alpha: float = 0.3,
+    budget_tokens: int = 1_000_000,
+):
+    """Temperature-based multinomial corpus mixing (the T5 / XLM-R /
+    Llama recipe): source i is sampled with probability
+    q_i = n_i^alpha / Σ_j n_j^alpha — alpha < 1 UPWEIGHTS small
+    sources relative to proportional mixing, the standard fix for
+    head-domain dominance.  Input is the per-source token-count table
+    (source, n_docs, n_tokens); output adds q_ppm (the sampling rate),
+    alloc_tokens (the source's share of ``budget_tokens``), and
+    epochs_ppm (how many times the source repeats to fill its share —
+    the over-epoching diagnostic the recipe papers tabulate).
+
+    ORACLE bit-exactness: m_i = power(n_i, alpha) is one shared libm
+    pow per row; the normalizer Z folds the m_i in PINNED source-ASC
+    order (bounded row count — sources are a handful), and every
+    output is floor-scaled from the same shared division text.
+
+    Scale shape: the input is one hash aggregate over the corpus
+    (bounded output = #sources); this report is arithmetic over those
+    bounded rows plus one broadcast of the 1-row normalizer — nothing
+    here touches the corpus again.  The SELECTION step that consumes
+    q_i is ``token_budget_mix``-shaped hash thresholding.
+    """
+    m = F.expr(f"power(CAST(n_tokens AS DOUBLE), {alpha!r}E0)")
+    with_m = per_source.select("source", "n_docs", "n_tokens", m.alias("__m"))
+    z = with_m.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "__m"))),
+                lambda t: t["__m"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("__z")
+    )
+    b = float(budget_tokens)
+    return (
+        with_m.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(FLOOR((1.0E6 * __m) / __z) AS BIGINT)").alias("q_ppm"),
+            F.expr(
+                f"CAST(FLOOR((CAST({b!r} AS DOUBLE) * __m) / __z) AS BIGINT)"
+            ).alias("alloc_tokens"),
+            F.expr(
+                f"CAST(FLOOR(((1.0E6 * CAST({b!r} AS DOUBLE)) * __m) / __z"
+                " / CAST(n_tokens AS DOUBLE)) AS BIGINT)"
+            ).alias("epochs_ppm"),
+        )
+    )

@@ -1755,3 +1755,96 @@ def gopher_repetition(
         "n_chars",
         *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in names],
     )
+
+
+# Trigram interpolated KN: the recursion Chen & Goodman (1999) eq. 18
+# writes top-down, as ONE nested double formula over exact integer
+# statistics (d = 3/4 at both levels, multiplied through).  Middle
+# level uses CONTINUATION counts derived from the trigram table
+# (nc123 = N1+(·w2w3), ncmid = N1+(·w2·), n1p2 = |{w3 : c(w2w3)>0}|),
+# lowest level Pcont(w3) = ncont3/D2 over distinct (w2,w3) types.
+_KN3_PROB_SQL = (
+    "(GREATEST(CAST(4 * c123 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " + 3.0E0 * CAST(n1p12 AS DOUBLE) * ("
+    "(GREATEST(CAST(4 * nc123 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " * CAST(d2 AS DOUBLE)"
+    " + 3.0E0 * CAST(n1p2 AS DOUBLE) * CAST(ncont3 AS DOUBLE))"
+    " / (4.0E0 * CAST(ncmid AS DOUBLE) * CAST(d2 AS DOUBLE))))"
+    " / (4.0E0 * CAST(c12 AS DOUBLE))"
+)
+
+
+def kn_trigram_lm(
+    train,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Interpolated Kneser-Ney TRIGRAM LM — the full Chen & Goodman
+    (1999) recursion that ``kn_bigram_lm`` shows one level of: the
+    trigram level discounts raw counts and backs off into a bigram
+    level built from CONTINUATION counts (how many distinct left
+    contexts each bigram completes), which in turn backs off into the
+    type-based unigram continuation distribution.  A 4/5-gram model is
+    the same recursion once more — every statistic below derives from
+    one n-gram count table by Σ/COUNT aggregates.
+
+    Returns one row per SEEN trigram: (w1, w2, w3, c123, c12, n1p12,
+    nc123, ncmid, n1p2, ncont3, prob_ppb) with prob_ppb = floor(1e9 ·
+    p_KN(w3|w1,w2)), d = 3/4 at both levels.  All ten statistics are
+    exact integers from hash aggregates; the probability is ONE nested
+    shared double formula (`_KN3_PROB_SQL`) so the DuckDB oracle
+    reproduces it bit-for-bit (the kn_bigram_lm pattern, one level
+    deeper).
+
+    Scale shape: one trigram explode (O(corpus words) narrow rows),
+    then a cascade of hash aggregates each keyed one level shorter
+    ((w1,w2,w3) → (w1,w2) / (w2,w3) → w2 / w3 → scalar) — every
+    aggregation map-side combines, every join key is a word tuple with
+    AQE-splittable skew, the scalar rides one broadcast.  The model
+    table is O(distinct trigrams) and never collects.
+    """
+    toks = train.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 3) & (F.element_at("__ws", 1) != ""))
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 2),"
+                " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2,"
+                " __ws[i+1] AS w3))"
+            )
+        ).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3")
+    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    pre12 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1p12")
+    )
+    # continuation level: distinct left contexts per (w2, w3)
+    nc = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nc123"))
+    mid = nc.groupBy("w2").agg(
+        F.sum("nc123").alias("ncmid"), F.count(F.lit(1)).alias("n1p2")
+    )
+    cont3 = nc.groupBy("w3").agg(F.count(F.lit(1)).alias("ncont3"))
+    scal = nc.agg(F.count(F.lit(1)).alias("d2"))
+    return (
+        c123.join(pre12, ["w1", "w2"])
+        .join(nc, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(cont3, "w3")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "c123",
+            "c12",
+            "n1p12",
+            "nc123",
+            "ncmid",
+            "n1p2",
+            "ncont3",
+            F.expr(
+                f"CAST(FLOOR(1.0E9 * ({_KN3_PROB_SQL})) AS BIGINT)"
+            ).alias("prob_ppb"),
+        )
+    )

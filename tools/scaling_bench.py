@@ -118,6 +118,19 @@ QUERIES = [
     # round-10: the hot-window-capped production twin (the extra
     # distinct-doc count + anti-join must not change the curve class)
     "exact_substring_pairs_capped",
+    # round-10 second wave: KN LM family (bigram-keyed hash aggs —
+    # distinct bigrams GROW with the shard-suffixed corpus, the honest
+    # regime for an LM trainer), Gopher suite (bounded 9x explode),
+    # DSIR (dim-bounded distribution fits), substring decontam
+    # (cross-set anchor join; both sides grow 10x, within-shard spans
+    # only, so contaminated pairs grow ~linearly)
+    "kn_bigram_lm",
+    "kn_trigram_lm",
+    "kn_doc_logprob",
+    "perplexity_buckets",
+    "gopher_repetition",
+    "dsir_weights",
+    "substring_decontam",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
