@@ -3782,6 +3782,21 @@ def q_kn_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.kn_trigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
 
 
+def q_kn3_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out scoring under the trigram KN LM (train ∘ score
+    symmetry at both orders): odd-doc_id docs, mean trigram logprob in
+    micro-nats, full three-level backoff CASE (seen context →
+    interpolated; seen w2 → smoothed middle; else continuation floor),
+    pinned (w1,w2,w3)-order fold (text.kn3_doc_logprob)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.kn3_doc_logprob(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based multinomial corpus mixing report (T5 / XLM-R
     / Llama recipe, alpha = 0.3): per source, sampling rate q_ppm =
@@ -3900,6 +3915,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram_lm": q_kn_bigram_lm,
         "kn_trigram_lm": q_kn_trigram_lm,
         "kn_doc_logprob": q_kn_doc_logprob,
+        "kn3_doc_logprob": q_kn3_doc_logprob,
         "temperature_mix": q_temperature_mix,
         "perplexity_buckets": q_perplexity_buckets,
         "gopher_repetition": q_gopher_repetition,
@@ -5612,6 +5628,71 @@ def _kn_trigram_oracle() -> str:
     """
 
 
+def _kn3_logprob_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        _KN3_SCORE_PROB_SQL,
+    )
+
+    return f"""
+        WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+                   WHERE doc_id % 2 = 0 AND trim(text) <> ''),
+        tg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+               FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+               WHERE len(ws) >= 3),
+        c123 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+                 FROM tg GROUP BY w1, w2, w3),
+        pre12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+                         CAST(COUNT(*) AS BIGINT) AS n1p12
+                  FROM c123 GROUP BY w1, w2),
+        nc AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS nc123
+               FROM c123 GROUP BY w2, w3),
+        mid AS (SELECT w2, CAST(SUM(nc123) AS BIGINT) AS ncmid,
+                       CAST(COUNT(*) AS BIGINT) AS n1p2
+                FROM nc GROUP BY w2),
+        cont3 AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS ncont3
+                  FROM nc GROUP BY w3),
+        voc AS (SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS v FROM
+                (SELECT unnest(ws) AS w FROM w) t WHERE t.w <> ''),
+        dvt AS (SELECT CAST(COUNT(*) AS BIGINT) + v + 1 AS dv2
+                FROM nc CROSS JOIN voc GROUP BY v),
+        sw AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+               WHERE doc_id % 2 = 1 AND trim(text) <> ''),
+        stg AS (SELECT doc_id AS id, ws[i] AS w1, ws[i+1] AS w2,
+                       ws[i+2] AS w3
+                FROM sw, unnest(range(1, len(ws) - 1)) AS t(i)
+                WHERE len(ws) >= 3),
+        tf AS (SELECT id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM stg GROUP BY id, w1, w2, w3),
+        terms AS (
+            SELECT id, w1, w2, w3, tf,
+                   CAST(tf AS DOUBLE) * ln({_KN3_SCORE_PROB_SQL}) AS term
+            FROM (SELECT tf.id, tf.w1, tf.w2, tf.w3, tf.tf,
+                         COALESCE(c123.c123, 0) AS c0,
+                         pre12.c12, pre12.n1p12,
+                         COALESCE(nc.nc123, 0) AS nc0,
+                         mid.ncmid, mid.n1p2,
+                         COALESCE(cont3.ncont3, 0) AS ncont30, dvt.dv2
+                  FROM tf
+                  LEFT JOIN c123 ON tf.w1 = c123.w1 AND tf.w2 = c123.w2
+                       AND tf.w3 = c123.w3
+                  LEFT JOIN pre12 ON tf.w1 = pre12.w1 AND tf.w2 = pre12.w2
+                  LEFT JOIN nc ON tf.w2 = nc.w2 AND tf.w3 = nc.w3
+                  LEFT JOIN mid ON tf.w2 = mid.w2
+                  LEFT JOIN cont3 ON tf.w3 = cont3.w3
+                  CROSS JOIN dvt)
+        ),
+        g AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+                     list(term ORDER BY w1, w2, w3) AS ts
+              FROM terms GROUP BY id)
+        SELECT id, n_trigrams,
+               CAST(FLOOR((1.0E6 * list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), ts),
+                   (a, b) -> a + b)) / n_trigrams) AS BIGINT)
+                   AS logprob_unats
+        FROM g
+    """
+
+
 _TEMPERATURE_MIX_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, source,
@@ -5668,6 +5749,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_kn_oracles(),
         "kn_trigram_lm": _kn_trigram_oracle(),
+        "kn3_doc_logprob": _kn3_logprob_oracle(),
         "temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "gopher_repetition": _gopher_repetition_oracle(),
         "dsir_weights": _dsir_weights_oracle(),

@@ -170,6 +170,7 @@ HEADLINE = [
     "kn_bigram_lm",
     "kn_trigram_lm",
     "kn_doc_logprob",
+    "kn3_doc_logprob",
     "temperature_mix",
     "perplexity_buckets",
     "gopher_repetition",

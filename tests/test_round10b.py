@@ -449,3 +449,56 @@ def test_temperature_mix_alpha_one_is_proportional(spark):
         ).collect()
     }
     assert out["a"] == 750_000 and out["b"] == 250_000
+
+
+def test_kn3_doc_logprob_backoff_branches_exact(spark):
+    """Each backoff branch checked to the exact micro-nat on a tiny
+    hand corpus: seen context, unseen context with seen middle word,
+    and fully-unseen middle word (continuation floor)."""
+    train = _docs(spark, ["a b c a b c a b d"])
+    # trigrams: (a,b,c)x2, (b,c,a)x2, (c,a,b)x2, (a,b,d)
+    # c123 table -> nc table: (b,c):1 (only w1=a), (c,a):1, (a,b):1, (b,d):1
+    # D2 = 4 distinct (w2,w3); V = 4 (a,b,c,d); dv2 = 9
+    # mid: ncmid[b]=2 (nc (b,c)+(b,d)), n1p2[b]=2; ncmid[c]=1, n1p2[c]=1;
+    #      ncmid[a]=1, n1p2[a]=1
+    # cont3: ncont3[c]=1, ncont3[a]=1, ncont3[b]=1, ncont3[d]=1
+    def mid_p(nc0, n1p2, ncont30, ncmid, dv2=9):
+        return (max(4 * nc0 - 3, 0) * dv2 + 3 * n1p2 * (ncont30 + 1)) / (
+            4.0 * ncmid * dv2
+        )
+
+    score = spark.createDataFrame(
+        [
+            (1, "a b c"),   # seen context (a,b): c12=3, n1p12=2, c123=2
+            (2, "x b c"),   # unseen context (x,b), seen middle b
+            (3, "x y z"),   # fully unseen -> floor (ncont3[z]=0+1)/9
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["logprob_unats"]
+        for r in text_ops.kn3_doc_logprob(train, score).collect()
+    }
+    p1 = (max(4 * 2 - 3, 0) + 3.0 * 2 * mid_p(1, 2, 1, 2)) / (4.0 * 3)
+    p2 = mid_p(1, 2, 1, 2)
+    p3 = 1 / 9
+    assert out[1] == math.floor(1e6 * math.log(p1))
+    assert out[2] == math.floor(1e6 * math.log(p2))
+    assert out[3] == math.floor(1e6 * math.log(p3))
+
+
+def test_kn3_doc_logprob_ranks_fluent_above_scrambled(spark):
+    train_texts = [
+        "the cat sat on the mat and the dog sat on the log",
+        "the dog ran to the cat and the cat ran to the mat",
+    ] * 3
+    score = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "zq xv qj zz vv xx")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r["logprob_unats"]
+        for r in text_ops.kn3_doc_logprob(_docs(spark, train_texts), score).collect()
+    }
+    assert out[100] > out[101]
+    assert all(v < 0 for v in out.values())

@@ -1848,3 +1848,154 @@ def kn_trigram_lm(
             ).alias("prob_ppb"),
         )
     )
+
+
+# Held-out trigram scoring: the bigram scoring CASE one level deeper.
+# Continuation distribution takes add-one over D2 + V + 1 outcomes;
+# the middle level smooths the same way; an unseen (w1,w2) context
+# backs off to the smoothed middle probability, an unseen w2 to the
+# smoothed continuation floor.  Columns: c0 (trigram count), c12/n1p12
+# (context stats, NULL if unseen), nc0 (continuation count), ncmid/
+# n1p2 (middle stats, NULL if w2 unseen), ncont30, dv2 = D2 + V + 1.
+_KN3_SCORE_MID_SQL = (
+    "(GREATEST(CAST(4 * nc0 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " * CAST(dv2 AS DOUBLE)"
+    " + 3.0E0 * CAST(n1p2 AS DOUBLE) * CAST(ncont30 + 1 AS DOUBLE))"
+    " / (4.0E0 * CAST(ncmid AS DOUBLE) * CAST(dv2 AS DOUBLE))"
+)
+_KN3_SCORE_PROB_SQL = (
+    "CASE WHEN c12 IS NOT NULL THEN"
+    " (GREATEST(CAST(4 * c0 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    f" + 3.0E0 * CAST(n1p12 AS DOUBLE) * ({_KN3_SCORE_MID_SQL}))"
+    " / (4.0E0 * CAST(c12 AS DOUBLE))"
+    f" WHEN ncmid IS NOT NULL THEN ({_KN3_SCORE_MID_SQL})"
+    " ELSE CAST(ncont30 + 1 AS DOUBLE) / CAST(dv2 AS DOUBLE) END"
+)
+
+
+def kn3_doc_logprob(
+    train,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Held-out document scoring under the TRIGRAM Kneser-Ney LM of
+    ``train`` — ``kn_doc_logprob`` one backoff level deeper, so the
+    trainer/scorer pair exists at both orders (train ∘ score symmetry):
+    mean trigram log-probability in integer micro-nats, with the full
+    backoff CASE — seen (w1,w2) context → discounted trigram estimate
+    interpolated with the smoothed continuation-bigram level; unseen
+    context but seen w2 → the smoothed middle level alone; unseen w2 →
+    the add-one continuation floor (ncont3+1)/(D2+V+1).  Every branch
+    strictly positive and finite.
+
+    Same oracle bit-exactness recipe as the bigram scorer: one shared
+    double formula per trigram term (`_KN3_SCORE_PROB_SQL`), pinned
+    (w1, w2, w3)-order fold per document.
+
+    Scale shape: scored docs aggregate to distinct (id, trigram) rows;
+    four left hash joins against the trainer's aggregate cascade
+    (context / continuation / middle / unigram-continuation keys);
+    scalars broadcast; the per-doc fold is bounded by the document's
+    distinct-trigram count.
+    """
+    toks = train.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 3) & (F.element_at("__ws", 1) != ""))
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 2),"
+                " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2,"
+                " __ws[i+1] AS w3))"
+            )
+        ).alias("tg")
+    ).select("tg.w1", "tg.w2", "tg.w3")
+    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    pre12 = c123.groupBy("w1", "w2").agg(
+        F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1p12")
+    )
+    nc = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nc123"))
+    mid = nc.groupBy("w2").agg(
+        F.sum("nc123").alias("ncmid"), F.count(F.lit(1)).alias("n1p2")
+    )
+    cont3 = nc.groupBy("w3").agg(F.count(F.lit(1)).alias("ncont3"))
+    vocab = (
+        train.select(F.explode(words(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    dv2 = (
+        nc.agg(F.count(F.lit(1)).alias("d2"))
+        .crossJoin(F.broadcast(vocab))
+        .select((F.col("d2") + F.col("v") + F.lit(1)).alias("dv2"))
+    )
+    stoks = score.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 3) & (F.element_at("__ws", 1) != ""))
+    tf = (
+        stoks.select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 2),"
+                    " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2,"
+                    " __ws[i+1] AS w3))"
+                )
+            ).alias("tg"),
+        )
+        .select("id", "tg.w1", "tg.w2", "tg.w3")
+        .groupBy("id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = (
+        tf.join(c123, ["w1", "w2", "w3"], "left")
+        .join(pre12, ["w1", "w2"], "left")
+        .join(nc, ["w2", "w3"], "left")
+        .join(mid, "w2", "left")
+        .join(cont3, "w3", "left")
+        .crossJoin(F.broadcast(dv2))
+        .select(
+            "id",
+            "w1",
+            "w2",
+            "w3",
+            "tf",
+            F.coalesce(F.col("c123"), F.lit(0)).alias("c0"),
+            "c12",
+            "n1p12",
+            F.coalesce(F.col("nc123"), F.lit(0)).alias("nc0"),
+            "ncmid",
+            "n1p2",
+            F.coalesce(F.col("ncont3"), F.lit(0)).alias("ncont30"),
+            "dv2",
+        )
+        .select(
+            "id",
+            "w1",
+            "w2",
+            "w3",
+            "tf",
+            F.expr(
+                f"CAST(tf AS DOUBLE) * ln({_KN3_SCORE_PROB_SQL})"
+            ).alias("term"),
+        )
+    )
+    g = terms.groupBy("id").agg(
+        F.sum("tf").alias("n_trigrams"),
+        F.array_sort(
+            F.collect_list(F.struct("w1", "w2", "w3", "term"))
+        ).alias("__ts"),
+    )
+    total = F.aggregate(
+        F.transform(F.col("__ts"), lambda t: t["term"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return g.select(
+        "id",
+        "n_trigrams",
+        F.floor((F.lit(1.0e6) * total) / F.col("n_trigrams"))
+        .cast("long")
+        .alias("logprob_unats"),
+    )

@@ -127,6 +127,7 @@ QUERIES = [
     "kn_bigram_lm",
     "kn_trigram_lm",
     "kn_doc_logprob",
+    "kn3_doc_logprob",
     "perplexity_buckets",
     "gopher_repetition",
     "dsir_weights",
