@@ -1385,3 +1385,137 @@ def test_forget_scrubs_anchor_index(spark, tmp_path):
     b1 = _mk_docs(spark, [(9, f"second {span} beta")])
     r1 = ingest_mod.ingest_batch_substring(spark, store, b1, 1)
     assert r1["admitted"] == 1 and r1["substring_pairs"] == 1
+
+
+def test_lm_ingest_incremental_equals_oneshot(spark, tmp_path):
+    """Round 10b: the incremental LM-count chain ≡ the one-shot
+    trainer.  Three batches; after each, kn_lm_from_chain must equal
+    text.kn_bigram_lm over the corpus so far — every column including
+    prob_ppb (both paths share kn_bigram_lm_from_counts)."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    batches = [
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the log")],
+        [(3, "a cat and a dog and a bird"), (4, "one two one two one")],
+        [(5, "the bird sat on the cat quietly")],
+    ]
+    for i, rows in enumerate(batches):
+        r = ingest_mod.ingest_batch_lm(spark, store, _mk_docs(spark, rows), i)
+        assert r["admitted"] == len(rows)
+        got = sorted(
+            tuple(row) for row in ingest_mod.kn_lm_from_chain(spark, store).collect()
+        )
+        corpus = acid_mod.read_atomic(spark, store.corpus)
+        want = sorted(
+            tuple(row) for row in text_ops.kn_bigram_lm(corpus).collect()
+        )
+        assert got == want and want
+
+    # replay: whole-batch no-op off the ngrams cursor, no row growth
+    n_before = acid_mod.read_atomic(spark, store.ngrams).count()
+    assert ingest_mod.ingest_batch_lm(
+        spark, store, _mk_docs(spark, batches[0]), 0
+    ) == {"replay_skipped": True}
+    assert acid_mod.read_atomic(spark, store.ngrams).count() == n_before
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_lm_ingest_crash_matrix_invariants(spark, tmp_path, monkeypatch, crash_at):
+    """Crash positions across the LM commit chain (corpus=1, hashes=2,
+    bloom=3, ngrams=4): after the next (out-of-order) batch heals, the
+    chain-derived model equals the one-shot trainer on the healed
+    corpus — the ngrams table obeys the reconstructible-from-change-
+    feed contract."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    ingest_mod.ingest_batch_lm(
+        spark, store, _mk_docs(spark, [(1, "alpha beta gamma alpha beta")]), 0
+    )
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == crash_at:
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch_lm(
+            spark, store, _mk_docs(spark, [(2, "beta gamma delta beta gamma")]), 1
+        )
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    ingest_mod.ingest_batch_lm(
+        spark, store, _mk_docs(spark, [(3, "gamma delta epsilon gamma")]), 2
+    )
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    ids = sorted(r.doc_id for r in corpus.collect())
+    assert ids == ([1, 3] if crash_at == 1 else [1, 2, 3])
+    got = sorted(
+        tuple(row) for row in ingest_mod.kn_lm_from_chain(spark, store).collect()
+    )
+    want = sorted(tuple(row) for row in text_ops.kn_bigram_lm(corpus).collect())
+    assert got == want
+
+
+def test_forget_scrubs_lm_counts(spark, tmp_path):
+    """Forget over a store with an LM-count index: the forgotten doc's
+    count rows leave with it and the chain-derived model equals the
+    one-shot trainer on the surviving corpus."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    ingest_mod.ingest_batch_lm(
+        spark,
+        store,
+        _mk_docs(
+            spark,
+            [(1, "red fish blue fish red fish"), (2, "green eggs and ham again")],
+        ),
+        0,
+    )
+    ingest_mod.forget(spark, store, spark.createDataFrame([(2,)], "doc_id long"), 10)
+    ngrams = acid_mod.read_atomic(spark, store.ngrams)
+    assert sorted(set(r["__id"] for r in ngrams.collect())) == [1]
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    got = sorted(
+        tuple(row) for row in ingest_mod.kn_lm_from_chain(spark, store).collect()
+    )
+    want = sorted(tuple(row) for row in text_ops.kn_bigram_lm(corpus).collect())
+    assert got == want and want
+
+
+def test_variant_mixing_substring_ingest_maintains_lm_index(spark, tmp_path):
+    """A store whose first batch went through ingest_batch_lm: a later
+    ingest_batch_substring batch must maintain the ngrams index too
+    (chain extends downstream), so the chain model never silently
+    misses a batch."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    ingest_mod.ingest_batch_lm(
+        spark, store, _mk_docs(spark, [(1, "winter comes after autumn every year")]), 0
+    )
+    ingest_mod.ingest_batch_substring(
+        spark, store, _mk_docs(spark, [(2, "spring comes after winter every year")]), 1
+    )
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    assert corpus.count() == 2
+    got = sorted(
+        tuple(row) for row in ingest_mod.kn_lm_from_chain(spark, store).collect()
+    )
+    want = sorted(tuple(row) for row in text_ops.kn_bigram_lm(corpus).collect())
+    assert got == want

@@ -1518,6 +1518,22 @@ def kn_bigram_lm(
     collects; apply-side consumers join it.
     """
     cbg, pre, cont, scal, _ = _kn_bigram_stats(train, text_col, id_col)
+    return kn_bigram_lm_from_counts(cbg)
+
+
+def kn_bigram_lm_from_counts(cbg):
+    """The model-building back half of ``kn_bigram_lm``, taking a
+    pre-aggregated bigram count table (w1, w2, cbg) — factored out so
+    the incremental ingest chain's persisted count rows build the
+    SAME model through the same code path (incremental ∘ one-shot
+    lockstep): prefix / continuation / scalar statistics re-derive
+    from the count table alone, so two count tables that agree yield
+    bit-identical models."""
+    pre = cbg.groupBy("w1").agg(
+        F.sum("cbg").alias("cpre"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = cbg.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    scal = cbg.agg(F.count(F.lit(1)).alias("dd"))
     return (
         cbg.join(pre, "w1")
         .join(cont, "w2")

@@ -60,6 +60,7 @@ class IngestStore:
         self.bloom = f"{root}/bloom"
         self.bands = f"{root}/bands"
         self.anchors = f"{root}/anchors"
+        self.ngrams = f"{root}/ngrams"
         self.m_bits = m_bits
         self.k = k
         self.lsh_num_hashes = lsh_num_hashes
@@ -105,12 +106,46 @@ def _anchor_rows(
     return wins.select("__id", "__off", "__h")
 
 
+def _ngram_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document bigram count rows (__id, w1, w2, tf) for one
+    batch's admitted docs — the incremental LM-count index.  A pure
+    function of the admitted rows (chain healing reconstructs them
+    from the corpus change feed), and keyed by document so ``forget``
+    can subtract exactly one document's contribution.  Uses the SAME
+    ``text.words`` normalization as ``kn_bigram_lm``, so the chain
+    aggregate and the one-shot trainer see identical counts."""
+    from tiki_e_commerce_analytics_etl_spark.operators.text import words
+
+    toks = df.select(
+        F.col(id_col).alias("__id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 2) & (F.element_at("__ws", 1) != ""))
+    return (
+        toks.select(
+            "__id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1),"
+                    " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("__id", "bg.w1", "bg.w2")
+        .groupBy("__id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def _chain_tail(
-    store: IngestStore, with_bands: bool, with_anchors: bool
+    store: IngestStore,
+    with_bands: bool,
+    with_anchors: bool,
+    with_ngrams: bool = False,
 ) -> str:
     """The LAST table of the commit chain — the replay cursor / heal
-    tail.  Commit order is corpus → hashes → bloom → bands → anchors,
-    so the tail is the furthest-downstream table in play."""
+    tail.  Commit order is corpus → hashes → bloom → bands → anchors
+    → ngrams, so the tail is the furthest-downstream table in play."""
+    if with_ngrams:
+        return store.ngrams
     if with_anchors:
         return store.anchors
     if with_bands:
@@ -124,6 +159,7 @@ def _heal_chain(
     app_id: str,
     band_params: tuple | None = None,  # (text_col, id_col) when the band index is in play
     anchor_params: tuple | None = None,  # (text_col, id_col) when the anchor index is in play
+    ngram_params: tuple | None = None,  # (text_col, id_col) when the LM-count index is in play
 ) -> int:
     """Bring the downstream tables level with the corpus cursor: for
     every corpus commit whose (app) txn version exceeds the LAST table
@@ -145,7 +181,12 @@ def _heal_chain(
     ordering structural for maintenance: heal every app chain, THEN
     prune.  Do not call ``acid.vacuum`` directly on a store with
     possibly-unhealed chains."""
-    tail = _chain_tail(store, band_params is not None, anchor_params is not None)
+    tail = _chain_tail(
+        store,
+        band_params is not None,
+        anchor_params is not None,
+        ngram_params is not None,
+    )
     tail_v = acid.last_txn_version(tail, app_id)
     corpus_v = acid.last_txn_version(store.corpus, app_id)
     if corpus_v <= tail_v:
@@ -182,6 +223,15 @@ def _heal_chain(
                 acid.atomic_overwrite_partitions(
                     _anchor_rows(admitted, text_col, id_col, store.substring_k),
                     store.anchors,
+                    mode="append",
+                    txn_app=app_id,
+                    txn_version=cur,
+                )
+            if ngram_params is not None:
+                text_col, id_col = ngram_params
+                acid.atomic_overwrite_partitions(
+                    _ngram_rows(admitted, text_col, id_col),
+                    store.ngrams,
                     mode="append",
                     txn_app=app_id,
                     txn_version=cur,
@@ -301,9 +351,11 @@ def ingest_batch(
     """
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
+    with_ngrams = _has_table(store.ngrams)
     band_params = (text_col, id_col) if with_bands else None
     anchor_params = (text_col, id_col) if with_anchors else None
-    tail = _chain_tail(store, with_bands, with_anchors)
+    ngram_params = (text_col, id_col) if with_ngrams else None
+    tail = _chain_tail(store, with_bands, with_anchors, with_ngrams)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     # finish any commit chain a crash left behind BEFORE screening:
@@ -312,7 +364,12 @@ def ingest_batch(
     # — its screen must see the healed hashes/bloom or it re-admits
     # committed content)
     healed = _heal_chain(
-        spark, store, app_id, band_params=band_params, anchor_params=anchor_params
+        spark,
+        store,
+        app_id,
+        band_params=band_params,
+        anchor_params=anchor_params,
+        ngram_params=ngram_params,
     )
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
         return {"recovered_replay": True, "healed_commits": healed}
@@ -347,6 +404,14 @@ def ingest_batch(
         acid.atomic_overwrite_partitions(
             _anchor_rows(admitted, text_col, id_col, store.substring_k),
             store.anchors,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    if with_ngrams:
+        acid.atomic_overwrite_partitions(
+            _ngram_rows(admitted, text_col, id_col),
+            store.ngrams,
             mode="append",
             txn_app=app_id,
             txn_version=batch_id,
@@ -403,9 +468,11 @@ def forget(
     """
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
+    with_ngrams = _has_table(store.ngrams)
     band_params = (text_col, id_col) if with_bands else None
     anchor_params = (text_col, id_col) if with_anchors else None
-    tail = _chain_tail(store, with_bands, with_anchors)
+    ngram_params = (text_col, id_col) if with_ngrams else None
+    tail = _chain_tail(store, with_bands, with_anchors, with_ngrams)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     _heal_chain(
@@ -414,6 +481,7 @@ def forget(
         ingest_app_id,
         band_params=band_params,
         anchor_params=anchor_params,
+        ngram_params=ngram_params,
     )
     keys = F.broadcast(doc_ids.select(id_col).distinct())
     corpus = acid.read_atomic(spark, store.corpus)
@@ -447,6 +515,13 @@ def forget(
         acid.atomic_overwrite_partitions(
             kept_anchors, store.anchors, txn_app=app_id, txn_version=batch_id
         )
+    if with_ngrams:
+        kept_ngrams = acid.read_atomic(spark, store.ngrams).join(
+            keys.withColumnRenamed(id_col, "__id"), "__id", "left_anti"
+        )
+        acid.atomic_overwrite_partitions(
+            kept_ngrams, store.ngrams, txn_app=app_id, txn_version=batch_id
+        )
     return {"removed": n_removed}
 
 
@@ -468,7 +543,12 @@ def unhealed_floor(
     """
     if not _has_table(store.corpus):
         return None
-    tail = _chain_tail(store, _has_table(store.bands), _has_table(store.anchors))
+    tail = _chain_tail(
+        store,
+        _has_table(store.bands),
+        _has_table(store.anchors),
+        _has_table(store.ngrams),
+    )
     hist = sorted(acid.table_history(store.corpus), key=lambda h: h["version"])
     floor: int | None = None
     for app in app_ids:
@@ -507,11 +587,18 @@ def vacuum_store(
     """
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
+    with_ngrams = _has_table(store.ngrams)
     band_params = (text_col, id_col) if with_bands else None
     anchor_params = (text_col, id_col) if with_anchors else None
+    ngram_params = (text_col, id_col) if with_ngrams else None
     for app in app_ids:
         _heal_chain(
-            spark, store, app, band_params=band_params, anchor_params=anchor_params
+            spark,
+            store,
+            app,
+            band_params=band_params,
+            anchor_params=anchor_params,
+            ngram_params=ngram_params,
         )
     # Post-heal the floor is None; passing it anyway makes the
     # invariant structural — if a heal ever fails silently (or a new
@@ -523,6 +610,7 @@ def vacuum_store(
         [store.corpus, store.hashes, store.bloom]
         + ([store.bands] if with_bands else [])
         + ([store.anchors] if with_anchors else [])
+        + ([store.ngrams] if with_ngrams else [])
     )
     for path in tables:
         if _has_table(path):
@@ -607,8 +695,10 @@ def ingest_batch_neardup(
     )
     jaccard_threshold = store.lsh_jaccard
     with_anchors = _has_table(store.anchors)
+    with_ngrams = _has_table(store.ngrams)
     anchor_params = (text_col, id_col) if with_anchors else None
-    tail = _chain_tail(store, True, with_anchors)
+    ngram_params = (text_col, id_col) if with_ngrams else None
+    tail = _chain_tail(store, True, with_anchors, with_ngrams)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     healed = _heal_chain(
@@ -617,6 +707,7 @@ def ingest_batch_neardup(
         app_id,
         band_params=(text_col, id_col),
         anchor_params=anchor_params,
+        ngram_params=ngram_params,
     )
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
         return {"recovered_replay": True, "healed_commits": healed}
@@ -704,6 +795,14 @@ def ingest_batch_neardup(
             txn_app=app_id,
             txn_version=batch_id,
         )
+    if with_ngrams:
+        acid.atomic_overwrite_partitions(
+            _ngram_rows(admitted, text_col, id_col),
+            store.ngrams,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
     return {
         "batch": n_batch,
         "in_batch_dups": n_batch - n_first,
@@ -767,8 +866,11 @@ def ingest_batch_substring(
 
     k = store.substring_k
     with_bands = _has_table(store.bands)
+    with_ngrams = _has_table(store.ngrams)
     band_params = (text_col, id_col) if with_bands else None
-    if acid.last_txn_version(store.anchors, app_id) >= batch_id:
+    ngram_params = (text_col, id_col) if with_ngrams else None
+    tail = store.ngrams if with_ngrams else store.anchors
+    if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     healed = _heal_chain(
         spark,
@@ -776,6 +878,7 @@ def ingest_batch_substring(
         app_id,
         band_params=band_params,
         anchor_params=(text_col, id_col),
+        ngram_params=ngram_params,
     )
     if acid.last_txn_version(store.corpus, app_id) >= batch_id:
         return {"recovered_replay": True, "healed_commits": healed}
@@ -884,6 +987,14 @@ def ingest_batch_substring(
         txn_app=app_id,
         txn_version=batch_id,
     )
+    if with_ngrams:
+        acid.atomic_overwrite_partitions(
+            _ngram_rows(admitted, text_col, id_col),
+            store.ngrams,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
     return {
         "batch": n_batch,
         "in_batch_dups": n_batch - n_first,
@@ -940,3 +1051,113 @@ def substring_pairs_from_index(
     tb = toks.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
     verified = dedup_ops._verify_window_candidates(cand, ta, tb, k)
     return dedup_ops._pair_scores(verified, k)
+
+
+def ingest_batch_lm(
+    spark: SparkSession,
+    store: IngestStore,
+    batch: DataFrame,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "ingest",
+) -> dict:
+    """``ingest_batch`` extended with an INCREMENTAL language-model
+    count index: per-document bigram counts (``ngrams`` — (__id, w1,
+    w2, tf), the LAST chain table: corpus → hashes → bloom [→ bands]
+    [→ anchors] → ngrams) persist with each admitted batch, so the
+    corpus LM refreshes at batch cost — ``kn_lm_from_chain`` folds the
+    count rows into the SAME Kneser-Ney model the one-shot
+    ``text.kn_bigram_lm`` trains (shared ``kn_bigram_lm_from_counts``
+    back half, so batch-incremental ≡ one-shot by construction;
+    pytest-proven), and a CCNet-style perplexity screen of the NEXT
+    batch can score against the current corpus model without ever
+    re-reading history text.
+
+    Counts are a monoid, so incrementality is exact — no recall trade
+    anywhere: heal reconstructs a crashed batch's rows from the corpus
+    change feed (`_ngram_rows` is a pure function of admitted rows),
+    ``forget`` subtracts exactly the forgotten documents' rows (the
+    table is doc-keyed for this reason), and replayed batches are
+    whole-batch no-ops off the ngrams cursor.
+    """
+    with_bands = _has_table(store.bands)
+    with_anchors = _has_table(store.anchors)
+    band_params = (text_col, id_col) if with_bands else None
+    anchor_params = (text_col, id_col) if with_anchors else None
+    if acid.last_txn_version(store.ngrams, app_id) >= batch_id:
+        return {"replay_skipped": True}
+    healed = _heal_chain(
+        spark,
+        store,
+        app_id,
+        band_params=band_params,
+        anchor_params=anchor_params,
+        ngram_params=(text_col, id_col),
+    )
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        return {"recovered_replay": True, "healed_commits": healed}
+
+    hashed = _hashed(batch, text_col, id_col)
+    n_batch = hashed.count()
+    first = _first_per_hash(hashed, id_col)
+    definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
+    admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    n_first = first.count()
+    n_maybe = maybe.count()
+    n_admitted = admitted.count()
+
+    _commit_admitted(spark, store, admitted, batch_id, app_id)
+    if with_bands:
+        acid.atomic_overwrite_partitions(
+            _band_rows(
+                admitted,
+                text_col,
+                id_col,
+                store.lsh_num_hashes,
+                store.lsh_bands,
+                store.lsh_shingle_k,
+            ),
+            store.bands,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    if with_anchors:
+        acid.atomic_overwrite_partitions(
+            _anchor_rows(admitted, text_col, id_col, store.substring_k),
+            store.anchors,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    acid.atomic_overwrite_partitions(
+        _ngram_rows(admitted, text_col, id_col),
+        store.ngrams,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    return {
+        "batch": n_batch,
+        "in_batch_dups": n_batch - n_first,
+        "definitely_new": n_first - n_maybe,
+        "maybe_seen": n_maybe,
+        "admitted": n_admitted,
+    }
+
+
+def kn_lm_from_chain(spark: SparkSession, store: IngestStore) -> DataFrame:
+    """The CURRENT corpus Kneser-Ney bigram LM from the persisted
+    count index: fold the doc-keyed rows to (w1, w2, cbg) — counts are
+    a monoid, so the fold over any batch partitioning equals the
+    one-shot count — and build the model through the SAME
+    ``text.kn_bigram_lm_from_counts`` back half as the one-shot
+    trainer.  O(index rows), never touches corpus text."""
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        kn_bigram_lm_from_counts,
+    )
+
+    rows = acid.read_atomic(spark, store.ngrams)
+    cbg = rows.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg"))
+    return kn_bigram_lm_from_counts(cbg)
