@@ -119,13 +119,22 @@ def dsir_weights(
             "id", (md5_48(F.col("w")) % F.lit(dim)).alias("f")
         )
 
-    raw_b = buckets(raw)
-    tgt_b = buckets(target)
-    cr = raw_b.groupBy("f").agg(F.count(F.lit(1)).alias("cr"))
-    ct = tgt_b.groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
-    tr = raw_b.agg(F.count(F.lit(1)).alias("tr"))
-    tt = tgt_b.agg(F.count(F.lit(1)).alias("tt"))
-    tf = raw_b.groupBy("id", "f").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE corpus pass on the raw side: the doc-bucket aggregate is the
+    # only relation touching raw text (checkpointed — three consumers
+    # with different projections defeat ReuseExchange), and the raw
+    # bucket distribution + total both FOLD from it (Σ tf per bucket ≡
+    # the token count; bucket table is dim-bounded, its total is free).
+    # The target side is one pass by the same folding.
+    tf = (
+        buckets(raw)
+        .groupBy("id", "f")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cr = tf.groupBy("f").agg(F.sum("tf").alias("cr"))
+    tr = cr.agg(F.sum("cr").alias("tr"))
+    ct = buckets(target).groupBy("f").agg(F.count(F.lit(1)).alias("ct"))
+    tt = ct.agg(F.sum("ct").alias("tt"))
     terms = (
         tf.join(F.broadcast(cr), "f")
         .join(F.broadcast(ct), "f", "left")

@@ -1477,7 +1477,19 @@ def _kn_bigram_stats(train, text_col: str, id_col: str):
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    cbg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cbg"))
+    # four consumers derive from the count table (the model join, the
+    # prefix/continuation stats, the scalar) and column pruning gives
+    # each branch a DIFFERENT projection of the same subtree, so
+    # ReuseExchange cannot dedup them — without the checkpoint the
+    # corpus explode + aggregate executes once PER BRANCH (measured:
+    # 8 scans in the executed plan).  The non-eager localCheckpoint
+    # materializes the bounded count relation once at first use
+    # (the hierarchy.py pointer-jumping precedent).
+    cbg = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+        .localCheckpoint(eager=False)
+    )
     pre = cbg.groupBy("w1").agg(
         F.sum("cbg").alias("cpre"), F.count(F.lit(1)).alias("n1p")
     )
@@ -1831,12 +1843,23 @@ def kn_trigram_lm(
             )
         ).alias("tg")
     ).select("tg.w1", "tg.w2", "tg.w3")
-    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    # checkpointed for the same multi-consumer reason as kn_bigram_lm's
+    # count table: c123 feeds the model join + two stat cascades, nc
+    # feeds three — without it the trigram explode executes per branch
+    c123 = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .localCheckpoint(eager=False)
+    )
     pre12 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1p12")
     )
     # continuation level: distinct left contexts per (w2, w3)
-    nc = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nc123"))
+    nc = (
+        c123.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("nc123"))
+        .localCheckpoint(eager=False)
+    )
     mid = nc.groupBy("w2").agg(
         F.sum("nc123").alias("ncmid"), F.count(F.lit(1)).alias("n1p2")
     )
@@ -1927,11 +1950,20 @@ def kn3_doc_logprob(
             )
         ).alias("tg")
     ).select("tg.w1", "tg.w2", "tg.w3")
-    c123 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    # multi-consumer checkpoints, same rationale as kn_trigram_lm
+    c123 = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .localCheckpoint(eager=False)
+    )
     pre12 = c123.groupBy("w1", "w2").agg(
         F.sum("c123").alias("c12"), F.count(F.lit(1)).alias("n1p12")
     )
-    nc = c123.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nc123"))
+    nc = (
+        c123.groupBy("w2", "w3")
+        .agg(F.count(F.lit(1)).alias("nc123"))
+        .localCheckpoint(eager=False)
+    )
     mid = nc.groupBy("w2").agg(
         F.sum("nc123").alias("ncmid"), F.count(F.lit(1)).alias("n1p2")
     )
