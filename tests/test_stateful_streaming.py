@@ -598,3 +598,57 @@ def test_streaming_ingest_sink_substring_exactly_once(spark, tmp_path):
 
     with _p.raises(ValueError, match="one screening mode"):
         foreach_batch_ingest(store, near_dup=True, substring=True)
+
+
+def test_streaming_ingest_sink_lm_exactly_once(spark, tmp_path):
+    """foreachBatch face of the round-10b LM-count chain: micro-batches
+    maintain the ngrams index with the batch id as txn version; the
+    chain-derived Kneser-Ney model equals the one-shot trainer on the
+    streamed corpus, and availableNow replays are no-ops."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import IngestStore
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = IngestStore(str(tmp_path / "root"), m_bits=1 << 12)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the log")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_ingest(store, lm=True))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(
+        [(3, "a cat and a dog and a bird")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # idempotent restart
+
+    corpus = acid.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 3]
+    got = sorted(
+        tuple(row) for row in ingest_mod.kn_lm_from_chain(spark, store).collect()
+    )
+    want = sorted(tuple(row) for row in text_ops.kn_bigram_lm(corpus).collect())
+    assert got == want and got
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="one screening mode"):
+        foreach_batch_ingest(store, substring=True, lm=True)

@@ -278,6 +278,7 @@ def foreach_batch_ingest(
     app_id: str = "stream-ingest",
     near_dup: bool = False,
     substring: bool = False,
+    lm: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming face of the incremental corpus ingest
     (pipelines/ingest.py): each micro-batch runs the full admission
@@ -297,12 +298,16 @@ def foreach_batch_ingest(
     streaming caller wanting it queries
     ``substring_pairs_from_index`` on the healed store); choose ONE
     screening mode per sink — plain ingest maintains whichever
-    indexes already exist either way (variant mixing).
+    indexes already exist either way (variant mixing).  ``lm=True``
+    (round 10b) maintains the incremental LM-count index instead: the
+    stream keeps a Kneser-Ney model of everything admitted current at
+    batch cost (``kn_lm_from_chain`` reads it between or during runs —
+    the CCNet screen of tomorrow's batches against today's corpus).
     """
     from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
 
-    if near_dup and substring:
-        raise ValueError("choose one screening mode: near_dup or substring")
+    if sum([near_dup, substring, lm]) > 1:
+        raise ValueError("choose one screening mode: near_dup, substring, or lm")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -313,6 +318,11 @@ def foreach_batch_ingest(
             )
         elif substring:
             ingest_mod.ingest_batch_substring(
+                spark, store, batch, batch_id,
+                text_col=text_col, id_col=id_col, app_id=app_id,
+            )
+        elif lm:
+            ingest_mod.ingest_batch_lm(
                 spark, store, batch, batch_id,
                 text_col=text_col, id_col=id_col, app_id=app_id,
             )
