@@ -3838,6 +3838,19 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.gopher_repetition(docs)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-repetition half of the Gopher quality suite (Rae et al.
+    2021 §A1.1): word count, mean word length, symbol-to-word ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, the
+    required-stop-word rule, and the composite pass flag — all integer
+    ppm/centi signals over one narrow projection, no shuffle
+    (text.gopher_quality)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.gopher_quality(docs)
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling log-weights (Xie et al. 2023):
     hashed-unigram bag models (portable md5 mod 4096), target = the
@@ -3919,6 +3932,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "perplexity_buckets": q_perplexity_buckets,
         "gopher_repetition": q_gopher_repetition,
+        "gopher_quality": q_gopher_quality,
         "dsir_weights": q_dsir_weights,
         "strip_dup_spans": q_strip_dup_spans,
         "curation_report": q_curation_report,
@@ -5558,6 +5572,67 @@ def _gopher_repetition_oracle(
     """
 
 
+def _gopher_quality_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        GOPHER_BULLET_CHARS,
+        GOPHER_REQUIRED_STOPWORDS,
+        GOPHER_THRESHOLDS,
+    )
+
+    t = GOPHER_THRESHOLDS
+    bullets = ", ".join(f"'{c}'" for c in GOPHER_BULLET_CHARS)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_STOPWORDS)
+    return f"""
+        WITH raw AS (
+            SELECT doc_id AS id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_NORM_WORDS_SQL}) END AS n_words,
+                   len(str_split(text, chr(10))) AS n_lines,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                       length(array_to_string({_NORM_WORDS_SQL}, '')) END AS wc,
+                   (length(text) - length(replace(text, '#', '')))
+                     + len(regexp_extract_all(text, '\\.{{3}}|…')) AS sym,
+                   len(list_filter(str_split(text, chr(10)),
+                       l -> list_contains([{bullets}], substr(trim(l), 1, 1))))
+                     AS bul,
+                   len(list_filter(str_split(text, chr(10)),
+                       l -> trim(l) LIKE '%…' OR trim(l) LIKE '%...')) AS ell,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                       len(list_filter({_NORM_WORDS_SQL},
+                           w -> regexp_matches(w, '[a-z]'))) END AS alpha,
+                   len(list_filter([{stops}],
+                       s -> list_contains({_NORM_WORDS_SQL}, s))) AS stop_hits
+            FROM documents),
+        m AS (
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN n_words > 0
+                        THEN (100 * wc) // n_words ELSE 0 END AS BIGINT)
+                       AS mean_word_len_centi,
+                   CAST(CASE WHEN n_words > 0
+                        THEN (1000000 * sym) // n_words ELSE 0 END AS BIGINT)
+                       AS symbol_word_ppm,
+                   CAST((1000000 * bul) // n_lines AS BIGINT) AS bullet_line_ppm,
+                   CAST((1000000 * ell) // n_lines AS BIGINT) AS ellipsis_line_ppm,
+                   CAST(CASE WHEN n_words > 0
+                        THEN (1000000 * alpha) // n_words ELSE 0 END AS BIGINT)
+                       AS alpha_word_ppm,
+                   CAST(stop_hits AS BIGINT) AS stop_hits
+            FROM raw)
+        SELECT *,
+               (n_words >= {t["min_words"]} AND n_words <= {t["max_words"]}
+                AND mean_word_len_centi >= {t["min_mean_word_len_centi"]}
+                AND mean_word_len_centi <= {t["max_mean_word_len_centi"]}
+                AND symbol_word_ppm <= {t["max_symbol_word_ppm"]}
+                AND bullet_line_ppm <= {t["max_bullet_line_ppm"]}
+                AND ellipsis_line_ppm <= {t["max_ellipsis_line_ppm"]}
+                AND alpha_word_ppm >= {t["min_alpha_word_ppm"]}
+                AND stop_hits >= {t["min_stop_hits"]}) AS pass_gopher
+        FROM m
+    """
+
+
 def _dsir_weights_oracle(dim: int = 4096) -> str:
     from tiki_e_commerce_analytics_etl_spark.operators.features import (
         DSIR_TERM_SQL,
@@ -5752,6 +5827,7 @@ def oracle_sql() -> dict[str, str]:
         "kn3_doc_logprob": _kn3_logprob_oracle(),
         "temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "gopher_repetition": _gopher_repetition_oracle(),
+        "gopher_quality": _gopher_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),
         "substring_decontam": _SUBSTRING_DECONTAM_ORACLE,
         "similarity_topk": _SIMILARITY_ORACLE,

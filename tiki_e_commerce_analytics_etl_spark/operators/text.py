@@ -2047,3 +2047,124 @@ def kn3_doc_logprob(
         .cast("long")
         .alias("logprob_unats"),
     )
+
+
+# Gopher quality-filter thresholds (Rae et al. 2021 §A1.1, as
+# reimplemented by Dolma / NeMo Curator), in the integer units the
+# operator emits.  Published prose: 50..100k words, mean word length
+# 3..10 chars, symbol-to-word ratio <= 0.1, <= 90% of lines bullet-
+# started, <= 30% ellipsis-ended, >= 80% of words alphabetic, and at
+# least 2 of 8 required English stop words present.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLET_CHARS = ["•", "‣", "▪", "-", "*"]
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len_centi": 300,
+    "max_mean_word_len_centi": 1000,
+    "max_symbol_word_ppm": 100_000,
+    "max_bullet_line_ppm": 900_000,
+    "max_ellipsis_line_ppm": 300_000,
+    "min_alpha_word_ppm": 800_000,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_quality(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The non-repetition half of the Gopher quality suite (Rae et al.
+    2021 §A1.1; ``gopher_repetition`` carries the n-gram half): per
+    document the signals the published filter thresholds — word count,
+    mean word length, symbol-to-word ratio (# and ellipsis), fraction
+    of lines starting with a bullet / ending with an ellipsis, fraction
+    of words containing an alphabetic character, and the required-
+    stop-word rule — plus ``pass_gopher`` applying GOPHER_THRESHOLDS.
+
+    All ratio signals are floor-scaled integer ppm (mean word length in
+    integer centi-chars) so both engines agree bit-exactly; every doc
+    emits a row (empty docs emit zeros and fail), because a filter
+    consumes this as a per-doc join and a missing row would read as
+    "not screened".
+
+    Scale shape: one narrow projection — the word array materializes
+    once and every signal is an expression over it (no explode, no
+    shuffle, no Python).  A 100 TB corpus screens embarrassingly
+    parallel; the heavier per-(doc,word) aggregate lives in
+    ``repetition_stats`` / ``gopher_repetition``.
+    """
+    t = GOPHER_THRESHOLDS
+    text = F.col(text_col)
+    ws = words(text)
+    empty = F.trim(text) == ""
+    n_words = F.when(empty, F.lit(0)).otherwise(F.size(ws)).cast("long")
+    word_chars = F.when(empty, F.lit(0)).otherwise(
+        F.length(F.array_join(ws, ""))
+    ).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    bullet = F.array(*[F.lit(c) for c in GOPHER_BULLET_CHARS])
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.array_contains(bullet, F.substring(F.trim(l), 1, 1)))
+    ).cast("long")
+    n_ellipsis_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("…") | F.trim(l).endswith("..."),
+        )
+    ).cast("long")
+    n_alpha = F.when(empty, F.lit(0)).otherwise(
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    ).cast("long")
+    n_symbols = (
+        F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+        + F.regexp_count(text, F.lit(r"\.{3}|…"))
+    ).cast("long")
+    sw = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(sw, lambda s: F.array_contains(ws, s))
+    ).cast("long")
+    raw = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        word_chars.alias("__wc"),
+        n_symbols.alias("__sym"),
+        n_bullet.alias("__bul"),
+        n_ellipsis_end.alias("__ell"),
+        n_alpha.alias("__alpha"),
+        stop_hits.alias("stop_hits"),
+    )
+    # Exact bigint floor-division (`div`), never double `/`: the ppm
+    # values join the strict oracle gate bit-for-bit.
+    out = raw.select(
+        "id",
+        "n_words",
+        "n_lines",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (100 * __wc) div n_words ELSE 0 END"
+        ).cast("long").alias("mean_word_len_centi"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000000 * __sym) div n_words ELSE 0 END"
+        ).cast("long").alias("symbol_word_ppm"),
+        F.expr("(1000000 * __bul) div n_lines").cast("long").alias("bullet_line_ppm"),
+        F.expr("(1000000 * __ell) div n_lines").cast("long").alias("ellipsis_line_ppm"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (1000000 * __alpha) div n_words ELSE 0 END"
+        ).cast("long").alias("alpha_word_ppm"),
+        "stop_hits",
+    )
+    return out.withColumn(
+        "pass_gopher",
+        (F.col("n_words") >= t["min_words"])
+        & (F.col("n_words") <= t["max_words"])
+        & (F.col("mean_word_len_centi") >= t["min_mean_word_len_centi"])
+        & (F.col("mean_word_len_centi") <= t["max_mean_word_len_centi"])
+        & (F.col("symbol_word_ppm") <= t["max_symbol_word_ppm"])
+        & (F.col("bullet_line_ppm") <= t["max_bullet_line_ppm"])
+        & (F.col("ellipsis_line_ppm") <= t["max_ellipsis_line_ppm"])
+        & (F.col("alpha_word_ppm") >= t["min_alpha_word_ppm"])
+        & (F.col("stop_hits") >= t["min_stop_hits"]),
+    )
