@@ -3571,6 +3571,21 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: n-gram Jaccard near-dup
+    pairs → connected components → the split decision hashes the
+    COMPONENT id, so no near-duplicate pair straddles a boundary
+    (sampling.cluster_safe_split).  Oracle: the pair SQL + WITH
+    RECURSIVE closure + the same md5-bucket CASE."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    return sampling.cluster_safe_split(
+        docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data pipeline op).
     Threshold 0.4 because the synthetic corpus is random (max pairwise
@@ -3980,6 +3995,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "catalog_stats": q_catalog_stats,
         "neardup_clusters": q_neardup_clusters,
+        "leakage_safe_split": q_leakage_safe_split,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
@@ -4228,6 +4244,35 @@ _NEARDUP_CLUSTERS_ORACLE = f"""
         SELECT r.node, e.b FROM reach r JOIN bidir e ON r.peer = e.a
     )
     SELECT node, LEAST(node, MIN(peer)) AS component FROM reach GROUP BY node
+"""
+
+_LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    pairs AS (SELECT id_a, id_b FROM p WHERE shared / (na + nb - shared) >= 0.5),
+    bidir AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+        SELECT a AS node, b AS peer FROM bidir
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN bidir e ON r.peer = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(peer)) AS component
+             FROM reach GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, component,
+           CASE WHEN b < CAST(FLOOR(0.8 * 65536) AS INTEGER) THEN 'train'
+                WHEN b < CAST(FLOOR(0.9 * 65536) AS INTEGER) THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, component,
+               CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))
+                    AS INTEGER) AS b
+        FROM labeled
+    )
 """
 
 _VOCAB_TOP_NGRAMS_ORACLE = f"""
@@ -6234,6 +6279,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
+        "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_ORACLE,
         "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
         # Same exact-SQL twin as the vocab builder, k=20: the MG
         # candidate pass is invisible when coverage holds (see

@@ -91,3 +91,40 @@ def test_gopher_quality_empty_doc_row(spark):
         assert r["n_words"] == 0
         assert r["mean_word_len_centi"] == 0
         assert not r["pass_gopher"]
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe cluster split
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_safe_split_no_pair_straddles(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # a chain component {0,1,2}, a pair {10, 150}, the rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 150)], "id_a long, id_b long"
+    )
+    out = sampling.cluster_safe_split(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 200
+    # every doc of a component carries the component's min id and the
+    # SAME split label
+    for comp in ([0, 1, 2], [10, 150]):
+        assert {rows[i]["component"] for i in comp} == {min(comp)}
+        assert len({rows[i]["split"] for i in comp}) == 1
+    # singletons label themselves
+    assert rows[42]["component"] == 42
+    # and the plain per-doc hash_split WOULD have leaked at least one
+    # of the planted components across splits (the bug this fixes)
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    leaked = any(
+        len({naive[i] for i in comp}) > 1 for comp in ([0, 1, 2], [10, 150])
+    )
+    assert leaked, "planted components chosen to demonstrate the leak"

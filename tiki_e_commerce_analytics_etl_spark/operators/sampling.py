@@ -116,6 +116,47 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split decision
+    hashes the near-duplicate CLUSTER id, not the document id, so two
+    near-duplicates can never straddle a split boundary (the classic
+    eval-leak a plain per-doc ``hash_split`` permits — the val twin of
+    a train doc silently inflates held-out scores).
+
+    ``pairs`` is any near-dup pair relation (MinHash, SimHash, n-gram
+    Jaccard, embedding cosine…); documents are first resolved to
+    connected components (min reachable id), singletons label
+    themselves, then ``hash_split`` keys on the component.  Returns
+    (id, component, split).
+
+    Scale shape: the CC resolution is the log-depth pointer-jumping of
+    ``graph.connected_components`` over the pair relation (tiny next
+    to the corpus — only docs WITH a partner appear); the corpus-side
+    join is one hash join on the doc id; the split itself is a narrow
+    md5 projection.  Nothing collects.
+    """
+    from .graph import connected_components
+
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    comps = connected_components(pairs, pair_a, pair_b).withColumnRenamed(
+        "node", id_col
+    )
+    labeled = df.select(id_col).join(comps, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    )
+    return hash_split(labeled, "component", weights, out_col)
+
+
 def length_stratified_sample(
     df: DataFrame,
     text_col: str = "text",
