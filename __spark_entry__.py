@@ -3571,6 +3571,57 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_final(spark: SparkSession, sf_dir: str):
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_lloyd(
+        emb, n_clusters=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT k-means (integer micro-unit Lloyd, every
+    vector votes): final centroid table after 3 unrolled iterations,
+    long format (cluster, pos, val).  All arithmetic exact int64 so
+    the full iterative trainer is bit-identical to the DuckDB replay
+    (clustering.kmeans_lloyd)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    centroids, _ = _kmeans_final(spark, sf_dir)
+    return clustering.centroid_rows(spark, centroids)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final k-means assignment: (vec_id, cluster, dist) against the
+    trained centroids — assignment is k narrow zip_with/aggregate
+    expressions over broadcast literal centroids, no join, no shuffle
+    (clustering.assign_exact)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    centroids, q = _kmeans_final(spark, sf_dir)
+    return clustering.assign_exact(q, centroids).select(
+        F.col("id").alias("vec_id"), "cluster", "dist"
+    )
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subset: the 8 smallest md5-bucket members of
+    each k-means cluster — the topic-balancing pass that keeps a
+    corpus from being one mode (clustering.cluster_balanced_sample)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    centroids, q = _kmeans_final(spark, sf_dir)
+    assigned = clustering.assign_exact(q, centroids)
+    return clustering.cluster_balanced_sample(assigned, per_cluster=8).select(
+        F.col("id").alias("vec_id"), "cluster", "rk"
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: n-gram Jaccard near-dup
     pairs → connected components → the split decision hashes the
@@ -3996,6 +4047,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_stats": q_catalog_stats,
         "neardup_clusters": q_neardup_clusters,
         "leakage_safe_split": q_leakage_safe_split,
+        "kmeans_centroids": q_kmeans_centroids,
+        "kmeans_assign": q_kmeans_assign,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
@@ -4244,6 +4298,75 @@ _NEARDUP_CLUSTERS_ORACLE = f"""
         SELECT r.node, e.b FROM reach r JOIN bidir e ON r.peer = e.a
     )
     SELECT node, LEAST(node, MIN(peer)) AS component FROM reach GROUP BY node
+"""
+
+def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB replay of the unrolled integer Lloyd iterations —
+    generated for the same (k, iters) the Spark queries run, so the
+    two can't drift.  All arithmetic exact integers; `//` truncates
+    toward zero exactly like Spark's `div`."""
+    from tiki_e_commerce_analytics_etl_spark.operators.clustering import (
+        KMEANS_SCALE,
+    )
+
+    parts = [
+        f"""q AS (SELECT vec_id, list_transform(embedding,
+                x -> CAST(FLOOR({KMEANS_SCALE}.0 * CAST(x AS DOUBLE)) AS BIGINT))
+                AS qv FROM embeddings),
+        e AS (SELECT vec_id, CAST(i AS INTEGER) AS pos, qv[i + 1] AS x
+              FROM q, unnest(range(0, len(qv))) AS t(i)),
+        c0 AS (SELECT CAST(s.rn - 1 AS INTEGER) AS cluster, e.pos,
+                      CAST(e.x AS BIGINT) AS val
+               FROM (SELECT vec_id,
+                            ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                     FROM q) s JOIN e USING (vec_id)
+               WHERE s.rn <= {k})"""
+    ]
+    for i in range(1, iters + 2):
+        parts.append(
+            f"""d{i} AS (SELECT e.vec_id, c.cluster,
+                       SUM((e.x - c.val) * (e.x - c.val)) AS dist
+                FROM e JOIN c{i - 1} c USING (pos)
+                GROUP BY e.vec_id, c.cluster),
+        a{i} AS (SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist
+                 FROM (SELECT vec_id, cluster, dist,
+                              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rk
+                       FROM d{i}) WHERE rk = 1)"""
+        )
+        if i <= iters:
+            parts.append(
+                f"""s{i} AS (SELECT a.cluster, e.pos, SUM(e.x) AS sm,
+                        COUNT(*) AS cnt
+                 FROM a{i} a JOIN e ON a.vec_id = e.vec_id
+                 GROUP BY a.cluster, e.pos),
+        c{i} AS (SELECT p.cluster, p.pos,
+                        CAST(COALESCE(s.sm // s.cnt, p.val) AS BIGINT) AS val
+                 FROM c{i - 1} p LEFT JOIN s{i} s
+                   ON p.cluster = s.cluster AND p.pos = s.pos)"""
+            )
+    return ",\n        ".join(parts)
+
+
+_KMEANS_CENTROIDS_ORACLE = f"""
+    WITH {_kmeans_ctes()}
+    SELECT cluster, pos, val FROM c{_KMEANS_ITERS}
+"""
+
+_KMEANS_ASSIGN_ORACLE = f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster, dist FROM a{_KMEANS_ITERS + 1}
+"""
+
+_CLUSTER_BALANCED_SAMPLE_ORACLE = f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, cluster, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY
+                   CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                        AS INTEGER), vec_id) AS rk
+        FROM a{_KMEANS_ITERS + 1})
+    WHERE rk <= 8
 """
 
 _LEAKAGE_SAFE_SPLIT_ORACLE = f"""
@@ -6280,6 +6403,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
         "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_ORACLE,
+        "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,
+        "kmeans_assign": _KMEANS_ASSIGN_ORACLE,
+        "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_ORACLE,
         "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
         # Same exact-SQL twin as the vocab builder, k=20: the MG
         # candidate pass is invisible when coverage holds (see
