@@ -3571,6 +3571,84 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGREG_DIM = 512
+_LOGREG_ITERS = 5
+_LOGREG_LR_DEN = 2
+
+
+def _logreg_final(spark: SparkSession, sf_dir: str):
+    from tiki_e_commerce_analytics_etl_spark.operators import features as feat_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights, bias = feat_ops.logreg_train(
+        docs,
+        label_col=(F.col("source") == "src0"),
+        dim=_LOGREG_DIM,
+        iters=_LOGREG_ITERS,
+        lr_den=_LOGREG_LR_DEN,
+    )
+    return docs, weights, bias
+
+
+def q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality-classifier weights (CCNet / GPT-3 filtering
+    recipe): full-batch GD logistic regression over hashed unigram
+    counts, every training step exact integer micro-units so the
+    5-iteration trainer is bit-identical to the DuckDB unrolled-CTE
+    replay (features.logreg_train).  Bias rides as feature -1."""
+    _, weights, bias = _logreg_final(spark, sf_dir)
+    rows = [(int(f), int(w)) for f, w in sorted(weights.items())]
+    rows.append((-1, int(bias)))
+    return spark.createDataFrame(rows, "feature long, w long")
+
+
+def q_logreg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality-classifier margins under the trained
+    weights: (doc_id, y, margin_u, pred) — all exact integers
+    (features.logreg_margins)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import features as feat_ops
+    from tiki_e_commerce_analytics_etl_spark.operators.bloom import md5_48
+    from tiki_e_commerce_analytics_etl_spark.operators.text import words
+
+    docs, weights, bias = _logreg_final(spark, sf_dir)
+    lab = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("source") == "src0").cast("int").alias("y"),
+    )
+    feats = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(words(F.col("text"))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select("id", (md5_48(F.col("term")) % F.lit(_LOGREG_DIM)).alias("f"))
+        .groupBy("id", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return feat_ops.logreg_margins(lab, feats, weights, bias).select(
+        F.col("id").alias("doc_id"),
+        "y",
+        F.col("m").alias("margin_u"),
+        (F.col("m") > 0).alias("pred"),
+    )
+
+
+def q_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts + accuracy (ppm) of the trained quality
+    classifier on its corpus — exact integers only."""
+    scores = q_logreg_scores(spark, sf_dir)
+    return scores.agg(
+        F.sum(((F.col("y") == 1) & F.col("pred")).cast("long")).alias("tp"),
+        F.sum(((F.col("y") == 0) & F.col("pred")).cast("long")).alias("fp"),
+        F.sum(((F.col("y") == 0) & ~F.col("pred")).cast("long")).alias("tn"),
+        F.sum(((F.col("y") == 1) & ~F.col("pred")).cast("long")).alias("fn"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN (y = 1) = pred THEN 1 ELSE 0 END))"
+            " div count(*)"
+        ).cast("long").alias("accuracy_ppm"),
+    )
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
@@ -4050,6 +4128,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "kmeans_assign": q_kmeans_assign,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "logreg_weights": q_logreg_weights,
+        "logreg_scores": q_logreg_scores,
+        "logreg_eval": q_logreg_eval,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
@@ -4299,6 +4380,85 @@ _NEARDUP_CLUSTERS_ORACLE = f"""
     )
     SELECT node, LEAST(node, MIN(peer)) AS component FROM reach GROUP BY node
 """
+
+def _logreg_ctes(
+    dim: int = _LOGREG_DIM,
+    iters: int = _LOGREG_ITERS,
+    lr_den: int = _LOGREG_LR_DEN,
+) -> str:
+    """DuckDB replay of the unrolled integer-GD logistic regression —
+    the term formula is imported from the operator so the two engines
+    share one sigmoid text."""
+    from tiki_e_commerce_analytics_etl_spark.operators.features import (
+        LOGREG_TERM_SQL,
+    )
+
+    bias_term = LOGREG_TERM_SQL.replace("CAST(tf AS DOUBLE)", "1.0E0")
+    parts = [
+        f"""tok AS (SELECT doc_id AS id,
+                  CAST('0x' || substr(md5(t.w), 1, 12) AS BIGINT) % {dim} AS f
+           FROM (SELECT doc_id, unnest({_NORM_WORDS_SQL}) AS w
+                 FROM documents) t(doc_id, w)
+           WHERE t.w <> ''),
+        feats AS (SELECT id, f, CAST(COUNT(*) AS BIGINT) AS tf
+                  FROM tok GROUP BY id, f),
+        lab AS (SELECT doc_id AS id,
+                       CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+                FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM lab),
+        w0 AS (SELECT DISTINCT f, CAST(0 AS BIGINT) AS w FROM feats),
+        b0 AS (SELECT CAST(0 AS BIGINT) AS b)"""
+    ]
+    for i in range(1, iters + 2):
+        parts.append(
+            f"""m{i} AS (SELECT l.id, l.y,
+                       CAST(COALESCE(s.s, 0) + b.b AS BIGINT) AS m
+                FROM lab l
+                LEFT JOIN (SELECT fe.id, SUM(w.w * fe.tf) AS s
+                           FROM feats fe JOIN w{i - 1} w USING (f)
+                           GROUP BY fe.id) s ON l.id = s.id
+                CROSS JOIN b{i - 1} b)"""
+        )
+        if i <= iters:
+            parts.append(
+                f"""g{i} AS (SELECT fe.f, SUM({LOGREG_TERM_SQL}) AS g
+                 FROM m{i} mm JOIN feats fe ON mm.id = fe.id
+                 GROUP BY fe.f),
+        bg{i} AS (SELECT SUM({bias_term}) AS g FROM m{i} mm),
+        w{i} AS (SELECT w.f,
+                        CAST(w.w - (COALESCE(g.g, 0) // ({lr_den} * nn.n))
+                             AS BIGINT) AS w
+                 FROM w{i - 1} w LEFT JOIN g{i} g USING (f) CROSS JOIN nn),
+        b{i} AS (SELECT CAST(b.b - (bg.g // ({lr_den} * nn.n)) AS BIGINT) AS b
+                 FROM b{i - 1} b CROSS JOIN bg{i} bg CROSS JOIN nn)"""
+            )
+    return ",\n        ".join(parts)
+
+
+_LOGREG_WEIGHTS_ORACLE = f"""
+    WITH {_logreg_ctes()}
+    SELECT CAST(f AS BIGINT) AS feature, w FROM w{_LOGREG_ITERS}
+    UNION ALL
+    SELECT -1, b FROM b{_LOGREG_ITERS}
+"""
+
+_LOGREG_SCORES_ORACLE = f"""
+    WITH {_logreg_ctes()}
+    SELECT id AS doc_id, y, m AS margin_u, m > 0 AS pred
+    FROM m{_LOGREG_ITERS + 1}
+"""
+
+_LOGREG_EVAL_ORACLE = f"""
+    WITH {_logreg_ctes()}
+    SELECT CAST(SUM(CASE WHEN y = 1 AND m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN y = 0 AND m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN y = 0 AND m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(SUM(CASE WHEN y = 1 AND m <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST((1000000 * SUM(CASE WHEN (y = 1) = (m > 0) THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM m{_LOGREG_ITERS + 1}
+"""
+
 
 def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     """DuckDB replay of the unrolled integer Lloyd iterations —
@@ -6406,6 +6566,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,
         "kmeans_assign": _KMEANS_ASSIGN_ORACLE,
         "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_ORACLE,
+        "logreg_weights": _LOGREG_WEIGHTS_ORACLE,
+        "logreg_scores": _LOGREG_SCORES_ORACLE,
+        "logreg_eval": _LOGREG_EVAL_ORACLE,
         "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
         # Same exact-SQL twin as the vocab builder, k=20: the MG
         # candidate pass is invisible when coverage holds (see
