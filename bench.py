@@ -175,6 +175,10 @@ HEADLINE = [
     "perplexity_buckets",
     "gopher_repetition",
     "dsir_weights",
+    "gopher_quality",
+    "leakage_safe_split",
+    "kmeans_assign",
+    "logreg_eval",
 ]
 
 

@@ -132,6 +132,17 @@ QUERIES = [
     "gopher_repetition",
     "dsir_weights",
     "substring_decontam",
+    # round-10 third wave: Gopher quality (narrow projection — should
+    # track the scan), leakage-safe split (CC over the pair relation +
+    # one corpus join), exact k-means (per-iteration narrow assignment
+    # + bounded posexplode aggregate — wall tracks corpus x iters),
+    # integer-GD logistic regression (per-iteration broadcast join +
+    # dim-bounded gradient aggregate)
+    "gopher_quality",
+    "leakage_safe_split",
+    "kmeans_assign",
+    "cluster_balanced_sample",
+    "logreg_weights",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
