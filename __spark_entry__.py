@@ -3700,6 +3700,45 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document QUALITY DASHBOARD — the round-10 twin of
+    curation_report, joining the independent quality/curation signals
+    one row per doc: the Gopher pass flag, the CCNet perplexity bucket
+    ('unscored' for the training half), the trained classifier margin
+    and prediction, the embedding k-means cluster, and the leakage-safe
+    split assignment.  Every signal is an already-oracle-verified
+    operator; this verifies the JOINED view end-to-end (the oracle
+    nests each signal's full SQL as a derived table and joins the same
+    way)."""
+    gq = q_gopher_quality(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "stop_hits", "pass_gopher"
+    )
+    ppl = q_perplexity_buckets(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("bucket").alias("ppl_bucket")
+    )
+    lr = q_logreg_scores(spark, sf_dir).select("doc_id", "margin_u", "pred")
+    km = q_kmeans_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    sp = q_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    return (
+        gq.join(ppl, "doc_id", "left")
+        .join(lr, "doc_id")
+        .join(km, "doc_id", "left")
+        .join(sp, "doc_id")
+        .select(
+            "doc_id",
+            "stop_hits",
+            "pass_gopher",
+            F.coalesce("ppl_bucket", F.lit("unscored")).alias("ppl_bucket"),
+            "margin_u",
+            "pred",
+            F.coalesce(F.col("cluster"), F.lit(-1)).cast("int").alias("cluster"),
+            "split",
+        )
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: n-gram Jaccard near-dup
     pairs → connected components → the split decision hashes the
@@ -4131,6 +4170,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_weights": q_logreg_weights,
         "logreg_scores": q_logreg_scores,
         "logreg_eval": q_logreg_eval,
+        "quality_report": q_quality_report,
         "vocab_top_ngrams": q_vocab_top_ngrams,
         "heavy_hitters": q_heavy_hitters,
         "skew_profile": q_skew_profile,
@@ -5852,6 +5892,25 @@ def _kn_oracles() -> dict[str, str]:
     }
 
 
+def _quality_report_oracle() -> str:
+    """Composes the five already-verified signal oracles as derived
+    tables (each keeps its own WITH scope) and joins them exactly like
+    q_quality_report."""
+    ppl = _kn_oracles()["perplexity_buckets"]
+    return f"""
+        SELECT g.id AS doc_id, g.stop_hits, g.pass_gopher,
+               COALESCE(p.bucket, 'unscored') AS ppl_bucket,
+               l.margin_u, l.pred,
+               CAST(COALESCE(k.cluster, -1) AS INTEGER) AS cluster,
+               s.split
+        FROM ({_gopher_quality_oracle()}) g
+        LEFT JOIN ({ppl}) p ON g.id = p.id
+        JOIN ({_LOGREG_SCORES_ORACLE}) l ON g.id = l.doc_id
+        LEFT JOIN ({_KMEANS_ASSIGN_ORACLE}) k ON g.id = k.vec_id
+        JOIN ({_LEAKAGE_SAFE_SPLIT_ORACLE}) s ON g.id = s.doc_id
+    """
+
+
 def _gopher_repetition_oracle(
     top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)
 ) -> str:
@@ -6569,6 +6628,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_weights": _LOGREG_WEIGHTS_ORACLE,
         "logreg_scores": _LOGREG_SCORES_ORACLE,
         "logreg_eval": _LOGREG_EVAL_ORACLE,
+        "quality_report": _quality_report_oracle(),
         "vocab_top_ngrams": _VOCAB_TOP_NGRAMS_ORACLE,
         # Same exact-SQL twin as the vocab builder, k=20: the MG
         # candidate pass is invisible when coverage holds (see
