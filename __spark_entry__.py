@@ -4063,6 +4063,21 @@ def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_contam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL step of substring decontamination (Lee et al. 2022
+    §6.2 trim): every corpus word position inside a >= 5-word span
+    shared with the held-out eval slice (doc_id % 53 == 0) is
+    stripped and the document reassembled — shares the cross-set
+    verified-window front end with substring_decontam so detect and
+    remove cannot drift (dedup.strip_contaminated_spans)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.strip_contaminated_spans(
+        docs.filter(F.col("doc_id") % 53 != 0),
+        docs.filter(F.col("doc_id") % 53 == 0),
+        min_words=5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4108,6 +4123,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_pairs": q_exact_substring_pairs,
         "exact_substring_pairs_capped": q_exact_substring_pairs_capped,
         "substring_decontam": q_substring_decontam,
+        "strip_contam_spans": q_strip_contam_spans,
         "kn_bigram_lm": q_kn_bigram_lm,
         "kn_trigram_lm": q_kn_trigram_lm,
         "kn_doc_logprob": q_kn_doc_logprob,
@@ -6207,6 +6223,56 @@ _SUBSTRING_DECONTAM_ORACLE = f"""
 """
 
 
+_STRIP_CONTAM_SPANS_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, {_NORM_WORDS_SQL} AS ws,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents WHERE doc_id % 53 <> 0
+    ),
+    we AS (
+        SELECT doc_id, {_NORM_WORDS_SQL} AS ws,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents WHERE doc_id % 53 = 0
+    ),
+    wins AS (
+        SELECT doc_id, i AS off, array_to_string(ws[i:i+4], ' ') AS win
+        FROM w, unnest(range(1, len(ws) - 3)) AS t(i)
+        WHERE norm <> '' AND len(ws) >= 5
+    ),
+    wine AS (
+        SELECT doc_id, i AS off, array_to_string(ws[i:i+4], ' ') AS win
+        FROM we, unnest(range(1, len(ws) - 3)) AS t(i)
+        WHERE norm <> '' AND len(ws) >= 5
+    ),
+    cov AS (
+        SELECT DISTINCT a.doc_id, a.off + u.j AS pos
+        FROM wins a JOIN wine b ON a.win = b.win,
+             unnest(range(0, 5)) AS u(j)
+    ),
+    toks AS (
+        SELECT doc_id, t.i AS pos, ws[CAST(t.i AS INTEGER)] AS word
+        FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+        WHERE norm <> ''
+    ),
+    kept AS (
+        SELECT toks.doc_id, toks.pos, toks.word
+        FROM toks ANTI JOIN cov
+             ON toks.doc_id = cov.doc_id AND toks.pos = cov.pos
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS INTEGER) AS kept_words
+        FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           CAST(CASE WHEN w.norm = '' THEN 0 ELSE len(w.ws) END
+                AS INTEGER) AS n_words,
+           COALESCE(reb.kept_words, 0) AS kept_words
+    FROM w LEFT JOIN reb USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_kn_oracles(),
@@ -6217,6 +6283,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_quality_oracle(),
         "dsir_weights": _dsir_weights_oracle(),
         "substring_decontam": _SUBSTRING_DECONTAM_ORACLE,
+        "strip_contam_spans": _STRIP_CONTAM_SPANS_ORACLE,
         "similarity_topk": _SIMILARITY_ORACLE,
         "snapshot_fact": """
             SELECT * FROM (VALUES

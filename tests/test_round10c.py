@@ -390,3 +390,71 @@ def test_logreg_partitioning_invariance(spark):
         iters=3,
     )
     assert (w1, b1) == (w2, b2)
+
+
+# ---------------------------------------------------------------------------
+# Decontamination removal (strip_contaminated_spans)
+# ---------------------------------------------------------------------------
+
+
+def test_strip_contaminated_spans_planted(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [
+            # doc 0: leak embedded mid-document
+            (0, "intro words here " + leak + " closing words trail"),
+            # doc 1: clean
+            (1, "entirely different content with no overlap at all"),
+            # doc 2: the leak IS the whole document -> fully stripped
+            (2, leak),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "prompt said " + leak + " answer follows")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_ops.strip_contaminated_spans(
+            corpus, evals, min_words=6
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "intro words here closing words trail"
+    assert out[0]["kept_words"] == 6
+    assert out[1]["clean_text"] == corpus.collect()[1]["text"]
+    assert out[2]["clean_text"] == "" and out[2]["kept_words"] == 0
+    # the eval side is untouched by construction (operator returns
+    # corpus rows only)
+    assert set(out) == {0, 1, 2}
+    # detect -> remove symmetry: re-detection on the stripped corpus
+    # finds nothing
+    stripped = dedup_ops.strip_contaminated_spans(
+        corpus, evals, min_words=6
+    ).select(F.col("doc_id"), F.col("clean_text").alias("text"))
+    assert (
+        dedup_ops.substring_decontaminate(stripped, evals, min_words=6).count()
+        == 0
+    )
+
+
+def test_strip_contaminated_no_keeper_side(spark):
+    # Internal strip keeps the smallest id's copy; the cross-set strip
+    # must remove the span from EVERY corpus doc that carries it.
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
+
+    leak = "one two three four five six seven"
+    corpus = spark.createDataFrame(
+        [(0, leak + " tail a"), (1, leak + " tail b")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(9, leak)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup_ops.strip_contaminated_spans(
+            corpus, evals, min_words=6
+        ).collect()
+    }
+    assert out == {0: "tail a", 1: "tail b"}

@@ -1469,8 +1469,18 @@ def strip_duplicate_spans(
         )
         .distinct()
     )
-    # reassembly tokenizes ALL docs: documents shorter than k words
-    # hold no window, are never covered, and must pass through intact
+    return _reassemble_minus(df, covered, text_col, id_col)
+
+
+def _reassemble_minus(
+    df: DataFrame, covered: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """The shared removal back half: drop every (doc, word position)
+    in ``covered`` (columns __id, __pos; 1-based) and reassemble each
+    document from its surviving words in order.  Reassembly tokenizes
+    ALL docs: documents holding no window are never covered and pass
+    through intact; fully-covered docs come back with clean_text = ''
+    rather than disappearing."""
     words = F.split(_normalized(F.col(text_col)), " ")
     toks = (
         df.select(F.col(id_col).alias("__id"), words.alias("__w"))
@@ -1646,6 +1656,26 @@ def substring_decontaminate(
     k = int(min_words)
     if k < 2:
         raise ValueError("min_words must be >= 2")
+    verified = _cross_set_verified(corpus, eval_df, text_col, id_col, k)
+    pairs = _pair_scores(verified, k)
+    return pairs.groupBy(F.col("id_a").alias("id")).agg(
+        F.countDistinct("id_b").alias("n_eval_partners"),
+        F.max("max_run_words").alias("max_shared_run_words"),
+    )
+
+
+def _cross_set_verified(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Verified k-word window matches CORPUS (id_a/off_a) × EVAL
+    (id_b/off_b): anchors from ``window_anchors``, eval anchors ride
+    an explicit broadcast (the corpus-side anchor stream never
+    shuffles), slice verification via ``_verify_window_candidates``
+    so hash collisions can add nothing."""
     tok_c, wins_c = window_anchors(corpus, text_col, id_col, k)
     tok_e, wins_e = window_anchors(eval_df, text_col, id_col, k)
     cand = wins_c.select(
@@ -1660,9 +1690,50 @@ def substring_decontaminate(
     )
     ta = tok_c.select(F.col("__id").alias("id_a"), F.col("__w").alias("__wa"))
     tb = tok_e.select(F.col("__id").alias("id_b"), F.col("__w").alias("__wb"))
-    verified = _verify_window_candidates(cand, ta, tb, k)
-    pairs = _pair_scores(verified, k)
-    return pairs.groupBy(F.col("id_a").alias("id")).agg(
-        F.countDistinct("id_b").alias("n_eval_partners"),
-        F.max("max_run_words").alias("max_shared_run_words"),
+    return _verify_window_candidates(cand, ta, tb, k)
+
+
+def strip_contaminated_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 6,
+) -> DataFrame:
+    """The REMOVAL step of substring decontamination — the cross-set
+    twin of ``strip_duplicate_spans`` (Lee et al. 2022 §6.2 trim
+    rather than drop): every corpus word position inside a
+    >= ``min_words``-word span shared with ANY evaluation document is
+    removed, and the corpus document reassembles from its surviving
+    words in order.  Unlike the internal-dup strip there is no keeper
+    side: eval text must never survive in training data, so EVERY
+    contaminated span is stripped from the corpus copy (the eval set
+    itself is untouched — it is the held-out benchmark).
+
+    Shares ``_cross_set_verified`` with ``substring_decontaminate``
+    so detect ∘ remove cannot drift: exactly the positions the
+    detection query's runs cover are removed.  Returns
+    (id_col, clean_text, n_words, kept_words) — one row per CORPUS
+    document, normalized text like every dedup operator here.
+
+    Scale shape: the detection joins (corpus anchors never shuffle,
+    eval side broadcast) plus one bounded covered-range explode
+    (matches × k), an anti-join on (id, position), and the per-doc
+    reassembly aggregate.  The hot-window consideration of
+    ``strip_duplicate_spans`` does not arise: fan-out is corpus×eval
+    per window, never corpus².
+    """
+    k = int(min_words)
+    if k < 2:
+        raise ValueError("min_words must be >= 2")
+    verified = _cross_set_verified(corpus, eval_df, text_col, id_col, k)
+    covered = (
+        verified.select(
+            F.col("id_a").alias("__id"),
+            F.explode(
+                F.sequence(F.col("off_a"), F.col("off_a") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .distinct()
     )
+    return _reassemble_minus(corpus, covered, text_col, id_col)
