@@ -3687,6 +3687,25 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means fit diagnostics — exact integer inertia (sum of
+    squared micro-unit distances to the assigned centroid), per-
+    cluster sizes folded to one row: the objective an elbow sweep
+    compares across k.  All integers; one narrow pass + one 1-row
+    aggregate over the final assignment."""
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    centroids, q = _kmeans_final(spark, sf_dir)
+    assigned = clustering.assign_exact(q, centroids)
+    return assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.countDistinct("cluster").cast("long").alias("n_used_clusters"),
+        F.sum("dist").cast("long").alias("inertia"),
+        F.max("dist").cast("long").alias("max_dist"),
+        F.min("dist").cast("long").alias("min_dist"),
+    )
+
+
 def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced subset: the 8 smallest md5-bucket members of
     each k-means cluster — the topic-balancing pass that keeps a
@@ -4183,6 +4202,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "kmeans_assign": q_kmeans_assign,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "kmeans_inertia": q_kmeans_inertia,
         "logreg_weights": q_logreg_weights,
         "logreg_scores": q_logreg_scores,
         "logreg_eval": q_logreg_eval,
@@ -4572,6 +4592,16 @@ _KMEANS_CENTROIDS_ORACLE = f"""
 _KMEANS_ASSIGN_ORACLE = f"""
     WITH {_kmeans_ctes()}
     SELECT vec_id, cluster, dist FROM a{_KMEANS_ITERS + 1}
+"""
+
+_KMEANS_INERTIA_ORACLE = f"""
+    WITH {_kmeans_ctes()}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_used_clusters,
+           CAST(SUM(dist) AS BIGINT) AS inertia,
+           CAST(MAX(dist) AS BIGINT) AS max_dist,
+           CAST(MIN(dist) AS BIGINT) AS min_dist
+    FROM a{_KMEANS_ITERS + 1}
 """
 
 _CLUSTER_BALANCED_SAMPLE_ORACLE = f"""
@@ -6692,6 +6722,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,
         "kmeans_assign": _KMEANS_ASSIGN_ORACLE,
         "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_ORACLE,
+        "kmeans_inertia": _KMEANS_INERTIA_ORACLE,
         "logreg_weights": _LOGREG_WEIGHTS_ORACLE,
         "logreg_scores": _LOGREG_SCORES_ORACLE,
         "logreg_eval": _LOGREG_EVAL_ORACLE,

@@ -458,3 +458,63 @@ def test_strip_contaminated_no_keeper_side(spark):
         ).collect()
     }
     assert out == {0: "tail a", 1: "tail b"}
+
+
+def test_logreg_l2_decay_shrinks_weights(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import features as feat_ops
+
+    corpus = (
+        [("excellent prose flows here", 1)] * 6
+        + [("spam junk click buy", 0)] * 6
+    )
+    rows = [(i, t, "good" if y else "bad") for i, (t, y) in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plain_w, plain_b = feat_ops.logreg_train(
+        docs, label_col=(F.col("source") == "good"), dim=64, iters=6
+    )
+    reg_w, reg_b = feat_ops.logreg_train(
+        docs, label_col=(F.col("source") == "good"), dim=64, iters=6, reg_den=4
+    )
+    # decay shrinks the L1 mass of the weight vector
+    assert sum(abs(w) for w in reg_w.values()) < sum(
+        abs(w) for w in plain_w.values()
+    )
+    # the decay rule is the documented truncating division: replay it
+    # in the pure-Python reference
+    import hashlib
+    import math
+
+    def md5_48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def tdiv(a, d):
+        q = abs(a) // d
+        return -q if a < 0 else q
+
+    feats, labels = {}, {}
+    for i, (t, y) in enumerate(corpus):
+        labels[i] = y
+        fs = {}
+        for w in t.lower().split():
+            f = md5_48(w) % 64
+            fs[f] = fs.get(f, 0) + 1
+        feats[i] = fs
+    n = len(labels)
+    weights = {f: 0 for fs in feats.values() for f in fs}
+    bias = 0
+    for _ in range(6):
+        grad = {f: 0 for f in weights}
+        bgrad = 0
+        for i in sorted(labels):
+            m = bias + sum(weights[f] * tf for f, tf in feats[i].items())
+            p = 1.0 / (1.0 + math.exp(-(m / 1_000_000.0)))
+            r = p - labels[i]
+            for f, tf in feats[i].items():
+                grad[f] += math.floor(1_000_000.0 * r * tf)
+            bgrad += math.floor(1_000_000.0 * r)
+        weights = {
+            f: w - tdiv(grad[f], 2 * n) - tdiv(w, 4)
+            for f, w in weights.items()
+        }
+        bias -= tdiv(bgrad, 2 * n)
+    assert reg_w == weights and reg_b == bias

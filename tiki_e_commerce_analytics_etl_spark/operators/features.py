@@ -203,6 +203,7 @@ def logreg_train(
     dim: int = 512,
     iters: int = 5,
     lr_den: int = 2,
+    reg_den: int | None = None,
 ):
     """Full-batch gradient-descent logistic regression over hashed
     unigram counts — the trainable corpus-quality classifier of the
@@ -219,6 +220,13 @@ def logreg_train(
     oracle's unrolled CTEs (learning rate = 1/lr_den).
 
     ``label_col`` is a Column evaluating to 0/1 over ``docs``.
+    ``reg_den`` adds L2 weight decay in the same exact-integer
+    discipline: each step additionally shrinks every weight by
+    w div ``reg_den`` (decay rate lr·λ = 1/reg_den folded into one
+    truncating division; the bias is unregularized, as usual).  The
+    decay runs driver-side on the bounded weight dict, so it costs
+    nothing distributed and stays bit-reproducible.
+
     Returns (weights, bias): a {feature: micro_weight} dict over the
     features present in the corpus plus the bias, both bounded by
     ``dim`` — the ONLY driver traffic, collected once per iteration
@@ -267,7 +275,9 @@ def logreg_train(
             ).alias("g")
         ).collect()[0]["g"]
         weights = {
-            f: w - _trunc_div(grad.get(f, 0), lr_den * n_docs)
+            f: w
+            - _trunc_div(grad.get(f, 0), lr_den * n_docs)
+            - (_trunc_div(w, reg_den) if reg_den else 0)
             for f, w in weights.items()
         }
         bias = bias - _trunc_div(bias_grad, lr_den * n_docs)
