@@ -179,6 +179,8 @@ HEADLINE = [
     "leakage_safe_split",
     "kmeans_assign",
     "logreg_eval",
+    "quality_report",
+    "strip_contam_spans",
 ]
 
 
