@@ -4082,6 +4082,32 @@ def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kn_4gram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney 4-GRAM LM on the even-doc_id half —
+    the Chen & Goodman recursion one level past the trigram trainer
+    (raw → continuation → second-continuation → type level), eleven
+    exact integer statistics and one nested shared double formula
+    (text.kn_4gram_lm)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.kn_4gram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+
+
+def q_kn4_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out 4-gram KN scoring (train even / score odd): mean
+    4-gram log-prob in micro-nats with the full four-level backoff
+    CASE — train ∘ score symmetry now proven at orders 2, 3 AND 4
+    (text.kn4_doc_logprob)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.kn4_doc_logprob(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_strip_contam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL step of substring decontamination (Lee et al. 2022
     §6.2 trim): every corpus word position inside a >= 5-word span
@@ -4143,6 +4169,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_pairs_capped": q_exact_substring_pairs_capped,
         "substring_decontam": q_substring_decontam,
         "strip_contam_spans": q_strip_contam_spans,
+        "kn_4gram_lm": q_kn_4gram_lm,
+        "kn4_doc_logprob": q_kn4_doc_logprob,
         "kn_bigram_lm": q_kn_bigram_lm,
         "kn_trigram_lm": q_kn_trigram_lm,
         "kn_doc_logprob": q_kn_doc_logprob,
@@ -6253,6 +6281,117 @@ _SUBSTRING_DECONTAM_ORACLE = f"""
 """
 
 
+_KN4_CASCADE_CTES = f"""w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+               WHERE doc_id % 2 = 0 AND trim(text) <> ''),
+        qg AS (SELECT ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3,
+                      ws[i+3] AS w4
+               FROM w, unnest(range(1, len(ws) - 2)) AS t(i)
+               WHERE len(ws) >= 4),
+        c1234 AS (SELECT w1, w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS c1234
+                  FROM qg GROUP BY w1, w2, w3, w4),
+        pre123 AS (SELECT w1, w2, w3, CAST(SUM(c1234) AS BIGINT) AS c123,
+                          CAST(COUNT(*) AS BIGINT) AS n1p123
+                   FROM c1234 GROUP BY w1, w2, w3),
+        nc AS (SELECT w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS nc234
+               FROM c1234 GROUP BY w2, w3, w4),
+        pre23 AS (SELECT w2, w3, CAST(SUM(nc234) AS BIGINT) AS ncpre23,
+                         CAST(COUNT(*) AS BIGINT) AS n1p23
+                  FROM nc GROUP BY w2, w3),
+        nnc AS (SELECT w3, w4, CAST(COUNT(*) AS BIGINT) AS nnc34
+                FROM nc GROUP BY w3, w4),
+        mid3 AS (SELECT w3, CAST(SUM(nnc34) AS BIGINT) AS ncmid3,
+                        CAST(COUNT(*) AS BIGINT) AS n1p3
+                 FROM nnc GROUP BY w3),
+        cont4 AS (SELECT w4, CAST(COUNT(*) AS BIGINT) AS cont4
+                  FROM nnc GROUP BY w4),
+        scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS d3 FROM nnc)"""
+
+
+def _kn_4gram_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        _KN4_PROB_SQL,
+    )
+
+    # the joins are staged MATERIALIZED: DuckDB's join-order search on
+    # the flat 7-way word-key join picks a catastrophic order (>100 s
+    # on the sf0.001 cascade vs 2 s staged); every stage is
+    # key-functional so row count never exceeds |c1234|
+    return f"""
+        WITH {_KN4_CASCADE_CTES},
+        j1 AS MATERIALIZED (SELECT * FROM c1234 JOIN pre123 USING (w1, w2, w3)),
+        j2 AS MATERIALIZED (SELECT * FROM j1 JOIN nc USING (w2, w3, w4)),
+        j3 AS MATERIALIZED (SELECT * FROM j2 JOIN pre23 USING (w2, w3)),
+        j4 AS MATERIALIZED (SELECT * FROM j3 JOIN nnc USING (w3, w4)),
+        j5 AS MATERIALIZED (SELECT * FROM j4 JOIN mid3 USING (w3)),
+        j6 AS MATERIALIZED (SELECT * FROM j5 JOIN cont4 USING (w4))
+        SELECT w1, w2, w3, w4, c1234, c123, n1p123, nc234, ncpre23, n1p23,
+               nnc34, ncmid3, n1p3, cont4,
+               CAST(FLOOR(1.0E9 * ({_KN4_PROB_SQL})) AS BIGINT) AS prob_ppb
+        FROM j6 CROSS JOIN scal
+    """
+
+
+def _kn4_logprob_oracle() -> str:
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        _KN4_SCORE_PROB_SQL,
+    )
+
+    return f"""
+        WITH {_KN4_CASCADE_CTES},
+        voc AS (SELECT CAST(COUNT(DISTINCT t.w) AS BIGINT) AS v FROM
+                (SELECT unnest(ws) AS w FROM w) t WHERE t.w <> ''),
+        dvt AS (SELECT d3 + v + 1 AS dv3 FROM scal CROSS JOIN voc),
+        sw AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents
+               WHERE doc_id % 2 = 1 AND trim(text) <> ''),
+        stg AS (SELECT doc_id AS id, ws[i] AS w1, ws[i+1] AS w2,
+                       ws[i+2] AS w3, ws[i+3] AS w4
+                FROM sw, unnest(range(1, len(ws) - 2)) AS t(i)
+                WHERE len(ws) >= 4),
+        tf AS (SELECT id, w1, w2, w3, w4, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM stg GROUP BY id, w1, w2, w3, w4),
+        k1 AS MATERIALIZED (
+            SELECT tf.*, COALESCE(c1234.c1234, 0) AS c0
+            FROM tf LEFT JOIN c1234 ON tf.w1 = c1234.w1
+                 AND tf.w2 = c1234.w2 AND tf.w3 = c1234.w3
+                 AND tf.w4 = c1234.w4),
+        k2 AS MATERIALIZED (
+            SELECT k1.*, pre123.c123, pre123.n1p123
+            FROM k1 LEFT JOIN pre123 ON k1.w1 = pre123.w1
+                 AND k1.w2 = pre123.w2 AND k1.w3 = pre123.w3),
+        k3 AS MATERIALIZED (
+            SELECT k2.*, COALESCE(nc.nc234, 0) AS nc0
+            FROM k2 LEFT JOIN nc ON k2.w2 = nc.w2 AND k2.w3 = nc.w3
+                 AND k2.w4 = nc.w4),
+        k4 AS MATERIALIZED (
+            SELECT k3.*, pre23.ncpre23, pre23.n1p23
+            FROM k3 LEFT JOIN pre23 ON k3.w2 = pre23.w2
+                 AND k3.w3 = pre23.w3),
+        k5 AS MATERIALIZED (
+            SELECT k4.*, COALESCE(nnc.nnc34, 0) AS nnc0
+            FROM k4 LEFT JOIN nnc ON k4.w3 = nnc.w3 AND k4.w4 = nnc.w4),
+        k6 AS MATERIALIZED (
+            SELECT k5.*, mid3.ncmid3, mid3.n1p3
+            FROM k5 LEFT JOIN mid3 ON k5.w3 = mid3.w3),
+        k7 AS MATERIALIZED (
+            SELECT k6.*, COALESCE(cont4.cont4, 0) AS cont40
+            FROM k6 LEFT JOIN cont4 ON k6.w4 = cont4.w4),
+        terms AS (
+            SELECT id, w1, w2, w3, w4, tf,
+                   CAST(tf AS DOUBLE) * ln({_KN4_SCORE_PROB_SQL}) AS term
+            FROM k7 CROSS JOIN dvt
+        ),
+        g AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS n_4grams,
+                     list(term ORDER BY w1, w2, w3, w4) AS ts
+              FROM terms GROUP BY id)
+        SELECT id, n_4grams,
+               CAST(FLOOR((1.0E6 * list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), ts),
+                   (a, b) -> a + b)) / n_4grams) AS BIGINT)
+                   AS logprob_unats
+        FROM g
+    """
+
+
 _STRIP_CONTAM_SPANS_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, {_NORM_WORDS_SQL} AS ws,
@@ -6308,6 +6447,8 @@ def oracle_sql() -> dict[str, str]:
         **_kn_oracles(),
         "kn_trigram_lm": _kn_trigram_oracle(),
         "kn3_doc_logprob": _kn3_logprob_oracle(),
+        "kn_4gram_lm": _kn_4gram_oracle(),
+        "kn4_doc_logprob": _kn4_logprob_oracle(),
         "temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "gopher_repetition": _gopher_repetition_oracle(),
         "gopher_quality": _gopher_quality_oracle(),

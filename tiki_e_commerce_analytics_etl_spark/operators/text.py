@@ -2168,3 +2168,265 @@ def gopher_quality(
         & (F.col("alpha_word_ppm") >= t["min_alpha_word_ppm"])
         & (F.col("stop_hits") >= t["min_stop_hits"]),
     )
+
+
+# 4-gram interpolated KN: the Chen & Goodman recursion ONE level
+# deeper than _KN3_PROB_SQL — raw 4-gram discounting backs off into a
+# continuation-count trigram level, which backs off into the
+# continuation-of-continuation bigram level, which backs off into the
+# type-based unigram continuation (d = 3/4 at all three levels,
+# multiplied through).  Every level is written as its own explicit
+# nested fraction so the one shared text fixes the IEEE op order.
+# Columns: c1234/c123/n1p123 (raw level), nc234/ncpre23/n1p23
+# (continuation level), nnc34/ncmid3/n1p3 (second continuation),
+# cont4/d3 (type level).
+_KN4_PROB_SQL = (
+    "(GREATEST(CAST(4 * c1234 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " + 3.0E0 * CAST(n1p123 AS DOUBLE) * ("
+    "(GREATEST(CAST(4 * nc234 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " + 3.0E0 * CAST(n1p23 AS DOUBLE) * ("
+    "(GREATEST(CAST(4 * nnc34 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " * CAST(d3 AS DOUBLE)"
+    " + 3.0E0 * CAST(n1p3 AS DOUBLE) * CAST(cont4 AS DOUBLE))"
+    " / (4.0E0 * CAST(ncmid3 AS DOUBLE) * CAST(d3 AS DOUBLE))))"
+    " / (4.0E0 * CAST(ncpre23 AS DOUBLE))))"
+    " / (4.0E0 * CAST(c123 AS DOUBLE))"
+)
+
+
+def _quadgrams(df, text_col: str, id_col: str, with_id: bool = False):
+    """([…, w1, w2, w3, w4) rows — one 4-gram explode, the only
+    corpus-scale pass of the 4-gram family."""
+    toks = df.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
+    ).filter((F.size("__ws") >= 4) & (F.element_at("__ws", 1) != ""))
+    qg = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__ws) - 3),"
+                " i -> struct(__ws[i-1] AS w1, __ws[i] AS w2,"
+                " __ws[i+1] AS w3, __ws[i+2] AS w4))"
+            )
+        ).alias("qg"),
+    )
+    cols = (["id"] if with_id else []) + ["qg.w1", "qg.w2", "qg.w3", "qg.w4"]
+    return qg.select(*cols)
+
+
+def _kn4_stats(train, text_col: str, id_col: str):
+    """The aggregate cascade all 4-gram consumers share: each level
+    keyed one word shorter, each multi-consumer table checkpointed so
+    the corpus explode executes once (the kn_trigram_lm rationale)."""
+    quad = _quadgrams(train, text_col, id_col)
+    c1234 = (
+        quad.groupBy("w1", "w2", "w3", "w4")
+        .agg(F.count(F.lit(1)).alias("c1234"))
+        .localCheckpoint(eager=False)
+    )
+    pre123 = c1234.groupBy("w1", "w2", "w3").agg(
+        F.sum("c1234").alias("c123"), F.count(F.lit(1)).alias("n1p123")
+    )
+    nc = (
+        c1234.groupBy("w2", "w3", "w4")
+        .agg(F.count(F.lit(1)).alias("nc234"))
+        .localCheckpoint(eager=False)
+    )
+    pre23 = nc.groupBy("w2", "w3").agg(
+        F.sum("nc234").alias("ncpre23"), F.count(F.lit(1)).alias("n1p23")
+    )
+    nnc = (
+        nc.groupBy("w3", "w4")
+        .agg(F.count(F.lit(1)).alias("nnc34"))
+        .localCheckpoint(eager=False)
+    )
+    mid3 = nnc.groupBy("w3").agg(
+        F.sum("nnc34").alias("ncmid3"), F.count(F.lit(1)).alias("n1p3")
+    )
+    cont4 = nnc.groupBy("w4").agg(F.count(F.lit(1)).alias("cont4"))
+    scal = nnc.agg(F.count(F.lit(1)).alias("d3"))
+    return c1234, pre123, nc, pre23, nnc, mid3, cont4, scal
+
+
+def kn_4gram_lm(
+    train,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Interpolated Kneser-Ney 4-GRAM LM — ``kn_trigram_lm``'s
+    recursion applied once more, cashing the docstring claim that a
+    higher-order model is the same cascade one level deeper: the raw
+    4-gram level discounts counts and backs off into a trigram level
+    built from continuation counts N1+(·w2w3w4), which backs off into
+    the bigram level of second-order continuation counts N1+(··w3w4),
+    which backs off into the type-based unigram continuation.
+
+    Returns one row per SEEN 4-gram: (w1..w4, eleven exact integer
+    statistics, prob_ppb = floor(1e9 · p_KN(w4|w1w2w3))), d = 3/4 at
+    all three levels; the probability is ONE nested shared double
+    formula (`_KN4_PROB_SQL`) so the DuckDB oracle reproduces it
+    bit-for-bit.
+
+    Scale shape: one 4-gram explode, then the hash-aggregate cascade
+    each keyed one word shorter ((w1..w4) → (w1,w2,w3) / (w2,w3,w4) →
+    (w2,w3) → (w3,w4) → w3 / w4 → scalar); every aggregation map-side
+    combines; the model table is O(distinct 4-grams) and never
+    collects.
+    """
+    c1234, pre123, nc, pre23, nnc, mid3, cont4, scal = _kn4_stats(
+        train, text_col, id_col
+    )
+    return (
+        c1234.join(pre123, ["w1", "w2", "w3"])
+        .join(nc, ["w2", "w3", "w4"])
+        .join(pre23, ["w2", "w3"])
+        .join(nnc, ["w3", "w4"])
+        .join(mid3, "w3")
+        .join(cont4, "w4")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            "w4",
+            "c1234",
+            "c123",
+            "n1p123",
+            "nc234",
+            "ncpre23",
+            "n1p23",
+            "nnc34",
+            "ncmid3",
+            "n1p3",
+            "cont4",
+            F.expr(
+                f"CAST(FLOOR(1.0E9 * ({_KN4_PROB_SQL})) AS BIGINT)"
+            ).alias("prob_ppb"),
+        )
+    )
+
+
+# Held-out 4-gram scoring: the trigram scoring CASE one level deeper.
+# The bottom two levels take add-one smoothing over dv3 = D3 + V + 1
+# outcomes; each unseen-context step falls through to the next
+# smoothed level.  Columns: c0/c123/n1p123 (raw, context NULL if
+# unseen), nc0/ncpre23/n1p23 (continuation), nnc0/ncmid3/n1p3 (second
+# continuation), cont40, dv3.
+_KN4_SCORE_LOW_SQL = (
+    "(GREATEST(CAST(4 * nnc0 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    " * CAST(dv3 AS DOUBLE)"
+    " + 3.0E0 * CAST(n1p3 AS DOUBLE) * CAST(cont40 + 1 AS DOUBLE))"
+    " / (4.0E0 * CAST(ncmid3 AS DOUBLE) * CAST(dv3 AS DOUBLE))"
+)
+_KN4_SCORE_MID_SQL = (
+    "(GREATEST(CAST(4 * nc0 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    f" + 3.0E0 * CAST(n1p23 AS DOUBLE) * ({_KN4_SCORE_LOW_SQL}))"
+    " / (4.0E0 * CAST(ncpre23 AS DOUBLE))"
+)
+_KN4_SCORE_PROB_SQL = (
+    "CASE WHEN c123 IS NOT NULL THEN"
+    " (GREATEST(CAST(4 * c0 - 3 AS DOUBLE), CAST(0 AS DOUBLE))"
+    f" + 3.0E0 * CAST(n1p123 AS DOUBLE) * ({_KN4_SCORE_MID_SQL}))"
+    " / (4.0E0 * CAST(c123 AS DOUBLE))"
+    f" WHEN ncpre23 IS NOT NULL THEN ({_KN4_SCORE_MID_SQL})"
+    f" WHEN ncmid3 IS NOT NULL THEN ({_KN4_SCORE_LOW_SQL})"
+    " ELSE CAST(cont40 + 1 AS DOUBLE) / CAST(dv3 AS DOUBLE) END"
+)
+
+
+def kn4_doc_logprob(
+    train,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Held-out document scoring under the 4-GRAM Kneser-Ney LM of
+    ``train`` — train ∘ score symmetry at the third order: mean
+    4-gram log-probability in integer micro-nats with the full
+    four-level backoff CASE (seen (w1,w2,w3) context → interpolated
+    discounted estimate; unseen context, seen (w2,w3) → smoothed
+    continuation level; unseen (w2,w3), seen w3 → smoothed second
+    continuation; unseen w3 → add-one floor (cont4+1)/(D3+V+1)).
+    Every branch strictly positive and finite; one shared double
+    formula per term, pinned (w1..w4)-order fold per document.
+
+    Scale shape: scored docs aggregate to distinct (id, 4-gram) rows;
+    six left hash joins against the trainer's cascade; scalars
+    broadcast; the fold is bounded by the document's distinct-4-gram
+    count.
+    """
+    c1234, pre123, nc, pre23, nnc, mid3, cont4, scal = _kn4_stats(
+        train, text_col, id_col
+    )
+    vocab = (
+        train.select(F.explode(words(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    dv3 = (
+        scal.crossJoin(F.broadcast(vocab))
+        .select((F.col("d3") + F.col("v") + F.lit(1)).alias("dv3"))
+    )
+    tf = (
+        _quadgrams(score, text_col, id_col, with_id=True)
+        .groupBy("id", "w1", "w2", "w3", "w4")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = (
+        tf.join(c1234, ["w1", "w2", "w3", "w4"], "left")
+        .join(pre123, ["w1", "w2", "w3"], "left")
+        .join(nc, ["w2", "w3", "w4"], "left")
+        .join(pre23, ["w2", "w3"], "left")
+        .join(nnc, ["w3", "w4"], "left")
+        .join(mid3, "w3", "left")
+        .join(cont4, "w4", "left")
+        .crossJoin(F.broadcast(dv3))
+        .select(
+            "id",
+            "w1",
+            "w2",
+            "w3",
+            "w4",
+            "tf",
+            F.coalesce(F.col("c1234"), F.lit(0)).alias("c0"),
+            "c123",
+            "n1p123",
+            F.coalesce(F.col("nc234"), F.lit(0)).alias("nc0"),
+            "ncpre23",
+            "n1p23",
+            F.coalesce(F.col("nnc34"), F.lit(0)).alias("nnc0"),
+            "ncmid3",
+            "n1p3",
+            F.coalesce(F.col("cont4"), F.lit(0)).alias("cont40"),
+            "dv3",
+        )
+        .select(
+            "id",
+            "w1",
+            "w2",
+            "w3",
+            "w4",
+            "tf",
+            F.expr(
+                f"CAST(tf AS DOUBLE) * ln({_KN4_SCORE_PROB_SQL})"
+            ).alias("term"),
+        )
+    )
+    g = terms.groupBy("id").agg(
+        F.sum("tf").alias("n_4grams"),
+        F.array_sort(
+            F.collect_list(F.struct("w1", "w2", "w3", "w4", "term"))
+        ).alias("__ts"),
+    )
+    total = F.aggregate(
+        F.transform(F.col("__ts"), lambda t: t["term"]),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return g.select(
+        "id",
+        "n_4grams",
+        F.floor((F.lit(1.0e6) * total) / F.col("n_4grams"))
+        .cast("long")
+        .alias("logprob_unats"),
+    )
