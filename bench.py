@@ -181,6 +181,8 @@ HEADLINE = [
     "logreg_eval",
     "quality_report",
     "strip_contam_spans",
+    "kn_4gram_lm",
+    "kn4_doc_logprob",
 ]
 
 

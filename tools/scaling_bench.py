@@ -143,6 +143,12 @@ QUERIES = [
     "kmeans_assign",
     "cluster_balanced_sample",
     "logreg_weights",
+    # round-10 third wave (cont.): the 4-gram cascade is the deepest
+    # aggregate chain in the LM family — its decade should sit between
+    # kn_trigram_lm (3.3x) and linear
+    "kn_4gram_lm",
+    "strip_contam_spans",
+    "quality_report",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
