@@ -3773,6 +3773,30 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster representative selection — the decision step after
+    transitive closure: near-dup pairs (word-5-gram Jaccard >= 0.5) →
+    connected components → keep the highest-quality member per cluster
+    (tie toward the smaller doc_id), flag the rest droppable
+    (graph.cluster_best_members).  keep_canonical picks min-id blindly;
+    production curation keeps the BEST copy.  Oracle: the pair SQL +
+    WITH RECURSIVE closure + a per-component quality argmax window."""
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    scores = docs.select(
+        "doc_id", "text", text_ops.words(F.col("text")).alias("__w")
+    ).select(
+        "doc_id",
+        text_ops.quality_score_from_words(F.col("text"), F.col("__w")).alias(
+            "quality"
+        ),
+    )
+    return graph.cluster_best_members(scores, pairs, "doc_id", "quality")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (training-data pipeline op).
     Threshold 0.4 because the synthetic corpus is random (max pairwise
@@ -4226,6 +4250,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": q_orc_roundtrip,
         "catalog_stats": q_catalog_stats,
         "neardup_clusters": q_neardup_clusters,
+        "cluster_keep_best": q_cluster_keep_best,
         "leakage_safe_split": q_leakage_safe_split,
         "kmeans_centroids": q_kmeans_centroids,
         "kmeans_assign": q_kmeans_assign,
@@ -4670,6 +4695,46 @@ _LEAKAGE_SAFE_SPLIT_ORACLE = f"""
                     AS INTEGER) AS b
         FROM labeled
     )
+"""
+
+_QUALITY_EXPR_SQL = (
+    "FLOOR(LEAST(LENGTH(text) / 500.0, 1.0)"
+    " * (1.0 - LEAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))"
+    " / GREATEST(LENGTH(text), 1) * 5.0, 1.0))"
+    " * (1.0 - LEAST(len(list_filter(ws, x -> len(x) <= 1))"
+    " / GREATEST(len(ws), 1) * 2.0, 1.0))"
+    " * 10000 + 0.5) / 10000"
+)
+
+_CLUSTER_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    pairs AS (SELECT id_a, id_b FROM p WHERE shared / (na + nb - shared) >= 0.5),
+    bidir AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+        SELECT a AS node, b AS peer FROM bidir
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN bidir e ON r.peer = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(peer)) AS component
+             FROM reach GROUP BY node),
+    qual AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality
+             FROM (SELECT doc_id, text, {_NORM_WORDS_SQL} AS ws FROM documents)),
+    members AS (
+        SELECT c.node AS doc_id, c.component, q.quality
+        FROM comp c JOIN qual q ON q.doc_id = c.node
+    ),
+    keep AS (
+        SELECT component, doc_id AS keep_id FROM (
+            SELECT component, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM members
+        ) WHERE rn = 1
+    )
+    SELECT m.doc_id, m.component, m.quality,
+           (m.doc_id = k.keep_id) AS is_keeper
+    FROM members m JOIN keep k USING (component)
 """
 
 _VOCAB_TOP_NGRAMS_ORACLE = f"""
@@ -5752,15 +5817,6 @@ def _quality_checks_oracle() -> str:
         + " UNION ALL ".join(selects)
     )
 
-
-_QUALITY_EXPR_SQL = (
-    "FLOOR(LEAST(LENGTH(text) / 500.0, 1.0)"
-    " * (1.0 - LEAST(LENGTH(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))"
-    " / GREATEST(LENGTH(text), 1) * 5.0, 1.0))"
-    " * (1.0 - LEAST(len(list_filter(ws, x -> len(x) <= 1))"
-    " / GREATEST(len(ws), 1) * 2.0, 1.0))"
-    " * 10000 + 0.5) / 10000"
-)
 
 _TOKEN_EXPR_SQL = (
     # Outer CAST: DuckDB list_aggregate('sum') over BIGINT yields
@@ -6860,6 +6916,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
         "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_ORACLE,
+        "cluster_keep_best": _CLUSTER_KEEP_BEST_ORACLE,
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,
         "kmeans_assign": _KMEANS_ASSIGN_ORACLE,
         "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_ORACLE,

@@ -1,0 +1,68 @@
+"""Round-10 fourth-wave operators: cluster representative selection,
+hard-negative mining, and int8 scalar-quantized embedding search.
+
+Each test plants a hand-computable input and checks EXACT values; the
+oracle gate (tools/check.py) separately proves bit-exactness against
+DuckDB at three SFs for the query-level compositions.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+
+# ---------------------------------------------------------------------------
+# cluster_best_members — keep the best copy, not the min id
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_best_members_picks_max_quality(spark):
+    # Component {1,2,3} via edges 1-2, 2-3; component {7,8}.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    # Doc 3 has the best quality in its cluster — min-id (1) must NOT win.
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (7, 0.4), (8, 0.1), (99, 1.0)],
+        "doc_id long, quality double",
+    )
+    out = graph.cluster_best_members(scores, pairs, "doc_id", "quality")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # Singleton 99 has no edges: not emitted (connected_components contract).
+    assert set(rows) == {1, 2, 3, 7, 8}
+    assert rows[3]["is_keeper"] and not rows[1]["is_keeper"] and not rows[2]["is_keeper"]
+    assert rows[7]["is_keeper"] and not rows[8]["is_keeper"]
+    assert all(rows[i]["component"] == 1 for i in (1, 2, 3))
+    assert all(rows[i]["component"] == 7 for i in (7, 8))
+    # Quality rides through unchanged.
+    assert rows[3]["quality"] == 0.9
+
+
+def test_cluster_best_members_tie_breaks_to_min_id(spark):
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], "id_a long, id_b long")
+    scores = spark.createDataFrame(
+        [(10, 0.7), (11, 0.7), (12, 0.3)], "doc_id long, quality double"
+    )
+    out = graph.cluster_best_members(scores, pairs, "doc_id", "quality")
+    keepers = [r["doc_id"] for r in out.collect() if r["is_keeper"]]
+    assert keepers == [10]
+
+
+def test_cluster_best_members_exactly_one_keeper_per_component(spark):
+    # A denser random-ish graph: chain 0..19 plus a few chords.
+    edges = [(i, i + 1) for i in range(19)] + [(0, 5), (7, 15)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    scores = spark.createDataFrame(
+        [(i, float((i * 37) % 11)) for i in range(20)],
+        "doc_id long, quality double",
+    )
+    out = graph.cluster_best_members(scores, pairs, "doc_id", "quality").collect()
+    comps = {}
+    for r in out:
+        comps.setdefault(r["component"], []).append(r)
+    for comp, members in comps.items():
+        ks = [m for m in members if m["is_keeper"]]
+        assert len(ks) == 1
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert ks[0]["doc_id"] == best["doc_id"]
