@@ -925,6 +925,57 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-5 most
+    cosine-similar DIFFERENT-label neighbors per query (vec_id < 8) —
+    the mined near-misses a dual encoder trains against
+    (similarity.hard_negatives)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized top-10 (FAISS SQ8-style): per-dim max-abs
+    scales, FLOOR quantization, exact integer-dot ranking — the
+    4×-smaller memory-bound brute-force path; bit-exact by
+    construction (similarity.sq_topk)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.sq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quality gate: per-query overlap between the int8-quantized
+    top-10 and the exact float top-10 (n_overlap, recall_ppm) — the
+    measured price of 4× compression, deterministic on both sides so
+    the oracle is bit-exact rather than a rows-only check."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, qs, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    sq = similarity.sq_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    ov = exact.join(sq, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) * F.lit(100000))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH candidate generation + exact rerank — the
     100 TB-scale ANN path (rows-only check: approximate by design)."""
@@ -4226,6 +4277,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "price_discount_corr": q_price_discount_corr,
         "similarity_topk": q_similarity_topk,
+        "hard_negatives": q_hard_negatives,
+        "sq_topk": q_sq_topk,
+        "sq_recall": q_sq_recall,
         "similarity_lsh_recall": q_similarity_lsh_recall,
         "similarity_ivf_recall": q_similarity_ivf_recall,
         "similarity_pq_recall": q_similarity_pq_recall,
@@ -4441,6 +4495,99 @@ _SIMILARITY_ORACLE = """
             PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
         FROM scored
     ) WHERE rank <= 10
+"""
+
+_HARD_NEGATIVES_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label,
+               embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id AND neighbor_label <> query_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, score, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+# Shared int8 scalar-quantization CTEs: per-dim max-abs scales over the
+# corpus, FLOOR(v*127/s) codes (floor of IEEE double ops is
+# bit-deterministic across engines; round ties are not).
+_SQ_CTES = """c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS s
+           FROM c0),
+    mx AS (SELECT list(m ORDER BY pos) AS scales
+           FROM (SELECT s.pos AS pos, MAX(ABS(s.x)) AS m FROM ex GROUP BY 1)),
+    enc AS (SELECT vec_id,
+                   list_transform(v, (x, i) ->
+                       CASE WHEN scales[i] = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(FLOOR(x * 127.0 / scales[i]) AS BIGINT) END) AS q
+            FROM c0 CROSS JOIN mx)"""
+
+_SQ_TOPK_ORACLE = f"""
+    WITH {_SQ_CTES},
+    qq AS (SELECT vec_id AS query_id, q AS qvec FROM enc WHERE vec_id < 5),
+    scored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               CAST(list_dot_product(qvec::DOUBLE[], e.q::DOUBLE[]) AS BIGINT) AS qdot
+        FROM enc e CROSS JOIN qq WHERE e.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, qdot, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+"""
+
+_SQ_RECALL_ORACLE = f"""
+    WITH {_SQ_CTES},
+    fq AS (SELECT vec_id AS query_id, v AS qv FROM c0 WHERE vec_id < 5),
+    fscored AS (
+        SELECT query_id, c0.vec_id AS neighbor_id,
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS score
+        FROM c0 CROSS JOIN fq WHERE c0.vec_id <> query_id
+    ),
+    frank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM fscored
+        ) WHERE rank <= 10
+    ),
+    qq AS (SELECT vec_id AS query_id, q AS qvec FROM enc WHERE vec_id < 5),
+    sscored AS (
+        SELECT query_id, e.vec_id AS neighbor_id,
+               CAST(list_dot_product(qvec::DOUBLE[], e.q::DOUBLE[]) AS BIGINT) AS qdot
+        FROM enc e CROSS JOIN qq WHERE e.vec_id <> query_id
+    ),
+    srank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC) AS rank
+            FROM sscored
+        ) WHERE rank <= 10
+    ),
+    ov AS (
+        SELECT f.query_id, COUNT(*) AS n_overlap
+        FROM frank f JOIN srank s
+          ON f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
+        GROUP BY 1
+    )
+    SELECT query_id,
+           CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(n_overlap, 0) * 100000 AS BIGINT) AS recall_ppm
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 5)
+    LEFT JOIN ov USING (query_id)
 """
 
 _TEXT_QUALITY_ORACLE = f"""
@@ -6512,6 +6659,9 @@ def oracle_sql() -> dict[str, str]:
         "substring_decontam": _SUBSTRING_DECONTAM_ORACLE,
         "strip_contam_spans": _STRIP_CONTAM_SPANS_ORACLE,
         "similarity_topk": _SIMILARITY_ORACLE,
+        "hard_negatives": _HARD_NEGATIVES_ORACLE,
+        "sq_topk": _SQ_TOPK_ORACLE,
+        "sq_recall": _SQ_RECALL_ORACLE,
         "snapshot_fact": """
             SELECT * FROM (VALUES
                 (DATE '2024-03-01', 101, 24500000, 27000000, 9, 5500, 1250, 4.8,
