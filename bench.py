@@ -183,6 +183,10 @@ HEADLINE = [
     "strip_contam_spans",
     "kn_4gram_lm",
     "kn4_doc_logprob",
+    "cluster_keep_best",
+    "hard_negatives",
+    "sq_topk",
+    "sq_recall",
 ]
 
 

@@ -1519,3 +1519,156 @@ def test_variant_mixing_substring_ingest_maintains_lm_index(spark, tmp_path):
     )
     want = sorted(tuple(row) for row in text_ops.kn_bigram_lm(corpus).collect())
     assert got == want
+
+
+def _mk_vdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<float>"
+    )
+
+
+def test_vector_ingest_rejects_semantic_dups_and_serves_ann(spark, tmp_path):
+    """Round 10: the incremental SemDeDup face — a persistent IVF
+    vector table rejects embedding near-dups (cosine >= threshold)
+    in-batch and against all admitted history, and doubles as an ANN
+    index (vector_index_topk == brute-force cosine over the admitted
+    corpus when probing every cell)."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2, sem_threshold=0.95
+    )
+    b0 = _mk_vdocs(
+        spark,
+        [
+            (1, "alpha doc", [1.0, 0.0]),
+            (2, "beta doc", [0.8, 0.6]),      # cos vs doc1 = 0.8 < 0.95: admitted
+            (3, "gamma doc", [0.0, 1.0]),
+            (4, "delta doc", [0.05, 1.0]),    # cos vs doc3 ~ 0.9988: in-batch reject
+        ],
+    )
+    r0 = ingest_mod.ingest_batch_vectors(spark, store, b0, 0)
+    assert r0["sem_rejected_in_batch"] == 1 and r0["admitted"] == 3
+
+    b1 = _mk_vdocs(
+        spark,
+        [
+            (5, "epsilon doc", [0.99, 0.14]),  # cos vs doc1 ~ 0.990: history reject
+            (6, "zeta doc", [-1.0, 0.5]),      # far from everything: admitted
+        ],
+    )
+    r1 = ingest_mod.ingest_batch_vectors(spark, store, b1, 1)
+    assert r1["sem_rejected_history"] == 1 and r1["admitted"] == 1
+
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 3, 6]
+
+    # ANN from the incremental index == brute force when probing all cells
+    queries = _mk_vdocs(spark, [(100, "q", [0.9, 0.1])]).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in ingest_mod.vector_index_topk(
+            spark, store, queries, k=3, nprobe=2
+        ).orderBy("rank").collect()
+    ]
+    want_df = similarity.brute_force_topk(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"), queries, k=3
+    )
+    want = [(r["neighbor_id"], r["rank"]) for r in want_df.orderBy("rank").collect()]
+    assert got == want and len(got) == 3
+
+    # replay: whole-batch no-op, no duplicate index rows
+    assert ingest_mod.ingest_batch_vectors(spark, store, b0, 0) == {
+        "replay_skipped": True
+    }
+    vrows = acid_mod.read_atomic(spark, store.vectors)
+    assert vrows.count() == 4
+    assert sorted(r["__id"] for r in vrows.collect()) == [1, 2, 3, 6]
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_vector_ingest_crash_matrix_invariants(spark, tmp_path, monkeypatch, crash_at):
+    """Exhaustive crash positions across the vector commit chain
+    (corpus=1, hashes=2, bloom=3, vectors=4): after the NEXT batch
+    heals, vector rows cover exactly the corpus docs (reconstructed
+    from the change feed against the persisted centroid basis) and the
+    healed index still rejects a semantic dup of the crashed batch's
+    doc."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2, sem_threshold=0.95
+    )
+    b0 = _mk_vdocs(
+        spark, [(1, "first doc", [1.0, 0.0]), (2, "second doc", [0.0, 1.0])]
+    )
+    ingest_mod.ingest_batch_vectors(spark, store, b0, 0)
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == crash_at:
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    b1 = _mk_vdocs(spark, [(3, "third doc", [0.7, 0.7])])
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        ingest_mod.ingest_batch_vectors(spark, store, b1, 1)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    # next batch arrives out-of-order: a near-dup of doc 3 (cos ~ 0.9999)
+    # plus a genuinely new doc; the probe must see the HEALED index
+    b2 = _mk_vdocs(
+        spark,
+        [(4, "fourth doc", [0.71, 0.69]), (5, "fifth doc", [-1.0, 0.0])],
+    )
+    r2 = ingest_mod.ingest_batch_vectors(spark, store, b2, 2)
+
+    corpus = acid_mod.read_atomic(spark, store.corpus)
+    ids = sorted(r.doc_id for r in corpus.collect())
+    if crash_at == 1:
+        # batch 1 never committed: doc 4 has no history partner
+        assert ids == [1, 2, 4, 5]
+        assert r2["sem_rejected_history"] == 0
+    else:
+        assert ids == [1, 2, 3, 5]
+        assert r2["sem_rejected_history"] == 1
+    vrow_ids = sorted(
+        r["__id"] for r in acid_mod.read_atomic(spark, store.vectors).collect()
+    )
+    assert vrow_ids == ids
+
+
+def test_forget_scrubs_vector_index(spark, tmp_path):
+    """Forget over a store with a vector index: the forgotten doc's
+    vector rows leave with it, the centroid basis survives (it is a
+    coordinate system, not content), and the content becomes both
+    exactly and semantically admissible again."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2, sem_threshold=0.95
+    )
+    b0 = _mk_vdocs(
+        spark, [(1, "one doc", [1.0, 0.0]), (2, "two doc", [0.0, 1.0])]
+    )
+    ingest_mod.ingest_batch_vectors(spark, store, b0, 0)
+
+    ingest_mod.forget(spark, store, spark.createDataFrame([(2,)], "doc_id long"), 10)
+    vrows = acid_mod.read_atomic(spark, store.vectors)
+    assert sorted(r["__id"] for r in vrows.collect()) == [1]
+    assert acid_mod.read_atomic(spark, store.centroids).count() > 0
+
+    # semantically identical content under a new id is admissible again
+    b1 = _mk_vdocs(spark, [(9, "two doc again", [0.0, 1.0])])
+    r1 = ingest_mod.ingest_batch_vectors(spark, store, b1, 1)
+    assert r1["admitted"] == 1 and r1["sem_rejected_history"] == 0

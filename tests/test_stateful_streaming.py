@@ -652,3 +652,63 @@ def test_streaming_ingest_sink_lm_exactly_once(spark, tmp_path):
 
     with _p.raises(ValueError, match="one screening mode"):
         foreach_batch_ingest(store, substring=True, lm=True)
+
+
+def test_streaming_ingest_sink_vectors_exactly_once(spark, tmp_path):
+    """foreachBatch face of the round-10 vector chain: micro-batches
+    maintain the IVF vector index with the batch id as txn version;
+    semantic dups of admitted history are rejected across deliveries,
+    the index serves ANN queries between runs, and availableNow
+    replays are no-ops."""
+    from tiki_e_commerce_analytics_etl_spark import acid
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import IngestStore
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2, sem_threshold=0.95
+    )
+    schema = "doc_id long, text string, embedding array<float>"
+    spark.createDataFrame(
+        [(1, "first doc", [1.0, 0.0]), (2, "second doc", [0.0, 1.0])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_ingest(store, vectors=True))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second delivery: one semantic dup of history, one genuinely new
+    spark.createDataFrame(
+        [(3, "third doc", [0.99, 0.14]), (4, "fourth doc", [-1.0, 0.0])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # idempotent restart: nothing new, replays are no-ops
+
+    corpus = acid.read_atomic(spark, store.corpus)
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2, 4]
+    vrow_ids = sorted(
+        r["__id"] for r in acid.read_atomic(spark, store.vectors).collect()
+    )
+    assert vrow_ids == [1, 2, 4]
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1])], "vec_id long, embedding array<float>"
+    )
+    top = ingest_mod.vector_index_topk(spark, store, queries, k=1, nprobe=2).collect()
+    assert [r["neighbor_id"] for r in top] == [1]
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="one screening mode"):
+        foreach_batch_ingest(store, lm=True, vectors=True)

@@ -54,6 +54,9 @@ class IngestStore:
         lsh_shingle_k: int = 5,
         lsh_jaccard: float = 0.5,
         substring_k: int = 6,
+        ivf_clusters: int = 8,
+        ivf_iters: int = 3,
+        sem_threshold: float = 0.95,
     ) -> None:
         self.corpus = f"{root}/corpus"
         self.hashes = f"{root}/hashes"
@@ -61,6 +64,8 @@ class IngestStore:
         self.bands = f"{root}/bands"
         self.anchors = f"{root}/anchors"
         self.ngrams = f"{root}/ngrams"
+        self.vectors = f"{root}/vectors"
+        self.centroids = f"{root}/centroids"
         self.m_bits = m_bits
         self.k = k
         self.lsh_num_hashes = lsh_num_hashes
@@ -68,6 +73,9 @@ class IngestStore:
         self.lsh_shingle_k = lsh_shingle_k
         self.lsh_jaccard = lsh_jaccard
         self.substring_k = substring_k
+        self.ivf_clusters = ivf_clusters
+        self.ivf_iters = ivf_iters
+        self.sem_threshold = sem_threshold
 
 
 def _has_table(path: str) -> bool:
@@ -140,10 +148,14 @@ def _chain_tail(
     with_bands: bool,
     with_anchors: bool,
     with_ngrams: bool = False,
+    with_vectors: bool = False,
 ) -> str:
     """The LAST table of the commit chain — the replay cursor / heal
     tail.  Commit order is corpus → hashes → bloom → bands → anchors
-    → ngrams, so the tail is the furthest-downstream table in play."""
+    → ngrams → vectors, so the tail is the furthest-downstream table
+    in play."""
+    if with_vectors:
+        return store.vectors
     if with_ngrams:
         return store.ngrams
     if with_anchors:
@@ -153,6 +165,46 @@ def _chain_tail(
     return store.bloom
 
 
+def _stored_centroids(spark: SparkSession, store: IngestStore) -> list[list[int]]:
+    """Reconstruct the k × dim integer centroid list from the
+    persisted long-format rows — the only driver traffic the vector
+    index ever needs (bounded by k × dim, never by corpus size)."""
+    rows = acid.read_atomic(spark, store.centroids).collect()
+    by_c: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_c.setdefault(r["cluster"], {})[r["pos"]] = r["val"]
+    dim = max(by_c[min(by_c)]) + 1
+    return [[by_c[c][p] for p in range(dim)] for c in sorted(by_c)]
+
+
+def _vector_rows(
+    spark: SparkSession,
+    store: IngestStore,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The vector-index rows for one batch's admitted docs:
+    (__id, cluster, __vec) with cluster the exact integer-L2
+    assignment against the PERSISTED centroid basis — a pure function
+    of the admitted rows plus the centroids table (which commits
+    before any corpus commit that needs it), so chain healing can
+    reconstruct them from the corpus change feed."""
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    cents = _stored_centroids(spark, store)
+    assigned = clustering.assign_exact(
+        clustering.quantize_vectors(df, id_col, vec_col), cents
+    ).select("id", "cluster")
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    return assigned.join(vecs, "id").select(
+        F.col("id").alias("__id"), "cluster", "__vec"
+    )
+
+
 def _heal_chain(
     spark: SparkSession,
     store: IngestStore,
@@ -160,6 +212,7 @@ def _heal_chain(
     band_params: tuple | None = None,  # (text_col, id_col) when the band index is in play
     anchor_params: tuple | None = None,  # (text_col, id_col) when the anchor index is in play
     ngram_params: tuple | None = None,  # (text_col, id_col) when the LM-count index is in play
+    vector_params: tuple | None = None,  # (vec_col, id_col) when the vector index is in play
 ) -> int:
     """Bring the downstream tables level with the corpus cursor: for
     every corpus commit whose (app) txn version exceeds the LAST table
@@ -186,6 +239,7 @@ def _heal_chain(
         band_params is not None,
         anchor_params is not None,
         ngram_params is not None,
+        vector_params is not None,
     )
     tail_v = acid.last_txn_version(tail, app_id)
     corpus_v = acid.last_txn_version(store.corpus, app_id)
@@ -232,6 +286,15 @@ def _heal_chain(
                 acid.atomic_overwrite_partitions(
                     _ngram_rows(admitted, text_col, id_col),
                     store.ngrams,
+                    mode="append",
+                    txn_app=app_id,
+                    txn_version=cur,
+                )
+            if vector_params is not None:
+                vec_col, id_col = vector_params
+                acid.atomic_overwrite_partitions(
+                    _vector_rows(spark, store, admitted, vec_col, id_col),
+                    store.vectors,
                     mode="append",
                     txn_app=app_id,
                     txn_version=cur,
@@ -434,6 +497,7 @@ def forget(
     app_id: str = "forget",
     text_col: str = "text",
     ingest_app_id: str = "ingest",
+    vec_col: str = "embedding",
 ) -> dict:
     """Right-to-be-forgotten over the ingest store: remove the given
     documents from ``corpus``, ``hashes``, and (when the near-dup
@@ -469,10 +533,12 @@ def forget(
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
     with_ngrams = _has_table(store.ngrams)
+    with_vectors = _has_table(store.vectors)
     band_params = (text_col, id_col) if with_bands else None
     anchor_params = (text_col, id_col) if with_anchors else None
     ngram_params = (text_col, id_col) if with_ngrams else None
-    tail = _chain_tail(store, with_bands, with_anchors, with_ngrams)
+    vector_params = (vec_col, id_col) if with_vectors else None
+    tail = _chain_tail(store, with_bands, with_anchors, with_ngrams, with_vectors)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
     _heal_chain(
@@ -482,6 +548,7 @@ def forget(
         band_params=band_params,
         anchor_params=anchor_params,
         ngram_params=ngram_params,
+        vector_params=vector_params,
     )
     keys = F.broadcast(doc_ids.select(id_col).distinct())
     corpus = acid.read_atomic(spark, store.corpus)
@@ -522,6 +589,16 @@ def forget(
         acid.atomic_overwrite_partitions(
             kept_ngrams, store.ngrams, txn_app=app_id, txn_version=batch_id
         )
+    if with_vectors:
+        # Vector rows are content-derived and leave with their docs;
+        # the centroid BASIS stays — it is a coordinate system, not
+        # document content, and the index stays probe-able under it.
+        kept_vectors = acid.read_atomic(spark, store.vectors).join(
+            keys.withColumnRenamed(id_col, "__id"), "__id", "left_anti"
+        )
+        acid.atomic_overwrite_partitions(
+            kept_vectors, store.vectors, txn_app=app_id, txn_version=batch_id
+        )
     return {"removed": n_removed}
 
 
@@ -548,6 +625,7 @@ def unhealed_floor(
         _has_table(store.bands),
         _has_table(store.anchors),
         _has_table(store.ngrams),
+        _has_table(store.vectors),
     )
     hist = sorted(acid.table_history(store.corpus), key=lambda h: h["version"])
     floor: int | None = None
@@ -574,6 +652,7 @@ def vacuum_store(
     grace_seconds: float = 86400.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vec_col: str = "embedding",
 ) -> list[str]:
     """Maintenance vacuum over ALL of a store's tables that enforces
     the heal-before-vacuum ordering: chain healing recovers crashed
@@ -588,9 +667,11 @@ def vacuum_store(
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
     with_ngrams = _has_table(store.ngrams)
+    with_vectors = _has_table(store.vectors)
     band_params = (text_col, id_col) if with_bands else None
     anchor_params = (text_col, id_col) if with_anchors else None
     ngram_params = (text_col, id_col) if with_ngrams else None
+    vector_params = (vec_col, id_col) if with_vectors else None
     for app in app_ids:
         _heal_chain(
             spark,
@@ -599,6 +680,7 @@ def vacuum_store(
             band_params=band_params,
             anchor_params=anchor_params,
             ngram_params=ngram_params,
+            vector_params=vector_params,
         )
     # Post-heal the floor is None; passing it anyway makes the
     # invariant structural — if a heal ever fails silently (or a new
@@ -611,6 +693,7 @@ def vacuum_store(
         + ([store.bands] if with_bands else [])
         + ([store.anchors] if with_anchors else [])
         + ([store.ngrams] if with_ngrams else [])
+        + ([store.vectors, store.centroids] if with_vectors else [])
     )
     for path in tables:
         if _has_table(path):
@@ -1161,3 +1244,266 @@ def kn_lm_from_chain(spark: SparkSession, store: IngestStore) -> DataFrame:
     rows = acid.read_atomic(spark, store.ngrams)
     cbg = rows.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg"))
     return kn_bigram_lm_from_counts(cbg)
+
+
+def ingest_batch_vectors(
+    spark: SparkSession,
+    store: IngestStore,
+    batch: DataFrame,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    app_id: str = "ingest",
+) -> dict:
+    """``ingest_batch`` extended with history-wide SEMANTIC (embedding
+    cosine) near-duplicate rejection at index cost — the incremental
+    face of SemDeDup: a persistent IVF vector table (``vectors`` —
+    one (id, cluster, vec) row per admitted doc, clustered against a
+    FIXED centroid basis) is the ANN index of everything ever
+    admitted.  Per batch, after the exact content screen:
+
+    1. centroid bootstrap (first vector batch only): exact
+       integer-Lloyd k-means over the batch, committed to
+       ``centroids`` BEFORE the corpus commit — deterministic, so a
+       crash between the two replays to identical centroids;
+    2. cluster assignment of the content-new docs (narrow projection
+       against the bounded centroid literal — no join, no shuffle);
+    3. history candidates = equi-join on ``cluster`` against the
+       vector index — O(batch × cell occupancy), NEVER a corpus scan;
+       recall trade: a near-dup pair straddling a cell boundary is
+       missed, the standard IVF/nprobe=1 compromise (same class of
+       trade as the band index's LSH recall);
+    4. exact cosine rerank of the candidate sliver only; reject new
+       docs with a verified history match at ``store.sem_threshold``,
+       and the LARGER id of each verified in-batch same-cell pair;
+    5. survivors append to corpus/hashes/bloom AND their vector rows
+       to the index.
+
+    Commit chain corpus → hashes → bloom (→ bands/anchors/ngrams when
+    those indexes exist — variant mixing maintains them) → vectors;
+    whole-batch replay cursor on the LAST table; a partial crash after
+    the corpus commit replays via the change-feed recovery (vector
+    rows are a pure function of the recovered rows plus the persisted
+    centroid basis, which always commits first).
+
+    CONTRACT: once a store has a vector index, every batch must carry
+    ``vec_col`` and go through THIS entry point (or ``forget``) — a
+    text-only corpus commit could not be healed into vector rows, the
+    same way the band index is only probe-able with the LSH family
+    that built it.
+    """
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+    from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
+
+    with_bands = _has_table(store.bands)
+    with_anchors = _has_table(store.anchors)
+    with_ngrams = _has_table(store.ngrams)
+    band_params = (text_col, id_col) if with_bands else None
+    anchor_params = (text_col, id_col) if with_anchors else None
+    ngram_params = (text_col, id_col) if with_ngrams else None
+    tail = _chain_tail(store, with_bands, with_anchors, with_ngrams, True)
+    if acid.last_txn_version(tail, app_id) >= batch_id:
+        return {"replay_skipped": True}
+    healed = _heal_chain(
+        spark,
+        store,
+        app_id,
+        band_params=band_params,
+        anchor_params=anchor_params,
+        ngram_params=ngram_params,
+        vector_params=(vec_col, id_col) if _has_table(store.centroids) else None,
+    )
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        return {"recovered_replay": True, "healed_commits": healed}
+
+    hashed = _hashed(batch, text_col, id_col)
+    n_batch = hashed.count()
+    first = _first_per_hash(hashed, id_col)
+    definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
+    content_new = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    n_content_new = content_new.count()
+
+    # Centroid bootstrap precedes every other commit: the basis must
+    # exist before any corpus commit whose heal needs it.
+    if not _has_table(store.centroids) and n_content_new > 0:
+        k = min(store.ivf_clusters, n_content_new)
+        cents, _ = clustering.kmeans_lloyd(
+            content_new, k, store.ivf_iters, id_col, vec_col
+        )
+        acid.atomic_overwrite_partitions(
+            clustering.centroid_rows(spark, cents),
+            store.centroids,
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+
+    if _has_table(store.centroids):
+        new_vrows = _vector_rows(
+            spark, store, content_new, vec_col, id_col
+        ).localCheckpoint(eager=True)
+    else:  # nothing new and no basis yet: empty, schema-correct
+        new_vrows = content_new.select(
+            F.col(id_col).alias("__id"),
+            F.lit(0).cast("int").alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+        ).limit(0)
+
+    # history candidates -> exact cosine rerank on the cell sliver
+    rejected_hist = content_new.select(F.col(id_col)).limit(0)
+    n_rej_hist = 0
+    if _has_table(store.vectors):
+        hist = acid.read_atomic(spark, store.vectors).select(
+            F.col("__id").alias("__oid"), "cluster", F.col("__vec").alias("__ov")
+        )
+        verified = (
+            new_vrows.join(hist, "cluster")
+            .withColumn("__cos", cosine(F.col("__vec"), F.col("__ov")))
+            .filter(F.col("__cos") >= F.lit(store.sem_threshold))
+        )
+        rejected_hist = verified.select(F.col("__id").alias(id_col)).distinct()
+        n_rej_hist = rejected_hist.count()
+
+    # in-batch candidates: same-cell pairs among the new rows only
+    x = new_vrows.select(
+        F.col("__id").alias("__ida"), "cluster", F.col("__vec").alias("__va")
+    )
+    y = new_vrows.select(
+        F.col("__id").alias("__idb"), "cluster", F.col("__vec").alias("__vb")
+    )
+    verified_b = (
+        x.join(y, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= F.lit(store.sem_threshold))
+    )
+    rejected_batch = verified_b.select(F.col("__idb").alias(id_col)).distinct()
+    n_rej_batch = rejected_batch.count()
+
+    rejected = rejected_hist.unionByName(rejected_batch).distinct()
+    admitted = content_new.join(rejected, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_admitted = admitted.count()
+
+    _commit_admitted(spark, store, admitted, batch_id, app_id)
+    if with_bands:
+        acid.atomic_overwrite_partitions(
+            _band_rows(
+                admitted,
+                text_col,
+                id_col,
+                store.lsh_num_hashes,
+                store.lsh_bands,
+                store.lsh_shingle_k,
+            ),
+            store.bands,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    if with_anchors:
+        acid.atomic_overwrite_partitions(
+            _anchor_rows(admitted, text_col, id_col, store.substring_k),
+            store.anchors,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    if with_ngrams:
+        acid.atomic_overwrite_partitions(
+            _ngram_rows(admitted, text_col, id_col),
+            store.ngrams,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    acid.atomic_overwrite_partitions(
+        new_vrows.join(
+            admitted.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+        ),
+        store.vectors,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    return {
+        "batch": n_batch,
+        "in_batch_dups": n_batch - first.count(),
+        "content_new": n_content_new,
+        "sem_rejected_history": n_rej_hist,
+        "sem_rejected_in_batch": n_rej_batch,
+        "admitted": n_admitted,
+    }
+
+
+def vector_index_topk(
+    spark: SparkSession,
+    store: IngestStore,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """ANN query against the INCREMENTAL vector index — the payoff of
+    maintaining it: (query_id, neighbor_id, score, rank) by exact
+    cosine over only the ``nprobe`` nearest index cells per query,
+    without re-clustering history.  Candidates come from an equi-join
+    on the cell id (never a corpus scan); the centroid basis is the
+    bounded persisted table.  Recall trade is the IVF one, measured
+    for the one-shot twin in GATE_MARGINS (ivf_recall)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+    from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
+
+    cents = _stored_centroids(spark, store)
+    q = clustering.quantize_vectors(queries, id_col, vec_col)
+    dists = F.array(
+        *[clustering._dist_to(F.col("qv"), c) for c in cents]  # noqa: SLF001
+    )
+    probe = (
+        q.withColumn("__ds", dists)
+        .select(
+            F.col("id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.col("__ds"),
+                                lambda d, i: F.struct(
+                                    d.alias("d"), i.cast("int").alias("c")
+                                ),
+                            )
+                        ),
+                        lambda s: s["c"],
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("cluster"),
+        )
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv"),
+    )
+    hist = acid.read_atomic(spark, store.vectors).select(
+        F.col("__id").alias("neighbor_id"), "cluster", F.col("__vec").alias("__ov")
+    )
+    scored = (
+        probe.join(hist, "cluster")
+        .join(qvecs, "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__ov")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

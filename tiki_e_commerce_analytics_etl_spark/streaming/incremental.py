@@ -279,6 +279,8 @@ def foreach_batch_ingest(
     near_dup: bool = False,
     substring: bool = False,
     lm: bool = False,
+    vectors: bool = False,
+    vec_col: str = "embedding",
 ) -> Callable[[DataFrame, int], None]:
     """Streaming face of the incremental corpus ingest
     (pipelines/ingest.py): each micro-batch runs the full admission
@@ -303,11 +305,18 @@ def foreach_batch_ingest(
     stream keeps a Kneser-Ney model of everything admitted current at
     batch cost (``kn_lm_from_chain`` reads it between or during runs —
     the CCNet screen of tomorrow's batches against today's corpus).
+    ``vectors=True`` (round 10) runs the incremental SemDeDup screen
+    instead: every micro-batch must carry ``vec_col``, embedding
+    near-dups of all admitted history are rejected via the persistent
+    IVF vector table, and the stream keeps an ANN index of the corpus
+    current at batch cost (``vector_index_topk`` queries it).
     """
     from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
 
-    if sum([near_dup, substring, lm]) > 1:
-        raise ValueError("choose one screening mode: near_dup, substring, or lm")
+    if sum([near_dup, substring, lm, vectors]) > 1:
+        raise ValueError(
+            "choose one screening mode: near_dup, substring, lm, or vectors"
+        )
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -325,6 +334,12 @@ def foreach_batch_ingest(
             ingest_mod.ingest_batch_lm(
                 spark, store, batch, batch_id,
                 text_col=text_col, id_col=id_col, app_id=app_id,
+            )
+        elif vectors:
+            ingest_mod.ingest_batch_vectors(
+                spark, store, batch, batch_id,
+                text_col=text_col, id_col=id_col, vec_col=vec_col,
+                app_id=app_id,
             )
         else:
             ingest_mod.ingest_batch(

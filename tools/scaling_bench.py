@@ -551,6 +551,110 @@ def main() -> None:
         print(json.dumps({"metric": "scaling_substring_chain", "scales": results}))
         return
 
+    # --vector-chain: what the round-10 IVF vector index BUYS — the
+    # per-batch cost of incremental semantic dedup (assign the batch
+    # against the persisted centroid basis + equi-join the vector
+    # table on the cell id + exact-cosine the sliver) vs re-running a
+    # one-shot SemDeDup over history ∪ batch, as history scales 10x.
+    # Vectors are synthesized per-doc from the documents table
+    # (xxhash64-derived, distinct per shard) so the admitted index
+    # genuinely grows with the corpus — the replicated embeddings
+    # table repeats identical vectors across shards, which would let
+    # the semantic screen reject the growth away.
+    if "--vector-chain" in sys.argv:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tiki_e_commerce_analytics_etl_spark.operators import similarity
+        from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+        DIMS = 8
+
+        def synth_vecs(docs):
+            return docs.select(
+                "doc_id",
+                "text",
+                F.array(
+                    *[
+                        (
+                            F.xxhash64(F.col("doc_id"), F.lit(d)).cast("double")
+                            / F.lit(float(1 << 63))
+                        )
+                        for d in range(DIMS)
+                    ]
+                ).alias("embedding"),
+            )
+
+        def run_vchain(sf_dir: str) -> dict:
+            docs = synth_vecs(
+                spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            )
+            batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+            history = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+            root = tempfile.mkdtemp(prefix="scaling_vec_")
+            store = ingest_mod.IngestStore(
+                os.path.join(root, "store"), ivf_clusters=16
+            )
+            try:
+                t0 = time.perf_counter()
+                seeded = ingest_mod.ingest_batch_vectors(
+                    spark, store, history, batch_id=1
+                )["admitted"]
+                seed_wall = time.perf_counter() - t0
+                t1 = time.perf_counter()
+                out = ingest_mod.ingest_batch_vectors(
+                    spark, store, batch, batch_id=2
+                )
+                batch_wall = time.perf_counter() - t1
+                t2 = time.perf_counter()
+                queries = docs.filter(F.col("doc_id") < 16).select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                )
+                ingest_mod.vector_index_topk(
+                    spark, store, queries, k=10, nprobe=2
+                ).write.format("noop").mode("overwrite").save()
+                ann_wall = time.perf_counter() - t2
+                t3 = time.perf_counter()
+                similarity.semdedup_pairs(
+                    docs.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                    threshold=store.sem_threshold,
+                    n_clusters=16,
+                ).write.format("noop").mode("overwrite").save()
+                oneshot_wall = time.perf_counter() - t3
+                return {
+                    "history_docs": seeded,
+                    "batch_docs": out["admitted"],
+                    "sem_rejected": out["sem_rejected_history"]
+                    + out["sem_rejected_in_batch"],
+                    "seed_sec": round(seed_wall, 3),
+                    "batch_sec": round(batch_wall, 3),
+                    "ann_sec": round(ann_wall, 3),
+                    "oneshot_sec": round(oneshot_wall, 3),
+                    "batch_vs_oneshot": round(
+                        batch_wall / max(oneshot_wall, 1e-9), 2
+                    ),
+                }
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        scales = [("x1", BASE_DIR), ("x10", SCALED_DIR)]
+        results = {}
+        for label, d in scales:
+            results[label] = run_vchain(d)
+            print(f"vector chain {label}: {results[label]}", file=sys.stderr)
+        for a, b in zip(scales, scales[1:]):
+            ra, rb = results[a[0]], results[b[0]]
+            rb[f"batch_growth_vs_{a[0]}"] = round(
+                rb["batch_sec"] / max(ra["batch_sec"], 1e-9), 2
+            )
+            rb[f"ann_growth_vs_{a[0]}"] = round(
+                rb["ann_sec"] / max(ra["ann_sec"], 1e-9), 2
+            )
+        print(json.dumps({"metric": "scaling_vector_chain", "scales": results}))
+        return
+
     # --bpe [x100]: measure the BPE chain — trainer (per-merge cost
     # over the unique-word table) and apply (bpe_token_counts over the
     # corpus with the learned merges) — at 1x and 10x (100x when
