@@ -146,3 +146,87 @@ def test_sq_topk_matches_exact_on_well_separated_corpus(spark):
     exact = [r["neighbor_id"] for r in similarity.brute_force_topk(emb, qs, k=2)
              .orderBy("rank").collect()]
     assert sq == exact == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# training-shard export: deterministic order + verifiable manifest
+# ---------------------------------------------------------------------------
+
+
+def test_write_training_shards_roundtrip_and_verify(spark, tmp_path):
+    from tiki_e_commerce_analytics_etl_spark import io as io_mod
+    from tiki_e_commerce_analytics_etl_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", (i % 7) + 1) for i in range(50)],
+        "doc_id long, text string, tokens int",
+    )
+    path = str(tmp_path / "export")
+    m1 = io_mod.write_training_shards(
+        docs, path, token_col="tokens", n_shards=4, seed=7
+    )
+    assert m1["total_rows"] == 50 and len(m1["shards"]) <= 4
+    assert sum(s["rows"] for s in m1["shards"].values()) == 50
+    assert sum(s["tokens"] for s in m1["shards"].values()) == sum(
+        (i % 7) + 1 for i in range(50)
+    )
+
+    # loader-side verification: every shard ok
+    v = io_mod.verify_training_shards(spark, path).collect()
+    assert v and all(r["ok"] for r in v)
+
+    # determinism: re-export reproduces the manifest exactly
+    m2 = io_mod.write_training_shards(
+        docs, str(tmp_path / "export2"), token_col="tokens", n_shards=4, seed=7
+    )
+    assert m1["shards"] == m2["shards"]
+    # a different seed is a different permutation
+    m3 = io_mod.write_training_shards(
+        docs, str(tmp_path / "export3"), token_col="tokens", n_shards=4, seed=8
+    )
+    assert m1["shards"] != m3["shards"]
+
+    # the files really are in serving order (pos ascending per shard),
+    # and (shard, pos) agrees with shuffle_shards' logical permutation
+    got = spark.read.parquet(path)
+    want = shuffle_shards(docs, n_shards=4, seed=7)
+    assert (
+        got.select("doc_id", "shard", "pos")
+        .exceptAll(want.select("doc_id", "shard", "pos"))
+        .count()
+        == 0
+    )
+    import pandas as pd  # noqa: F401
+
+    for shard in set(r["shard"] for r in v):
+        pos_list = [
+            r["pos"]
+            for r in got.filter(F.col("shard") == shard)
+            .orderBy("pos")
+            .collect()
+        ]
+        assert pos_list == list(range(1, len(pos_list) + 1))
+
+
+def test_verify_training_shards_detects_tamper(spark, tmp_path):
+    from tiki_e_commerce_analytics_etl_spark import io as io_mod
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "export")
+    io_mod.write_training_shards(docs, path, n_shards=2, seed=7)
+
+    # tamper: drop one shard's files entirely
+    import glob
+    import os
+    import shutil
+
+    shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert len(shard_dirs) == 2
+    shutil.rmtree(shard_dirs[1])
+    v = {r["shard"]: r["ok"] for r in io_mod.verify_training_shards(spark, path).collect()}
+    assert len(v) == 2
+    assert sum(1 for ok in v.values() if not ok) == 1

@@ -232,3 +232,120 @@ def read_orc(
         reader = reader.schema(schema)
     df = reader.orc(path)
     return conform_schema(df, schema) if schema is not None else df
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    n_shards: int = 16,
+    seed: int = 7,
+) -> dict:
+    """Training-shard EXPORT: deterministically shuffle the corpus
+    (``sampling.shuffle_shards`` — md5 permutation, per-shard
+    row_number, no global sort), write one Hive partition per shard
+    with rows PHYSICALLY ordered by serving position, and drop a
+    ``_manifest.json`` (underscore: invisible to Spark readers, like
+    ``_SUCCESS``) a data loader can verify before an epoch:
+    per-shard row counts, token sums (when ``token_col`` is given)
+    and an order-sensitive integer checksum folded over (pos, id) in
+    serving order — a reader that re-folds the checksum while
+    streaming detects truncated, reordered, or re-shuffled shards.
+
+    Everything is deterministic in (corpus, seed, n_shards): re-export
+    reproduces byte-identical ordering and manifest, so a 100 TB
+    export is resumable/verifiable per shard rather than trusted as a
+    whole.  The checksum is Σ pos·h(id) mod 2^31 per shard with h the
+    first 8 md5 hex digits — order-sensitive (the pos factor) and
+    computable as one hash aggregate; no collect beyond the bounded
+    per-shard manifest rows.
+
+    Returns the manifest dict (also written to ``path/_manifest.json``).
+    """
+    import json as _json
+    import os as _os
+
+    from tiki_e_commerce_analytics_etl_spark.operators.sampling import (
+        shuffle_shards,
+    )
+
+    sharded = shuffle_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.pmod(F.sum(F.col("pos") * h), F.lit(2147483647)).alias("checksum"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col)).cast("long").alias("tokens"))
+    stats = sharded.groupBy("shard").agg(*aggs).orderBy("shard").collect()
+    manifest = {
+        "n_shards": n_shards,
+        "seed": seed,
+        "id_col": id_col,
+        "total_rows": int(sum(r["rows"] for r in stats)),
+        "shards": {
+            str(r["shard"]): {
+                "rows": int(r["rows"]),
+                "checksum": int(r["checksum"]),
+                **({"tokens": int(r["tokens"])} if token_col is not None else {}),
+            }
+            for r in stats
+        },
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Loader-side integrity check of a ``write_training_shards``
+    export: re-fold each shard's order-sensitive checksum and row
+    count from the files and compare against the manifest.  Returns
+    one row per shard (shard, rows, checksum, manifest_rows,
+    manifest_checksum, ok) — a failed ``ok`` pinpoints WHICH shard is
+    truncated/reordered without re-reading the rest."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    id_col = manifest["id_col"]
+    df = spark.read.parquet(path)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    got = df.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.pmod(F.sum(F.col("pos") * h), F.lit(2147483647)).alias("checksum"),
+    )
+    rows = [
+        (int(k), v["rows"], v["checksum"])
+        for k, v in manifest["shards"].items()
+    ]
+    want = spark.createDataFrame(
+        rows, "shard int, manifest_rows long, manifest_checksum long"
+    )
+    return (
+        got.join(F.broadcast(want), "shard", "full")
+        .select(
+            "shard",
+            "rows",
+            "checksum",
+            "manifest_rows",
+            "manifest_checksum",
+            (
+                F.col("rows").eqNullSafe(F.col("manifest_rows"))
+                & F.col("checksum").eqNullSafe(F.col("manifest_checksum"))
+            ).alias("ok"),
+        )
+    )

@@ -77,6 +77,17 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     thr = entrymod.PQ_RECALL_THRESHOLD
     out.append(("pq_recall@10 (worst query)", r, thr, (r - thr) / thr))
 
+    # SQ8 int8 quantization: worst-query overlap of the integer-dot
+    # top-10 vs the exact float top-10 (the sq_recall query measures
+    # the same quantity bit-exactly; this row tracks its headroom).
+    # Random vectors are the adversarial case — top-10 score gaps are
+    # tiny, so 0.7/10 measured; semantic embeddings sit far higher.
+    sq = similarity.sq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10).select(
+        "query_id", "neighbor_id"
+    )
+    r = _recall(exact, sq)
+    out.append(("sq_recall@10 (worst query)", r, 0.5, (r - 0.5) / 0.5))
+
     # semdedup: raw hit ratio behind the coverage_ok boolean
     exact_pairs = similarity.cosine_neardup_pairs(emb, threshold=0.4, method="exact").select("id_a", "id_b")
     sd = similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=16).select("id_a", "id_b")

@@ -149,6 +149,13 @@ QUERIES = [
     "kn_4gram_lm",
     "strip_contam_spans",
     "quality_report",
+    # round-10 fourth wave: keep_best shares the jaccard+CC machinery
+    # (expect ~neardup_clusters growth); the SQ pair ranks a 10x
+    # corpus against a FIXED 5-query side (expect ~linear like
+    # similarity_topk); hard_negatives ditto with the label filter
+    "cluster_keep_best",
+    "sq_topk",
+    "hard_negatives",
 ]
 # key offsets chosen far above any sf0.1 key range
 ORDER_SHIFT = 10_000_000
