@@ -1672,3 +1672,43 @@ def test_forget_scrubs_vector_index(spark, tmp_path):
     b1 = _mk_vdocs(spark, [(9, "two doc again", [0.0, 1.0])])
     r1 = ingest_mod.ingest_batch_vectors(spark, store, b1, 1)
     assert r1["admitted"] == 1 and r1["sem_rejected_history"] == 0
+
+
+def test_vector_ingest_multiprobe_catches_cell_boundary_dup(spark, tmp_path):
+    """The multi-probe recall lever: a semantic dup whose vector lands
+    in a DIFFERENT cell than its history partner is missed at
+    nprobe=1 (the documented IVF trade) and caught at nprobe=2 —
+    candidate fan-out touches the new side only, the persisted index
+    keeps one row per vector either way."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    def mk_store(name):
+        return ingest_mod.IngestStore(
+            str(tmp_path / name), m_bits=1 << 12, ivf_clusters=2, sem_threshold=0.95
+        )
+
+    # Basis trained on batch 0's two axis vectors: Lloyd converges to
+    # cells AT [1,0] and [0,1], boundary exactly x = y.  History doc 3
+    # sits just x-side of the boundary, the incoming dup (cos ~ 0.9998)
+    # just y-side — they quantize into DIFFERENT cells by construction.
+    b0 = [(1, "one", [1.0, 0.0]), (2, "two", [0.0, 1.0])]
+    b1 = [(3, "three", [0.505, 0.495])]
+    b2 = [(4, "four", [0.495, 0.505])]
+
+    results = {}
+    for nprobe in (1, 2):
+        store = mk_store(f"root{nprobe}")
+        ingest_mod.ingest_batch_vectors(spark, store, _mk_vdocs(spark, b0), 0)
+        r1 = ingest_mod.ingest_batch_vectors(spark, store, _mk_vdocs(spark, b1), 1)
+        assert r1["admitted"] == 1
+        r2 = ingest_mod.ingest_batch_vectors(
+            spark, store, _mk_vdocs(spark, b2), 2, nprobe=nprobe
+        )
+        results[nprobe] = r2["sem_rejected_history"]
+        # index rows stay one per vector regardless of nprobe
+        vrows = acid_mod.read_atomic(spark, store.vectors)
+        assert vrows.count() == vrows.select("__id").distinct().count()
+
+    assert results[1] == 0, "nprobe=1 misses the cross-cell dup (the IVF trade)"
+    assert results[2] == 1, "nprobe=2 must catch the boundary dup"

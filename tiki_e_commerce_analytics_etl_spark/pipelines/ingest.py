@@ -177,6 +177,50 @@ def _stored_centroids(spark: SparkSession, store: IngestStore) -> list[list[int]
     return [[by_c[c][p] for p in range(dim)] for c in sorted(by_c)]
 
 
+def _probe_cells(
+    df: DataFrame,
+    cents: list[list[int]],
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+) -> DataFrame:
+    """(id, cluster) rows for the ``nprobe`` nearest centroid cells of
+    every input vector — the multi-probe candidate fan-out of IVF
+    search/admission.  Tie-break (distance, cluster) matches
+    ``assign_exact``'s argmin-first rule, so probe cell #1 is always
+    the assigned cell.  Narrow: k codegen distance expressions + one
+    bounded array sort per row, no join."""
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    q = clustering.quantize_vectors(df, id_col, vec_col)
+    dists = F.array(
+        *[clustering._dist_to(F.col("qv"), c) for c in cents]  # noqa: SLF001
+    )
+    return (
+        q.withColumn("__ds", dists)
+        .select(
+            "id",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.col("__ds"),
+                                lambda d, i: F.struct(
+                                    d.alias("d"), i.cast("int").alias("c")
+                                ),
+                            )
+                        ),
+                        lambda s: s["c"],
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("cluster"),
+        )
+    )
+
+
 def _vector_rows(
     spark: SparkSession,
     store: IngestStore,
@@ -1255,6 +1299,7 @@ def ingest_batch_vectors(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
     app_id: str = "ingest",
+    nprobe: int = 1,
 ) -> dict:
     """``ingest_batch`` extended with history-wide SEMANTIC (embedding
     cosine) near-duplicate rejection at index cost — the incremental
@@ -1270,10 +1315,13 @@ def ingest_batch_vectors(
     2. cluster assignment of the content-new docs (narrow projection
        against the bounded centroid literal — no join, no shuffle);
     3. history candidates = equi-join on ``cluster`` against the
-       vector index — O(batch × cell occupancy), NEVER a corpus scan;
-       recall trade: a near-dup pair straddling a cell boundary is
-       missed, the standard IVF/nprobe=1 compromise (same class of
-       trade as the band index's LSH recall);
+       vector index — O(batch × nprobe × cell occupancy), NEVER a
+       corpus scan; recall trade: a near-dup pair straddling a cell
+       boundary is missed at the default ``nprobe=1`` (the standard
+       IVF compromise, same class as the band index's LSH recall) —
+       raising ``nprobe`` fans the NEW side out to its n nearest
+       cells for candidate generation only (index rows stay one per
+       vector), the multi-probe recall lever;
     4. exact cosine rerank of the candidate sliver only; reject new
        docs with a verified history match at ``store.sem_threshold``,
        and the LARGER id of each verified in-batch same-cell pair;
@@ -1349,6 +1397,25 @@ def ingest_batch_vectors(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
         ).limit(0)
 
+    # Candidate-generation rows: at nprobe=1 exactly the index rows;
+    # at nprobe>1 the NEW side fans out to its n nearest cells (the
+    # persisted index keeps one row per vector either way).
+    if nprobe > 1 and _has_table(store.centroids):
+        probes = _probe_cells(
+            content_new, _stored_centroids(spark, store), id_col, vec_col, nprobe
+        )
+        vecs_new = content_new.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+        )
+        cand_rows = (
+            probes.join(vecs_new, "id")
+            .select(F.col("id").alias("__id"), "cluster", "__vec")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        cand_rows = new_vrows
+
     # history candidates -> exact cosine rerank on the cell sliver
     rejected_hist = content_new.select(F.col(id_col)).limit(0)
     n_rej_hist = 0
@@ -1357,7 +1424,7 @@ def ingest_batch_vectors(
             F.col("__id").alias("__oid"), "cluster", F.col("__vec").alias("__ov")
         )
         verified = (
-            new_vrows.join(hist, "cluster")
+            cand_rows.join(hist, "cluster")
             .withColumn("__cos", cosine(F.col("__vec"), F.col("__ov")))
             .filter(F.col("__cos") >= F.lit(store.sem_threshold))
         )
@@ -1365,10 +1432,12 @@ def ingest_batch_vectors(
         n_rej_hist = rejected_hist.count()
 
     # in-batch candidates: same-cell pairs among the new rows only
-    x = new_vrows.select(
+    # (both sides probe-fanned at nprobe>1; pair duplicates collapse
+    # in the id-level distinct)
+    x = cand_rows.select(
         F.col("__id").alias("__ida"), "cluster", F.col("__vec").alias("__va")
     )
-    y = new_vrows.select(
+    y = cand_rows.select(
         F.col("__id").alias("__idb"), "cluster", F.col("__vec").alias("__vb")
     )
     verified_b = (
@@ -1453,36 +1522,11 @@ def vector_index_topk(
     on the cell id (never a corpus scan); the centroid basis is the
     bounded persisted table.  Recall trade is the IVF one, measured
     for the one-shot twin in GATE_MARGINS (ivf_recall)."""
-    from tiki_e_commerce_analytics_etl_spark.operators import clustering
     from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
 
     cents = _stored_centroids(spark, store)
-    q = clustering.quantize_vectors(queries, id_col, vec_col)
-    dists = F.array(
-        *[clustering._dist_to(F.col("qv"), c) for c in cents]  # noqa: SLF001
-    )
-    probe = (
-        q.withColumn("__ds", dists)
-        .select(
-            F.col("id").alias("query_id"),
-            F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.transform(
-                                F.col("__ds"),
-                                lambda d, i: F.struct(
-                                    d.alias("d"), i.cast("int").alias("c")
-                                ),
-                            )
-                        ),
-                        lambda s: s["c"],
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("cluster"),
-        )
+    probe = _probe_cells(queries, cents, id_col, vec_col, nprobe).select(
+        F.col("id").alias("query_id"), "cluster"
     )
     qvecs = queries.select(
         F.col(id_col).alias("query_id"),
