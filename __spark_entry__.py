@@ -1839,6 +1839,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_hash_sample(docs, "doc_id", w, 0.2).select("doc_id")
 
 
+def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: exactly 20 'en' + 10 'es' docs
+    by per-stratum md5 rank (eval-set construction with hard budgets —
+    the fraction sampler gives binomial counts, this gives exact ones;
+    sampling.stratified_quota_sample).  One stratum-keyed shuffle +
+    per-stratum top-k window."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sampling.stratified_quota_sample(
+        docs, "doc_id", "lang", {"en": 20, "es": 10}
+    ).select("doc_id", "lang", "sample_rank")
+
+
 def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-variant discovery: distinct part names within edit
     distance 4, prefix-2 blocked (operators/fuzzy.py) — equi-join
@@ -4306,6 +4320,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "cluster_keep_best": q_cluster_keep_best,
         "leakage_safe_split": q_leakage_safe_split,
+        "stratified_quota": q_stratified_quota,
         "kmeans_centroids": q_kmeans_centroids,
         "kmeans_assign": q_kmeans_assign,
         "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -4852,6 +4867,17 @@ _QUALITY_EXPR_SQL = (
     " / GREATEST(len(ws), 1) * 2.0, 1.0))"
     " * 10000 + 0.5) / 10000"
 )
+
+_STRATIFIED_QUOTA_ORACLE = """
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= CASE WHEN lang = 'en' THEN 20
+                                WHEN lang = 'es' THEN 10 ELSE 0 END
+"""
 
 _CLUSTER_KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE {_JACCARD_PAIRS_CTES},
@@ -7067,6 +7093,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
         "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_ORACLE,
         "cluster_keep_best": _CLUSTER_KEEP_BEST_ORACLE,
+        "stratified_quota": _STRATIFIED_QUOTA_ORACLE,
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,
         "kmeans_assign": _KMEANS_ASSIGN_ORACLE,
         "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_ORACLE,

@@ -187,6 +187,7 @@ HEADLINE = [
     "hard_negatives",
     "sq_topk",
     "sq_recall",
+    "stratified_quota",
 ]
 
 

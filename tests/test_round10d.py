@@ -230,3 +230,50 @@ def test_verify_training_shards_detects_tamper(spark, tmp_path):
     v = {r["shard"]: r["ok"] for r in io_mod.verify_training_shards(spark, path).collect()}
     assert len(v) == 2
     assert sum(1 for ok in v.values() if not ok) == 1
+
+
+# ---------------------------------------------------------------------------
+# stratified_quota_sample — exact counts, deterministic membership
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_quota_exact_counts_and_determinism(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    rows = [(i, "en" if i % 3 else "es") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_quota_sample(df, "doc_id", "lang", {"en": 7, "es": 5})
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 7, "es": 5}
+    # deterministic: same inputs -> same membership and ranks
+    a = sorted((r["doc_id"], r["sample_rank"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["sample_rank"])
+        for r in sampling.stratified_quota_sample(
+            df, "doc_id", "lang", {"en": 7, "es": 5}
+        ).collect()
+    )
+    assert a == b
+    # ranks are 1..quota within each stratum
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(per["en"]) == list(range(1, 8))
+    assert sorted(per["es"]) == list(range(1, 6))
+
+
+def test_stratified_quota_default_and_oversize_quota(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "doc_id long, lang string"
+    )
+    # unlisted stratum drops entirely at default_quota=0
+    out = sampling.stratified_quota_sample(df, "doc_id", "lang", {"en": 10})
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    # quota above the stratum size keeps the whole stratum
+    out2 = sampling.stratified_quota_sample(
+        df, "doc_id", "lang", {"fr": 99}, default_quota=1
+    )
+    got = {r["lang"]: r["doc_id"] for r in out2.collect()}
+    assert got["fr"] == 3 and "en" in got

@@ -338,3 +338,49 @@ def temperature_mix_report(
             ).alias("epochs_ppm"),
         )
     )
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    quotas: dict[str, int],
+    default_quota: int = 0,
+) -> DataFrame:
+    """Per-stratum EXACT-COUNT sampling ("exactly 10k docs per
+    language for the eval slice"): within each stratum, rows rank by
+    their md5 hash (ties by key) and the top ``quotas[stratum]``
+    survive.  The fraction-based ``stratified_hash_sample`` gives
+    binomial counts; quota sampling gives exact ones — the difference
+    matters when the slice IS the deliverable (eval sets, human-review
+    batches, per-domain caps with hard budgets).
+
+    Deterministic in (data, quotas): membership depends only on the
+    row's own hash relative to its stratum's order statistics, so the
+    same corpus reproduces the same sample on any engine; appends can
+    displace the boundary row (exact quotas are inherently
+    rank-coupled — use the fraction sampler when append-stability
+    matters more than the count).
+
+    Scale shape: one hash shuffle on the stratum key + per-stratum
+    TOP-K (rank window); the quota CASE is a literal, not a join.
+    Strata counts are bounded by the vocabulary of ``strata_col``.
+    Returns the surviving rows with ``sample_rank`` (1-based within
+    stratum) attached.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    expr = None
+    for name, quota in quotas.items():
+        cond = F.col(strata_col) == name
+        clause = (cond, F.lit(int(quota)))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    quota_col = (
+        F.lit(int(default_quota))
+        if expr is None
+        else expr.otherwise(F.lit(int(default_quota)))
+    )
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota_col)
+    )
