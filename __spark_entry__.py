@@ -1853,6 +1853,92 @@ def q_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "sample_rank")
 
 
+def q_collapse_stutter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc stutter removal: collapse consecutive duplicate words
+    to one occurrence — the degenerate-repetition cleaner upstream of
+    the cross-doc dedup family (text.collapse_word_stutter).  Narrow
+    plan, zero shuffle; the REWRITE twin of gopher_repetition's
+    measurement."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.collapse_word_stutter(docs, "text", "doc_id")
+
+
+def q_training_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-export plan — the composition a corpus
+    release actually runs, one row per surviving doc with its full
+    routing: (1) near-dup clusters keep their highest-quality member
+    (graph.cluster_best_members — ONE pointer-jumping CC pass feeds
+    both the drop decision and the split key), (2) quality floor
+    0.3, (3) leakage-safe split hashed on the COMPONENT id so no
+    near-dup pair straddles train/val/test, (4) the train slice gets
+    deterministic (shard, pos) serving order (the md5 permutation of
+    sampling.shuffle_shards, seed 7, 8 shards; val/test ride shard
+    -1).  Output (doc_id, component, quality, split, shard, pos).
+    Oracle: closure + argmax window + the md5 CASE + per-(split,
+    shard) rank windows, all composed."""
+    from tiki_e_commerce_analytics_etl_spark.operators import graph
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
+    scores = docs.select(
+        "doc_id", "text", text_ops.words(F.col("text")).alias("__w")
+    ).select(
+        "doc_id",
+        text_ops.quality_score_from_words(F.col("text"), F.col("__w")).alias(
+            "quality"
+        ),
+    )
+    best = graph.cluster_best_members(scores, pairs, "doc_id", "quality")
+    losers = best.filter(~F.col("is_keeper")).select("doc_id")
+    kept = (
+        scores.join(losers, "doc_id", "left_anti")
+        .join(best.select("doc_id", "component"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "quality",
+        )
+        .filter(F.col("quality") >= 0.3)
+    )
+    b = F.conv(
+        F.substring(F.md5(F.col("component").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    split = (
+        F.when(b < F.floor(F.lit(0.8) * 65536).cast("int"), F.lit("train"))
+        .when(b < F.floor(F.lit(0.9) * 65536).cast("int"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    h = F.md5(F.concat_ws("|", F.lit("7"), F.col("doc_id").cast("string")))
+    routed = kept.select("doc_id", "component", "quality", split.alias("split"))
+    shard = (
+        F.when(
+            F.col("split") == "train",
+            F.pmod(
+                F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(8)
+            ).cast("int"),
+        )
+        .otherwise(F.lit(-1))
+    )
+    routed = routed.withColumn("shard", shard)
+    w = Window.partitionBy("split", "shard").orderBy(h, F.col("doc_id"))
+    return routed.withColumn("pos", F.row_number().over(w))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct words +
+    tokens at 10 corpus-prefix checkpoints (text.vocab_growth) — the
+    is-new-data-still-new diagnostic.  First-occurrence hash agg +
+    broadcast checkpoint cross join; no global sort, no
+    empty-partition window."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.vocab_growth(docs, "text", "doc_id", deciles=10)
+
+
 def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-variant discovery: distinct part names within edit
     distance 4, prefix-2 blocked (operators/fuzzy.py) — equi-join
@@ -4321,6 +4407,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best": q_cluster_keep_best,
         "leakage_safe_split": q_leakage_safe_split,
         "stratified_quota": q_stratified_quota,
+        "collapse_stutter": q_collapse_stutter,
+        "vocab_growth": q_vocab_growth,
+        "training_export_plan": q_training_export_plan,
         "kmeans_centroids": q_kmeans_centroids,
         "kmeans_assign": q_kmeans_assign,
         "cluster_balanced_sample": q_cluster_balanced_sample,
@@ -4867,6 +4956,110 @@ _QUALITY_EXPR_SQL = (
     " / GREATEST(len(ws), 1) * 2.0, 1.0))"
     " * 10000 + 0.5) / 10000"
 )
+
+_COLLAPSE_STUTTER_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    k AS (SELECT doc_id, ws,
+                 list_filter(ws, (x, i) -> i = 1 OR x <> ws[i - 1]) AS kept
+          FROM w)
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS clean_text,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CAST(len(kept) AS INTEGER) AS kept_words
+    FROM k
+"""
+
+_TRAINING_EXPORT_PLAN_ORACLE = f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+    pairs AS (SELECT id_a, id_b FROM p WHERE shared / (na + nb - shared) >= 0.5),
+    bidir AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b AS a, id_a AS b FROM pairs),
+    reach AS (
+        SELECT a AS node, b AS peer FROM bidir
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN bidir e ON r.peer = e.a
+    ),
+    comp AS (SELECT node, LEAST(node, MIN(peer)) AS component
+             FROM reach GROUP BY node),
+    qual AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality
+             FROM (SELECT doc_id, text, {_NORM_WORDS_SQL} AS ws FROM documents)),
+    members AS (
+        SELECT c.node AS doc_id, c.component, q.quality
+        FROM comp c JOIN qual q ON q.doc_id = c.node
+    ),
+    keep AS (
+        SELECT component, doc_id AS keep_id FROM (
+            SELECT component, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM members
+        ) WHERE rn = 1
+    ),
+    losers AS (
+        SELECT m.doc_id FROM members m JOIN keep k USING (component)
+        WHERE m.doc_id <> k.keep_id
+    ),
+    kept AS (
+        SELECT q.doc_id, COALESCE(c.component, q.doc_id) AS component,
+               q.quality
+        FROM qual q LEFT JOIN comp c ON c.node = q.doc_id
+        WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+          AND q.quality >= 0.3
+    ),
+    routed AS (
+        SELECT doc_id, component, quality,
+               CASE WHEN b < CAST(FLOOR(0.8 * 65536) AS INTEGER) THEN 'train'
+                    WHEN b < CAST(FLOOR(0.9 * 65536) AS INTEGER) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT *, CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))
+                           AS INTEGER) AS b
+            FROM kept
+        )
+    ),
+    sharded AS (
+        SELECT doc_id, component, quality, split,
+               CASE WHEN split = 'train'
+                    THEN CAST(CAST(('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                                   AS BIGINT) % 8 AS INTEGER)
+                    ELSE -1 END AS shard,
+               md5('7|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM routed
+    )
+    SELECT doc_id, component, quality, split, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY split, shard ORDER BY h, doc_id) AS INTEGER) AS pos
+    FROM sharded
+"""
+
+_VOCAB_GROWTH_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    cps AS (
+        SELECT s.i AS decile, s.thr AS doc_threshold FROM (
+            SELECT unnest(list_transform(t, (x, i) ->
+                struct_pack(i := i, thr := x))) AS s
+            FROM (SELECT quantile_cont(doc_id, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS t FROM documents)
+        )
+    ),
+    firsts AS (
+        SELECT u.w AS word, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(ws) AS w FROM w) u(doc_id, w)
+        WHERE u.w <> '' GROUP BY 1
+    ),
+    cv AS (
+        SELECT decile, doc_threshold, COUNT(*) AS cum_vocab
+        FROM firsts, cps WHERE first_doc <= doc_threshold GROUP BY 1, 2
+    ),
+    ct AS (
+        SELECT decile,
+               CAST(SUM(len(list_filter(ws, x -> x <> ''))) AS BIGINT)
+                   AS cum_tokens
+        FROM w, cps WHERE doc_id <= doc_threshold GROUP BY 1
+    )
+    SELECT CAST(cv.decile AS INTEGER) AS decile, doc_threshold, cum_vocab,
+           cum_tokens
+    FROM cv JOIN ct ON cv.decile = ct.decile
+"""
 
 _STRATIFIED_QUOTA_ORACLE = """
     SELECT doc_id, lang, sample_rank FROM (
@@ -7094,6 +7287,9 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_ORACLE,
         "cluster_keep_best": _CLUSTER_KEEP_BEST_ORACLE,
         "stratified_quota": _STRATIFIED_QUOTA_ORACLE,
+        "collapse_stutter": _COLLAPSE_STUTTER_ORACLE,
+        "vocab_growth": _VOCAB_GROWTH_ORACLE,
+        "training_export_plan": _TRAINING_EXPORT_PLAN_ORACLE,
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,
         "kmeans_assign": _KMEANS_ASSIGN_ORACLE,
         "cluster_balanced_sample": _CLUSTER_BALANCED_SAMPLE_ORACLE,

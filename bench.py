@@ -188,6 +188,9 @@ HEADLINE = [
     "sq_topk",
     "sq_recall",
     "stratified_quota",
+    "collapse_stutter",
+    "vocab_growth",
+    "training_export_plan",
 ]
 
 

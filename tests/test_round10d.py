@@ -277,3 +277,79 @@ def test_stratified_quota_default_and_oversize_quota(spark):
     )
     got = {r["lang"]: r["doc_id"] for r in out2.collect()}
     assert got["fr"] == 3 and "en" in got
+
+
+# ---------------------------------------------------------------------------
+# collapse_word_stutter / vocab_growth
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_word_stutter_hand_computed(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "batch batch batch stream stream spark"),
+            (2, "a a b a a a c"),
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.collapse_word_stutter(df).collect()}
+    assert out[1]["clean_text"] == "batch stream spark"
+    assert (out[1]["n_words"], out[1]["kept_words"]) == (6, 3)
+    # non-adjacent repeats survive (this is stutter removal, not dedup)
+    assert out[2]["clean_text"] == "a b a c"
+    assert out[3]["clean_text"] == "solo" and out[3]["kept_words"] == 1
+
+
+def test_vocab_growth_monotone_and_exact_on_planted_corpus(spark):
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    # 10 docs: doc i introduces exactly one new word and repeats word 0.
+    rows = [(i, f"w{i} w0") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r["decile"], r["cum_vocab"], r["cum_tokens"])
+        for r in text_ops.vocab_growth(df, deciles=5).collect()
+    )
+    assert len(out) == 5
+    # monotone non-decreasing in both cumulative measures
+    for a, b in zip(out, out[1:]):
+        assert b[1] >= a[1] and b[2] >= a[2]
+    # final checkpoint covers the whole corpus exactly
+    assert out[-1][1] == 10  # w0..w9 (w0 introduced by doc 0)
+    assert out[-1][2] == 20  # 2 tokens per doc
+
+
+def test_training_export_plan_invariants(spark):
+    """The composed release plan: no near-dup pair straddles a split,
+    every surviving cluster kept exactly its best member, train rows
+    carry dense (shard, pos) serving order, val/test ride shard -1."""
+    import __spark_entry__ as entry
+
+    out = entry.q_training_export_plan(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values()), "split leaked a cluster"
+    # one surviving member per multi-doc component at most
+    from collections import Counter
+
+    comp_counts = Counter(r["component"] for r in out)
+    # components that had near-dups were reduced to their keeper; a
+    # component id can appear once only (plus unrelated singletons
+    # keyed by their own id, which are distinct ids by construction)
+    assert max(comp_counts.values()) == 1
+    for r in out:
+        if r["split"] == "train":
+            assert 0 <= r["shard"] < 8
+        else:
+            assert r["shard"] == -1
+    pos_per = {}
+    for r in out:
+        pos_per.setdefault((r["split"], r["shard"]), []).append(r["pos"])
+    for key, ps in pos_per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), key
+    assert all(r["quality"] >= 0.3 for r in out)

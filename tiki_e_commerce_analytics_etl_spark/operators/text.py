@@ -2430,3 +2430,89 @@ def kn4_doc_logprob(
         .cast("long")
         .alias("logprob_unats"),
     )
+
+
+def collapse_word_stutter(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Intra-document stutter removal: collapse runs of the SAME
+    consecutive word to one occurrence ("batch batch batch" → "batch")
+    — the cheap degenerate-repetition cleaner that runs before the
+    window-based cross-doc dedup family (crawl text is full of
+    stuttered tokens from pagination glitches, marquee widgets, and
+    OCR).  Word-level twin of gopher_repetition's measurement: this
+    REWRITES; the Gopher screen only scores.
+
+    Pure narrow projection — the word array materializes once as a
+    column (the higher-order-function re-evaluation trap: inlining
+    ``words(text)`` into the filter lambda would re-tokenize per
+    element), then one indexed ``filter`` keeps position i iff i = 0
+    or w[i] ≠ w[i-1].  No shuffle, no state; order is preserved by
+    construction.
+
+    Returns (id_col, clean_text, n_words, kept_words).
+    """
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+    kept = F.filter(
+        F.col("__ws"),
+        lambda x, i: (i == F.lit(0)) | (x != F.element_at(F.col("__ws"), i)),
+    )
+    return ws.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__ws").alias("n_words"),
+        F.size(kept).alias("kept_words"),
+    )
+
+
+def vocab_growth(df, text_col: str = "text", id_col: str = "doc_id", deciles: int = 10):
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct-word
+    count and cumulative token count at ``deciles`` corpus-prefix
+    checkpoints (prefixes in ``id_col`` order) — the diagnostic that
+    tells a corpus builder whether new data is still contributing new
+    vocabulary (V ≈ K·N^β with β ≈ 0.4-0.6 for natural text; a flat
+    curve means the crawl is recycling itself, a β near 1 means noise).
+
+    Scale shape — no global sort, no empty-partition window:
+    1. per-word FIRST occurrence = one hash aggregate (min doc id);
+    2. checkpoint thresholds = one `percentile` aggregate (1 row,
+       broadcast);
+    3. cumulative counts = corpus-sized relations cross-joined with
+       the BROADCAST checkpoint relation (bounded ×deciles fan-out)
+       into a hash aggregate keyed on the bounded decile id.
+    Returns (decile, doc_threshold, cum_vocab, cum_tokens).
+    """
+    fracs = ", ".join(
+        f"{(i + 1) / deciles!r}" for i in range(deciles)
+    )
+    cps = (
+        df.agg(F.expr(f"percentile({id_col}, array({fracs}))").alias("__t"))
+        .select(F.posexplode("__t").alias("__i", "doc_threshold"))
+        .select(
+            (F.col("__i") + 1).cast("int").alias("decile"), "doc_threshold"
+        )
+    )
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+    firsts = (
+        ws.select(F.col(id_col), F.explode("__ws").alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.min(id_col).alias("__first"))
+    )
+    cum_vocab = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("__first") <= F.col("doc_threshold"))
+        .groupBy("decile", "doc_threshold")
+        .agg(F.count(F.lit(1)).alias("cum_vocab"))
+    )
+    cum_tokens = (
+        ws.select(
+            F.col(id_col),
+            F.size(F.filter(F.col("__ws"), lambda x: x != "")).alias("__n"),
+        )
+        .crossJoin(F.broadcast(cps))
+        .filter(F.col(id_col) <= F.col("doc_threshold"))
+        .groupBy("decile")
+        .agg(F.sum("__n").cast("long").alias("cum_tokens"))
+    )
+    return cum_vocab.join(cum_tokens, "decile").select(
+        "decile", "doc_threshold", "cum_vocab", "cum_tokens"
+    )
