@@ -1927,6 +1927,45 @@ def q_training_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.withColumn("pos", F.row_number().over(w))
 
 
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist screen: per-doc hit counts + keep/drop
+    verdict against a bounded term list (text.blocklist_screen) —
+    counts, not a bare filter, so audits see the near-miss
+    distribution.  Narrow single-pass plan."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.blocklist_screen(
+        docs, ["spark", "merge", "dup"], max_hits=2
+    )
+
+
+def q_neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for embedding dedup: for every
+    observed centi-cosine bucket >= 0.20, how many pairs survive a
+    threshold set there — the knee curve a curator reads before
+    pinning a dedup threshold (pairs explode as the threshold drops
+    past the corpus's similarity mode).  One exact scored-pair pass
+    (the same blocked cogroup as embedding_neardup), centi bucketing,
+    then cumulative-from-above via a bounded (<= 100-row) bucket
+    self-join — no window, no second corpus pass."""
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_neardup_pairs(emb, threshold=0.2, method="exact")
+    buckets = (
+        pairs.select(F.floor(F.col("score") * 100).cast("int").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lo = buckets.select(F.col("b").alias("threshold_centi"))
+    return (
+        lo.join(F.broadcast(buckets), F.col("b") >= F.col("threshold_centi"))
+        .groupBy("threshold_centi")
+        .agg(F.sum("cnt").cast("long").alias("n_pairs"))
+    )
+
+
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve: cumulative distinct words +
     tokens at 10 corpus-prefix checkpoints (text.vocab_growth) — the
@@ -4409,6 +4448,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_quota": q_stratified_quota,
         "collapse_stutter": q_collapse_stutter,
         "vocab_growth": q_vocab_growth,
+        "blocklist_screen": q_blocklist_screen,
+        "neardup_threshold_curve": q_neardup_threshold_curve,
         "training_export_plan": q_training_export_plan,
         "kmeans_centroids": q_kmeans_centroids,
         "kmeans_assign": q_kmeans_assign,
@@ -5030,6 +5071,35 @@ _TRAINING_EXPORT_PLAN_ORACLE = f"""
            CAST(ROW_NUMBER() OVER (
                PARTITION BY split, shard ORDER BY h, doc_id) AS INTEGER) AS pos
     FROM sharded
+"""
+
+_NEARDUP_THRESHOLD_CURVE_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS score
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ),
+    buckets AS (
+        SELECT CAST(FLOOR(score * 100) AS INTEGER) AS b, COUNT(*) AS cnt
+        FROM scored WHERE score >= 0.2 GROUP BY 1
+    )
+    SELECT lo.b AS threshold_centi, CAST(SUM(hi.cnt) AS BIGINT) AS n_pairs
+    FROM buckets lo JOIN buckets hi ON hi.b >= lo.b
+    GROUP BY 1
+"""
+
+_BLOCKLIST_SCREEN_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    h AS (SELECT doc_id,
+                 list_filter(ws, x -> list_contains(['spark', 'merge', 'dup'], x))
+                     AS hits
+          FROM w)
+    SELECT doc_id,
+           CAST(len(hits) AS INTEGER) AS n_hits,
+           CAST(len(list_distinct(hits)) AS INTEGER) AS distinct_hits,
+           len(hits) > 2 AS flagged
+    FROM h
 """
 
 _VOCAB_GROWTH_ORACLE = f"""
@@ -7289,6 +7359,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_quota": _STRATIFIED_QUOTA_ORACLE,
         "collapse_stutter": _COLLAPSE_STUTTER_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
+        "blocklist_screen": _BLOCKLIST_SCREEN_ORACLE,
+        "neardup_threshold_curve": _NEARDUP_THRESHOLD_CURVE_ORACLE,
         "training_export_plan": _TRAINING_EXPORT_PLAN_ORACLE,
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,
         "kmeans_assign": _KMEANS_ASSIGN_ORACLE,

@@ -191,6 +191,8 @@ HEADLINE = [
     "collapse_stutter",
     "vocab_growth",
     "training_export_plan",
+    "blocklist_screen",
+    "neardup_threshold_curve",
 ]
 
 

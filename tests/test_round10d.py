@@ -353,3 +353,116 @@ def test_training_export_plan_invariants(spark):
     for key, ps in pos_per.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), key
     assert all(r["quality"] >= 0.3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-checks against pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_best_members_matches_python_reference_on_random_graphs(spark):
+    """Seeded random graphs: pointer-jumping CC + max_by argmax must
+    agree with a brute-force union-find + python argmax."""
+    import random
+
+    rng = random.Random(421)
+    for trial in range(4):
+        n = rng.randint(5, 25)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(1, 2 * n))
+            }
+        )
+        quality = {i: rng.randint(0, 5) / 4.0 for i in range(n)}
+
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        want = {}
+        for members in comp.values():
+            if len(members) < 2:
+                continue
+            label = min(members)
+            keeper = max(members, key=lambda m: (quality[m], -m))
+            for m in members:
+                want[m] = (label, keeper == m)
+
+        from tiki_e_commerce_analytics_etl_spark.operators import graph
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        scores = spark.createDataFrame(
+            [(i, quality[i]) for i in range(n)], "doc_id long, quality double"
+        )
+        got = {
+            r["doc_id"]: (r["component"], r["is_keeper"])
+            for r in graph.cluster_best_members(scores, pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {edges}"
+
+
+def test_sq_encode_matches_numpy_reference_on_random_vectors(spark):
+    import math
+    import random
+
+    rng = random.Random(99)
+    dim = 6
+    rows = [
+        (i, [rng.uniform(-3, 3) for _ in range(dim)], 0) for i in range(30)
+    ]
+    # float32 narrowing happens at createDataFrame; mirror it
+    import numpy as np
+
+    from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+    emb = _emb(spark, rows)
+    vecs = {r[0]: np.array(r[1], dtype=np.float32).astype(np.float64) for r in rows}
+    scales = np.max(
+        np.abs(np.stack(list(vecs.values()))), axis=0
+    )
+    got = {
+        r["vec_id"]: list(r["qvec"])
+        for r in similarity.sq_encode(
+            emb, similarity.sq_corpus_scales(emb)
+        ).collect()
+    }
+    for vid, v in vecs.items():
+        want = [
+            0 if s == 0.0 else math.floor(x * 127.0 / s)
+            for x, s in zip(v, scales)
+        ]
+        assert got[vid] == want, vid
+
+
+def test_collapse_word_stutter_matches_python_reference(spark):
+    import random
+
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc"]
+    rows = []
+    for i in range(20):
+        n = rng.randint(1, 12)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in text_ops.collapse_word_stutter(df).collect()
+    }
+    for i, t in rows:
+        ws = t.split(" ")
+        want = [w for j, w in enumerate(ws) if j == 0 or w != ws[j - 1]]
+        assert got[i] == " ".join(want), (i, t)

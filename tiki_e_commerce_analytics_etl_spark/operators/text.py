@@ -2516,3 +2516,34 @@ def vocab_growth(df, text_col: str = "text", id_col: str = "doc_id", deciles: in
     return cum_vocab.join(cum_tokens, "decile").select(
         "decile", "doc_threshold", "cum_vocab", "cum_tokens"
     )
+
+
+def blocklist_screen(
+    df,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+):
+    """C4-style blocklist screen (Raffel et al. 2020 §2.2 drop any
+    page containing a "List of Dirty, Naughty …" term): per-doc hit
+    counting against a bounded term list with the keep/drop verdict
+    attached — counts rather than a bare filter, because curation
+    audits want the near-miss distribution, not just the survivor set.
+
+    Pure narrow projection: the word array materializes once, hits
+    are one pass of ``array_contains`` against the LITERAL term array
+    (bounded vocabulary — a list too large to inline belongs in a
+    broadcast join instead).  ``flagged`` = n_hits > max_hits.
+
+    Returns (id_col, n_hits, distinct_hits, flagged).
+    """
+    lit_terms = F.array(*[F.lit(t) for t in terms])
+    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+    hits = F.filter(F.col("__ws"), lambda x: F.array_contains(lit_terms, x))
+    return ws.select(
+        F.col(id_col),
+        F.size(hits).alias("n_hits"),
+        F.size(F.array_distinct(hits)).alias("distinct_hits"),
+        (F.size(hits) > F.lit(max_hits)).alias("flagged"),
+    )
