@@ -234,6 +234,22 @@ def read_orc(
     return conform_schema(df, schema) if schema is not None else df
 
 
+def _order_checksum(id_col: str):
+    """Order-sensitive shard checksum: Σ (pos · h(id) mod M) mod M with
+    M = 2³¹−1 and h the first 6 md5 hex digits (≤ 2²⁴).  The modular
+    reduction happens PER ROW before the sum: pos·h ≤ 2⁶³⁄₂²⁴ rows
+    before the product overflows int64, and the summed residues stay
+    under int64 for ~4·10⁹ rows per shard — a naive Σ pos·h silently
+    wraps at ~10⁵ rows × 32-bit hashes under non-ANSI arithmetic,
+    which is exactly the 100 TB corruption a checksum must not have.
+    Identical expression in writer and verifier by construction."""
+    m = F.lit(2147483647)
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return F.pmod(F.sum(F.pmod(F.col("pos") * h, m)), m)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -278,12 +294,9 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
     aggs = [
         F.count(F.lit(1)).alias("rows"),
-        F.pmod(F.sum(F.col("pos") * h), F.lit(2147483647)).alias("checksum"),
+        _order_checksum(id_col).alias("checksum"),
     ]
     if token_col is not None:
         aggs.append(F.sum(F.col(token_col)).cast("long").alias("tokens"))
@@ -321,12 +334,9 @@ def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
         manifest = _json.load(f)
     id_col = manifest["id_col"]
     df = spark.read.parquet(path)
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
     got = df.groupBy("shard").agg(
         F.count(F.lit(1)).alias("rows"),
-        F.pmod(F.sum(F.col("pos") * h), F.lit(2147483647)).alias("checksum"),
+        _order_checksum(id_col).alias("checksum"),
     )
     rows = [
         (int(k), v["rows"], v["checksum"])

@@ -906,6 +906,8 @@ def main() -> None:
             "audio_neardup_pairs": {"documents"},
             "strip_dup_spans": {"documents"},
             "curation_report": {"documents"},
+            "cluster_keep_best": {"documents"},
+            "training_export_plan": {"documents"},
         }
         # fail FAST on unknown probes — before the ~tens-of-minutes
         # 100x build, not after it (an unmapped probe would otherwise
