@@ -1712,3 +1712,33 @@ def test_vector_ingest_multiprobe_catches_cell_boundary_dup(spark, tmp_path):
 
     assert results[1] == 0, "nprobe=1 misses the cross-cell dup (the IVF trade)"
     assert results[2] == 1, "nprobe=2 must catch the boundary dup"
+
+
+def test_text_variants_refuse_vector_store(spark, tmp_path):
+    """A store with a vector index must route every batch through
+    ingest_batch_vectors: text-only commits cannot be healed into
+    vector rows, so the other entry points fail LOUD instead of
+    leaving an index that silently misses rows."""
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2
+    )
+    b0 = _mk_vdocs(
+        spark, [(1, "one doc", [1.0, 0.0]), (2, "two doc", [0.0, 1.0])]
+    )
+    ingest_mod.ingest_batch_vectors(spark, store, b0, 0)
+    plain = _mk_docs(spark, [(3, "text only")])
+    for entry in (
+        ingest_mod.ingest_batch,
+        ingest_mod.ingest_batch_neardup,
+        ingest_mod.ingest_batch_substring,
+        ingest_mod.ingest_batch_lm,
+    ):
+        with pytest.raises(ValueError, match="vector index"):
+            entry(spark, store, plain, 1)
+    # the vector entry point still works afterwards
+    r = ingest_mod.ingest_batch_vectors(
+        spark, store, _mk_vdocs(spark, [(3, "three doc", [0.5, -0.5])]), 1
+    )
+    assert r["admitted"] == 1

@@ -424,6 +424,22 @@ def _commit_admitted(
     )
 
 
+def _require_no_vector_index(store: IngestStore, entry: str) -> None:
+    """A text-only batch cannot be healed into vector rows, so a store
+    that has a vector index must route every batch through
+    ``ingest_batch_vectors`` (or ``forget``).  Failing LOUD here is the
+    difference between an exception and an index that silently misses
+    rows and re-admits semantic duplicates forever — the same
+    only-probe-able-with-the-family-that-built-it discipline as the
+    band index, enforced instead of documented."""
+    if _has_table(store.vectors):
+        raise ValueError(
+            f"{entry}: store has a vector index ({store.vectors}); "
+            "ingest through ingest_batch_vectors so the index stays "
+            "complete (text-only commits cannot be healed into vector rows)"
+        )
+
+
 def ingest_batch(
     spark: SparkSession,
     store: IngestStore,
@@ -456,6 +472,7 @@ def ingest_batch(
     batch's rows and later screens stay complete.  It still performs
     no near-dup rejection or substring detection of its own.
     """
+    _require_no_vector_index(store, "ingest_batch")
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
     with_ngrams = _has_table(store.ngrams)
@@ -821,6 +838,7 @@ def ingest_batch_neardup(
         store.lsh_shingle_k,
     )
     jaccard_threshold = store.lsh_jaccard
+    _require_no_vector_index(store, "ingest_batch_neardup")
     with_anchors = _has_table(store.anchors)
     with_ngrams = _has_table(store.ngrams)
     anchor_params = (text_col, id_col) if with_anchors else None
@@ -992,6 +1010,7 @@ def ingest_batch_substring(
     from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
 
     k = store.substring_k
+    _require_no_vector_index(store, "ingest_batch_substring")
     with_bands = _has_table(store.bands)
     with_ngrams = _has_table(store.ngrams)
     band_params = (text_col, id_col) if with_bands else None
@@ -1208,6 +1227,7 @@ def ingest_batch_lm(
     table is doc-keyed for this reason), and replayed batches are
     whole-batch no-ops off the ngrams cursor.
     """
+    _require_no_vector_index(store, "ingest_batch_lm")
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
     band_params = (text_col, id_col) if with_bands else None
