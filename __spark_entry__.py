@@ -1940,6 +1940,29 @@ def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round 11: a term list sized like a real blocklist (the C4 list is
+# ~2.6k terms) — 400 terms pushes blocklist_screen's auto route past
+# the measured 256-term crossover onto the broadcast-join path, so
+# the driver oracle verifies the join route end-to-end, not just the
+# literal one.
+_BLOCKLIST_JOIN_TERMS = ["spark", "merge", "dup", "vector", "window"] + [
+    f"blk{i:04d}" for i in range(395)
+]
+
+
+def q_blocklist_screen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screen at real-list scale: 400 terms routes
+    ``text.blocklist_screen(route="auto")`` onto the broadcast-join
+    path (explode → equi-join vs a broadcast term relation →
+    per-doc re-aggregate), the plan that survives a 2,600-term C4
+    list or a 100k-phrase PII list where the literal
+    ``array_contains`` route is O(words × terms)."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.blocklist_screen(docs, _BLOCKLIST_JOIN_TERMS, max_hits=2)
+
+
 def q_neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-calibration curve for embedding dedup: for every
     observed centi-cosine bucket >= 0.20, how many pairs survive a
@@ -4449,6 +4472,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_stutter": q_collapse_stutter,
         "vocab_growth": q_vocab_growth,
         "blocklist_screen": q_blocklist_screen,
+        "blocklist_screen_join": q_blocklist_screen_join,
         "neardup_threshold_curve": q_neardup_threshold_curve,
         "training_export_plan": q_training_export_plan,
         "kmeans_centroids": q_kmeans_centroids,
@@ -5094,6 +5118,22 @@ _BLOCKLIST_SCREEN_ORACLE = f"""
     h AS (SELECT doc_id,
                  list_filter(ws, x -> list_contains(['spark', 'merge', 'dup'], x))
                      AS hits
+          FROM w)
+    SELECT doc_id,
+           CAST(len(hits) AS INTEGER) AS n_hits,
+           CAST(len(list_distinct(hits)) AS INTEGER) AS distinct_hits,
+           len(hits) > 2 AS flagged
+    FROM h
+"""
+
+_BLOCKLIST_JOIN_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in _BLOCKLIST_JOIN_TERMS
+)
+_BLOCKLIST_SCREEN_JOIN_ORACLE = f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    h AS (SELECT doc_id,
+                 list_filter(ws, x -> list_contains(
+                     [{_BLOCKLIST_JOIN_TERMS_SQL}], x)) AS hits
           FROM w)
     SELECT doc_id,
            CAST(len(hits) AS INTEGER) AS n_hits,
@@ -7360,6 +7400,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_stutter": _COLLAPSE_STUTTER_ORACLE,
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "blocklist_screen": _BLOCKLIST_SCREEN_ORACLE,
+        "blocklist_screen_join": _BLOCKLIST_SCREEN_JOIN_ORACLE,
         "neardup_threshold_curve": _NEARDUP_THRESHOLD_CURVE_ORACLE,
         "training_export_plan": _TRAINING_EXPORT_PLAN_ORACLE,
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,

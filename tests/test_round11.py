@@ -1,0 +1,172 @@
+"""Round 11: regression tests for the round-10 ADVICE items plus the
+new round-11 surface (blocklist broadcast-join route, byte-level BPE,
+quality gating at ingest admission, scale-proportional shard default,
+_auto_agree sidecar hint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _mk_vdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<float>"
+    )
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (round 10) regressions
+# ---------------------------------------------------------------------------
+
+
+def test_empty_first_vector_batch_does_not_create_empty_index(spark, tmp_path):
+    """ADVICE r10: a first vector batch with zero content-new rows must
+    NOT create an empty vectors table (which would permanently block
+    text variants via _require_no_vector_index and break
+    _stored_centroids); the next non-empty batch bootstraps normally
+    and probing before bootstrap raises a clear error."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2, sem_threshold=0.95
+    )
+    empty = _mk_vdocs(spark, []).limit(0)
+    r0 = ingest_mod.ingest_batch_vectors(spark, store, empty, 0)
+    assert r0["admitted"] == 0
+    # neither the index nor the basis exists yet
+    assert acid_mod.latest_version(store.vectors) is None
+    assert acid_mod.latest_version(store.centroids) is None
+
+    # probing before bootstrap fails LOUD with an actionable message
+    q = _mk_vdocs(spark, [(9, "q", [1.0, 0.0])]).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="no centroid basis"):
+        ingest_mod.vector_index_topk(spark, store, q, k=1)
+
+    # a plain text batch is NOT blocked (no vector index exists)
+    ingest_mod.ingest_batch(
+        spark, store, _mk_docs(spark, [(1, "plain text doc")]), 1
+    )
+
+    # the next non-empty vector batch bootstraps the basis normally
+    b2 = _mk_vdocs(
+        spark, [(2, "alpha doc", [1.0, 0.0]), (3, "beta doc", [0.0, 1.0])]
+    )
+    r2 = ingest_mod.ingest_batch_vectors(spark, store, b2, 2)
+    assert r2["admitted"] == 2
+    assert acid_mod.latest_version(store.centroids) is not None
+    got = ingest_mod.vector_index_topk(spark, store, q, k=1, nprobe=2).collect()
+    assert [r["neighbor_id"] for r in got] == [2]
+
+
+def test_foreach_batch_ingest_passes_nprobe_through(spark, tmp_path, monkeypatch):
+    """ADVICE r10: the streaming vectors mode must forward nprobe to
+    ingest_batch_vectors so the multi-probe recall lever is reachable
+    from streaming ingest."""
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_ingest,
+    )
+
+    seen = {}
+
+    def spy(spark_, store_, batch_, batch_id_, **kw):
+        seen.update(kw)
+        return {}
+
+    monkeypatch.setattr(ingest_mod, "ingest_batch_vectors", spy)
+    store = ingest_mod.IngestStore(str(tmp_path / "root"))
+    apply_fn = foreach_batch_ingest(store, vectors=True, nprobe=4)
+    apply_fn(_mk_vdocs(spark, [(1, "doc", [1.0, 0.0])]), 0)
+    assert seen.get("nprobe") == 4
+
+
+def test_shard_manifest_detects_pos_edit_not_physical_order(spark, tmp_path):
+    """ADVICE r10 (docstring contract): the shard checksum detects an
+    edit to the stored pos column (serving order IS pos), while
+    loaders are required to sort by pos — verify the checksum flags a
+    pos tamper."""
+    import json
+
+    from tiki_e_commerce_analytics_etl_spark import io as io_mod
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    io_mod.write_training_shards(df, path, n_shards=2, seed=3)
+    ok = io_mod.verify_training_shards(spark, path)
+    assert all(r["ok"] for r in ok.collect())
+
+    # tamper: swap two pos values inside one shard (same rows, same ids)
+    raw = spark.read.parquet(path)
+    shard0 = [r.asDict() for r in raw.filter(F.col("shard") == 0).collect()]
+    assert len(shard0) >= 2
+    shard0[0]["pos"], shard0[1]["pos"] = shard0[1]["pos"], shard0[0]["pos"]
+    rest = raw.filter(F.col("shard") != 0)
+    tampered = spark.createDataFrame(shard0, raw.schema).unionByName(rest)
+    path2 = str(tmp_path / "tampered")
+    tampered.write.mode("overwrite").partitionBy("shard").parquet(path2)
+    with open(f"{path}/_manifest.json") as f:
+        manifest = json.load(f)
+    with open(f"{path2}/_manifest.json", "w") as f:
+        json.dump(manifest, f)
+    bad = {r["shard"]: r["ok"] for r in
+           io_mod.verify_training_shards(spark, path2).collect()}
+    assert bad[0] is False and bad[1] is True
+
+
+# ---------------------------------------------------------------------------
+# Round 11 #1: blocklist broadcast-join route
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_routes_are_equivalent(spark):
+    """The literal array_contains route and the broadcast-join route
+    must produce identical (doc_id, n_hits, distinct_hits, flagged)
+    rows on the same corpus — including zero-hit docs, repeated hits,
+    duplicate input terms, and docs whose text is empty."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "red fish blue fish RED fish"),
+            (2, "nothing to see here"),
+            (3, ""),
+            (4, "fish red red red"),
+        ],
+    )
+    terms = ["red", "fish", "red", "absent"]  # duplicate term on purpose
+    lit = text_ops.blocklist_screen(docs, terms, max_hits=1, route="literal")
+    join = text_ops.blocklist_screen(docs, terms, max_hits=1, route="join")
+    assert lit.schema == join.schema
+    a = sorted(tuple(r) for r in lit.collect())
+    b = sorted(tuple(r) for r in join.collect())
+    assert a == b
+    by_id = dict((r[0], r[1:]) for r in a)
+    assert by_id[1] == (5, 2, True)   # red×2 + fish×3, both terms, >1
+    assert by_id[2] == (0, 0, False)
+    assert by_id[3] == (0, 0, False)
+    assert by_id[4] == (4, 2, True)
+
+
+def test_blocklist_auto_route_picks_join_for_long_lists(spark):
+    """route="auto" must stay on the literal path for short lists and
+    switch to the broadcast-join path past join_threshold — visible as
+    a join in the plan."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = _mk_docs(spark, [(1, "alpha beta")])
+    short = text_ops.blocklist_screen(docs, ["alpha"], route="auto")
+    long_terms = [f"t{i}" for i in range(300)]
+    long = text_ops.blocklist_screen(docs, long_terms, route="auto")
+    assert "Join" not in short._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in long._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="route"):
+        text_ops.blocklist_screen(docs, ["x"], route="bogus")

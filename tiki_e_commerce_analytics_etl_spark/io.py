@@ -265,17 +265,28 @@ def write_training_shards(
     ``_manifest.json`` (underscore: invisible to Spark readers, like
     ``_SUCCESS``) a data loader can verify before an epoch:
     per-shard row counts, token sums (when ``token_col`` is given)
-    and an order-sensitive integer checksum folded over (pos, id) in
-    serving order — a reader that re-folds the checksum while
-    streaming detects truncated, reordered, or re-shuffled shards.
+    and a position-weighted integer checksum folded over (pos, id) —
+    verification detects truncated, substituted, or duplicated rows
+    and any edit to the stored ``pos`` column.
+
+    Serving order is DEFINED by the stored ``pos`` column, not by
+    physical file order: loaders MUST sort each shard by ``pos``
+    (or read via ``verify_training_shards`` + an ORDER BY pos scan).
+    Because the checksum aggregates the stored (pos, id) pairs with a
+    commutative sum, a physical rewrite of a shard file that keeps
+    the same (pos, id) rows passes verification — which is correct
+    under the sort-by-pos contract, where physical order carries no
+    meaning.  A loader that served rows in raw file order would skip
+    that contract and could see a permutation the checksum cannot
+    flag.
 
     Everything is deterministic in (corpus, seed, n_shards): re-export
     reproduces byte-identical ordering and manifest, so a 100 TB
     export is resumable/verifiable per shard rather than trusted as a
-    whole.  The checksum is Σ pos·h(id) mod 2^31 per shard with h the
-    first 8 md5 hex digits — order-sensitive (the pos factor) and
-    computable as one hash aggregate; no collect beyond the bounded
-    per-shard manifest rows.
+    whole.  The checksum is Σ pos·h(id) mod 2³¹−1 per shard with h
+    the first 6 md5 hex digits (see ``_order_checksum``) —
+    pos-weighted and computable as one hash aggregate; no collect
+    beyond the bounded per-shard manifest rows.
 
     Returns the manifest dict (also written to ``path/_manifest.json``).
     """
@@ -322,11 +333,14 @@ def write_training_shards(
 
 def verify_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Loader-side integrity check of a ``write_training_shards``
-    export: re-fold each shard's order-sensitive checksum and row
+    export: re-fold each shard's position-weighted checksum and row
     count from the files and compare against the manifest.  Returns
     one row per shard (shard, rows, checksum, manifest_rows,
-    manifest_checksum, ok) — a failed ``ok`` pinpoints WHICH shard is
-    truncated/reordered without re-reading the rest."""
+    manifest_checksum, ok) — a failed ``ok`` pinpoints WHICH shard
+    has truncated, substituted, or duplicated rows (or edited pos
+    values) without re-reading the rest.  Physical file order is NOT
+    checked: serving order is the stored ``pos`` column and loaders
+    must sort by it (see ``write_training_shards``)."""
     import json as _json
     import os as _os
 

@@ -2524,26 +2524,81 @@ def blocklist_screen(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hits: int = 0,
+    route: str = "auto",
+    join_threshold: int = 256,
 ):
     """C4-style blocklist screen (Raffel et al. 2020 §2.2 drop any
     page containing a "List of Dirty, Naughty …" term): per-doc hit
-    counting against a bounded term list with the keep/drop verdict
-    attached — counts rather than a bare filter, because curation
-    audits want the near-miss distribution, not just the survivor set.
+    counting against a term list with the keep/drop verdict attached —
+    counts rather than a bare filter, because curation audits want the
+    near-miss distribution, not just the survivor set.
 
-    Pure narrow projection: the word array materializes once, hits
-    are one pass of ``array_contains`` against the LITERAL term array
-    (bounded vocabulary — a list too large to inline belongs in a
-    broadcast join instead).  ``flagged`` = n_hits > max_hits.
+    Two physical routes with identical semantics (equivalence pytest
+    in tests/test_round11.py), chosen like ``dedup._auto_agree``:
+
+    * ``"literal"`` — the word array materializes once, hits are one
+      pass of ``array_contains`` against the LITERAL term array.
+      Right for short lists: no shuffle at all, but the comparison
+      work is O(words × terms) and the Catalyst expression grows with
+      the list — the real C4 list (~2.6k terms) or a 100k-phrase
+      PII/safety list would bloat every task's codegen.
+    * ``"join"`` — words explode to rows and equi-join a BROADCAST
+      (term) relation (O(words) hash probes regardless of list size),
+      hits re-aggregate per doc, zero-hit docs rejoin via a left join
+      on the doc spine.  Scales to arbitrarily long lists; costs one
+      explode + two hash aggregates.
+    * ``"auto"`` (default) — ``join`` when ``len(terms) >
+      join_threshold`` else ``literal``.  The 256 default is the
+      measured crossover (SCALING.md round-11 blocklist ladder at
+      sf0.1: literal 0.65 s vs join 0.81 s at 256 terms, 1.25 s vs
+      0.69 s at 512, 5.83 s vs 0.65 s at 2,600 — the join route is
+      flat in list size, the literal route linear; the crossover in
+      TERM COUNT is roughly scale-free because both the per-term
+      compare and the per-word hash probe are per-word costs).
+
+    ``flagged`` = n_hits > max_hits.  Duplicate terms in the input
+    list are deduplicated (both routes count a matching word once per
+    word OCCURRENCE, never once per duplicate term row).
 
     Returns (id_col, n_hits, distinct_hits, flagged).
     """
-    lit_terms = F.array(*[F.lit(t) for t in terms])
+    if route not in ("auto", "literal", "join"):
+        raise ValueError(f"route must be auto|literal|join, got {route!r}")
+    if route == "auto":
+        route = "join" if len(terms) > join_threshold else "literal"
     ws = df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
-    hits = F.filter(F.col("__ws"), lambda x: F.array_contains(lit_terms, x))
-    return ws.select(
-        F.col(id_col),
-        F.size(hits).alias("n_hits"),
-        F.size(F.array_distinct(hits)).alias("distinct_hits"),
-        (F.size(hits) > F.lit(max_hits)).alias("flagged"),
+    if route == "literal":
+        lit_terms = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
+        hits = F.filter(F.col("__ws"), lambda x: F.array_contains(lit_terms, x))
+        return ws.select(
+            F.col(id_col),
+            F.size(hits).alias("n_hits"),
+            F.size(F.array_distinct(hits)).alias("distinct_hits"),
+            (F.size(hits) > F.lit(max_hits)).alias("flagged"),
+        )
+    tdf = (
+        df.sparkSession.createDataFrame(
+            [(t,) for t in dict.fromkeys(terms)], "__w string"
+        )
+        if terms
+        else df.sparkSession.createDataFrame([], "__w string")
+    )
+    matched = (
+        ws.select(F.col(id_col), F.explode("__ws").alias("__w"))
+        .join(F.broadcast(tdf), "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("__nh"),
+            F.count_distinct("__w").cast("int").alias("__dh"),
+        )
+    )
+    return (
+        ws.select(F.col(id_col))
+        .join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__nh", F.lit(0)).alias("n_hits"),
+            F.coalesce("__dh", F.lit(0)).alias("distinct_hits"),
+            (F.coalesce("__nh", F.lit(0)) > F.lit(max_hits)).alias("flagged"),
+        )
     )

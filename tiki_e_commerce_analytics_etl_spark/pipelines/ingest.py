@@ -168,8 +168,24 @@ def _chain_tail(
 def _stored_centroids(spark: SparkSession, store: IngestStore) -> list[list[int]]:
     """Reconstruct the k × dim integer centroid list from the
     persisted long-format rows — the only driver traffic the vector
-    index ever needs (bounded by k × dim, never by corpus size)."""
+    index ever needs (bounded by k × dim, never by corpus size).
+    Raises a clear error when the basis was never bootstrapped (e.g.
+    querying a store whose only vector batches were empty) instead of
+    an opaque read/``min()`` failure downstream."""
+    if not _has_table(store.centroids):
+        raise ValueError(
+            f"vector index has no centroid basis ({store.centroids}): "
+            "no vector batch with content-new rows has been ingested "
+            "yet, so there is nothing to probe — ingest a non-empty "
+            "batch through ingest_batch_vectors first"
+        )
     rows = acid.read_atomic(spark, store.centroids).collect()
+    if not rows:
+        raise ValueError(
+            f"centroid basis table is empty ({store.centroids}); the "
+            "vector index cannot be probed — re-bootstrap by ingesting "
+            "a non-empty vector batch"
+        )
     by_c: dict[int, dict[int, int]] = {}
     for r in rows:
         by_c.setdefault(r["cluster"], {})[r["pos"]] = r["val"]
@@ -1507,15 +1523,21 @@ def ingest_batch_vectors(
             txn_app=app_id,
             txn_version=batch_id,
         )
-    acid.atomic_overwrite_partitions(
-        new_vrows.join(
-            admitted.select(F.col(id_col).alias("__id")), "__id", "left_semi"
-        ),
-        store.vectors,
-        mode="append",
-        txn_app=app_id,
-        txn_version=batch_id,
-    )
+    # Only materialize the vectors table once a centroid basis exists:
+    # a first batch with zero content-new rows must NOT create an
+    # empty index (it would block text variants via
+    # _require_no_vector_index and break _stored_centroids) — the next
+    # non-empty batch bootstraps normally instead.
+    if _has_table(store.centroids):
+        acid.atomic_overwrite_partitions(
+            new_vrows.join(
+                admitted.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+            ),
+            store.vectors,
+            mode="append",
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
     return {
         "batch": n_batch,
         "in_batch_dups": n_batch - first.count(),

@@ -281,6 +281,7 @@ def foreach_batch_ingest(
     lm: bool = False,
     vectors: bool = False,
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming face of the incremental corpus ingest
     (pipelines/ingest.py): each micro-batch runs the full admission
@@ -309,7 +310,11 @@ def foreach_batch_ingest(
     instead: every micro-batch must carry ``vec_col``, embedding
     near-dups of all admitted history are rejected via the persistent
     IVF vector table, and the stream keeps an ANN index of the corpus
-    current at batch cost (``vector_index_topk`` queries it).
+    current at batch cost (``vector_index_topk`` queries it);
+    ``nprobe`` passes through to ``ingest_batch_vectors`` so the
+    streaming path can use the same multi-probe recall lever as the
+    batch path (cross-cell semantic dups are missed at the default
+    ``nprobe=1`` — the standard IVF compromise).
     """
     from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
 
@@ -339,7 +344,7 @@ def foreach_batch_ingest(
             ingest_mod.ingest_batch_vectors(
                 spark, store, batch, batch_id,
                 text_col=text_col, id_col=id_col, vec_col=vec_col,
-                app_id=app_id,
+                app_id=app_id, nprobe=nprobe,
             )
         else:
             ingest_mod.ingest_batch(
