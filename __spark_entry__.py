@@ -1927,6 +1927,62 @@ def q_training_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.withColumn("pos", F.row_number().over(w))
 
 
+_BYTE_BPE_CORPUS = (
+    "low low low lower lower newest newest newest newest "
+    "widest widest it's café 42"
+)
+
+
+def q_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level GPT-2-style BPE training (round 11 — completes the
+    trainer family at the level production LLM tokenizers actually
+    train): GPT-2 pre-tokenizer regex (pieces keep their leading
+    space), UTF-8 bytes mapped through the bytes_to_unicode table,
+    then 10 rounds of the shared count-pairs → argmax → rewrite loop.
+    The canonical corpus extends Sennrich's with a contraction
+    ("it's" splits to ' it' + "'s"), a multi-byte UTF-8 word ('café'
+    → 6 byte symbols), and digits — ranks 8-9 merge the 'Ġ' space
+    prefix, the byte-level signature the char trainer cannot
+    produce.  The oracle carries the merge table computed by an
+    independent pure-Python reference (scanner-based pre-tokenizer,
+    re-derived byte table; tests/test_round11.py re-derives it
+    property-style on random corpora); the iterative rewrite itself
+    is not SQL-expressible, the fixed-corpus VALUES table is."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, _BYTE_BPE_CORPUS)], "case_id: long, text: string"
+    )
+    return text_ops.byte_bpe_train(df, n_merges=10)
+
+
+def q_byte_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE APPLY (round 11): tokenize documents by
+    replaying the merge table ``byte_bpe_train`` learns on the
+    canonical corpus — train ∘ apply share ``_merge_scan``, the byte
+    table, and the pre-tokenizer, so they cannot drift.  The oracle
+    carries reference-derived counts (e.g. 'lowest widest low' → 3
+    pieces, 17 bytes, 7 tokens: [low|est], [Ġ|w|i|dest] via the
+    rank-10 'dest' merge, [Ġlow] whole); ' café' stays 6 untouched
+    byte symbols — no merge covers it, yet it still tokenizes: the
+    no-<unk> guarantee of the 256-symbol base alphabet."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    train = spark.createDataFrame(
+        [(1, _BYTE_BPE_CORPUS)], "case_id: long, text: string"
+    )
+    merges = text_ops.byte_bpe_train(train, n_merges=10)
+    docs = spark.createDataFrame(
+        [
+            (1, "lowest widest low"),
+            (2, "it's newest café"),
+            (3, "42 low lows"),
+        ],
+        "doc_id: long, text: string",
+    )
+    return text_ops.byte_bpe_token_counts(docs, merges)
+
+
 def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist screen: per-doc hit counts + keep/drop
     verdict against a bounded term list (text.blocklist_screen) —
@@ -4473,6 +4529,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "blocklist_screen": q_blocklist_screen,
         "blocklist_screen_join": q_blocklist_screen_join,
+        "byte_bpe_merges": q_byte_bpe_merges,
+        "byte_bpe_tokenize": q_byte_bpe_tokenize,
         "neardup_threshold_curve": q_neardup_threshold_curve,
         "training_export_plan": q_training_export_plan,
         "kmeans_centroids": q_kmeans_centroids,
@@ -5124,6 +5182,43 @@ _BLOCKLIST_SCREEN_ORACLE = f"""
            CAST(len(list_distinct(hits)) AS INTEGER) AS distinct_hits,
            len(hits) > 2 AS flagged
     FROM h
+"""
+
+# Independent pure-Python reference derivation (scanner pre-tokenizer
+# + re-derived byte table + Counter argmax); Ġ is U+0120 (mapped
+# space), ranks 8-9 are the byte-level space-prefix merges.
+_BYTE_BPE_MERGES_ORACLE = """
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, left_sym AS left,
+           right_sym AS right, merged,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES
+        (1, 'e', 's', 'es', 6),
+        (2, 'es', 't', 'est', 6),
+        (3, 'l', 'o', 'lo', 5),
+        (4, 'lo', 'w', 'low', 5),
+        (5, 'e', 'w', 'ew', 4),
+        (6, 'ew', 'est', 'ewest', 4),
+        (7, 'n', 'ewest', 'newest', 4),
+        (8, 'Ġ', 'low', 'Ġlow', 4),
+        (9, 'Ġ', 'newest', 'Ġnewest', 4),
+        (10, 'd', 'est', 'dest', 2)
+    ) AS t(merge_rank, left_sym, right_sym, merged, pair_count)
+"""
+
+# Reference-derived under the pinned 10-merge byte-level table:
+#   'lowest widest low' → [low|est] [Ġ|w|i|dest] [Ġlow]   = 3/17/7
+#   "it's newest café"  → [i|t] ['|s] [Ġnewest] [Ġ|Ã|©|...] = 4/17/11
+#   '42 low lows'       → [4|2] [Ġlow] [Ġlow|s]            = 3/11/5
+_BYTE_BPE_TOKENIZE_ORACLE = """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (VALUES
+        (1, 3, 17, 7),
+        (2, 4, 17, 11),
+        (3, 3, 11, 5)
+    ) AS t(doc_id, n_pieces, n_bytes, n_tokens)
 """
 
 _BLOCKLIST_JOIN_TERMS_SQL = ", ".join(
@@ -7401,6 +7496,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "blocklist_screen": _BLOCKLIST_SCREEN_ORACLE,
         "blocklist_screen_join": _BLOCKLIST_SCREEN_JOIN_ORACLE,
+        "byte_bpe_merges": _BYTE_BPE_MERGES_ORACLE,
+        "byte_bpe_tokenize": _BYTE_BPE_TOKENIZE_ORACLE,
         "neardup_threshold_curve": _NEARDUP_THRESHOLD_CURVE_ORACLE,
         "training_export_plan": _TRAINING_EXPORT_PLAN_ORACLE,
         "kmeans_centroids": _KMEANS_CENTROIDS_ORACLE,

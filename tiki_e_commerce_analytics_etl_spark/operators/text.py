@@ -634,47 +634,16 @@ def _merge_scan(s: list, l: str, r: str, m: str) -> list:
     return res
 
 
-def bpe_train(
-    df,
-    text_col: str = "text",
-    n_merges: int = 10,
-):
-    """Byte-pair-encoding merge training (Sennrich et al. 2016) over a
-    corpus column: ``n_merges`` rounds of "count adjacent symbol pairs
-    weighted by word frequency → merge the most frequent pair
-    everywhere", returning the learned merge table
-    (merge_rank, left, right, merged, pair_count).
-
-    Deterministic by construction: the argmax tiebreak is
-    (count DESC, left ASC, right ASC), and in-word merge application
-    is the reference left-to-right scan that resumes AFTER a merged
-    pair (``a a a`` + merge (a,a) → ``aa a`` in one pass) — semantics
-    a non-overlapping string replace cannot reproduce, hence the
-    Arrow-batched pandas stage for the rewrite (the one part of BPE
-    that is genuinely sequential per word).
-
-    Scale shape: training state is the UNIQUE-WORD table (word symbol
-    arrays + counts) — the classic BPE trick; 100 TB of text collapses
-    to its vocabulary before round 1.  Each round is one uniform-key
-    pair-count shuffle + a TakeOrdered(1) argmax (a one-row boundary
-    collect) + one narrow mapInPandas rewrite; ``localCheckpoint``
-    truncates the per-round lineage exactly like the pagerank loop, so
-    round N never re-executes rounds 1..N-1.
-    """
+def _bpe_merge_loop(cur, n_merges: int) -> list[tuple[int, str, str, str, int]]:
+    """The shared BPE training loop over a checkpointed
+    (syms array<string>, wcnt long) unique-word/piece table: per round
+    one uniform-key pair-count shuffle + a TakeOrdered(1) argmax (a
+    one-row boundary collect) + one narrow Arrow rewrite
+    (``_merge_scan``), ``localCheckpoint``-truncated lineage.  Used by
+    both the character-level trainer (``bpe_train``) and the
+    byte-level one (``byte_bpe_train``) — the loop is symbol-agnostic;
+    only the initial symbolization differs."""
     import pandas as pd
-
-    if n_merges < 1:
-        raise ValueError("n_merges must be >= 1")
-    spark = df.sparkSession
-    wf = (
-        df.select(F.explode(words(F.col(text_col))).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("wcnt"))
-    )
-    cur = wf.select(
-        F.split(F.col("w"), "").alias("syms"), F.col("wcnt")
-    ).localCheckpoint(eager=True)
 
     sym_schema = T.StructType(
         [
@@ -728,6 +697,49 @@ def bpe_train(
             cur = nxt
     finally:
         cur.unpersist()
+    return merges
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 10,
+):
+    """Byte-pair-encoding merge training (Sennrich et al. 2016) over a
+    corpus column: ``n_merges`` rounds of "count adjacent symbol pairs
+    weighted by word frequency → merge the most frequent pair
+    everywhere", returning the learned merge table
+    (merge_rank, left, right, merged, pair_count).
+
+    Deterministic by construction: the argmax tiebreak is
+    (count DESC, left ASC, right ASC), and in-word merge application
+    is the reference left-to-right scan that resumes AFTER a merged
+    pair (``a a a`` + merge (a,a) → ``aa a`` in one pass) — semantics
+    a non-overlapping string replace cannot reproduce, hence the
+    Arrow-batched pandas stage for the rewrite (the one part of BPE
+    that is genuinely sequential per word).
+
+    Scale shape: training state is the UNIQUE-WORD table (word symbol
+    arrays + counts) — the classic BPE trick; 100 TB of text collapses
+    to its vocabulary before round 1.  Each round is one uniform-key
+    pair-count shuffle + a TakeOrdered(1) argmax (a one-row boundary
+    collect) + one narrow mapInPandas rewrite; ``localCheckpoint``
+    truncates the per-round lineage exactly like the pagerank loop, so
+    round N never re-executes rounds 1..N-1.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    wf = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    cur = wf.select(
+        F.split(F.col("w"), "").alias("syms"), F.col("wcnt")
+    ).localCheckpoint(eager=True)
+    merges = _bpe_merge_loop(cur, n_merges)
     return spark.createDataFrame(
         merges,
         "merge_rank: int, left: string, right: string, "
@@ -803,6 +815,190 @@ def bpe_token_counts(
         .agg(
             F.sum("tf").alias("n_words"),
             F.sum(F.col("tf") * F.col("n_sym")).alias("n_chars"),
+            F.sum(F.col("tf") * F.col("n_tok")).alias("n_tokens"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+# GPT-2 pre-tokenizer (Radford et al. 2019; the regex is public via
+# the released gpt-2 encoder and tiktoken): contractions first, then
+# optional-space + letter run / number run / other-punct run, then the
+# lookahead-trimmed whitespace run.  Java regex (what Spark's
+# regexp_extract_all compiles): \p{L} and \p{N} are Unicode
+# categories, \s is the ASCII class — the independent pure-Python
+# reference in tests/test_round11.py reproduces exactly those
+# semantics character-by-character, no regex engine shared.
+GPT2_SPLIT_REGEX = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def gpt2_pieces(text: Column) -> Column:
+    """Pre-tokenizer pieces of a text column under the GPT-2 split
+    regex — JVM-side (``regexp_extract_all``), no Python in the hot
+    path.  Pieces keep their leading space (byte-level BPE's 'Ġ'
+    convention after byte mapping)."""
+    return F.regexp_extract_all(text, F.lit(GPT2_SPLIT_REGEX), 0)
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode table: the 188 printable latin-1 bytes
+    map to themselves; the other 68 (controls, space, DEL, soft
+    hyphen, …) map to U+0100.. in byte order, so every byte gets a
+    PRINTABLE, distinct character and merge symbols stay plain
+    strings.  Re-derived from the published construction (openai
+    gpt-2 encoder.py / tiktoken — public); e.g. space → 'Ġ' (U+0120),
+    newline → 'Ċ' (U+010A)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+def _byte_syms(piece: str, b2u: dict[int, str]) -> list[str]:
+    """A pre-tokenizer piece as its byte-symbol sequence: UTF-8
+    encode, then map every byte through the GPT-2 table — one symbol
+    per BYTE (a multi-byte character like 'é' becomes two symbols),
+    which is what makes byte-level BPE closed over arbitrary input
+    with a 256-symbol base alphabet and no <unk>."""
+    return [b2u[b] for b in piece.encode("utf-8")]
+
+
+def byte_bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 10,
+):
+    """Byte-level BPE merge training — the GPT-2/Llama construction
+    (Radford et al. 2019 §2.2; Sennrich et al. 2016 merges over byte
+    symbols): pre-tokenize with the GPT-2 regex (pieces keep their
+    leading space), map each piece's UTF-8 bytes through the
+    ``bytes_to_unicode`` table, then run the same
+    count-pairs → argmax → rewrite loop as the character-level
+    trainer.  Returns (merge_rank, left, right, merged, pair_count);
+    symbols are the printable mapped characters ('Ġ' = space prefix).
+
+    Deterministic: (count DESC, left ASC, right ASC) argmax tiebreak,
+    resume-after-merge rewrite via the shared ``_merge_scan`` — the
+    identical loop (``_bpe_merge_loop``) as ``bpe_train``, so the
+    char- and byte-level trainers cannot drift procedurally.
+
+    Scale shape: the corpus collapses to its UNIQUE pre-token piece
+    table before round 1 (the classic trick — 100 TB of text becomes
+    its piece vocabulary); the regex split is JVM-side; the one
+    Python step (UTF-8 byte mapping) is a single Arrow-batched pass
+    over the bounded unique-piece table, never per occurrence.
+    """
+    import pandas as pd
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    pf = (
+        df.select(F.explode(gpt2_pieces(F.col(text_col))).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    b2u = bytes_to_unicode()
+
+    def to_syms(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "syms": [_byte_syms(p, b2u) for p in pdf["p"]],
+                    "wcnt": pdf["wcnt"].to_numpy(),
+                }
+            )
+
+    cur = pf.mapInPandas(
+        to_syms, "syms array<string>, wcnt long"
+    ).localCheckpoint(eager=True)
+    merges = _bpe_merge_loop(cur, n_merges)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left: string, right: string, "
+        "merged: string, pair_count: long",
+    )
+
+
+def byte_bpe_token_counts(
+    df,
+    merges_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Byte-level BPE tokenization (the APPLY step for
+    ``byte_bpe_train``): per document, pre-token piece count, UTF-8
+    byte count, and token count after replaying every merge in
+    ``merge_rank`` order — the same resume-after-merge ``_merge_scan``
+    and the same ``bytes_to_unicode`` mapping the trainer uses, so
+    train ∘ apply are in lockstep by construction.
+
+    Returns (id_col, n_pieces, n_bytes, n_tokens); ``n_bytes /
+    n_tokens`` is the bytes-per-token compression the learned
+    vocabulary achieves (the metric tokenizer papers report).
+
+    Scale shape: the sequential merge replay runs once per UNIQUE
+    piece via Arrow-batched ``mapInPandas``; per-document counts come
+    from joining piece frequencies back on the piece key.  The merge
+    table is bounded, collected once, shipped in the closure.
+    """
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges_df.select("merge_rank", "left", "right", "merged")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    b2u = bytes_to_unicode()
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(gpt2_pieces(F.col(text_col))).alias("p"),
+        )
+        .groupBy("id", "p")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    up = tf.select("p").distinct()
+
+    def tok_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_b, n_tok = [], []
+            for p in pdf["p"]:
+                syms = _byte_syms(p, b2u)
+                n_b.append(len(syms))
+                for l, r, m in merges:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_scan(syms, l, r, m)
+                n_tok.append(len(syms))
+            yield pd.DataFrame({"p": pdf["p"], "n_b": n_b, "n_tok": n_tok})
+
+    toks = up.mapInPandas(tok_batches, "p string, n_b long, n_tok long")
+    return (
+        tf.join(toks, "p")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_pieces"),
+            F.sum(F.col("tf") * F.col("n_b")).alias("n_bytes"),
             F.sum(F.col("tf") * F.col("n_tok")).alias("n_tokens"),
         )
         .withColumnRenamed("id", id_col)
