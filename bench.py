@@ -196,6 +196,18 @@ HEADLINE = [
 ]
 
 
+# Drift canary (round 11): a fixed, fast, untouched-since-round-1
+# query re-timed every CANARY_EVERY measured queries.  Batch-position
+# JVM state (code-cache growth, GC backlog) has been measured to
+# inflate untouched sub-second queries 2-8x late in a 200-query sweep
+# (rounds 9-10); the canary's trajectory in the side JSON separates
+# "the instrument drifted" from "this query regressed" — a flat canary
+# plus a moved median is a real change, a drifting canary indicts the
+# batch, not the query.
+CANARY = "pricing_summary"
+CANARY_EVERY = 25
+
+
 def format_stdout_line(
     timings: dict[str, float], sf: float | None, full: bool = False
 ) -> str:
@@ -232,11 +244,56 @@ def format_stdout_line(
     )
 
 
+def _solo_main(name: str) -> None:
+    """``bench.py --solo <query>``: measure ONE query in a fresh
+    process/JVM with the standard warm-median discipline and print a
+    single JSON line — the clean instrument the in-batch sweep cannot
+    be (its JVM carries 100+ queries of code-cache/GC state)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        configure(SparkSession.builder.appName("bench-solo").master(f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    qs["distinct_segments"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+    fn = qs[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    runs = []
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))):
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.perf_counter() - start, 3))
+        spark.catalog.clearCache()
+    print(json.dumps({"query": name, "median": statistics.median(runs), "reps": runs}))
+
+
+def _prior_medians(path: str) -> dict[str, float]:
+    try:
+        with open(path) as f:
+            return dict(json.load(f).get("medians", {}))
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    if "--solo" in sys.argv[1:]:
+        _solo_main(sys.argv[sys.argv.index("--solo") + 1])
+        return
 
     from pyspark.sql import SparkSession
 
@@ -271,7 +328,24 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     per_rep: dict[str, list[float]] = {}
-    for name in names:
+    # Canary: one unmeasured warmup, then a single timed run at the
+    # start and after every CANARY_EVERY queries.  Deliberately
+    # single-rep and NOT gc-padded — it samples the instrument state a
+    # measured query actually sees at that batch position.
+    canary_fn = qs[CANARY]
+    canary_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    canary: list[dict] = []
+
+    def run_canary(after_n: int) -> None:
+        start = time.perf_counter()
+        canary_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        canary.append(
+            {"after_n": after_n, "sec": round(time.perf_counter() - start, 3)}
+        )
+        spark.catalog.clearCache()
+
+    run_canary(0)
+    for qi, name in enumerate(names, 1):
         fn = qs[name]
         # One unmeasured warmup rep per query: the FIRST execution of a
         # plan pays its whole-stage-codegen JIT compilation (measured
@@ -301,16 +375,67 @@ def main() -> None:
         # 12-20 s late in the suite).  Collect between queries so the
         # cleanup is never billed to a measured rep.
         spark.sparkContext._jvm.System.gc()
+        if qi % CANARY_EVERY == 0 or qi == len(names):
+            run_canary(qi)
+
+    # Drift check vs the PRIOR artifact: any median that moved >2x in
+    # either direction gets an automatic solo re-measurement in a
+    # FRESH process (clean JVM), so the artifact itself distinguishes
+    # batch-position drift from a real regression.  --full only (the
+    # close ritual); cap bounds the cost.
+    fname = "bench_full.json" if full else "bench_reps.json"
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
+    remeasured: dict[str, dict] = {}
+    if full or os.environ.get("SPARK_GRAFT_REMEASURE") == "1":
+        import subprocess
+
+        prior = _prior_medians(side)
+        flagged = [
+            n
+            for n, t in timings.items()
+            if n in prior
+            and prior[n] >= 0.05
+            and t >= 0.05
+            and (t / prior[n] > 2.0 or prior[n] / t > 2.0)
+        ]
+        cap = int(os.environ.get("SPARK_GRAFT_REMEASURE_CAP", "8"))
+        for n in sorted(
+            flagged, key=lambda x: timings[x] / prior[x], reverse=True
+        )[:cap]:
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--solo", n],
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                    check=True,
+                )
+                solo = json.loads(out.stdout.strip().splitlines()[-1])
+                remeasured[n] = {
+                    "prior": prior[n],
+                    "in_batch": timings[n],
+                    "solo": solo["median"],
+                }
+            except Exception as exc:  # noqa: BLE001 — audit detail only
+                remeasured[n] = {
+                    "prior": prior[n],
+                    "in_batch": timings[n],
+                    "solo_error": str(exc)[:200],
+                }
 
     # Full per-query medians + per-rep arrays go to a side file; the
     # stdout line (format_stdout_line) must stay short enough for the
     # driver's 2000-char tail capture.
     try:
-        fname = "bench_full.json" if full else "bench_reps.json"
-        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
         with open(side, "w") as f:
             json.dump(
-                {"sf": sf, "medians": timings, "reps": per_rep},
+                {
+                    "sf": sf,
+                    "medians": timings,
+                    "reps": per_rep,
+                    "canary": {"name": CANARY, "trajectory": canary},
+                    "solo_remeasure": remeasured,
+                },
                 f,
                 indent=1,
                 sort_keys=True,

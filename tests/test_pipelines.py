@@ -525,7 +525,10 @@ def test_forget_makes_content_admissible_again(spark, tmp_path):
     assert ingest_batch(spark, store, b0, 0)["admitted"] == 2
 
     gone = spark.createDataFrame([(1,)], "doc_id long")
-    assert forget(spark, store, gone, 1) == {"removed": 1}
+    assert forget(spark, store, gone, 1) == {
+        "removed": 1,
+        "removed_quarantined": 0,
+    }
     assert forget(spark, store, gone, 1) == {"replay_skipped": True}
     assert sorted(r.doc_id for r in acid.read_atomic(spark, store.corpus).collect()) == [2]
 

@@ -416,3 +416,282 @@ def test_byte_bpe_tokenize_out_of_training(spark):
                 syms = _ref_scan(syms, l, r, m)
             n_tok += len(syms)
         assert got[did] == (len(pieces), n_bytes, n_tok)
+
+
+# ---------------------------------------------------------------------------
+# Round 11 #3: quality gating at ingest admission (quarantine chain table)
+# ---------------------------------------------------------------------------
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back to "
+    "the barn with all of the other animals that have been waiting there "
+    "since early morning because they wanted to see what would happen "
+    "when the farmer finally came home with the new supplies for winter"
+)
+_BAD = "xx yy zz"  # fails min_words and stop-word rules
+
+
+def _logreg_store(tmp_path, min_margin=0):
+    import hashlib
+
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    dim = 512
+    f_good = int(hashlib.md5(b"good").hexdigest()[:12], 16) % dim
+    f_bad = int(hashlib.md5(b"bad").hexdigest()[:12], 16) % dim
+    assert f_good != f_bad
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"),
+        m_bits=1 << 12,
+        quality_mode="logreg",
+        quality_weights={f_good: 1000, f_bad: -1000},
+        quality_bias=0,
+        quality_dim=dim,
+        quality_min_margin=min_margin,
+    )
+    return store, f_good, f_bad
+
+
+def test_quality_gate_gopher_matches_one_shot_and_separates_audit(
+    spark, tmp_path
+):
+    """Incremental admission-time gating ≡ one-shot gopher_quality by
+    shared code: across two batches, quarantine holds exactly the docs
+    the batch operator fails, the corpus exactly the passes — and a
+    DUPLICATE of a bad doc is rejected as a duplicate, never double-
+    counted in quarantine (the two audit categories stay separate)."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, quality_mode="gopher"
+    )
+    b0 = _mk_docs(spark, [(1, _GOOD), (2, _BAD)])
+    r0 = ingest_mod.ingest_batch(spark, store, b0, 0)
+    assert r0["admitted"] == 1 and r0["quarantined"] == 1
+    b1 = _mk_docs(spark, [(3, _BAD), (4, _GOOD + " again"), (5, _BAD)])
+    r1 = ingest_mod.ingest_batch(spark, store, b1, 1)
+    # doc 5 is an exact dup of doc 3 (in-batch): rejected as DUP, not
+    # quarantined twice
+    assert r1["admitted"] == 1 and r1["quarantined"] == 1
+    assert r1["in_batch_dups"] == 1
+
+    union = _mk_docs(spark, [(1, _GOOD), (2, _BAD), (3, _BAD), (4, _GOOD + " again")])
+    want_fail = {
+        r["id"]
+        for r in text_ops.gopher_quality(union).collect()
+        if not r["pass_gopher"]
+    }
+    got_q = {
+        r["doc_id"]
+        for r in acid_mod.read_atomic(spark, store.quarantine).collect()
+    }
+    assert got_q == want_fail == {2, 3}
+    got_c = sorted(
+        r["doc_id"] for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    )
+    assert got_c == [1, 4]
+    # quarantine rows carry the stored score and the full text (audits)
+    qrow = acid_mod.read_atomic(spark, store.quarantine).filter(
+        F.col("doc_id") == 2
+    ).collect()[0]
+    assert qrow["q_score"] == 0 and qrow["text"] == _BAD
+
+
+def test_quality_gate_logreg_margin_matches_one_shot(spark, tmp_path):
+    """logreg mode: the stored q_score is the exact micro-unit margin
+    features.logreg_margins computes one-shot under the same weights."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store, _fg, _fb = _logreg_store(tmp_path)
+    b0 = _mk_docs(
+        spark,
+        [
+            (1, "good good content here"),   # margin +2000
+            (2, "bad bad bad content"),      # margin -3000
+            (3, "neutral words only"),       # margin 0 (>= floor 0: admit)
+        ],
+    )
+    r0 = ingest_mod.ingest_batch(spark, store, b0, 0)
+    assert r0["admitted"] == 2 and r0["quarantined"] == 1
+    one_shot = {
+        r[0]: r[1]
+        for r in ingest_mod._quality_scores(store, b0, "text", "doc_id").collect()
+    }
+    assert one_shot == {1: 2000, 2: -3000, 3: 0}
+    qrows = acid_mod.read_atomic(spark, store.quarantine).collect()
+    assert [(r["doc_id"], r["q_score"]) for r in qrows] == [(2, -3000)]
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_quality_crash_matrix(spark, tmp_path, monkeypatch, crash_at):
+    """Crash positions across the quality chain (quarantine=1,
+    corpus=2, hashes=3, bloom=4): after redelivery the store converges
+    to exactly one copy of each quarantine row and each corpus row —
+    the quarantine-commits-FIRST ordering makes every position
+    recoverable (quarantine rows are not reconstructible from corpus
+    feeds, so they must be durable before anything downstream)."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, quality_mode="gopher"
+    )
+    ingest_mod.ingest_batch(
+        spark, store, _mk_docs(spark, [(1, _GOOD), (2, _BAD)]), 0
+    )
+
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == crash_at:
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(acid_mod, "atomic_overwrite_partitions", crashing)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    b1 = _mk_docs(spark, [(3, _GOOD + " fresh"), (4, _BAD + " ww")])
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_mod.ingest_batch(spark, store, b1, 1)
+    monkeypatch.setattr(acid_mod, "atomic_overwrite_partitions", real_commit)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+
+    ingest_mod.ingest_batch(spark, store, b1, 1)  # redelivery
+    q = sorted(
+        r["doc_id"] for r in acid_mod.read_atomic(spark, store.quarantine).collect()
+    )
+    c = sorted(
+        r["doc_id"] for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    )
+    assert q == [2, 4] and c == [1, 3]
+    # and a later dup of the crashed batch's doc is still rejected
+    r2 = ingest_mod.ingest_batch(
+        spark, store, _mk_docs(spark, [(9, _GOOD + " fresh")]), 2
+    )
+    assert r2["admitted"] == 0
+
+
+def test_quarantine_readmission_on_threshold_change(spark, tmp_path):
+    """Lowering the logreg floor and calling readmit_quarantine moves
+    the now-passing rows into the corpus (through the exact-dedup
+    screen), keeps still-failing rows quarantined, and is exactly-once;
+    raising the floor never reaches back into the corpus."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store, _fg, _fb = _logreg_store(tmp_path, min_margin=1500)
+    b0 = _mk_docs(
+        spark,
+        [
+            (1, "good good content"),        # +2000: admitted
+            (2, "good words here"),          # +1000: quarantined at 1500
+            (3, "bad bad bad bad stuff"),    # -4000: quarantined
+        ],
+    )
+    r0 = ingest_mod.ingest_batch(spark, store, b0, 0)
+    assert r0["admitted"] == 1 and r0["quarantined"] == 2
+
+    # equal content to doc 2 admitted later from another batch: on
+    # readmission doc 2 must leave quarantine but NOT duplicate corpus
+    lenient0 = ingest_mod.IngestStore(
+        str(tmp_path / "root"),
+        m_bits=1 << 12,
+        quality_mode="logreg",
+        quality_weights=store.quality_weights,
+        quality_dim=store.quality_dim,
+        quality_min_margin=500,
+    )
+    ingest_mod.ingest_batch(
+        spark, lenient0, _mk_docs(spark, [(20, "good words here")]), 1
+    )
+
+    r = ingest_mod.readmit_quarantine(spark, lenient0, 2)
+    assert r["rescored"] == 2
+    assert r["left_quarantine"] == 1      # doc 2 passes at floor 500
+    assert r["readmitted"] == 0           # but its content is already in
+    assert r["still_quarantined"] == 1    # doc 3 stays
+    q = sorted(
+        r2["doc_id"]
+        for r2 in acid_mod.read_atomic(spark, lenient0.quarantine).collect()
+    )
+    assert q == [3]
+    c = sorted(
+        r2["doc_id"] for r2 in acid_mod.read_atomic(spark, lenient0.corpus).collect()
+    )
+    assert c == [1, 20]
+
+    # now drop the floor below doc 3's margin: genuine readmission
+    lenient1 = ingest_mod.IngestStore(
+        str(tmp_path / "root"),
+        m_bits=1 << 12,
+        quality_mode="logreg",
+        quality_weights=store.quality_weights,
+        quality_dim=store.quality_dim,
+        quality_min_margin=-5000,
+    )
+    r = ingest_mod.readmit_quarantine(spark, lenient1, 3)
+    assert r["readmitted"] == 1 and r["still_quarantined"] == 0
+    assert acid_mod.read_atomic(spark, lenient1.quarantine).count() == 0
+    c = sorted(
+        r2["doc_id"] for r2 in acid_mod.read_atomic(spark, lenient1.corpus).collect()
+    )
+    assert c == [1, 3, 20]
+    # replay is a whole-batch no-op
+    assert ingest_mod.readmit_quarantine(spark, lenient1, 3) == {
+        "replay_skipped": True
+    }
+    # raising the floor again removes nothing from the corpus
+    strict = ingest_mod.IngestStore(
+        str(tmp_path / "root"),
+        m_bits=1 << 12,
+        quality_mode="logreg",
+        quality_weights=store.quality_weights,
+        quality_dim=store.quality_dim,
+        quality_min_margin=10_000,
+    )
+    ingest_mod.readmit_quarantine(spark, strict, 4)
+    assert acid_mod.read_atomic(spark, strict.corpus).count() == 3
+
+
+def test_forget_scrubs_quarantine(spark, tmp_path):
+    """Right-to-be-forgotten reaches quarantined text too."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, quality_mode="gopher"
+    )
+    ingest_mod.ingest_batch(
+        spark, store, _mk_docs(spark, [(1, _GOOD), (2, _BAD)]), 0
+    )
+    r = ingest_mod.forget(
+        spark, store, spark.createDataFrame([(2,)], "doc_id long"), 1
+    )
+    assert r == {"removed": 0, "removed_quarantined": 1}
+    assert acid_mod.read_atomic(spark, store.quarantine).count() == 0
+
+
+def test_quality_gate_composes_with_neardup_screen(spark, tmp_path):
+    """Quality gating is store config, orthogonal to the dedup
+    variant: on a near-dup store, junk quarantines BEFORE the band
+    screen and near-dups of admitted history are still rejected."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, quality_mode="gopher"
+    )
+    r0 = ingest_mod.ingest_batch_neardup(
+        spark, store, _mk_docs(spark, [(1, _GOOD), (2, _BAD)]), 0
+    )
+    assert r0["admitted"] == 1 and r0["quarantined"] == 1
+    r1 = ingest_mod.ingest_batch_neardup(
+        spark, store, _mk_docs(spark, [(3, _GOOD + " tweak"), (4, _BAD + " qq")]), 1
+    )
+    assert r1["near_dup_rejected_history"] == 1
+    assert r1["quarantined"] == 1 and r1["admitted"] == 0
+    assert acid_mod.read_atomic(spark, store.corpus).count() == 1

@@ -57,6 +57,11 @@ class IngestStore:
         ivf_clusters: int = 8,
         ivf_iters: int = 3,
         sem_threshold: float = 0.95,
+        quality_mode: str | None = None,
+        quality_weights: dict[int, int] | None = None,
+        quality_bias: int = 0,
+        quality_dim: int = 512,
+        quality_min_margin: int = 0,
     ) -> None:
         self.corpus = f"{root}/corpus"
         self.hashes = f"{root}/hashes"
@@ -66,6 +71,7 @@ class IngestStore:
         self.ngrams = f"{root}/ngrams"
         self.vectors = f"{root}/vectors"
         self.centroids = f"{root}/centroids"
+        self.quarantine = f"{root}/quarantine"
         self.m_bits = m_bits
         self.k = k
         self.lsh_num_hashes = lsh_num_hashes
@@ -76,6 +82,31 @@ class IngestStore:
         self.ivf_clusters = ivf_clusters
         self.ivf_iters = ivf_iters
         self.sem_threshold = sem_threshold
+        # Quality admission gate (round 11): like the LSH family, the
+        # scoring config lives on the STORE — a quarantine table is
+        # only interpretable under the scorer that filled it, and
+        # readmission must be able to re-score without the original
+        # call's arguments.  quality_mode: None (no gate), "gopher"
+        # (text.gopher_quality pass_gopher), or "logreg" (exact
+        # integer margin under quality_weights/quality_bias hashed to
+        # quality_dim, admitted when >= quality_min_margin).
+        if quality_mode not in (None, "gopher", "logreg"):
+            raise ValueError(
+                f"quality_mode must be None|gopher|logreg, got {quality_mode!r}"
+            )
+        if quality_mode == "logreg" and quality_weights is None:
+            raise ValueError("quality_mode='logreg' requires quality_weights")
+        self.quality_mode = quality_mode
+        self.quality_weights = quality_weights
+        self.quality_bias = quality_bias
+        self.quality_dim = quality_dim
+        self.quality_min_margin = quality_min_margin
+
+    def quality_floor(self) -> int:
+        """The admission cutoff on ``q_score``: pass_gopher is 0/1 so
+        the gopher floor is 1; logreg admits at the configured
+        micro-unit margin."""
+        return 1 if self.quality_mode == "gopher" else self.quality_min_margin
 
 
 def _has_table(path: str) -> bool:
@@ -440,6 +471,96 @@ def _commit_admitted(
     )
 
 
+def _quality_scores(store: IngestStore, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id_col, q_score long) under the store's quality config — the
+    SAME verified operators the batch surface exposes, so incremental
+    scoring ≡ one-shot scoring by shared code, not by parallel
+    implementation: ``gopher`` delegates to ``text.gopher_quality``
+    (q_score = pass_gopher as 0/1), ``logreg`` to
+    ``features.logreg_margins`` over the identical md5_48-hashed
+    unigram features ``logreg_train`` uses (q_score = exact
+    micro-unit margin).  Deterministic in (text, store config), so a
+    crash-redelivered batch re-derives the identical quarantine set."""
+    if store.quality_mode == "gopher":
+        from tiki_e_commerce_analytics_etl_spark.operators.text import (
+            gopher_quality,
+        )
+
+        return gopher_quality(df, text_col=text_col, id_col=id_col).select(
+            F.col("id").alias(id_col),
+            F.col("pass_gopher").cast("long").alias("q_score"),
+        )
+    from tiki_e_commerce_analytics_etl_spark.operators.bloom import md5_48
+    from tiki_e_commerce_analytics_etl_spark.operators.features import (
+        logreg_margins,
+    )
+    from tiki_e_commerce_analytics_etl_spark.operators.text import words
+
+    lab = df.select(F.col(id_col).alias("id"), F.lit(0).alias("y"))
+    feats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .select(
+            "id", (md5_48(F.col("term")) % F.lit(store.quality_dim)).alias("f")
+        )
+        .groupBy("id", "f")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return logreg_margins(
+        lab, feats, store.quality_weights, store.quality_bias
+    ).select(F.col("id").alias(id_col), F.col("m").alias("q_score"))
+
+
+def _quality_split(
+    spark: SparkSession,
+    store: IngestStore,
+    content_new: DataFrame,
+    text_col: str,
+    id_col: str,
+    batch_id: int,
+    app_id: str,
+) -> tuple[DataFrame, int]:
+    """The quality admission gate: score the content-new rows, commit
+    the failing ones to the QUARANTINE table (full row + q_score —
+    rejected-for-quality is a different audit category than
+    rejected-as-duplicate, and readmission needs the text), and return
+    (passing rows, n_quarantined).  No-op passthrough when the store
+    has no quality config.
+
+    COMMIT ORDER: quarantine commits BEFORE the corpus chain.
+    Quarantined rows are NOT a function of any corpus commit (they
+    never reach the corpus), so ``_heal_chain`` cannot reconstruct
+    them — committing them first means a crash anywhere downstream
+    leaves the quarantine rows durable, and the redelivered batch's
+    recomputation (deterministic scoring) replays the quarantine
+    append as an idempotent no-op under its (app, batch) txn id."""
+    if store.quality_mode is None:
+        return content_new, 0
+    scored = _quality_scores(store, content_new, text_col, id_col)
+    joined = content_new.join(scored, id_col)
+    floor = store.quality_floor()
+    failing = joined.filter(F.col("q_score") < F.lit(floor)).localCheckpoint(
+        eager=True
+    )
+    passing = (
+        joined.filter(F.col("q_score") >= F.lit(floor))
+        .drop("q_score")
+        .localCheckpoint(eager=True)
+    )
+    n_quarantined = failing.count()
+    acid.atomic_overwrite_partitions(
+        failing,
+        store.quarantine,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    return passing, n_quarantined
+
+
 def _require_no_vector_index(store: IngestStore, entry: str) -> None:
     """A text-only batch cannot be healed into vector rows, so a store
     that has a vector index must route every batch through
@@ -519,7 +640,10 @@ def ingest_batch(
     first = _first_per_hash(hashed, id_col)
     definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
 
-    admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    content_new = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    admitted, n_quarantined = _quality_split(
+        spark, store, content_new, text_col, id_col, batch_id, app_id
+    )
     n_first = first.count()
     n_maybe = maybe.count()
     n_admitted = admitted.count()
@@ -562,6 +686,7 @@ def ingest_batch(
         "definitely_new": n_first - n_maybe,
         "maybe_seen": n_maybe,
         "admitted": n_admitted,
+        "quarantined": n_quarantined,
     }
 
 
@@ -676,7 +801,159 @@ def forget(
         acid.atomic_overwrite_partitions(
             kept_vectors, store.vectors, txn_app=app_id, txn_version=batch_id
         )
-    return {"removed": n_removed}
+    n_removed_q = 0
+    if _has_table(store.quarantine):
+        # Right-to-be-forgotten reaches the quarantine too: it stores
+        # the full document text, so forgotten ids must leave it the
+        # same way they leave the corpus.
+        qrows = acid.read_atomic(spark, store.quarantine)
+        n_removed_q = qrows.join(keys, id_col, "left_semi").count()
+        acid.atomic_overwrite_partitions(
+            qrows.join(keys, id_col, "left_anti"),
+            store.quarantine,
+            txn_app=app_id,
+            txn_version=batch_id,
+        )
+    return {"removed": n_removed, "removed_quarantined": n_removed_q}
+
+
+def readmit_quarantine(
+    spark: SparkSession,
+    store: IngestStore,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "readmit",
+    ingest_app_id: str = "ingest",
+) -> dict:
+    """Re-screen the quarantine under the store's CURRENT quality
+    config and admit the rows that now pass — the threshold-change
+    path: a curator who lowers ``quality_min_margin`` (or swaps the
+    trained weights) calls this once instead of re-ingesting history.
+
+    Semantics: every now-passing quarantine row LEAVES quarantine;
+    those whose content is not already in the corpus (it can be — an
+    equal-content doc may have been admitted from a later batch) go
+    through the normal exact-dedup screen and the corpus commit
+    chain, with band/anchor/ngram index rows maintained like plain
+    ``ingest_batch`` variant mixing.  Rows still failing stay put;
+    their stored ``q_score`` is deliberately NOT refreshed — scores
+    are recomputed on every readmission pass anyway, and the stored
+    one is the score at quarantine time (an audit fact, not a cache).
+
+    Raising the threshold never reaches back into the corpus: already
+    admitted docs stay (removal is ``forget`` territory, an explicit
+    curator action, not a side effect of a config edit).
+
+    Exactly-once per (app_id, batch_id); the replay cursor is the
+    QUARANTINE table because its rewrite is the LAST commit: a crash
+    after the corpus chain but before the quarantine rewrite replays
+    via ``_heal_chain`` on this app's corpus commit (finishing
+    hashes/bloom/indexes), then re-derives the same now-passing set
+    (scoring is deterministic) and finishes the rewrite; the
+    admission itself is cursor-skipped.
+
+    Stores with a vector index are refused: readmission would have to
+    replay the semantic screen and the vector-row append from the
+    stored embedding column, which this entry point does not do yet —
+    failing loud beats an index that silently misses rows.
+    """
+    if store.quality_mode is None:
+        raise ValueError(
+            "readmit_quarantine: store has no quality config "
+            "(quality_mode is None) — nothing to re-score against"
+        )
+    _require_no_vector_index(store, "readmit_quarantine")
+    if acid.last_txn_version(store.quarantine, app_id) >= batch_id:
+        return {"replay_skipped": True}
+    with_bands = _has_table(store.bands)
+    with_anchors = _has_table(store.anchors)
+    with_ngrams = _has_table(store.ngrams)
+    band_params = (text_col, id_col) if with_bands else None
+    anchor_params = (text_col, id_col) if with_anchors else None
+    ngram_params = (text_col, id_col) if with_ngrams else None
+    for app in (ingest_app_id, app_id):
+        _heal_chain(
+            spark,
+            store,
+            app,
+            band_params=band_params,
+            anchor_params=anchor_params,
+            ngram_params=ngram_params,
+        )
+    if not _has_table(store.quarantine):
+        return {"rescored": 0, "readmitted": 0, "still_quarantined": 0}
+
+    qrows = acid.read_atomic(spark, store.quarantine).drop("q_score")
+    rescored = _quality_scores(store, qrows, text_col, id_col)
+    floor = store.quality_floor()
+    passing_ids = rescored.filter(F.col("q_score") >= F.lit(floor)).select(
+        F.col(id_col)
+    )
+    passing = qrows.join(passing_ids, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    n_passing = passing.count()
+    n_total = qrows.count()
+
+    if acid.last_txn_version(store.corpus, app_id) < batch_id:
+        # Normal path: exact screen against live hashes/bloom (the
+        # content may have been admitted since), then the standard
+        # commit chain.  Quarantine rows already carry content_hash;
+        # in-quarantine same-content dups collapse first-id-wins.
+        first = _first_per_hash(passing, id_col)
+        definitely_new, _maybe, confirmed_new = _exact_new(spark, store, first)
+        admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(
+            eager=True
+        )
+        n_admitted = admitted.count()
+        _commit_admitted(spark, store, admitted, batch_id, app_id)
+        if with_bands:
+            acid.atomic_overwrite_partitions(
+                _band_rows(
+                    admitted,
+                    text_col,
+                    id_col,
+                    store.lsh_num_hashes,
+                    store.lsh_bands,
+                    store.lsh_shingle_k,
+                ),
+                store.bands,
+                mode="append",
+                txn_app=app_id,
+                txn_version=batch_id,
+            )
+        if with_anchors:
+            acid.atomic_overwrite_partitions(
+                _anchor_rows(admitted, text_col, id_col, store.substring_k),
+                store.anchors,
+                mode="append",
+                txn_app=app_id,
+                txn_version=batch_id,
+            )
+        if with_ngrams:
+            acid.atomic_overwrite_partitions(
+                _ngram_rows(admitted, text_col, id_col),
+                store.ngrams,
+                mode="append",
+                txn_app=app_id,
+                txn_version=batch_id,
+            )
+    else:
+        n_admitted = 0  # admission already durable (crash replay)
+
+    keep = acid.read_atomic(spark, store.quarantine).join(
+        passing.select(id_col), id_col, "left_anti"
+    )
+    acid.atomic_overwrite_partitions(
+        keep, store.quarantine, txn_app=app_id, txn_version=batch_id
+    )
+    return {
+        "rescored": n_total,
+        "readmitted": n_admitted,
+        "left_quarantine": n_passing,
+        "still_quarantined": n_total - n_passing,
+    }
 
 
 def unhealed_floor(
@@ -771,6 +1048,7 @@ def vacuum_store(
         + ([store.anchors] if with_anchors else [])
         + ([store.ngrams] if with_ngrams else [])
         + ([store.vectors, store.centroids] if with_vectors else [])
+        + ([store.quarantine] if _has_table(store.quarantine) else [])
     )
     for path in tables:
         if _has_table(path):
@@ -878,6 +1156,9 @@ def ingest_batch_neardup(
     first = _first_per_hash(hashed, id_col)
     definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
     content_new = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    content_new, n_quarantined = _quality_split(
+        spark, store, content_new, text_col, id_col, batch_id, app_id
+    )
 
     new_bands = _band_rows(
         content_new, text_col, id_col, num_hashes, bands, shingle_k
@@ -971,6 +1252,7 @@ def ingest_batch_neardup(
         "near_dup_rejected_history": n_rej_hist,
         "near_dup_rejected_in_batch": n_rej_batch,
         "admitted": n_admitted,
+        "quarantined": n_quarantined,
     }
 
 
@@ -1050,6 +1332,9 @@ def ingest_batch_substring(
     first = _first_per_hash(hashed, id_col)
     definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
     admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    admitted, n_quarantined = _quality_split(
+        spark, store, admitted, text_col, id_col, batch_id, app_id
+    )
 
     tok_new, wins_new = dedup_ops.window_anchors(admitted, text_col, id_col, k)
     wins_new = wins_new.localCheckpoint(eager=True)
@@ -1163,6 +1448,7 @@ def ingest_batch_substring(
         "definitely_new": n_first - n_maybe,
         "maybe_seen": n_maybe,
         "admitted": n_admitted,
+        "quarantined": n_quarantined,
         "substring_pairs": n_pairs,
         "pairs_df": pairs,
     }
@@ -1266,6 +1552,9 @@ def ingest_batch_lm(
     first = _first_per_hash(hashed, id_col)
     definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
     admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    admitted, n_quarantined = _quality_split(
+        spark, store, admitted, text_col, id_col, batch_id, app_id
+    )
     n_first = first.count()
     n_maybe = maybe.count()
     n_admitted = admitted.count()
@@ -1307,6 +1596,7 @@ def ingest_batch_lm(
         "definitely_new": n_first - n_maybe,
         "maybe_seen": n_maybe,
         "admitted": n_admitted,
+        "quarantined": n_quarantined,
     }
 
 
@@ -1406,6 +1696,9 @@ def ingest_batch_vectors(
     first = _first_per_hash(hashed, id_col)
     definitely_new, maybe, confirmed_new = _exact_new(spark, store, first)
     content_new = definitely_new.unionByName(confirmed_new).localCheckpoint(eager=True)
+    content_new, n_quarantined = _quality_split(
+        spark, store, content_new, text_col, id_col, batch_id, app_id
+    )
     n_content_new = content_new.count()
 
     # Centroid bootstrap precedes every other commit: the basis must
@@ -1545,6 +1838,7 @@ def ingest_batch_vectors(
         "sem_rejected_history": n_rej_hist,
         "sem_rejected_in_batch": n_rej_batch,
         "admitted": n_admitted,
+        "quarantined": n_quarantined,
     }
 
 
