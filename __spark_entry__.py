@@ -1874,14 +1874,20 @@ def q_training_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.3, (3) leakage-safe split hashed on the COMPONENT id so no
     near-dup pair straddles train/val/test, (4) the train slice gets
     deterministic (shard, pos) serving order (the md5 permutation of
-    sampling.shuffle_shards, seed 7, 8 shards; val/test ride shard
-    -1).  Output (doc_id, component, quality, split, shard, pos).
-    Oracle: closure + argmax window + the md5 CASE + per-(split,
-    shard) rank windows, all composed."""
+    sampling.shuffle_shards, seed 7; val/test ride shard -1).  The
+    shard count is the SCALE-PROPORTIONAL default
+    (sampling.auto_shards: corpus rows / 4M, floor 8) — the rank
+    windows sort corpus/n_shards rows per task, so the parallelism
+    lever now sizes itself; at every test SF the floor keeps it at 8,
+    bit-identical to the pinned oracle.  Output (doc_id, component,
+    quality, split, shard, pos).  Oracle: closure + argmax window +
+    the md5 CASE + per-(split, shard) rank windows, all composed."""
     from tiki_e_commerce_analytics_etl_spark.operators import graph
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling as samp_ops
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
+    n_shards = samp_ops.auto_shards(docs)
     pairs = dedup_ops.ngram_jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.5)
     scores = docs.select(
         "doc_id", "text", text_ops.words(F.col("text")).alias("__w")
@@ -1917,7 +1923,8 @@ def q_training_export_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("split") == "train",
             F.pmod(
-                F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(8)
+                F.conv(F.substring(h, 1, 4), 16, 10).cast("long"),
+                F.lit(n_shards),
             ).cast("int"),
         )
         .otherwise(F.lit(-1))

@@ -695,3 +695,107 @@ def test_quality_gate_composes_with_neardup_screen(spark, tmp_path):
     assert r1["near_dup_rejected_history"] == 1
     assert r1["quarantined"] == 1 and r1["admitted"] == 0
     assert acid_mod.read_atomic(spark, store.corpus).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 11 #5: scale-proportional n_shards default
+# ---------------------------------------------------------------------------
+
+
+def test_auto_shards_scales_with_rows_and_respects_floor(spark, tmp_path):
+    """auto_shards = clamp(ceil(rows / rows_per_shard), n_min, n_max):
+    toy corpora stay at the floor (so fixed-corpus oracles never
+    move), larger ones grow proportionally; parquet-backed plans use
+    footer metadata, in-memory plans fall back to one count."""
+    from tiki_e_commerce_analytics_etl_spark.operators import sampling
+
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    assert sampling.auto_shards(small) == 8                       # floor
+    assert sampling.auto_shards(small, rows_per_shard=10) == 10   # ceil(100/10)
+    assert sampling.auto_shards(small, rows_per_shard=7) == 15    # ceil(100/7)
+    assert sampling.auto_shards(small, rows_per_shard=1, n_max=32) == 32  # cap
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(1000).withColumnRenamed("id", "doc_id").write.parquet(p)
+    pq = spark.read.parquet(p)
+    assert sampling.auto_shards(pq, rows_per_shard=100) == 10     # footer route
+    # shuffle_shards(n_shards=None) routes through the default
+    out = sampling.shuffle_shards(pq, n_shards=None)
+    assert out.select("shard").distinct().count() == 8            # floor at 1k rows
+
+
+# ---------------------------------------------------------------------------
+# Round 11 #6: sig_count_hint / stats-sidecar route for agree="auto"
+# ---------------------------------------------------------------------------
+
+
+def _sig_table(spark, n=40, diverse=True):
+    rows = [
+        (i, f"{(i * 2654435761 % (1 << 64)) if diverse else (i % 3):016x}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "img_id long, sig string")
+
+
+def test_auto_agree_hint_skips_probe_and_matches_probe_route(
+    spark, monkeypatch
+):
+    """With sig_count_hint the auto route resolves at plan time: the
+    approx_count_distinct probe never runs (patched to explode), and
+    the chosen route matches what the probe would have chosen — pair
+    output identical both above and below the crossover."""
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup
+
+    sigs = _sig_table(spark)
+    want_diverse = dedup.hex_hamming_pairs(
+        sigs, "img_id", "sig", radius=2, agree="auto", auto_threshold=10
+    ).collect()
+    want_dupy = dedup.hex_hamming_pairs(
+        sigs, "img_id", "sig", radius=2, agree=1
+    ).collect()
+
+    def boom(*a, **k):
+        raise AssertionError("counting probe must not run with a hint")
+
+    monkeypatch.setattr(dedup, "_auto_agree", boom)
+    got_diverse = dedup.hex_hamming_pairs(
+        sigs, "img_id", "sig", radius=2, agree="auto",
+        auto_threshold=10, sig_count_hint=40,
+    ).collect()
+    got_dupy = dedup.hex_hamming_pairs(
+        sigs, "img_id", "sig", radius=2, agree="auto",
+        auto_threshold=10, sig_count_hint=3,
+    ).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(got_diverse) == key(want_diverse)
+    assert key(got_dupy) == key(want_dupy)
+
+
+def test_auto_agree_stats_sidecar_route(spark, tmp_path, monkeypatch):
+    """An engine-written signature table (io.write_partitioned with
+    key_cols) publishes distinct_<sig>; hex_hamming_pairs consumes it
+    via stats_path with zero counting jobs.  A path without the stat
+    falls back to the probe."""
+    from tiki_e_commerce_analytics_etl_spark import io as io_mod
+    from tiki_e_commerce_analytics_etl_spark.operators import dedup
+
+    sigs = _sig_table(spark)
+    p = str(tmp_path / "sigs")
+    io_mod.write_partitioned(sigs, p, key_cols=["sig"])
+
+    def boom(*a, **k):
+        raise AssertionError("counting probe must not run with a sidecar")
+
+    monkeypatch.setattr(dedup, "_auto_agree", boom)
+    stored = spark.read.parquet(p)
+    got = dedup.hex_hamming_pairs(
+        stored, "img_id", "sig", radius=2, agree="auto",
+        auto_threshold=10, stats_path=p,
+    )
+    assert got.count() >= 0  # plan resolves and runs, no probe
+    # no sidecar stat -> the probe fallback fires (and here, explodes)
+    with pytest.raises(AssertionError, match="probe"):
+        dedup.hex_hamming_pairs(
+            sigs, "img_id", "sig", radius=2, agree="auto",
+            auto_threshold=10, stats_path=str(tmp_path / "nope"),
+        )

@@ -255,7 +255,7 @@ def write_training_shards(
     path: str,
     id_col: str = "doc_id",
     token_col: str | None = None,
-    n_shards: int = 16,
+    n_shards: int | None = 16,
     seed: int = 7,
 ) -> dict:
     """Training-shard EXPORT: deterministically shuffle the corpus
@@ -294,9 +294,14 @@ def write_training_shards(
     import os as _os
 
     from tiki_e_commerce_analytics_etl_spark.operators.sampling import (
+        auto_shards,
         shuffle_shards,
     )
 
+    # Resolve the scale-proportional default HERE so the manifest
+    # records the actual shard count a verifier/loader must expect.
+    if n_shards is None:
+        n_shards = auto_shards(df)
     sharded = shuffle_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
     (
         sharded.repartition(n_shards, F.col("shard"))

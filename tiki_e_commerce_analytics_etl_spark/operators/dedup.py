@@ -938,23 +938,34 @@ def simhash_hamming_pairs(
     )
 
 
+def _agree_from_count(
+    n_sigs: int, radius: int, hex_len: int, auto_threshold: int
+) -> int:
+    """The pure ``agree="auto"`` decision arithmetic, shared by every
+    cardinality source (probe / caller hint / stats sidecar): agree=1
+    on duplicate-collapsing corpora, the largest valid multi-index
+    arity ≤ 3 on diverse ones (the regime the ``--hamming`` ladder
+    measured degrading 30→362 s under agree=1)."""
+    if n_sigs >= auto_threshold and radius < hex_len:
+        # largest multi-index arity that still fits the hex length
+        return max(1, min(3, hex_len - radius))
+    return 1
+
+
 def _auto_agree(
     members: DataFrame, radius: int, hex_len: int, auto_threshold: int
 ) -> int:
     """The ``agree="auto"`` route decision, factored out so consumers
     and tests can observe WHICH route a corpus takes: one eager
     ``approx_count_distinct`` pass over the signature column (±5%,
-    plenty against the measured ~300k crossover) picks agree=1 on
-    duplicate-collapsing corpora and the largest valid multi-index
-    arity ≤ 3 on diverse ones (the regime the ``--hamming`` ladder
-    measured degrading 30→362 s under agree=1)."""
+    plenty against the measured ~300k crossover) feeding
+    ``_agree_from_count``.  The counting pass is the fallback source —
+    callers with a ``sig_count_hint`` or an engine-published
+    ``distinct_<sig>`` sidecar skip it entirely (round 11)."""
     approx = members.agg(
         F.approx_count_distinct("__sig").alias("n")
     ).collect()[0]["n"]  # one-row boundary collect
-    if approx >= auto_threshold and radius < hex_len:
-        # largest multi-index arity that still fits the hex length
-        return max(1, min(3, hex_len - radius))
-    return 1
+    return _agree_from_count(approx, radius, hex_len, auto_threshold)
 
 
 def hex_hamming_pairs(
@@ -965,6 +976,8 @@ def hex_hamming_pairs(
     hex_len: int = 16,
     agree: int | str = 1,
     auto_threshold: int = 300_000,
+    sig_count_hint: int | None = None,
+    stats_path: str | None = None,
 ) -> DataFrame:
     """Duplicate / near-duplicate pairs within Hamming distance
     ``radius`` over FIXED-LENGTH HEX signatures (e.g. the 16-char
@@ -1038,7 +1051,12 @@ def hex_hamming_pairs(
     eager-job-inside-the-builder pattern as ``bpe_train``) chooses
     agree=1 below ``auto_threshold`` distinct signatures and the
     largest valid agree ≤ 3 above it.  Callers who know their corpus
-    shape pass the integer directly and skip the pass.
+    shape pass the integer directly and skip the pass; under
+    ``agree="auto"``, ``sig_count_hint`` (exact/estimated distinct
+    signature count) or ``stats_path`` (an engine-written table whose
+    ``_stats.json`` publishes ``distinct_<sig_col>`` — the
+    ``io.write_partitioned(key_cols=...)`` sidecar) resolves the
+    route at plan time with zero counting jobs.
     """
     if not 0 <= radius < 4 * hex_len:
         raise ValueError(f"radius must be in [0, {4 * hex_len})")
@@ -1046,13 +1064,29 @@ def hex_hamming_pairs(
         F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig")
     ).dropDuplicates(["__id", "__sig"])
     if agree == "auto":
-        # the route decision is an EAGER pass over members — checkpoint
-        # first so an expensive upstream (e.g. the Arrow image-decode →
-        # dHash pipeline feeding image_neardup_pairs) is computed once,
-        # not once for the count and again for the join (measured:
-        # 1.67 → 2.99 s on the image query without this)
-        members = members.localCheckpoint(eager=True)
-        agree = _auto_agree(members, radius, hex_len, auto_threshold)
+        # Cardinality sources, cheapest first (round 11 — the
+        # keep_latest_auto sidecar pattern): a caller hint or an
+        # engine-published ``distinct_<sig_col>`` stats sidecar
+        # resolves the route at PLAN time with zero counting jobs and
+        # no checkpoint; only corpora with neither pay the
+        # approx_count_distinct probe.
+        n_sigs = sig_count_hint
+        if n_sigs is None and stats_path is not None:
+            from tiki_e_commerce_analytics_etl_spark import stats as stats_mod
+
+            cat = stats_mod.read_stats(stats_path) or {}
+            n_sigs = cat.get(f"distinct_{sig_col}")
+        if n_sigs is not None:
+            agree = _agree_from_count(n_sigs, radius, hex_len, auto_threshold)
+        else:
+            # the probe is an EAGER pass over members — checkpoint
+            # first so an expensive upstream (e.g. the Arrow
+            # image-decode → dHash pipeline feeding
+            # image_neardup_pairs) is computed once, not once for the
+            # count and again for the join (measured: 1.67 → 2.99 s
+            # on the image query without this)
+            members = members.localCheckpoint(eager=True)
+            agree = _auto_agree(members, radius, hex_len, auto_threshold)
     uniq = members.select("__sig").distinct()
     if not isinstance(agree, int) or agree < 1:
         raise ValueError("agree must be >= 1 or 'auto'")

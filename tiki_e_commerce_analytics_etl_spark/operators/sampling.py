@@ -234,10 +234,39 @@ def domain_cap(
     )
 
 
+def auto_shards(
+    df: DataFrame,
+    rows_per_shard: int = 4_000_000,
+    n_min: int = 8,
+    n_max: int = 1 << 16,
+) -> int:
+    """Scale-proportional shard-count default (round 11): size
+    ``n_shards`` so each shard's per-task rank-window sort holds about
+    ``rows_per_shard`` rows — the parallelism lever of
+    ``shuffle_shards`` / ``training_export_plan``, derived from the
+    data instead of pinned (a pinned 8 measured 32.6× at 100× because
+    every task sorted corpus/8 rows; see SCALING.md).
+
+    The estimate is metadata-cost-only where possible
+    (``stats.estimated_row_count``: parquet footers, then stats
+    sidecars); only plans neither source backs pay one aggregate-only
+    ``count()``.  Clamped to [n_min, n_max]; at the toy SFs every
+    corpus is under one shard's budget, so the floor (8) keeps the
+    fixed-corpus oracles byte-identical while a 100 B-row corpus gets
+    ~25k shards.
+    """
+    from tiki_e_commerce_analytics_etl_spark import stats
+
+    n = stats.estimated_row_count(df)
+    if n is None:
+        n = df.count()
+    return max(n_min, min(n_max, -(-n // rows_per_shard)))
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str = "doc_id",
-    n_shards: int = 16,
+    n_shards: int | None = 16,
     seed: int = 7,
 ) -> DataFrame:
     """Deterministic global training-order shuffle: every row gets a
@@ -245,6 +274,9 @@ def shuffle_shards(
     within the shard — the (shard, pos) pair a data loader reads back
     sequentially for an epoch.  Changing ``seed`` reshuffles; the same
     seed reproduces the exact order on any engine (md5-keyed).
+    ``n_shards=None`` derives the count from the corpus size
+    (``auto_shards``) so the per-shard sort stays task-sized at any
+    scale.
 
     Scale shape: NO global sort — the permutation is realized as a
     per-shard ``row_number`` over the md5 order, i.e. one hash shuffle
@@ -253,6 +285,8 @@ def shuffle_shards(
     files in pos order sees the same epoch order as a single global
     md5 sort, interleaved round-robin across shards.
     """
+    if n_shards is None:
+        n_shards = auto_shards(df)
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
     out = df.withColumn("__h", h).withColumn(
         "shard", F.pmod(F.conv(F.substring("__h", 1, 4), 16, 10).cast("long"), F.lit(n_shards)).cast("int")

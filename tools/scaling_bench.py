@@ -647,6 +647,9 @@ def main() -> None:
                 shutil.rmtree(root, ignore_errors=True)
 
         scales = [("x1", BASE_DIR), ("x10", SCALED_DIR)]
+        if "x100" in sys.argv:
+            ensure_x100(x100_dir, {"documents"})
+            scales.append(("x100", x100_dir))
         results = {}
         for label, d in scales:
             results[label] = run_vchain(d)
@@ -660,6 +663,99 @@ def main() -> None:
                 rb["ann_sec"] / max(ra["ann_sec"], 1e-9), 2
             )
         print(json.dumps({"metric": "scaling_vector_chain", "scales": results}))
+        return
+
+    # --nprobe-ladder: recall-vs-wall for the incremental vector
+    # index's ANN consumers at nprobe 1/2/4/8 (round-11 ask #7) — the
+    # number a caller needs to pin nprobe from measurement rather than
+    # folklore.  recall@k is against exact brute-force cosine over the
+    # admitted corpus; the ingest-screen row shows how many semantic
+    # dups the admission screen catches at each fan-out (cross-cell
+    # pairs are the ones nprobe=1 misses).
+    if "--nprobe-ladder" in sys.argv:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tiki_e_commerce_analytics_etl_spark.operators import similarity
+        from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+        DIMS = 8
+        K = 10
+        N_QUERIES = 64
+
+        def synth_vecs(docs):
+            return docs.select(
+                "doc_id",
+                "text",
+                F.array(
+                    *[
+                        (
+                            F.xxhash64(F.col("doc_id"), F.lit(d)).cast("double")
+                            / F.lit(float(1 << 63))
+                        )
+                        for d in range(DIMS)
+                    ]
+                ).alias("embedding"),
+            )
+
+        docs = synth_vecs(
+            spark.read.parquet(os.path.join(SCALED_DIR, "documents.parquet"))
+        )
+        history = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
+        queries = docs.filter(F.col("doc_id") < N_QUERIES).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ).localCheckpoint(eager=True)
+        root = tempfile.mkdtemp(prefix="scaling_nprobe_")
+        try:
+            store = ingest_mod.IngestStore(
+                os.path.join(root, "store"), ivf_clusters=16
+            )
+            ingest_mod.ingest_batch_vectors(spark, store, history, batch_id=1)
+            corpus = ingest_mod.acid.read_atomic(spark, store.corpus).select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            )
+            exact = {
+                (r["query_id"], r["neighbor_id"])
+                for r in similarity.brute_force_topk(
+                    corpus, queries, k=K
+                ).collect()
+            }
+            results = {}
+            for nprobe in (1, 2, 4, 8):
+                t0 = time.perf_counter()
+                got_rows = ingest_mod.vector_index_topk(
+                    spark, store, queries, k=K, nprobe=nprobe
+                ).collect()
+                ann_wall = time.perf_counter() - t0
+                got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+                recall = len(got & exact) / max(len(exact), 1)
+                # admission screen at this fan-out: fresh store per
+                # nprobe so the history side is identical
+                sroot = os.path.join(root, f"s{nprobe}")
+                s2 = ingest_mod.IngestStore(sroot, ivf_clusters=16)
+                ingest_mod.ingest_batch_vectors(spark, s2, history, batch_id=1)
+                t1 = time.perf_counter()
+                out = ingest_mod.ingest_batch_vectors(
+                    spark, s2, batch, batch_id=2, nprobe=nprobe
+                )
+                batch_wall = time.perf_counter() - t1
+                results[f"nprobe={nprobe}"] = {
+                    "ann_recall_at_10": round(recall, 4),
+                    "ann_sec": round(ann_wall, 3),
+                    "screen_rejected": out["sem_rejected_history"]
+                    + out["sem_rejected_in_batch"],
+                    "screen_batch_sec": round(batch_wall, 3),
+                }
+                print(
+                    f"nprobe ladder {nprobe}: {results[f'nprobe={nprobe}']}",
+                    file=sys.stderr,
+                )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        print(json.dumps({"metric": "nprobe_ladder", "k": K, "scales": results}))
         return
 
     # --bpe [x100]: measure the BPE chain — trainer (per-merge cost
