@@ -193,6 +193,10 @@ HEADLINE = [
     "training_export_plan",
     "blocklist_screen",
     "neardup_threshold_curve",
+    # round-11 additions
+    "blocklist_screen_join",
+    "byte_bpe_merges",
+    "byte_bpe_tokenize",
 ]
 
 

@@ -25,6 +25,17 @@ exactly-once end to end.
 With a healthy bloom sizing the exact join probes a few percent of
 each batch against an indexed one-column table; nothing about the
 corpus body is ever re-read or re-shuffled.
+
+Round 11 adds QUALITY GATING at admission: a store constructed with
+``quality_mode`` ("gopher" or "logreg") scores every content-new row
+with the same verified operators the batch surface exposes and
+commits the failures to a ``quarantine`` table — BEFORE the corpus
+chain, because quarantined rows never reach the corpus and so can
+never be healed from its change feed.  Rejected-for-quality and
+rejected-as-duplicate stay separate audit categories;
+``readmit_quarantine`` is the threshold-change path (re-score, admit
+the now-passing through the normal dedup screen, rewrite quarantine
+last); ``forget`` scrubs quarantined text like corpus text.
 """
 
 from __future__ import annotations

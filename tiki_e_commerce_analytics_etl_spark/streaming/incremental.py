@@ -314,7 +314,10 @@ def foreach_batch_ingest(
     ``nprobe`` passes through to ``ingest_batch_vectors`` so the
     streaming path can use the same multi-probe recall lever as the
     batch path (cross-cell semantic dups are missed at the default
-    ``nprobe=1`` — the standard IVF compromise).
+    ``nprobe=1`` — the standard IVF compromise).  Quality gating
+    (round 11) rides the STORE config, not a flag here: a store
+    constructed with ``quality_mode`` quarantines failing micro-batch
+    rows through whichever entry point the sink uses.
     """
     from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
 

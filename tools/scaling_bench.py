@@ -710,9 +710,8 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         root = tempfile.mkdtemp(prefix="scaling_nprobe_")
         try:
-            store = ingest_mod.IngestStore(
-                os.path.join(root, "store"), ivf_clusters=16
-            )
+            seed_root = os.path.join(root, "seed")
+            store = ingest_mod.IngestStore(seed_root, ivf_clusters=16)
             ingest_mod.ingest_batch_vectors(spark, store, history, batch_id=1)
             corpus = ingest_mod.acid.read_atomic(spark, store.corpus).select(
                 F.col("doc_id").alias("vec_id"), "embedding"
@@ -725,18 +724,30 @@ def main() -> None:
             }
             results = {}
             for nprobe in (1, 2, 4, 8):
-                t0 = time.perf_counter()
+                # one unmeasured warmup then 3-rep median: the first
+                # execution of each plan pays whole-stage-codegen JIT
+                # (the original single-shot version read 19 s → 1.6 s
+                # DOWN the ladder — pure warm-up artifact)
                 got_rows = ingest_mod.vector_index_topk(
                     spark, store, queries, k=K, nprobe=nprobe
                 ).collect()
-                ann_wall = time.perf_counter() - t0
+                walls = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    got_rows = ingest_mod.vector_index_topk(
+                        spark, store, queries, k=K, nprobe=nprobe
+                    ).collect()
+                    walls.append(time.perf_counter() - t0)
+                ann_wall = statistics.median(walls)
                 got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
                 recall = len(got & exact) / max(len(exact), 1)
-                # admission screen at this fan-out: fresh store per
-                # nprobe so the history side is identical
+                # admission screen at this fan-out: identical history
+                # per nprobe via a filesystem COPY of the seeded store
+                # (re-ingesting 10x history per rung would dominate
+                # the measurement and time the harness out)
                 sroot = os.path.join(root, f"s{nprobe}")
+                shutil.copytree(seed_root, sroot)
                 s2 = ingest_mod.IngestStore(sroot, ivf_clusters=16)
-                ingest_mod.ingest_batch_vectors(spark, s2, history, batch_id=1)
                 t1 = time.perf_counter()
                 out = ingest_mod.ingest_batch_vectors(
                     spark, s2, batch, batch_id=2, nprobe=nprobe
@@ -812,6 +823,63 @@ def main() -> None:
                 rb["apply_sec"] / max(ra["apply_sec"], 1e-9), 2
             )
         print(json.dumps({"metric": "scaling_bpe", "n_merges": n_merges, "scales": results}))
+        return
+
+    # --byte-bpe [x100]: the byte-level trainer's decade (round 11) —
+    # same harness as --bpe but over the GPT-2 pre-token PIECE table
+    # (pieces keep leading spaces, so the unique-piece table is close
+    # to the unique-word table's cardinality plus a space-prefixed
+    # twin per word) and with the one extra Arrow byte-mapping pass.
+    if "--byte-bpe" in sys.argv:
+        from pyspark.sql import functions as F
+
+        from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+        n_merges = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "20"))
+        scales = [("x1", BASE_DIR), ("x10", SCALED_DIR)]
+        if "x100" in sys.argv:
+            ensure_x100(x100_dir, {"documents"})
+            scales.append(("x100", x100_dir))
+        results = {}
+        for label, d in scales:
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            up = (
+                docs.select(text_ops.gpt2_pieces(F.col("text")).alias("ps"))
+                .selectExpr("explode(ps) AS p")
+                .select("p")
+                .distinct()
+                .count()
+            )
+            t0 = time.perf_counter()
+            merges = text_ops.byte_bpe_train(docs, text_col="text", n_merges=n_merges)
+            got = merges.count()
+            train_wall = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            text_ops.byte_bpe_token_counts(docs, merges).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            apply_wall = time.perf_counter() - t1
+            results[label] = {
+                "unique_pieces": up,
+                "merges": got,
+                "train_sec": round(train_wall, 3),
+                "per_merge_sec": round(train_wall / max(got, 1), 3),
+                "apply_sec": round(apply_wall, 3),
+            }
+            print(f"byte-bpe {label}: {results[label]}", file=sys.stderr)
+        for a, b in zip(scales, scales[1:]):
+            ra, rb = results[a[0]], results[b[0]]
+            rb[f"train_growth_vs_{a[0]}"] = round(
+                rb["train_sec"] / max(ra["train_sec"], 1e-9), 2
+            )
+            rb[f"apply_growth_vs_{a[0]}"] = round(
+                rb["apply_sec"] / max(ra["apply_sec"], 1e-9), 2
+            )
+        print(
+            json.dumps(
+                {"metric": "scaling_byte_bpe", "n_merges": n_merges, "scales": results}
+            )
+        )
         return
 
     # --unigram [x100] / --wordpiece [x100]: the other two trainers'
