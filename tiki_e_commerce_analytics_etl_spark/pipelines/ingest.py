@@ -1658,7 +1658,14 @@ def ingest_batch_vectors(
        IVF compromise, same class as the band index's LSH recall) —
        raising ``nprobe`` fans the NEW side out to its n nearest
        cells for candidate generation only (index rows stay one per
-       vector), the multi-probe recall lever;
+       vector), the multi-probe recall lever.  The ADMISSION screen
+       keeps ``nprobe=1`` by default because its in-batch candidate
+       self-join fans out on BOTH sides: the round-11 ladder
+       (SCALING.md, 10× corpus, 16 cells) measured batch cost
+       18 → 29 → 63 → 124 s at nprobe 1/2/4/8 while the catch rate
+       saturated (1674/1935/1998/2006 rejected) — nprobe=2 buys
+       +15.6% caught dups for 1.6× batch wall, the knee if recall
+       matters more than admission latency;
     4. exact cosine rerank of the candidate sliver only; reject new
        docs with a verified history match at ``store.sem_threshold``,
        and the LARGER id of each verified in-batch same-cell pair;
@@ -1860,7 +1867,7 @@ def vector_index_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nprobe: int = 1,
+    nprobe: int = 2,
 ) -> DataFrame:
     """ANN query against the INCREMENTAL vector index — the payoff of
     maintaining it: (query_id, neighbor_id, score, rank) by exact
@@ -1868,7 +1875,16 @@ def vector_index_topk(
     without re-clustering history.  Candidates come from an equi-join
     on the cell id (never a corpus scan); the centroid basis is the
     bounded persisted table.  Recall trade is the IVF one, measured
-    for the one-shot twin in GATE_MARGINS (ivf_recall)."""
+    for the one-shot twin in GATE_MARGINS (ivf_recall).
+
+    The ``nprobe=2`` default is pinned from the round-11 measured
+    ladder (SCALING.md / nprobe_ladder.json — 10× corpus, 16 cells,
+    recall@10 vs exact): nprobe 1 → 0.68, 2 → 0.88, 4 → 0.99,
+    8 → 1.00 at FLAT warm wall (1.6-1.9 s — the query is
+    scan-dominated; candidate growth disappears into idle cores at
+    this scale).  Asymptotically candidates grow ∝ nprobe/n_cells of
+    the corpus, so 2 is the knee choice; raise to ~n_cells/4 when the
+    caller needs ≥0.99."""
     from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
 
     cents = _stored_centroids(spark, store)
