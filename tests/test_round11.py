@@ -724,6 +724,91 @@ def test_auto_shards_scales_with_rows_and_respects_floor(spark, tmp_path):
     assert out.select("shard").distinct().count() == 8            # floor at 1k rows
 
 
+def test_bootstrap_vector_index_bulk_seed(spark, tmp_path):
+    """Bulk index bootstrap: exact-dedup-only seed of a fresh store
+    (no semantic screen — the initial-load path for already-curated
+    corpora); afterwards incremental batches screen against the bulk
+    history exactly as if it had been ingested batch-wise, ANN serves
+    it, replay is a no-op, and a non-empty store is refused."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2, sem_threshold=0.95
+    )
+    seed = _mk_vdocs(
+        spark,
+        [
+            (1, "alpha doc", [1.0, 0.0]),
+            (2, "alpha doc", [1.0, 0.0]),     # exact dup: dropped
+            (3, "near of one", [0.99, 0.14]), # semantic dup: KEPT (bulk)
+            (4, "ortho doc", [0.0, 1.0]),
+        ],
+    )
+    r = ingest_mod.bootstrap_vector_index(spark, store, seed, 0)
+    assert r == {"seeded": 3, "in_batch_dups": 1, "quarantined": 0}
+    assert sorted(
+        x["doc_id"] for x in acid_mod.read_atomic(spark, store.corpus).collect()
+    ) == [1, 3, 4]
+    # incremental batch screens against the bulk history
+    b1 = _mk_vdocs(
+        spark, [(5, "close to four", [0.05, 1.0]), (6, "far away", [-1.0, 0.3])]
+    )
+    r1 = ingest_mod.ingest_batch_vectors(spark, store, b1, 1)
+    assert r1["sem_rejected_history"] == 1 and r1["admitted"] == 1
+    # ANN serves bulk + incremental rows
+    q = _mk_vdocs(spark, [(9, "q", [0.0, 1.0])]).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    got = ingest_mod.vector_index_topk(spark, store, q, k=1, nprobe=2).collect()
+    assert [x["neighbor_id"] for x in got] == [4]
+    # replay no-op; non-empty store refused for a NEW seed
+    assert ingest_mod.bootstrap_vector_index(spark, store, seed, 0) == {
+        "replay_skipped": True
+    }
+    with pytest.raises(ValueError, match="EMPTY store"):
+        ingest_mod.bootstrap_vector_index(spark, store, seed, 7)
+
+
+def test_bootstrap_vector_index_crash_recovers(spark, tmp_path, monkeypatch):
+    """Crash after the bootstrap's corpus commit: redelivery finishes
+    hashes/bloom/vectors from the change feed against the
+    already-committed centroid basis."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=2
+    )
+    seed = _mk_vdocs(
+        spark, [(1, "one doc", [1.0, 0.0]), (2, "two doc", [0.0, 1.0])]
+    )
+    real_commit = acid_mod.atomic_overwrite_partitions
+    state = {"calls": 0}
+
+    def crashing(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 3:  # centroids=1, corpus=2, crash at hashes
+            raise RuntimeError("injected crash")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(acid_mod, "atomic_overwrite_partitions", crashing)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_mod.bootstrap_vector_index(spark, store, seed, 0)
+    monkeypatch.setattr(acid_mod, "atomic_overwrite_partitions", real_commit)
+    monkeypatch.setattr(ingest_mod.acid, "atomic_overwrite_partitions", real_commit)
+    r = ingest_mod.bootstrap_vector_index(spark, store, seed, 0)
+    assert r["recovered_replay"] is True
+    vrows = acid_mod.read_atomic(spark, store.vectors)
+    assert sorted(x["__id"] for x in vrows.collect()) == [1, 2]
+    # and the healed store keeps screening
+    r1 = ingest_mod.ingest_batch_vectors(
+        spark, store, _mk_vdocs(spark, [(3, "near one", [0.999, 0.01])]), 1
+    )
+    assert r1["sem_rejected_history"] == 1
+
+
 # ---------------------------------------------------------------------------
 # Round 11 #6: sig_count_hint / stats-sidecar route for agree="auto"
 # ---------------------------------------------------------------------------

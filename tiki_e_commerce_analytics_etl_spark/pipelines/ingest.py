@@ -1860,6 +1860,100 @@ def ingest_batch_vectors(
     }
 
 
+def bootstrap_vector_index(
+    spark: SparkSession,
+    store: IngestStore,
+    corpus: DataFrame,
+    batch_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    app_id: str = "ingest",
+) -> dict:
+    """BULK-seed a fresh store's vector index from an ALREADY-CURATED
+    corpus — the initial-load path ``ingest_batch_vectors`` is not:
+    that entry point runs the semantic screen (an in-cell candidate
+    self-join) over the whole input, which is the right admission
+    screen for a BATCH but quadratic-per-cell waste for a 100 TB
+    initial corpus that was already deduplicated offline (measured:
+    seeding 475k synthetic docs through the batch path extrapolates
+    to hours; this path is one k-means + two narrow passes).
+
+    Semantics: exact content dedup only (first-id-wins in-batch, no
+    history — the store must be EMPTY); NO semantic rejection — every
+    content-distinct doc is admitted and indexed.  Centroids come
+    from the same integer-Lloyd bootstrap, committed first; then the
+    standard corpus → hashes → bloom → vectors chain, all under one
+    (app_id, batch_id) txn, so subsequent ``ingest_batch_vectors``
+    batches replay/heal/forget exactly as if the seed had been
+    ingested batch-wise.
+
+    Sizing note (the 100 TB knob): set ``store.ivf_clusters`` ∝ √N
+    for the seed corpus (FAISS guidance) — cell occupancy and batch
+    screening cost are N/cells, so a fixed small cell count makes
+    every later batch's candidate join linear in corpus size instead
+    of N/√N.
+
+    The store's quality policy (when configured) applies to bulk
+    seeds too — failures land in quarantine exactly as on the batch
+    path.  Exactly-once per (app_id, batch_id); returns
+    {'seeded', 'in_batch_dups', 'quarantined'}.
+    """
+    from tiki_e_commerce_analytics_etl_spark.operators import clustering
+
+    if acid.last_txn_version(store.vectors, app_id) >= batch_id:
+        return {"replay_skipped": True}
+    if acid.last_txn_version(store.corpus, app_id) >= batch_id:
+        # crash landed the corpus commit but not the rest: finish the
+        # chain from the change feed (centroids always commit first,
+        # so the vector heal has its basis)
+        healed = _heal_chain(
+            spark, store, app_id, vector_params=(vec_col, id_col)
+        )
+        return {"recovered_replay": True, "healed_commits": healed}
+    if _has_table(store.corpus) or _has_table(store.vectors):
+        raise ValueError(
+            "bootstrap_vector_index requires an EMPTY store: it performs "
+            "no history screening — seed first, then ingest batches "
+            "through ingest_batch_vectors"
+        )
+
+    hashed = _hashed(corpus, text_col, id_col)
+    n_batch = hashed.count()
+    first = _first_per_hash(hashed, id_col).localCheckpoint(eager=True)
+    n_dups = n_batch - first.count()
+    # the store's quality policy applies to bulk seeds too (quarantine
+    # commits first, exactly like the batch entry points)
+    first, n_quarantined = _quality_split(
+        spark, store, first, text_col, id_col, batch_id, app_id
+    )
+    n_first = first.count()
+    if n_first == 0:
+        return {"seeded": 0, "in_batch_dups": n_dups, "quarantined": n_quarantined}
+
+    k = min(store.ivf_clusters, n_first)
+    cents, _ = clustering.kmeans_lloyd(first, k, store.ivf_iters, id_col, vec_col)
+    acid.atomic_overwrite_partitions(
+        clustering.centroid_rows(spark, cents),
+        store.centroids,
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    _commit_admitted(spark, store, first, batch_id, app_id)
+    acid.atomic_overwrite_partitions(
+        _vector_rows(spark, store, first, vec_col, id_col),
+        store.vectors,
+        mode="append",
+        txn_app=app_id,
+        txn_version=batch_id,
+    )
+    return {
+        "seeded": n_first,
+        "in_batch_dups": n_dups,
+        "quarantined": n_quarantined,
+    }
+
+
 def vector_index_topk(
     spark: SparkSession,
     store: IngestStore,

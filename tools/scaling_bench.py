@@ -600,15 +600,24 @@ def main() -> None:
             )
             batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) == 0)
             history = docs.filter(F.pmod(F.col("doc_id"), F.lit(20)) != 0)
+            # Cells sized ∝ √history (FAISS guidance), capped: holding
+            # 16 cells FIXED across the decade makes cell occupancy —
+            # and the in-batch screen's per-cell self-join — linear in
+            # corpus size (the x100 seed through the batch path
+            # extrapolated to hours before this); the cell count IS
+            # the scale knob, so the harness sizes it like a real
+            # deployment would.
+            n_hist = history.count()
+            n_cells = max(16, min(256, int(n_hist**0.5)))
             root = tempfile.mkdtemp(prefix="scaling_vec_")
             store = ingest_mod.IngestStore(
-                os.path.join(root, "store"), ivf_clusters=16
+                os.path.join(root, "store"), ivf_clusters=n_cells
             )
             try:
                 t0 = time.perf_counter()
-                seeded = ingest_mod.ingest_batch_vectors(
+                seeded = ingest_mod.bootstrap_vector_index(
                     spark, store, history, batch_id=1
-                )["admitted"]
+                )["seeded"]
                 seed_wall = time.perf_counter() - t0
                 t1 = time.perf_counter()
                 out = ingest_mod.ingest_batch_vectors(
@@ -627,11 +636,12 @@ def main() -> None:
                 similarity.semdedup_pairs(
                     docs.select(F.col("doc_id").alias("vec_id"), "embedding"),
                     threshold=store.sem_threshold,
-                    n_clusters=16,
+                    n_clusters=n_cells,
                 ).write.format("noop").mode("overwrite").save()
                 oneshot_wall = time.perf_counter() - t3
                 return {
                     "history_docs": seeded,
+                    "cells": n_cells,
                     "batch_docs": out["admitted"],
                     "sem_rejected": out["sem_rejected_history"]
                     + out["sem_rejected_in_batch"],
