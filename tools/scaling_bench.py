@@ -118,6 +118,11 @@ QUERIES = [
     # round-10: the hot-window-capped production twin (the extra
     # distinct-doc count + anti-join must not change the curve class)
     "exact_substring_pairs_capped",
+    # round 11: the two corpus-dependent additions (the byte-BPE
+    # queries train on fixed canonical corpora — their decade is
+    # measured by --byte-bpe instead)
+    "blocklist_screen",
+    "blocklist_screen_join",
     # round-10 second wave: KN LM family (bigram-keyed hash aggs —
     # distinct bigrams GROW with the shard-suffixed corpus, the honest
     # regime for an LM trainer), Gopher suite (bounded 9x explode),
