@@ -724,6 +724,52 @@ def test_auto_shards_scales_with_rows_and_respects_floor(spark, tmp_path):
     assert out.select("shard").distinct().count() == 8            # floor at 1k rows
 
 
+def test_streaming_quality_gate_quarantines_exactly_once(spark, tmp_path):
+    """The quality gate rides the STORE config through the streaming
+    face: foreachBatch micro-batches quarantine failing docs with the
+    batch id as txn version, availableNow replays are no-ops, and the
+    quarantine set equals the one-shot gopher verdicts."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines.ingest import IngestStore
+    from tiki_e_commerce_analytics_etl_spark.streaming.incremental import (
+        foreach_batch_ingest,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, quality_mode="gopher"
+    )
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, _GOOD), (2, _BAD)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(foreach_batch_ingest(store))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(
+        [(3, _GOOD + " more"), (4, _BAD + " zz")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # idempotent restart: nothing new, state unchanged
+    assert sorted(
+        r.doc_id for r in acid_mod.read_atomic(spark, store.corpus).collect()
+    ) == [1, 3]
+    assert sorted(
+        r.doc_id for r in acid_mod.read_atomic(spark, store.quarantine).collect()
+    ) == [2, 4]
+
+
 def test_bootstrap_vector_index_bulk_seed(spark, tmp_path):
     """Bulk index bootstrap: exact-dedup-only seed of a fresh store
     (no semantic screen — the initial-load path for already-curated
