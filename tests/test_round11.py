@@ -855,6 +855,40 @@ def test_bootstrap_vector_index_crash_recovers(spark, tmp_path, monkeypatch):
     assert r1["sem_rejected_history"] == 1
 
 
+def test_write_training_shards_auto_resolves_in_manifest(spark, tmp_path):
+    """n_shards=None resolves through auto_shards BEFORE sharding so
+    the manifest records the actual count a loader must expect, and
+    verification passes on the auto-sharded export."""
+    from tiki_e_commerce_analytics_etl_spark import io as io_mod
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "auto_shards")
+    manifest = io_mod.write_training_shards(df, path, n_shards=None)
+    assert manifest["n_shards"] == 8  # the floor at toy scale
+    assert len(manifest["shards"]) <= 8 and manifest["total_rows"] == 50
+    ok = io_mod.verify_training_shards(spark, path)
+    assert all(r["ok"] for r in ok.collect())
+
+
+def test_bench_prior_medians_tolerates_missing_and_corrupt(tmp_path):
+    """The --full drift compare must never break the bench on a
+    missing or corrupt prior artifact (first run, interrupted write)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    assert bench._prior_medians(str(tmp_path / "nope.json")) == {}
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench._prior_medians(str(bad)) == {}
+    good = tmp_path / "good.json"
+    good.write_text('{"medians": {"q": 1.5}}')
+    assert bench._prior_medians(str(good)) == {"q": 1.5}
+
+
 # ---------------------------------------------------------------------------
 # Round 11 #6: sig_count_hint / stats-sidecar route for agree="auto"
 # ---------------------------------------------------------------------------
