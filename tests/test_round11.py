@@ -322,6 +322,19 @@ _TRICKY_TEXTS = [
 ]
 
 
+def test_bytes_to_unicode_is_a_printable_bijection():
+    """All 256 bytes map to 256 DISTINCT printable characters (no
+    symbol collisions — a collision would silently merge different
+    byte sequences), and the published anchor points hold."""
+    from tiki_e_commerce_analytics_etl_spark.operators.text import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert all(c.isprintable() for c in b2u.values())
+    assert b2u[ord(" ")] == "Ġ" and b2u[ord("\n")] == "Ċ"
+    assert b2u[ord("a")] == "a" and b2u[ord("!")] == "!"  # printable: identity
+
+
 def test_gpt2_pieces_matches_independent_reference(spark):
     """The JVM regex pre-tokenizer and the pure-Python scanner must
     agree piece-for-piece on contractions, space-prefixing, lookahead
