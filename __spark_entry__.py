@@ -2026,6 +2026,54 @@ def q_blocklist_screen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.blocklist_screen(docs, _BLOCKLIST_JOIN_TERMS, max_hits=2)
 
 
+# Round 12: MULTI-WORD phrase terms — the real C4 blocklist has 2-4
+# word entries a whitespace-token match can never hit.  The phrase
+# route explodes word n-grams at exactly the word counts present in
+# the list (bounded fan-out = one pass per distinct size).  The
+# literal-route list stays under the 256 auto crossover; the join
+# list pads past it with never-matching phrases so the driver oracle
+# value-verifies the join+phrase path end-to-end.
+_BLOCKLIST_PHRASE_TERMS = [
+    "spark",
+    "vector",
+    "fast table",
+    "table part",
+    "batch window",
+    "scan slow fast",
+    "window table table",
+]
+_BLOCKLIST_PHRASE_JOIN_TERMS = (
+    _BLOCKLIST_PHRASE_TERMS
+    + [f"blk{i:04d} pad" for i in range(150)]
+    + [f"pad{i:04d}" for i in range(150)]
+)
+
+
+def q_blocklist_phrase_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screen with MULTI-WORD phrases (1/2/3-word mixed
+    list, literal route): per-doc occurrence counts over word n-grams
+    at the list's distinct sizes — overlapping occurrences count,
+    mirroring the per-word-occurrence rule."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.blocklist_screen(docs, _BLOCKLIST_PHRASE_TERMS, max_hits=1)
+
+
+def q_blocklist_phrase_screen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase blocklist at real-list scale: 307 mixed-size terms push
+    ``route="auto"`` past the 256 crossover onto the broadcast-join
+    path — n-grams explode per distinct size, equi-join one broadcast
+    term relation (sizes cannot cross-match: an n-gram of ≥ 2 words
+    contains a space), per-doc re-aggregate + spine left-join."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return text_ops.blocklist_screen(
+        docs, _BLOCKLIST_PHRASE_JOIN_TERMS, max_hits=1
+    )
+
+
 def q_neardup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-calibration curve for embedding dedup: for every
     observed centi-cosine bucket >= 0.20, how many pairs survive a
@@ -4536,6 +4584,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "blocklist_screen": q_blocklist_screen,
         "blocklist_screen_join": q_blocklist_screen_join,
+        "blocklist_phrase_screen": q_blocklist_phrase_screen,
+        "blocklist_phrase_screen_join": q_blocklist_phrase_screen_join,
         "byte_bpe_merges": q_byte_bpe_merges,
         "byte_bpe_tokenize": q_byte_bpe_tokenize,
         "neardup_threshold_curve": q_neardup_threshold_curve,
@@ -5243,6 +5293,42 @@ _BLOCKLIST_SCREEN_JOIN_ORACLE = f"""
            len(hits) > 2 AS flagged
     FROM h
 """
+
+def _blocklist_phrase_oracle(terms: list, max_hits: int) -> str:
+    """Phrase-capable blocklist oracle: one ``list_filter`` pass per
+    DISTINCT word count in the (normalized, deduplicated) term list —
+    n-grams via DuckDB 1-based inclusive slices ``ws[i:i+n-1]`` over
+    ``range(1, len(ws)-n+2)`` (empty when the doc is shorter than
+    the phrase), concatenated then counted exactly like the
+    single-word oracle."""
+    norm = [t for t in dict.fromkeys(" ".join(t.lower().split()) for t in terms) if t]
+    by_size: dict[int, list] = {}
+    for t in norm:
+        by_size.setdefault(t.count(" ") + 1, []).append(t)
+    parts = []
+    for n, ts in sorted(by_size.items()):
+        lst = ", ".join(f"'{t}'" for t in ts)
+        if n == 1:
+            parts.append(f"list_filter(ws, x -> list_contains([{lst}], x))")
+        else:
+            parts.append(
+                f"list_filter(list_transform(range(1, len(ws) - {n - 2}), "
+                f"i -> array_to_string(ws[i:i+{n - 1}], ' ')), "
+                f"x -> list_contains([{lst}], x))"
+            )
+    hits = "\n                 || ".join(parts) if parts else "[]"
+    return f"""
+    WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
+    h AS (SELECT doc_id,
+                 {hits} AS hits
+          FROM w)
+    SELECT doc_id,
+           CAST(len(hits) AS INTEGER) AS n_hits,
+           CAST(len(list_distinct(hits)) AS INTEGER) AS distinct_hits,
+           len(hits) > {max_hits} AS flagged
+    FROM h
+"""
+
 
 _VOCAB_GROWTH_ORACLE = f"""
     WITH w AS (SELECT doc_id, {_NORM_WORDS_SQL} AS ws FROM documents),
@@ -7503,6 +7589,12 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _VOCAB_GROWTH_ORACLE,
         "blocklist_screen": _BLOCKLIST_SCREEN_ORACLE,
         "blocklist_screen_join": _BLOCKLIST_SCREEN_JOIN_ORACLE,
+        "blocklist_phrase_screen": _blocklist_phrase_oracle(
+            _BLOCKLIST_PHRASE_TERMS, 1
+        ),
+        "blocklist_phrase_screen_join": _blocklist_phrase_oracle(
+            _BLOCKLIST_PHRASE_JOIN_TERMS, 1
+        ),
         "byte_bpe_merges": _BYTE_BPE_MERGES_ORACLE,
         "byte_bpe_tokenize": _BYTE_BPE_TOKENIZE_ORACLE,
         "neardup_threshold_curve": _NEARDUP_THRESHOLD_CURVE_ORACLE,

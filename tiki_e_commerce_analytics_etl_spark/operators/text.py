@@ -2714,6 +2714,23 @@ def vocab_growth(df, text_col: str = "text", id_col: str = "doc_id", deciles: in
     )
 
 
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams of a word array (positions
+    1..len-n+1); ``n=1`` returns the array itself.  Empty when the
+    document has fewer than ``n`` words — guarded with ``when``
+    because ``F.sequence(1, 0)`` would DESCEND ([1, 0]) rather than
+    produce an empty range."""
+    if n == 1:
+        return ws
+    return F.when(
+        F.size(ws) >= F.lit(n),
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def blocklist_screen(
     df,
     terms: list[str],
@@ -2729,43 +2746,78 @@ def blocklist_screen(
     counts rather than a bare filter, because curation audits want the
     near-miss distribution, not just the survivor set.
 
-    Two physical routes with identical semantics (equivalence pytest
-    in tests/test_round11.py), chosen like ``dedup._auto_agree``:
+    Terms may be MULTI-WORD PHRASES (the real C4 list has 2-4-word
+    entries): every term is normalized like the document text
+    (lowercase, whitespace collapsed to single spaces) and matched
+    against the document's word n-grams at exactly the word counts
+    present in the list — a 1/2/3-word list costs one extra bounded
+    explode per DISTINCT size, never a per-term scan.  A phrase hit
+    counts once per n-gram OCCURRENCE (overlaps included), mirroring
+    the per-word-occurrence rule for single words.  NULL text
+    normalizes to an empty word array so both routes emit
+    (0, 0, false) — not route-dependent size(NULL) semantics.
 
-    * ``"literal"`` — the word array materializes once, hits are one
-      pass of ``array_contains`` against the LITERAL term array.
-      Right for short lists: no shuffle at all, but the comparison
-      work is O(words × terms) and the Catalyst expression grows with
-      the list — the real C4 list (~2.6k terms) or a 100k-phrase
-      PII/safety list would bloat every task's codegen.
-    * ``"join"`` — words explode to rows and equi-join a BROADCAST
-      (term) relation (O(words) hash probes regardless of list size),
-      hits re-aggregate per doc, zero-hit docs rejoin via a left join
-      on the doc spine.  Scales to arbitrarily long lists; costs one
-      explode + two hash aggregates.
-    * ``"auto"`` (default) — ``join`` when ``len(terms) >
-      join_threshold`` else ``literal``.  The 256 default is the
-      measured crossover (SCALING.md round-11 blocklist ladder at
-      sf0.1: literal 0.65 s vs join 0.81 s at 256 terms, 1.25 s vs
+    Two physical routes with identical semantics (equivalence pytest
+    in tests/test_round11.py and tests/test_round12.py), chosen like
+    ``dedup._auto_agree``:
+
+    * ``"literal"`` — the word/n-gram arrays materialize once, hits
+      are per-size ``array_contains`` passes against the LITERAL term
+      arrays.  Right for short lists: no shuffle at all, but the
+      comparison work is O(grams × terms) and the Catalyst expression
+      grows with the list — the real C4 list (~2.6k terms) or a
+      100k-phrase PII/safety list would bloat every task's codegen.
+    * ``"join"`` — words and n-grams explode to rows and equi-join a
+      BROADCAST (term) relation (O(grams) hash probes regardless of
+      list size; sizes never cross-match because an n-gram of size
+      ≥ 2 contains a space and a single-word term cannot), hits
+      re-aggregate per doc, zero-hit docs rejoin via a left join on
+      the doc spine.  Scales to arbitrarily long lists; costs one
+      explode per distinct size + two hash aggregates (measured at a
+      100k-phrase list in SCALING.md round-12).
+    * ``"auto"`` (default) — ``join`` when the normalized list
+      exceeds ``join_threshold`` else ``literal``.  The 256 default
+      is the measured crossover (SCALING.md round-11 blocklist ladder
+      at sf0.1: literal 0.65 s vs join 0.81 s at 256 terms, 1.25 s vs
       0.69 s at 512, 5.83 s vs 0.65 s at 2,600 — the join route is
       flat in list size, the literal route linear; the crossover in
       TERM COUNT is roughly scale-free because both the per-term
-      compare and the per-word hash probe are per-word costs).
+      compare and the per-gram hash probe are per-gram costs).
 
-    ``flagged`` = n_hits > max_hits.  Duplicate terms in the input
-    list are deduplicated (both routes count a matching word once per
-    word OCCURRENCE, never once per duplicate term row).
+    ``flagged`` = n_hits > max_hits.  Duplicate terms (post
+    normalization) deduplicate; empty terms drop.
 
     Returns (id_col, n_hits, distinct_hits, flagged).
     """
     if route not in ("auto", "literal", "join"):
         raise ValueError(f"route must be auto|literal|join, got {route!r}")
+    norm_terms = [t for t in dict.fromkeys(" ".join(t.lower().split()) for t in terms) if t]
     if route == "auto":
-        route = "join" if len(terms) > join_threshold else "literal"
-    ws = df.select(F.col(id_col), words(F.col(text_col)).alias("__ws"))
+        route = "join" if len(norm_terms) > join_threshold else "literal"
+    by_size: dict[int, list[str]] = {}
+    for t in norm_terms:
+        by_size.setdefault(t.count(" ") + 1, []).append(t)
+    ws = df.select(
+        F.col(id_col),
+        F.coalesce(words(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "__ws"
+        ),
+    )
     if route == "literal":
-        lit_terms = F.array(*[F.lit(t) for t in dict.fromkeys(terms)])
-        hits = F.filter(F.col("__ws"), lambda x: F.array_contains(lit_terms, x))
+        hit_arrays = [
+            F.filter(
+                _word_ngrams(F.col("__ws"), n),
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(t) for t in ts]), x
+                ),
+            )
+            for n, ts in sorted(by_size.items())
+        ]
+        hits = (
+            F.concat(*hit_arrays)
+            if hit_arrays
+            else F.array().cast("array<string>")
+        )
         return ws.select(
             F.col(id_col),
             F.size(hits).alias("n_hits"),
@@ -2773,14 +2825,20 @@ def blocklist_screen(
             (F.size(hits) > F.lit(max_hits)).alias("flagged"),
         )
     tdf = (
-        df.sparkSession.createDataFrame(
-            [(t,) for t in dict.fromkeys(terms)], "__w string"
-        )
-        if terms
+        df.sparkSession.createDataFrame([(t,) for t in norm_terms], "__w string")
+        if norm_terms
         else df.sparkSession.createDataFrame([], "__w string")
     )
+    cands = None
+    for n in sorted(by_size):
+        part = ws.select(
+            F.col(id_col), F.explode(_word_ngrams(F.col("__ws"), n)).alias("__w")
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    if cands is None:
+        cands = ws.select(F.col(id_col), F.lit("").alias("__w")).limit(0)
     matched = (
-        ws.select(F.col(id_col), F.explode("__ws").alias("__w"))
+        cands.filter(F.col("__w") != "")
         .join(F.broadcast(tdf), "__w")
         .groupBy(id_col)
         .agg(
