@@ -1892,7 +1892,16 @@ def gopher_repetition(
     bounded by len(ns) ≈ 9 rows per corpus word position), one
     (doc, n, gram) hash aggregate whose keys are near-unique, one
     (doc, n) fold, one conditional-aggregation pivot on the bounded n
-    — no joins, no windows, no Python.
+    — no joins, no windows, no Python.  The count aggregate keys on
+    xxhash64(gram) + length(gram), NOT the gram string: the formulas
+    only ever consume a gram's COUNT and LENGTH, so shuffling the
+    ~12-byte (hash, len) pair instead of up-to-10-word strings cuts
+    the dominant shuffle's width ~5× (the round-11 10× decade read
+    5.04× — shuffle-bytes-bound — against ~linear expected; measured
+    re-read after this change in SCALING.md).  Trade: a 64-bit
+    collision WITHIN one (doc, n) group would merge two grams'
+    counts; at ≤ |doc| grams per group that is ~1e-13 per document,
+    far below the float-determinism bar everything else clears.
     """
     ns = sorted(set(tuple(top_ns) + tuple(dup_ns)))
     base = df.select(
@@ -1925,18 +1934,29 @@ def gopher_repetition(
                 )
             ).alias("gram"),
         )
+        # narrow the shuffle BEFORE the aggregate: count/length are all
+        # the formulas consume, so the gram string never leaves the map
+        # side (see docstring)
+        .select(
+            "id",
+            "n_words",
+            "n_chars",
+            "n",
+            F.xxhash64("gram").alias("gh"),
+            F.length("gram").cast("long").alias("gl"),
+        )
     )
-    cnt = grams.groupBy("id", "n_words", "n_chars", "n", "gram").agg(
+    cnt = grams.groupBy("id", "n_words", "n_chars", "n", "gh", "gl").agg(
         F.count(F.lit(1)).alias("c")
     )
     per_n = cnt.groupBy("id", "n_words", "n_chars", "n").agg(
         F.max(
-            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(
+            F.when(F.col("c") >= 2, F.col("c") * F.col("gl")).otherwise(
                 F.lit(0)
             )
         ).alias("top_chars"),
         F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * F.length("gram")).otherwise(
+            F.when(F.col("c") >= 2, F.col("c") * F.col("gl")).otherwise(
                 F.lit(0)
             )
         ).alias("dup_chars"),

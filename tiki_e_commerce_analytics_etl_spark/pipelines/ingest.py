@@ -143,6 +143,39 @@ def _commit_rows(
     return feed.filter(F.col("_change_type") == "insert").drop("_change_type")
 
 
+def _durable_commit_count(
+    spark: SparkSession, path: str, app_id: str, batch_id: int
+) -> int | None:
+    """Row count of the append commit ``(app_id, batch_id)`` landed on
+    ``path`` — for honest replay reporting (a crashed-then-replayed
+    batch DID admit these rows; reporting 0 would make audit sums
+    undercount).  Metadata-only when manifests carry row stats (the
+    n_rows delta vs the predecessor), falling back to a change-feed
+    count.  Returns None when vacuum has pruned the commit's manifest
+    or its predecessor (retained versions are a contiguous suffix, so
+    a cursor already at/above ``batch_id`` on the OLDEST retained
+    manifest means the diff base is gone) — the exact count is then
+    genuinely unrecoverable."""
+    hist = sorted(acid.table_history(path), key=lambda h: h["version"])
+    prev: dict | None = None
+    for h in hist:
+        cur = h["app_versions"].get(app_id, -1)
+        if cur >= batch_id:
+            if cur > batch_id:
+                return None  # commit manifest pruned
+            if prev is None and h["version"] > 0:
+                return None  # predecessor manifest pruned
+            if h["n_rows"] is not None and (
+                prev is None or prev["n_rows"] is not None
+            ):
+                return h["n_rows"] - (prev["n_rows"] if prev else 0)
+            return _commit_rows(
+                spark, path, prev["version"] if prev else None, h["version"]
+            ).count()
+        prev = h
+    return None
+
+
 def _anchor_rows(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
@@ -305,6 +338,97 @@ def _vector_rows(
     return assigned.join(vecs, "id").select(
         F.col("id").alias("__id"), "cluster", "__vec"
     )
+
+
+def _semantic_screen(
+    spark: SparkSession,
+    store: IngestStore,
+    content_new: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobe: int,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """The incremental-SemDeDup admission screen, shared verbatim by
+    ``ingest_batch_vectors`` and the vector path of
+    ``readmit_quarantine`` so readmission cannot drift from ingest:
+    cluster-assign the content-new rows against the persisted basis,
+    generate history candidates by cell equi-join against the vector
+    index (``nprobe`` fans out the NEW side only), exact-cosine-rerank
+    the cell sliver, and reject history matches plus the larger id of
+    each verified in-batch same-cell pair.  Returns
+    ``(new_vrows, admitted, n_rej_hist, n_rej_batch)`` — ``new_vrows``
+    are the index rows for ALL content-new docs (the caller appends
+    the admitted subset to ``store.vectors``)."""
+    from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
+
+    if _has_table(store.centroids):
+        new_vrows = _vector_rows(
+            spark, store, content_new, vec_col, id_col
+        ).localCheckpoint(eager=True)
+    else:  # nothing new and no basis yet: empty, schema-correct
+        new_vrows = content_new.select(
+            F.col(id_col).alias("__id"),
+            F.lit(0).cast("int").alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+        ).limit(0)
+
+    # Candidate-generation rows: at nprobe=1 exactly the index rows;
+    # at nprobe>1 the NEW side fans out to its n nearest cells (the
+    # persisted index keeps one row per vector either way).
+    if nprobe > 1 and _has_table(store.centroids):
+        probes = _probe_cells(
+            content_new, _stored_centroids(spark, store), id_col, vec_col, nprobe
+        )
+        vecs_new = content_new.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+        )
+        cand_rows = (
+            probes.join(vecs_new, "id")
+            .select(F.col("id").alias("__id"), "cluster", "__vec")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        cand_rows = new_vrows
+
+    # history candidates -> exact cosine rerank on the cell sliver
+    rejected_hist = content_new.select(F.col(id_col)).limit(0)
+    n_rej_hist = 0
+    if _has_table(store.vectors):
+        hist = acid.read_atomic(spark, store.vectors).select(
+            F.col("__id").alias("__oid"), "cluster", F.col("__vec").alias("__ov")
+        )
+        verified = (
+            cand_rows.join(hist, "cluster")
+            .withColumn("__cos", cosine(F.col("__vec"), F.col("__ov")))
+            .filter(F.col("__cos") >= F.lit(store.sem_threshold))
+        )
+        rejected_hist = verified.select(F.col("__id").alias(id_col)).distinct()
+        n_rej_hist = rejected_hist.count()
+
+    # in-batch candidates: same-cell pairs among the new rows only
+    # (both sides probe-fanned at nprobe>1; pair duplicates collapse
+    # in the id-level distinct)
+    x = cand_rows.select(
+        F.col("__id").alias("__ida"), "cluster", F.col("__vec").alias("__va")
+    )
+    y = cand_rows.select(
+        F.col("__id").alias("__idb"), "cluster", F.col("__vec").alias("__vb")
+    )
+    verified_b = (
+        x.join(y, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= F.lit(store.sem_threshold))
+    )
+    rejected_batch = verified_b.select(F.col("__idb").alias(id_col)).distinct()
+    n_rej_batch = rejected_batch.count()
+
+    rejected = rejected_hist.unionByName(rejected_batch).distinct()
+    admitted = content_new.join(rejected, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    return new_vrows, admitted, n_rej_hist, n_rej_batch
 
 
 def _heal_chain(
@@ -572,6 +696,25 @@ def _quality_split(
     return passing, n_quarantined
 
 
+READMIT_APP_ID = "readmit"
+"""Default app id of ``readmit_quarantine`` commits.  Batch entry
+points heal this chain alongside their own (and
+``unhealed_floor``/``vacuum_store`` default to protecting it): a crash
+mid-readmit leaves heal-requiring APPEND commits under this app, and
+without healing it (a) a later default vacuum could prune the corpus
+change-feed files its recovery needs, and (b) interleaved batch
+ingests would screen against band/anchor/ngram indexes missing the
+readmitted docs until readmit is next invoked."""
+
+
+def _heal_apps(spark: SparkSession, store: IngestStore, apps, **params) -> int:
+    """Heal every app chain in ``apps`` (deduped, in order)."""
+    healed = 0
+    for app in dict.fromkeys(apps):
+        healed += _heal_chain(spark, store, app, **params)
+    return healed
+
+
 def _require_no_vector_index(store: IngestStore, entry: str) -> None:
     """A text-only batch cannot be healed into vector rows, so a store
     that has a vector index must route every batch through
@@ -635,10 +778,10 @@ def ingest_batch(
     # out-of-order case (an earlier batch crashed, this is a NEWER one
     # — its screen must see the healed hashes/bloom or it re-admits
     # committed content)
-    healed = _heal_chain(
+    healed = _heal_apps(
         spark,
         store,
-        app_id,
+        (app_id, READMIT_APP_ID),
         band_params=band_params,
         anchor_params=anchor_params,
         ngram_params=ngram_params,
@@ -836,6 +979,8 @@ def readmit_quarantine(
     id_col: str = "doc_id",
     app_id: str = "readmit",
     ingest_app_id: str = "ingest",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> dict:
     """Re-screen the quarantine under the store's CURRENT quality
     config and admit the rows that now pass — the threshold-change
@@ -864,25 +1009,41 @@ def readmit_quarantine(
     (scoring is deterministic) and finishes the rewrite; the
     admission itself is cursor-skipped.
 
-    Stores with a vector index are refused: readmission would have to
-    replay the semantic screen and the vector-row append from the
-    stored embedding column, which this entry point does not do yet —
-    failing loud beats an index that silently misses rows.
+    Stores with a VECTOR index readmit through the same semantic
+    screen that ingests: quarantine rows on such a store carry the
+    embedding column (they were quarantined out of a vector batch's
+    content-new set, full row), so readmission cluster-assigns the
+    now-passing rows against the persisted centroid basis, rejects
+    verified semantic near-dups of history (and the larger id of each
+    verified in-readmit pair) via the SHARED ``_semantic_screen``, and
+    appends the admitted docs' vector rows in the same txn — the
+    index never misses a readmitted doc.  A quarantine predating the
+    vector index (rows without ``vec_col``) is refused loudly: those
+    rows cannot be healed into vector rows.
+
+    Every non-replay path returns the same key set
+    (rescored / readmitted / left_quarantine / still_quarantined /
+    sem_rejected / readmitted_durable_in_prior_attempt); the crash
+    -replay branch reports the DURABLE admitted count recovered from
+    the corpus commit's change feed, flagged with
+    ``readmitted_durable_in_prior_attempt=True`` so audit consumers
+    summing ``readmitted`` stay exact.
     """
     if store.quality_mode is None:
         raise ValueError(
             "readmit_quarantine: store has no quality config "
             "(quality_mode is None) — nothing to re-score against"
         )
-    _require_no_vector_index(store, "readmit_quarantine")
     if acid.last_txn_version(store.quarantine, app_id) >= batch_id:
         return {"replay_skipped": True}
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
     with_ngrams = _has_table(store.ngrams)
+    with_vectors = _has_table(store.vectors)
     band_params = (text_col, id_col) if with_bands else None
     anchor_params = (text_col, id_col) if with_anchors else None
     ngram_params = (text_col, id_col) if with_ngrams else None
+    vector_params = (vec_col, id_col) if with_vectors else None
     for app in (ingest_app_id, app_id):
         _heal_chain(
             spark,
@@ -891,9 +1052,18 @@ def readmit_quarantine(
             band_params=band_params,
             anchor_params=anchor_params,
             ngram_params=ngram_params,
+            vector_params=vector_params,
         )
+    empty_result = {
+        "rescored": 0,
+        "readmitted": 0,
+        "left_quarantine": 0,
+        "still_quarantined": 0,
+        "sem_rejected": 0,
+        "readmitted_durable_in_prior_attempt": False,
+    }
     if not _has_table(store.quarantine):
-        return {"rescored": 0, "readmitted": 0, "still_quarantined": 0}
+        return empty_result
 
     qrows = acid.read_atomic(spark, store.quarantine).drop("q_score")
     rescored = _quality_scores(store, qrows, text_col, id_col)
@@ -907,6 +1077,31 @@ def readmit_quarantine(
     n_passing = passing.count()
     n_total = qrows.count()
 
+    if with_vectors:
+        # Rows quarantined BEFORE the vector index existed carry no
+        # embedding (missing column, or NULL after the quarantine's
+        # schema widened).  A now-PASSING such row cannot be admitted
+        # — there is nothing to assign, screen, or append to the
+        # index — so refuse LOUDLY rather than silently hole it.
+        # Still-failing embedding-less rows are harmless: they stay
+        # quarantined.
+        n_no_vec = (
+            n_passing
+            if vec_col not in passing.columns
+            else passing.filter(F.col(vec_col).isNull()).count()
+        )
+        if n_no_vec:
+            raise ValueError(
+                f"readmit_quarantine: store has a vector index "
+                f"({store.vectors}) but {n_no_vec} now-passing "
+                f"quarantine row(s) carry no {vec_col!r} — rows "
+                "quarantined before the index existed cannot be "
+                "healed into vector rows; forget them or re-ingest "
+                "their content through ingest_batch_vectors"
+            )
+
+    n_sem_rejected = 0
+    durable_replay = False
     if acid.last_txn_version(store.corpus, app_id) < batch_id:
         # Normal path: exact screen against live hashes/bloom (the
         # content may have been admitted since), then the standard
@@ -914,9 +1109,16 @@ def readmit_quarantine(
         # in-quarantine same-content dups collapse first-id-wins.
         first = _first_per_hash(passing, id_col)
         definitely_new, _maybe, confirmed_new = _exact_new(spark, store, first)
-        admitted = definitely_new.unionByName(confirmed_new).localCheckpoint(
+        content_new = definitely_new.unionByName(confirmed_new).localCheckpoint(
             eager=True
         )
+        if with_vectors:
+            new_vrows, admitted, n_rej_hist, n_rej_batch = _semantic_screen(
+                spark, store, content_new, vec_col, id_col, nprobe
+            )
+            n_sem_rejected = n_rej_hist + n_rej_batch
+        else:
+            new_vrows, admitted = None, content_new
         n_admitted = admitted.count()
         _commit_admitted(spark, store, admitted, batch_id, app_id)
         if with_bands:
@@ -950,8 +1152,29 @@ def readmit_quarantine(
                 txn_app=app_id,
                 txn_version=batch_id,
             )
+        if with_vectors:
+            acid.atomic_overwrite_partitions(
+                new_vrows.join(
+                    admitted.select(F.col(id_col).alias("__id")),
+                    "__id",
+                    "left_semi",
+                ),
+                store.vectors,
+                mode="append",
+                txn_app=app_id,
+                txn_version=batch_id,
+            )
     else:
-        n_admitted = 0  # admission already durable (crash replay)
+        # Admission landed durably in a crashed prior attempt (the
+        # heal above finished its downstream chain); report the
+        # DURABLE count from the corpus commit instead of a
+        # misleading 0 — audit consumers sum `readmitted`.  When
+        # vacuum has since pruned the manifests the count needs, it is
+        # unrecoverable: 0 with the durable flag set is the honest
+        # remainder (the flag tells the consumer the sum is a floor).
+        n_durable = _durable_commit_count(spark, store.corpus, app_id, batch_id)
+        n_admitted = 0 if n_durable is None else n_durable
+        durable_replay = True
 
     keep = acid.read_atomic(spark, store.quarantine).join(
         passing.select(id_col), id_col, "left_anti"
@@ -964,11 +1187,13 @@ def readmit_quarantine(
         "readmitted": n_admitted,
         "left_quarantine": n_passing,
         "still_quarantined": n_total - n_passing,
+        "sem_rejected": n_sem_rejected,
+        "readmitted_durable_in_prior_attempt": durable_replay,
     }
 
 
 def unhealed_floor(
-    store: IngestStore, app_ids: tuple = ("ingest",)
+    store: IngestStore, app_ids: tuple = ("ingest", READMIT_APP_ID)
 ) -> int | None:
     """Minimum corpus TABLE version that ``acid.vacuum`` must retain
     for every app chain to stay recoverable, or None when all chains
@@ -1012,7 +1237,7 @@ def unhealed_floor(
 def vacuum_store(
     spark: SparkSession,
     store: IngestStore,
-    app_ids: tuple = ("ingest",),
+    app_ids: tuple = ("ingest", READMIT_APP_ID),
     keep_versions: int = 2,
     grace_seconds: float = 86400.0,
     text_col: str = "text",
@@ -1026,6 +1251,13 @@ def vacuum_store(
     while a chain is un-healed would make the crash unrecoverable.
     Healing every ``app_ids`` chain FIRST means no un-healed cursor
     can exist when pruning starts, so any retention policy is safe.
+    The default covers both APPEND-commit apps ('ingest' and
+    'readmit'); 'forget' is deliberately absent — its commits are full
+    overwrites whose crash recovery re-derives from LIVE state (the
+    caller retries forget with the same batch_id), never from old
+    change-feed files, so it imposes no retention floor and must NOT
+    be change-feed-healed (replaying an overwrite's feed as appends
+    would duplicate the kept rows downstream).
 
     Returns the list of removed paths across tables.
     """
@@ -1151,10 +1383,10 @@ def ingest_batch_neardup(
     tail = _chain_tail(store, True, with_anchors, with_ngrams)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
-    healed = _heal_chain(
+    healed = _heal_apps(
         spark,
         store,
-        app_id,
+        (app_id, READMIT_APP_ID),
         band_params=(text_col, id_col),
         anchor_params=anchor_params,
         ngram_params=ngram_params,
@@ -1327,10 +1559,10 @@ def ingest_batch_substring(
     tail = store.ngrams if with_ngrams else store.anchors
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
-    healed = _heal_chain(
+    healed = _heal_apps(
         spark,
         store,
-        app_id,
+        (app_id, READMIT_APP_ID),
         band_params=band_params,
         anchor_params=(text_col, id_col),
         ngram_params=ngram_params,
@@ -1547,10 +1779,10 @@ def ingest_batch_lm(
     anchor_params = (text_col, id_col) if with_anchors else None
     if acid.last_txn_version(store.ngrams, app_id) >= batch_id:
         return {"replay_skipped": True}
-    healed = _heal_chain(
+    healed = _heal_apps(
         spark,
         store,
-        app_id,
+        (app_id, READMIT_APP_ID),
         band_params=band_params,
         anchor_params=anchor_params,
         ngram_params=(text_col, id_col),
@@ -1686,7 +1918,6 @@ def ingest_batch_vectors(
     that built it.
     """
     from tiki_e_commerce_analytics_etl_spark.operators import clustering
-    from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
 
     with_bands = _has_table(store.bands)
     with_anchors = _has_table(store.anchors)
@@ -1697,10 +1928,10 @@ def ingest_batch_vectors(
     tail = _chain_tail(store, with_bands, with_anchors, with_ngrams, True)
     if acid.last_txn_version(tail, app_id) >= batch_id:
         return {"replay_skipped": True}
-    healed = _heal_chain(
+    healed = _heal_apps(
         spark,
         store,
-        app_id,
+        (app_id, READMIT_APP_ID),
         band_params=band_params,
         anchor_params=anchor_params,
         ngram_params=ngram_params,
@@ -1733,72 +1964,8 @@ def ingest_batch_vectors(
             txn_version=batch_id,
         )
 
-    if _has_table(store.centroids):
-        new_vrows = _vector_rows(
-            spark, store, content_new, vec_col, id_col
-        ).localCheckpoint(eager=True)
-    else:  # nothing new and no basis yet: empty, schema-correct
-        new_vrows = content_new.select(
-            F.col(id_col).alias("__id"),
-            F.lit(0).cast("int").alias("cluster"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
-        ).limit(0)
-
-    # Candidate-generation rows: at nprobe=1 exactly the index rows;
-    # at nprobe>1 the NEW side fans out to its n nearest cells (the
-    # persisted index keeps one row per vector either way).
-    if nprobe > 1 and _has_table(store.centroids):
-        probes = _probe_cells(
-            content_new, _stored_centroids(spark, store), id_col, vec_col, nprobe
-        )
-        vecs_new = content_new.select(
-            F.col(id_col).alias("id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
-        )
-        cand_rows = (
-            probes.join(vecs_new, "id")
-            .select(F.col("id").alias("__id"), "cluster", "__vec")
-            .localCheckpoint(eager=True)
-        )
-    else:
-        cand_rows = new_vrows
-
-    # history candidates -> exact cosine rerank on the cell sliver
-    rejected_hist = content_new.select(F.col(id_col)).limit(0)
-    n_rej_hist = 0
-    if _has_table(store.vectors):
-        hist = acid.read_atomic(spark, store.vectors).select(
-            F.col("__id").alias("__oid"), "cluster", F.col("__vec").alias("__ov")
-        )
-        verified = (
-            cand_rows.join(hist, "cluster")
-            .withColumn("__cos", cosine(F.col("__vec"), F.col("__ov")))
-            .filter(F.col("__cos") >= F.lit(store.sem_threshold))
-        )
-        rejected_hist = verified.select(F.col("__id").alias(id_col)).distinct()
-        n_rej_hist = rejected_hist.count()
-
-    # in-batch candidates: same-cell pairs among the new rows only
-    # (both sides probe-fanned at nprobe>1; pair duplicates collapse
-    # in the id-level distinct)
-    x = cand_rows.select(
-        F.col("__id").alias("__ida"), "cluster", F.col("__vec").alias("__va")
-    )
-    y = cand_rows.select(
-        F.col("__id").alias("__idb"), "cluster", F.col("__vec").alias("__vb")
-    )
-    verified_b = (
-        x.join(y, "cluster")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .withColumn("__cos", cosine(F.col("__va"), F.col("__vb")))
-        .filter(F.col("__cos") >= F.lit(store.sem_threshold))
-    )
-    rejected_batch = verified_b.select(F.col("__idb").alias(id_col)).distinct()
-    n_rej_batch = rejected_batch.count()
-
-    rejected = rejected_hist.unionByName(rejected_batch).distinct()
-    admitted = content_new.join(rejected, id_col, "left_anti").localCheckpoint(
-        eager=True
+    new_vrows, admitted, n_rej_hist, n_rej_batch = _semantic_screen(
+        spark, store, content_new, vec_col, id_col, nprobe
     )
     n_admitted = admitted.count()
 

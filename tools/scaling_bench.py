@@ -491,6 +491,82 @@ def main() -> None:
         print(json.dumps({"metric": "scaling_ingest_chain", "scales": results}))
         return
 
+    # --quality-chain: the round-11 verdict ask — put the quality
+    # ADMISSION gate's scoring cost on the record like every other
+    # chain.  Runs the plain exact-dedup ingest chain with the gate
+    # OFF (baseline), in gopher mode, and in logreg mode (dense
+    # synthetic hashed-unigram weights — the worst case: every word
+    # probes the broadcast weight map) over 3 batches at 1x/10x,
+    # fresh store per scale/mode.  The admission-scoring cost curve
+    # is the per-mode delta vs 'off' at each scale.
+    if "--quality-chain" in sys.argv:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+        n_batches = 3
+        q_dim = 512
+
+        def mk_store(root: str, mode: str):
+            if mode == "off":
+                return ingest_mod.IngestStore(os.path.join(root, "store"))
+            if mode == "gopher":
+                return ingest_mod.IngestStore(
+                    os.path.join(root, "store"), quality_mode="gopher"
+                )
+            return ingest_mod.IngestStore(
+                os.path.join(root, "store"),
+                quality_mode="logreg",
+                quality_weights={i: (7 * i % 201) - 100 for i in range(q_dim)},
+                quality_dim=q_dim,
+                quality_min_margin=0,
+            )
+
+        def run_quality_chain(sf_dir: str, mode: str) -> dict:
+            docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            root = tempfile.mkdtemp(prefix="scaling_quality_")
+            store = mk_store(root, mode)
+            try:
+                t0 = time.perf_counter()
+                admitted = quarantined = 0
+                for b in range(n_batches):
+                    batch = docs.filter(
+                        F.pmod(F.col("doc_id"), F.lit(n_batches)) == b
+                    )
+                    out = ingest_mod.ingest_batch(
+                        spark, store, batch, batch_id=b + 1
+                    )
+                    admitted += out.get("admitted", 0)
+                    quarantined += out.get("quarantined", 0)
+                return {
+                    "admitted": admitted,
+                    "quarantined": quarantined,
+                    "ingest_sec": round(time.perf_counter() - t0, 3),
+                }
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+
+        results: dict = {}
+        for mode in ("off", "gopher", "logreg"):
+            for label, d in (("x1", BASE_DIR), ("x10", SCALED_DIR)):
+                r = run_quality_chain(d, mode)
+                if label != "x1":
+                    r["growth_vs_x1"] = round(
+                        r["ingest_sec"]
+                        / max(results[f"{mode}_x1"]["ingest_sec"], 1e-9),
+                        2,
+                    )
+                if mode != "off":
+                    base = results[f"off_{label}"]["ingest_sec"]
+                    r["gate_overhead_sec"] = round(r["ingest_sec"] - base, 3)
+                results[f"{mode}_{label}"] = r
+                print(f"quality chain {mode} {label}: {r}", file=sys.stderr)
+        print(json.dumps({"metric": "scaling_quality_chain", "scales": results}))
+        return
+
     # --substring-chain: what the round-10 anchor index BUYS — the
     # cost of answering "which of this batch's spans already exist in
     # history" incrementally (anchor the batch once + hash-probe the
