@@ -200,7 +200,8 @@ HEADLINE = [
     # round-12 additions
     "blocklist_phrase_screen",
     "blocklist_phrase_screen_join",
-    "ivfpq_recall",
+    "similarity_ivfpq_recall",
+    "byte_bpe_corpus_merges",
 ]
 
 

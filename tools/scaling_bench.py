@@ -491,6 +491,92 @@ def main() -> None:
         print(json.dumps({"metric": "scaling_ingest_chain", "scales": results}))
         return
 
+    # --blocklist-phrases: the round-11 verdict #1 done-criterion — a
+    # ladder row at a 100k-PHRASE list.  Mixed 1-4-word lists (8 real
+    # corpus hit terms + synthetic padding cycled across sizes) over
+    # the 10x documents table; the join route should be FLAT in list
+    # size (one bounded explode per distinct phrase size + broadcast
+    # hash probes), the literal route linear and codegen-hazardous —
+    # measured at 1k as the contrast point only.
+    if "--blocklist-phrases" in sys.argv:
+        from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+        hit_terms = [
+            "table", "value scan", "fast merge batch", "window table",
+            "key agg row scan", "spark", "slow filter", "data column agg join",
+        ]
+
+        def mk_terms(n: int) -> list:
+            out = list(hit_terms)
+            i = 0
+            while len(out) < n:
+                size = (i % 4) + 1
+                out.append(" ".join(f"zz{i}w{j}" for j in range(size)))
+                i += 1
+            return out[:n]
+
+        docs_path = os.path.join(SCALED_DIR, "documents.parquet")
+        docs = spark.read.parquet(docs_path)
+        results = {}
+        for n, routes in ((1000, ("literal", "join")), (10_000, ("join",)),
+                          (100_000, ("join",))):
+            terms = mk_terms(n)
+            for r in routes:
+                runs = []
+                for _ in range(reps):
+                    start = time.perf_counter()
+                    text_ops.blocklist_screen(docs, terms, route=r).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    runs.append(time.perf_counter() - start)
+                results[f"{r}_{n}"] = round(statistics.median(runs), 3)
+                print(f"blocklist phrases {r} n={n}: {results[f'{r}_{n}']}s",
+                      file=sys.stderr)
+        print(json.dumps({"metric": "blocklist_phrase_ladder",
+                          "sf": "x10", "walls_sec": results}))
+        return
+
+    # --ivfpq-ladder: the round-11 verdict #3 done-criterion — the
+    # composed IVFADC route measured against its two relaxations at
+    # the SAME production knobs (k=10, nprobe=4, refine=8, 16 cells):
+    # flat PQ scans compressed codes over the WHOLE corpus, IVF-exact
+    # scans only probed cells but reads full vectors, IVFADC does
+    # both.  Brute force anchors the scale.
+    if "--ivfpq-ladder" in sys.argv:
+        from pyspark.sql import functions as F
+
+        from tiki_e_commerce_analytics_etl_spark.operators import similarity
+
+        def walls(d: str) -> dict:
+            emb = spark.read.parquet(os.path.join(d, "embeddings.parquet"))
+            qsel = emb.filter(F.col("vec_id") < 5)
+            out = {}
+            routes = {
+                "brute_force": lambda: similarity.brute_force_topk(emb, qsel, k=10),
+                "pq_flat": lambda: similarity.pq_topk(emb, qsel, k=10, refine=8),
+                "ivf_exact": lambda: similarity.ivf_topk(
+                    emb, qsel, k=10, n_clusters=16, nprobe=4
+                ),
+                "ivfpq": lambda: similarity.ivfpq_topk(
+                    emb, qsel, k=10, n_clusters=16, nprobe=4, refine=8
+                ),
+            }
+            for name, f in routes.items():
+                runs = []
+                for _ in range(reps):
+                    start = time.perf_counter()
+                    f().write.format("noop").mode("overwrite").save()
+                    runs.append(time.perf_counter() - start)
+                out[name] = round(statistics.median(runs), 3)
+            return out
+
+        results = {}
+        for label, d in (("x1", BASE_DIR), ("x10", SCALED_DIR)):
+            results[label] = walls(d)
+            print(f"ivfpq ladder {label}: {results[label]}", file=sys.stderr)
+        print(json.dumps({"metric": "ivfpq_ladder", "scales": results}))
+        return
+
     # --quality-chain: the round-11 verdict ask — put the quality
     # ADMISSION gate's scoring cost on the record like every other
     # chain.  Runs the plain exact-dedup ingest chain with the gate
@@ -549,6 +635,10 @@ def main() -> None:
             finally:
                 shutil.rmtree(root, ignore_errors=True)
 
+        # one discarded pass first: the chain's first execution pays
+        # JVM/Arrow/codegen warmup that would otherwise land entirely
+        # on the x1 'off' baseline and turn the gate overhead negative
+        run_quality_chain(BASE_DIR, "off")
         results: dict = {}
         for mode in ("off", "gopher", "logreg"):
             for label, d in (("x1", BASE_DIR), ("x10", SCALED_DIR)):
