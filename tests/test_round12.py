@@ -477,3 +477,40 @@ def test_ivfpq_encode_is_compact_and_cell_consistent(spark):
         assert len(r["codes"]) == 4
         assert all(0 <= c < 8 for c in r["codes"])
         assert abs(r["__neighbor_id_norm"] - nrm) < 1e-9
+
+
+def test_byte_bpe_corpus_oracle_twin_lockstep(spark, tmp_path):
+    """The generated DuckDB twin (_byte_bpe_corpus_oracle) must equal
+    the Spark trainer bit-for-bit on random clean corpora (the [a-z ]
+    single-space inventory the specialization is valid for) — merge
+    chains, tie-breaks, and the replace()-based rewrite all in
+    lockstep, including repeated-letter words that exercise the
+    overlapping-pair (resume-after) semantics."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entry
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    rng = random.Random(12)
+    vocab = ["aaa", "abab", "banana", "scan", "a", "loop", "pool", "zz"]
+    for case in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = [
+            tuple(r)
+            for r in text_ops.byte_bpe_train(df, n_merges=6)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        want = con.execute(
+            entry._byte_bpe_corpus_oracle(6, "TRUE")
+        ).fetchall()
+        assert got == [tuple(r) for r in want], f"case {case} diverged"

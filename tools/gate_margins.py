@@ -77,6 +77,21 @@ def measure(spark, sf_dir: str) -> list[tuple[str, float, float, float]]:
     thr = entrymod.PQ_RECALL_THRESHOLD
     out.append(("pq_recall@10 (worst query)", r, thr, (r - thr) / thr))
 
+    # IVFADC (round 12): the composed route at the GATE's knobs
+    # (nprobe=8, refine=32, n_codes=64 — q_similarity_ivfpq_recall).
+    ivfpq = similarity.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_clusters=16,
+        nprobe=8,
+        refine=32,
+        n_codes=64,
+    ).select("query_id", "neighbor_id")
+    r = _recall(exact, ivfpq)
+    thr = entrymod.IVFPQ_RECALL_THRESHOLD
+    out.append(("ivfpq_recall@10 (worst query)", r, thr, (r - thr) / thr))
+
     # SQ8 int8 quantization: worst-query overlap of the integer-dot
     # top-10 vs the exact float top-10 (the sq_recall query measures
     # the same quantity bit-exactly; this row tracks its headroom).

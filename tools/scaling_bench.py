@@ -94,6 +94,7 @@ QUERIES = [
     # decades like everything else
     "triangle_count",
     "similarity_pq_recall",
+    "similarity_ivfpq_recall",
     # round-8 operators over the growing tables (salted join on the
     # events fact; entropy/compressibility over the documents corpus)
     "salted_join",
@@ -123,6 +124,13 @@ QUERIES = [
     # measured by --byte-bpe instead)
     "blocklist_screen",
     "blocklist_screen_join",
+    # round 12: phrase-route blocklists (corpus-dependent; the list
+    # itself is ladder-measured by --blocklist-phrases) and the
+    # subcorpus byte-BPE trainer (iteration-latency-bound like the
+    # --byte-bpe rows, but corpus-fed so its decade belongs here)
+    "blocklist_phrase_screen",
+    "blocklist_phrase_screen_join",
+    "byte_bpe_corpus_merges",
     # round-10 second wave: KN LM family (bigram-keyed hash aggs —
     # distinct bigrams GROW with the shard-suffixed corpus, the honest
     # regime for an LM trainer), Gopher suite (bounded 9x explode),
