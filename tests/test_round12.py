@@ -514,3 +514,103 @@ def test_byte_bpe_corpus_oracle_twin_lockstep(spark, tmp_path):
             entry._byte_bpe_corpus_oracle(6, "TRUE")
         ).fetchall()
         assert got == [tuple(r) for r in want], f"case {case} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (beyond asks): PQ serving sidecar for the incremental vector index
+# ---------------------------------------------------------------------------
+
+
+def _seed_vector_store(spark, tmp_path, n=40, dim=8, cells=4):
+    import random
+
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    rng = random.Random(3)
+    store = ingest_mod.IngestStore(
+        str(tmp_path / "root"), m_bits=1 << 12, ivf_clusters=cells,
+        sem_threshold=0.999,
+    )
+    rows = [
+        (i, f"doc number {i} text", [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(n)
+    ]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<float>"
+    )
+    r = ingest_mod.ingest_batch_vectors(spark, store, batch, 0)
+    assert r["admitted"] == n
+    return store, rows
+
+
+def test_pq_sidecar_total_budget_equals_exact_route(spark, tmp_path):
+    """route='pq' with probe-all + total refine must equal the exact
+    route bit-for-bit (same rerank expressions) — the law every
+    approximate knob relaxes from; and the build is idempotent at an
+    unchanged vectors version."""
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store, rows = _seed_vector_store(spark, tmp_path)
+    r = ingest_mod.build_vector_pq_sidecar(spark, store, m=4, n_codes=8)
+    assert r["rebuilt"] is True and r["rows"] == 40
+    assert ingest_mod.build_vector_pq_sidecar(spark, store)["rebuilt"] is False
+
+    qs = spark.createDataFrame(
+        [(i, v) for i, _t, v in rows[:5]], "vec_id long, embedding array<float>"
+    )
+    exact = ingest_mod.vector_index_topk(
+        spark, store, qs, k=5, nprobe=4, route="exact"
+    ).collect()
+    pq = ingest_mod.vector_index_topk(
+        spark, store, qs, k=5, nprobe=4, route="pq", refine=8
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert {key(r): (r["neighbor_id"], r["score"]) for r in pq} == {
+        key(r): (r["neighbor_id"], r["score"]) for r in exact
+    }
+
+
+def test_pq_sidecar_staleness_and_auto_route(spark, tmp_path):
+    """Any vectors commit makes the sidecar stale: the pq route
+    refuses loudly, auto falls back to exact, the rebuild re-serves,
+    and forget DELETES the sidecar (content-derived codes must not
+    linger in a cache)."""
+    from tiki_e_commerce_analytics_etl_spark import acid as acid_mod
+    from tiki_e_commerce_analytics_etl_spark.pipelines import ingest as ingest_mod
+
+    store, rows = _seed_vector_store(spark, tmp_path)
+    ingest_mod.build_vector_pq_sidecar(spark, store, m=4, n_codes=8)
+    qs = spark.createDataFrame(
+        [(0, rows[0][2])], "vec_id long, embedding array<float>"
+    )
+    assert ingest_mod.vector_index_topk(
+        spark, store, qs, k=3, route="auto"
+    ).count() == 3
+
+    b1 = spark.createDataFrame(
+        [(100, "a genuinely fresh doc", [0.9] * 8)],
+        "doc_id long, text string, embedding array<float>",
+    )
+    ingest_mod.ingest_batch_vectors(spark, store, b1, 1)
+    with pytest.raises(ValueError, match="missing or stale"):
+        ingest_mod.vector_index_topk(spark, store, qs, k=3, route="pq")
+    # auto serves EXACT (sees the new doc) instead of a stale cache
+    got = ingest_mod.vector_index_topk(
+        spark, store, qs, k=41, nprobe=4, route="auto"
+    )
+    assert any(r["neighbor_id"] == 100 for r in got.collect())
+    # rebuild pins the new version and the pq route serves the new doc
+    r = ingest_mod.build_vector_pq_sidecar(spark, store, m=4, n_codes=8)
+    assert r["rebuilt"] is True and r["rows"] == 41
+    got = ingest_mod.vector_index_topk(
+        spark, store, qs, k=41, nprobe=4, route="pq", refine=11
+    )
+    assert any(r["neighbor_id"] == 100 for r in got.collect())
+
+    # forget removes the sidecar entirely
+    ids = spark.createDataFrame([(100,)], "doc_id long")
+    ingest_mod.forget(spark, store, ids, 2)
+    assert acid_mod.latest_version(store.pq_codes) is None
+    assert acid_mod.latest_version(store.pq_books) is None
+    with pytest.raises(ValueError, match="missing or stale"):
+        ingest_mod.vector_index_topk(spark, store, qs, k=3, route="pq")

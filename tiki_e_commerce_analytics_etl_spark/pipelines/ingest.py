@@ -83,6 +83,11 @@ class IngestStore:
         self.vectors = f"{root}/vectors"
         self.centroids = f"{root}/centroids"
         self.quarantine = f"{root}/quarantine"
+        # Derived (rebuildable) ANN sidecar: PQ codebooks + codes over
+        # the vectors table at one pinned version — NOT part of the
+        # ingest txn chain; see build_vector_pq_sidecar.
+        self.pq_books = f"{root}/pq_books"
+        self.pq_codes = f"{root}/pq_codes"
         self.m_bits = m_bits
         self.k = k
         self.lsh_num_hashes = lsh_num_hashes
@@ -955,6 +960,15 @@ def forget(
         acid.atomic_overwrite_partitions(
             kept_vectors, store.vectors, txn_app=app_id, txn_version=batch_id
         )
+    # The PQ serving sidecar holds content-derived codes of possibly-
+    # forgotten docs; it is a rebuildable cache, so forget DELETES it
+    # outright rather than leaving the data to linger stale (the
+    # vectors rewrite above already made it unservable by version).
+    if _has_table(store.pq_codes) or _has_table(store.pq_books):
+        import shutil
+
+        shutil.rmtree(store.pq_codes, ignore_errors=True)
+        shutil.rmtree(store.pq_books, ignore_errors=True)
     n_removed_q = 0
     if _has_table(store.quarantine):
         # Right-to-be-forgotten reaches the quarantine too: it stores
@@ -1292,6 +1306,9 @@ def vacuum_store(
         + ([store.ngrams] if with_ngrams else [])
         + ([store.vectors, store.centroids] if with_vectors else [])
         + ([store.quarantine] if _has_table(store.quarantine) else [])
+        # derived PQ sidecar: plain acid tables, no heal constraint
+        + ([store.pq_books] if _has_table(store.pq_books) else [])
+        + ([store.pq_codes] if _has_table(store.pq_codes) else [])
     )
     for path in tables:
         if _has_table(path):
@@ -2129,6 +2146,8 @@ def vector_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 2,
+    route: str = "exact",
+    refine: int = 8,
 ) -> DataFrame:
     """ANN query against the INCREMENTAL vector index — the payoff of
     maintaining it: (query_id, neighbor_id, score, rank) by exact
@@ -2145,9 +2164,33 @@ def vector_index_topk(
     scan-dominated; candidate growth disappears into idle cores at
     this scale).  Asymptotically candidates grow ∝ nprobe/n_cells of
     the corpus, so 2 is the knee choice; raise to ~n_cells/4 when the
-    caller needs ≥0.99."""
+    caller needs ≥0.99.
+
+    ``route``:
+
+    * ``"exact"`` (default) — probed cells scanned as full vectors
+      (the plan above); right while the probed slice fits scan
+      bandwidth.
+    * ``"pq"`` — probed cells scanned as PQ codes from the
+      ``build_vector_pq_sidecar`` tables (ADC lookup-table scoring,
+      exact-cosine rerank of the top ``refine``·k sliver — the IVFADC
+      store-serving shape: ~code bytes instead of dim doubles per
+      scanned row).  REFUSES loudly when the sidecar is missing or
+      stale (pinned to an older vectors-table version) — serving a
+      stale sidecar would silently miss newer docs and resurrect
+      forgotten ones.
+    * ``"auto"`` — ``pq`` when a fresh sidecar exists, else exact.
+    """
     from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
 
+    if route not in ("exact", "pq", "auto"):
+        raise ValueError(f"route must be exact|pq|auto, got {route!r}")
+    if route == "auto":
+        route = "pq" if _pq_sidecar_fresh(store) else "exact"
+    if route == "pq":
+        return _vector_index_topk_pq(
+            spark, store, queries, k, id_col, vec_col, nprobe, refine
+        )
     cents = _stored_centroids(spark, store)
     probe = _probe_cells(queries, cents, id_col, vec_col, nprobe).select(
         F.col("id").alias("query_id"), "cluster"
@@ -2171,6 +2214,285 @@ def vector_index_topk(
     )
     from pyspark.sql import Window
 
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+_PQ_SIDECAR_APP = "pq_sidecar"
+
+
+def _pq_sidecar_fresh(store: IngestStore) -> bool:
+    """True when the PQ sidecar exists AND is pinned to the vectors
+    table's CURRENT version.  Any vectors commit (ingest batch,
+    readmit, forget rewrite, compaction) bumps the version and makes
+    the sidecar stale — staleness is the version mismatch itself, no
+    separate bookkeeping to corrupt.  The cursor lives on the CODES
+    table because it commits LAST (a crash between books and codes
+    leaves the sidecar stale, and the rebuild's idempotent per-table
+    commits finish it)."""
+    if not _has_table(store.vectors) or not _has_table(store.pq_codes):
+        return False
+    v = acid.latest_version(store.vectors)
+    return acid.last_txn_version(store.pq_codes, _PQ_SIDECAR_APP) == v
+
+
+def build_vector_pq_sidecar(
+    spark: SparkSession,
+    store: IngestStore,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> dict:
+    """Materialize the IVFADC serving sidecar for the incremental
+    vector index: per-subspace PQ codebooks trained on the RESIDUALS
+    of the stored vectors against their assigned cells (the persisted
+    integer centroid basis scaled back to doubles), plus one
+    (__id, cluster, codes, __norm) row per index row — the compressed
+    scan set ``vector_index_topk(route="pq")`` reads inside probed
+    cells.  Same training contract as ``similarity.train_ivfpq``:
+    bounded hash-ordered sample, deterministic inits and ties.
+
+    DERIVED DATA, not chain state: the sidecar is a pure function of
+    the vectors table at one version and is rebuildable at any time,
+    so it takes no part in heal/replay — both tables commit under
+    (``pq_sidecar``, <vectors version>), books first, codes last (the
+    freshness cursor).  After ANY vectors commit the sidecar is stale
+    and the pq route refuses until this is re-run — the maintenance
+    task that compacts the store is the natural place.  ``forget``
+    deletes the sidecar outright (its codes are content-derived data
+    of possibly-forgotten docs; a stale cache is not an acceptable
+    place for them to linger).
+
+    Returns {'rows', 'vectors_version', 'rebuilt'}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tiki_e_commerce_analytics_etl_spark.operators.clustering import (
+        KMEANS_SCALE,
+    )
+
+    if not _has_table(store.vectors):
+        raise ValueError(
+            f"build_vector_pq_sidecar: no vector index at {store.vectors}"
+        )
+    v = acid.latest_version(store.vectors)
+    if acid.last_txn_version(store.pq_codes, _PQ_SIDECAR_APP) >= v:
+        return {"rebuilt": False, "vectors_version": v, "rows": 0}
+
+    cents = _stored_centroids(spark, store)
+    C = np.asarray(cents, dtype=np.float64) / float(KMEANS_SCALE)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    vrows = acid.read_atomic(spark, store.vectors)
+    sample = (
+        vrows.select(
+            "cluster",
+            F.col("__vec").alias("v"),
+            F.xxhash64(F.col("__id"), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample_size)
+        .collect()
+    )
+    if len(sample) < n_codes:
+        raise ValueError(
+            f"PQ sidecar training needs >= n_codes ({n_codes}) index "
+            f"rows, got {len(sample)}"
+        )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
+    R = X - C[[r["cluster"] for r in sample]]
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Rj = R[:, j * sub : (j + 1) * sub]
+        B = Rj[:n_codes].copy()
+        for _ in range(iters):
+            d2 = -2.0 * (Rj @ B.T) + (B * B).sum(axis=1)[None, :]
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = Rj[assign == c]
+                if len(members):
+                    B[c] = members.mean(axis=0)
+        books[j] = B
+
+    book_rows = spark.createDataFrame(
+        [
+            (j, c, p, float(books[j, c, p]))
+            for j in range(m)
+            for c in range(n_codes)
+            for p in range(sub)
+        ],
+        "j int, c int, pos int, val double",
+    )
+    acid.atomic_overwrite_partitions(
+        book_rows, store.pq_books, txn_app=_PQ_SIDECAR_APP, txn_version=v
+    )
+
+    Bt = [books[j].T for j in range(m)]
+    b2 = [(books[j] * books[j]).sum(axis=1) for j in range(m)]
+
+    def encode(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__vec"]])
+            Rr = V - C[pdf["cluster"].to_numpy()]
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                Rj = Rr[:, j * sub : (j + 1) * sub]
+                codes[:, j] = (-2.0 * (Rj @ Bt[j]) + b2[j][None, :]).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "cluster": pdf["cluster"].to_numpy(),
+                    "codes": list(codes),
+                    "__norm": np.sqrt((V * V).sum(axis=1)),
+                }
+            )
+
+    id_type = vrows.schema["__id"].dataType.simpleString()
+    enc = vrows.select("__id", "cluster", "__vec").mapInPandas(
+        encode,
+        f"__id {id_type}, cluster int, codes array<int>, __norm double",
+    ).localCheckpoint(eager=True)
+    n_rows = enc.count()
+    acid.atomic_overwrite_partitions(
+        enc, store.pq_codes, txn_app=_PQ_SIDECAR_APP, txn_version=v
+    )
+    return {"rebuilt": True, "vectors_version": v, "rows": n_rows}
+
+
+def _vector_index_topk_pq(
+    spark: SparkSession,
+    store: IngestStore,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    nprobe: int,
+    refine: int,
+) -> DataFrame:
+    """The pq route of ``vector_index_topk``: ADC scan of the probed
+    cells' code rows (offset ⟨q, C[cell]⟩ + residual-LUT sum,
+    normalized by the stored true norm), top ``refine``·k per query,
+    exact-cosine rerank against the TRUE vectors (identical score
+    expression to the exact route, so probe-all + total-refine ⇒ the
+    two routes agree bit-for-bit — tested law)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from tiki_e_commerce_analytics_etl_spark.operators.clustering import (
+        KMEANS_SCALE,
+    )
+    from tiki_e_commerce_analytics_etl_spark.operators.similarity import cosine
+
+    if not _pq_sidecar_fresh(store):
+        raise ValueError(
+            f"vector_index_topk(route='pq'): PQ sidecar at "
+            f"{store.pq_codes} is missing or stale vs the vectors "
+            "table — run build_vector_pq_sidecar(spark, store) after "
+            "the last ingest/forget/compaction (a stale sidecar would "
+            "silently miss newer docs and resurrect forgotten ones)"
+        )
+    cents = _stored_centroids(spark, store)
+    C = np.asarray(cents, dtype=np.float64) / float(KMEANS_SCALE)
+    brows = acid.read_atomic(spark, store.pq_books).collect()
+    mm_ = max(r["j"] for r in brows) + 1
+    n_codes = max(r["c"] for r in brows) + 1
+    sub = max(r["pos"] for r in brows) + 1
+    books = np.empty((mm_, n_codes, sub), dtype=np.float64)
+    for r in brows:
+        books[r["j"], r["c"], r["pos"]] = r["val"]
+
+    probe = _probe_cells(queries, cents, id_col, vec_col, nprobe).select(
+        F.col("id").alias("query_id"), "cluster"
+    )
+
+    def qluts(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            luts = np.empty((n, mm_ * n_codes), dtype=np.float64)
+            for j in range(mm_):
+                Qj = V[:, j * sub : (j + 1) * sub]
+                luts[:, j * n_codes : (j + 1) * n_codes] = Qj @ books[j].T
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["id"].to_numpy(),
+                    "__lut": list(luts),
+                    "__offs": list(V @ C.T),
+                    "__qv": [x for x in V],
+                }
+            )
+
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    ql = queries.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).mapInPandas(
+        qluts,
+        f"query_id {qid_type}, __lut array<double>, __offs array<double>, "
+        "__qv array<double>",
+    )
+
+    contrib = F.transform(
+        F.col("codes"),
+        lambda c, i: F.element_at(
+            F.col("__lut"), (i * n_codes + c + 1).cast("int")
+        ),
+    )
+    adc = F.aggregate(contrib, F.lit(0.0), lambda a, v: a + v)
+    offset = F.element_at(F.col("__offs"), F.col("cluster") + 1)
+
+    codes = acid.read_atomic(spark, store.pq_codes).select(
+        F.col("__id").alias("neighbor_id"), "cluster", "codes", "__norm"
+    )
+    cand_w = Window.partitionBy("query_id").orderBy(
+        F.desc("__adc"), F.asc("neighbor_id")
+    )
+    candidates = (
+        codes.join(
+            F.broadcast(probe.join(ql, "query_id").select(
+                "query_id", "cluster", "__lut", "__offs"
+            )),
+            "cluster",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ((offset + adc) / F.col("__norm")).alias("__adc"),
+        )
+        .withColumn("__r", F.row_number().over(cand_w))
+        .filter(F.col("__r") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+
+    hist = acid.read_atomic(spark, store.vectors).select(
+        F.col("__id").alias("neighbor_id"), F.col("__vec").alias("__ov")
+    )
+    qvecs = ql.select("query_id", F.col("__qv"))
+    scored = (
+        hist.join(F.broadcast(candidates), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__ov")).alias("score"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
