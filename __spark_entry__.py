@@ -1173,11 +1173,13 @@ def q_bpe_corpus_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE trainer over the REAL sf documents corpus (round 8 — the
     round-7 judge asked for the trainer exercised against the sf
     table, not only the canonical fixture): 10 merges on
-    documents.text.  The iterative rewrite is not SQL-expressible, so
-    this entry is rows-only at the driver; VALUE verification lives in
-    pytest, which recomputes the expected merge table with the
-    independent reference implementation from the same corpus's
-    collected word counts (tests/test_round7_properties.py)."""
+    documents.text.  STRICT since round 12: the iterative rewrite IS
+    SQL-expressible after all — the generated chained-CTE twin
+    (`_char_bpe_corpus_oracle`) runs the same pair-count → argmax →
+    resume-after rewrite per stage, with the leftmost-greedy merge as
+    a non-overlapping replace() over separator-wrapped symbols.  The
+    independent pure-Python reference check from round 7 remains in
+    pytest (tests/test_round7_properties.py)."""
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
@@ -5316,12 +5318,38 @@ def _byte_bpe_corpus_oracle(n_merges: int, sub: str) -> str:
     regex (first word bare, later words 'Ġ'-prefixed — chr(288) =
     U+0120), valid for this corpus's verified [a-z ] inventory; see
     q_byte_bpe_corpus_merges."""
-    sep = "chr(31)"
-    ctes = [
-        f"""w AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE {sub}),
+    pt_ctes = f"""w AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE {sub}),
     pieces AS (SELECT CASE WHEN i = 1 THEN ws[i] ELSE chr(288) || ws[i] END AS pc
                FROM w, unnest(range(1, len(ws) + 1)) AS t(i)),
-    pt AS (SELECT pc, CAST(COUNT(*) AS BIGINT) AS wcnt FROM pieces GROUP BY pc),
+    pt AS (SELECT pc, CAST(COUNT(*) AS BIGINT) AS wcnt FROM pieces GROUP BY pc)"""
+    return _bpe_chain_oracle(n_merges, pt_ctes)
+
+
+def _char_bpe_corpus_oracle(n_merges: int) -> str:
+    """Full SQL twin of the CHAR-level ``text.bpe_train`` over the
+    whole documents corpus — upgrades bpe_corpus_merges from the
+    rows-only check it carried since round 8 to a strict value match.
+    Pieces are the ``words()`` tokens (the shared ``_NORM_WORDS_SQL``
+    normalization the kn-LM twins use), symbols their characters; the
+    merge chain is the same generated stage machinery as the
+    byte-level twin (``_bpe_chain_oracle``) — the trainer's
+    resume-after rewrite IS expressible as non-overlapping replace()
+    once every symbol is individually separator-wrapped."""
+    pt_ctes = f"""w AS (SELECT unnest({_NORM_WORDS_SQL}) AS pc FROM documents),
+    pt AS (SELECT pc, CAST(COUNT(*) AS BIGINT) AS wcnt FROM w
+           WHERE pc IS NOT NULL AND pc <> '' GROUP BY pc)"""
+    return _bpe_chain_oracle(n_merges, pt_ctes)
+
+
+def _bpe_chain_oracle(n_merges: int, pt_ctes: str) -> str:
+    """The shared merge-chain SQL generator: given CTEs defining
+    ``pt(pc, wcnt)`` (unique pieces + frequencies), emit n_merges
+    chained stages of pair-count → (cnt DESC, l, r) argmax →
+    leftmost-greedy resume-after rewrite (separator-wrapped
+    replace()), returning the merge table."""
+    sep = "chr(31)"
+    ctes = [
+        f"""{pt_ctes},
     s0 AS (SELECT {sep} || array_to_string([pc[i:i] FOR i IN range(1, len(pc) + 1)], {sep} || {sep}) || {sep} AS s, wcnt FROM pt)"""
     ]
     for k in range(1, n_merges + 1):
@@ -5346,6 +5374,7 @@ def _byte_bpe_corpus_oracle(n_merges: int, sub: str) -> str:
 
 
 _BYTE_BPE_CORPUS_MERGES_ORACLE = _byte_bpe_corpus_oracle(8, "doc_id % 5 = 2")
+_BPE_CORPUS_MERGES_ORACLE = _char_bpe_corpus_oracle(10)
 
 
 # Independent pure-Python reference derivation (scanner pre-tokenizer
@@ -7704,6 +7733,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "byte_bpe_merges": _BYTE_BPE_MERGES_ORACLE,
         "byte_bpe_corpus_merges": _BYTE_BPE_CORPUS_MERGES_ORACLE,
+        "bpe_corpus_merges": _BPE_CORPUS_MERGES_ORACLE,
         "byte_bpe_tokenize": _BYTE_BPE_TOKENIZE_ORACLE,
         "neardup_threshold_curve": _NEARDUP_THRESHOLD_CURVE_ORACLE,
         "training_export_plan": _TRAINING_EXPORT_PLAN_ORACLE,
