@@ -168,6 +168,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(rev).cast("double").alias("total_revenue"))
+        # consumed by the max collect AND the equality filter: one
+        # lazy checkpoint = one lineitem scan instead of two
+        .localCheckpoint(eager=False)
     )
     top = per_supp.agg(F.max("total_revenue").alias("m")).collect()[0]["m"]
     return (
@@ -1575,7 +1578,11 @@ def q_curriculum_stages(
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
-    r = text_ops.rarity_score(docs, "text", "doc_id")
+    # rarity feeds the boundary collect AND the staged output: one
+    # lazy checkpoint = one rarity pass instead of two
+    r = text_ops.rarity_score(docs, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     fn = "percentile" if exact else "approx_percentile"
     extra = "" if exact else f", {accuracy}"
     bounds = r.agg(
@@ -2276,7 +2283,11 @@ def q_curriculum_approx_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
-    r = text_ops.rarity_score(docs, "text", "doc_id")
+    # rarity feeds the two-boundary collect AND the gate aggregate:
+    # one lazy checkpoint = one rarity pass instead of two
+    r = text_ops.rarity_score(docs, "text", "doc_id").localCheckpoint(
+        eager=False
+    )
     row = r.agg(
         F.expr("percentile(rarity_scaled, array(0.25, 0.5, 0.75))").alias("eb"),
         F.expr("approx_percentile(rarity_scaled, array(0.25, 0.5, 0.75), 10000)").alias(
@@ -4360,10 +4371,15 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
 
     docs = read_table(spark, sf_dir, "documents")
+    # The held-out KN scoring lineage feeds BOTH the tertile-boundary
+    # collect and the returned bucket projection; without a checkpoint
+    # the whole train+score pipeline executes twice per run (guide
+    # §1.2: don't recompute what you already have).  Lazy, so the
+    # boundary collect is the materializing action.
     lp = text_ops.kn_doc_logprob(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
-    )
+    ).localCheckpoint(eager=False)
     bounds = lp.agg(
         F.expr(
             "percentile(logprob_unats, array(1.0D/3.0D, 2.0D/3.0D))"

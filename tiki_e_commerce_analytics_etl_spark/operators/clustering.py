@@ -13,8 +13,8 @@ iterations) and reproducible enough to version a 100 TB curation run
 on.
 
 Scale shape per Lloyd iteration: assignment is a narrow projection
-(k zip_with/aggregate expressions against BROADCAST literal
-centroids — no join, no shuffle); the update is one posexplode
+(k zip_with/aggregate expressions against a BROADCAST one-row
+centroid relation — no shuffle of the corpus); the update is one posexplode
 (bounded dim fan-out) into a (cluster, pos) hash aggregate whose
 output is k x dim rows.  The only driver traffic is that bounded
 k x dim centroid table between iterations (the classic Lloyd-on-Spark
@@ -35,7 +35,7 @@ Determinism contract:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 KMEANS_SCALE = 1_000_000
@@ -58,25 +58,49 @@ def quantize_vectors(
     )
 
 
-def _dist_to(qv, centroid: list) -> F.Column:
-    """Exact int64 squared L2 between the qv column and one literal
-    centroid.  Micro-unit diffs are ~1e6, squared 1e12, x dim 64 —
-    well inside int64."""
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+def _dist_to(qv, centroid) -> F.Column:
+    """Exact int64 squared L2 between the qv column and one centroid —
+    an array Column (the broadcast-relation path) or a bounded Python
+    list (wrapped as a literal array; fine for nprobe-sized probe
+    expressions, NOT for per-iteration trainer plans — see
+    assign_exact).  Micro-unit diffs are ~1e6, squared 1e12, x dim 64
+    — well inside int64."""
+    if not isinstance(centroid, Column):
+        centroid = F.array(
+            *[F.lit(int(v)).cast("long") for v in centroid]
+        )
     return F.aggregate(
-        F.zip_with(qv, lit, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(qv, centroid, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
 def assign_exact(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
-    """(id, qv, cluster, dist) against literal centroids: k narrow
-    expressions, argmin with first-occurrence (= smallest cluster)
-    tie-break.  No join, no shuffle."""
-    ds = F.array(*[_dist_to(F.col("qv"), c) for c in centroids])
+    """(id, qv, cluster, dist) against the centroid table: the k
+    distance expressions + argmin with first-occurrence (= smallest
+    cluster) tie-break, evaluated against a BROADCAST one-row k x dim
+    relation rather than k inline literal arrays.  No shuffle of ``q``.
+
+    Why a relation and not literals (guide §7.2/§1.2): the iterative
+    trainer calls this with NEW centroid values every round, and k·dim
+    inline literals made every round's plan a fresh ~512-literal
+    expression tree — measured ~1.2 s of single-threaded DRIVER
+    analysis/optimization per Lloyd iteration at k=8, dim=64 (the
+    stage itself runs in milliseconds; partition count was irrelevant,
+    the wall was planning).  With the values in a broadcast
+    LocalRelation the plan is structurally IDENTICAL across rounds —
+    constant-size analysis, one codegen source, cache hits all the
+    way down.  The argmin arithmetic is unchanged and exact."""
+    spark = q.sparkSession
+    cdf = spark.createDataFrame(
+        [([[int(v) for v in c] for c in centroids],)],
+        "__cents: array<array<bigint>>",
+    )
+    ds = F.transform(F.col("__cents"), lambda c: _dist_to(F.col("qv"), c))
     return (
-        q.withColumn("__ds", ds)
+        q.crossJoin(F.broadcast(cdf))
+        .withColumn("__ds", ds)
         .select(
             "id",
             "qv",
@@ -102,7 +126,21 @@ def kmeans_lloyd(
     ``assign_exact`` (one more narrow pass) and long-format centroid
     rows with ``centroid_rows``.
     """
-    q = quantize_vectors(df, id_col, vec_col, scale).localCheckpoint(eager=False)
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    # Scale-adaptive spread (guide §2.5 input skew): a small corpus
+    # arrives as one single-row-group parquet split, so every Lloyd
+    # pass — k interpreted zip_with/aggregate distance expressions per
+    # row plus the dim-fan-out update — runs on ONE task (measured
+    # ~1.6 s/iteration at sf0.1 with 31 cores idle).  Spread it to
+    # the session's parallelism ONCE, before the checkpoint, so the
+    # one tiny shuffle is amortized over every iteration and the
+    # final assignment pass (measured: kmeans_assign 6.6 -> ~1.8 s).
+    # At scale the scan already has >= parallelism splits and this is
+    # a no-op — never a forced repartition of a big corpus.
+    sc = df.sparkSession.sparkContext
+    if q.rdd.getNumPartitions() < sc.defaultParallelism:
+        q = q.repartition(sc.defaultParallelism)
+    q = q.localCheckpoint(eager=False)
     init_rows = q.orderBy("id").limit(n_clusters).collect()
     if len(init_rows) < n_clusters:
         raise ValueError(

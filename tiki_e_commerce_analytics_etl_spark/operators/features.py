@@ -256,24 +256,46 @@ def logreg_train(
         .localCheckpoint(eager=False)
     )
     n_docs = lab.count()
-    weights: dict[int, int] = {
-        r["f"]: 0 for r in feats.select("f").distinct().collect()
-    }
+    # Weight-key init without its own distinct+collect job: iteration
+    # 1 runs with an EMPTY weight dict — logreg_margins under no
+    # weights ≡ margins under all-zero weights (both evaluate to the
+    # bare bias for every doc) — and the key set is recovered from the
+    # first gradient collect, which emits exactly one row per feature
+    # present in ``feats`` (every (doc, f, tf) row contributes a term
+    # row, so no feature can be missing).  Bit-identical to the old
+    # zero-init, one fewer boundary job per training run (guide §1.2:
+    # fewer passes).
+    weights: dict[int, int] | None = None
     bias = 0
     for _ in range(iters):
-        margins = logreg_margins(lab, feats, weights, bias)
+        margins = logreg_margins(lab, feats, weights or {}, bias)
         terms = margins.join(feats, "id").select(
             "f", F.expr(LOGREG_TERM_SQL).alias("t")
         )
+        # Feature gradient AND bias gradient in ONE action: the bias
+        # rides as feature -1 through a unioned one-row aggregate, so
+        # each iteration is a single boundary job instead of two (the
+        # shared ``margins`` exchanges dedupe via ReuseExchange).
+        # md5_48 % dim is non-negative, so -1 cannot collide.
+        bias_branch = (
+            margins.agg(
+                F.sum(
+                    F.expr(
+                        LOGREG_TERM_SQL.replace("CAST(tf AS DOUBLE)", "1.0E0")
+                    )
+                ).alias("g")
+            ).select(F.lit(-1).cast("long").alias("f"), "g")
+        )
         grad = {
             r["f"]: r["g"]
-            for r in terms.groupBy("f").agg(F.sum("t").alias("g")).collect()
+            for r in terms.groupBy("f")
+            .agg(F.sum("t").alias("g"))
+            .unionByName(bias_branch)
+            .collect()
         }
-        bias_grad = margins.select(
-            F.sum(
-                F.expr(LOGREG_TERM_SQL.replace("CAST(tf AS DOUBLE)", "1.0E0"))
-            ).alias("g")
-        ).collect()[0]["g"]
+        bias_grad = grad.pop(-1)
+        if weights is None:
+            weights = {f: 0 for f in grad}
         weights = {
             f: w
             - _trunc_div(grad.get(f, 0), lr_den * n_docs)
@@ -281,6 +303,10 @@ def logreg_train(
             for f, w in weights.items()
         }
         bias = bias - _trunc_div(bias_grad, lr_den * n_docs)
+    if weights is None:  # iters == 0: preserve the zero-weight contract
+        weights = {
+            r["f"]: 0 for r in feats.select("f").distinct().collect()
+        }
     return weights, bias
 
 

@@ -652,6 +652,16 @@ def _bpe_merge_loop(cur, n_merges: int) -> list[tuple[int, str, str, str, int]]:
         ]
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    # Lazy-checkpoint round discipline (guide §1.2 — fewer passes):
+    # each round's rewrite is a LAZY localCheckpoint, so the Arrow
+    # rewrite of round N materializes INSIDE round N+1's pair-count
+    # job (one boundary job per round instead of an eager-checkpoint
+    # job plus the argmax job), and the final round's rewrite — which
+    # nothing consumes — never executes at all.  The superseded
+    # table's blocks are released only AFTER its child materializes
+    # (a lazy checkpoint's lineage is truncated, so unpersisting the
+    # parent first would make the child uncomputable).
+    prev = None
     try:
         for rank in range(1, n_merges + 1):
             pairs = (
@@ -673,6 +683,11 @@ def _bpe_merge_loop(cur, n_merges: int) -> list[tuple[int, str, str, str, int]]:
                 .limit(1)
                 .collect()
             )
+            # the argmax job materialized cur's checkpoint blocks, so
+            # its parent is now safe to release
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break  # no adjacent pairs left anywhere
             l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
@@ -691,11 +706,13 @@ def _bpe_merge_loop(cur, n_merges: int) -> list[tuple[int, str, str, str, int]]:
                     )
 
             nxt = cur.mapInPandas(rewrite, sym_schema).localCheckpoint(
-                eager=True
+                eager=False
             )
-            cur.unpersist()
+            prev = cur
             cur = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
     return merges
 
@@ -738,7 +755,7 @@ def bpe_train(
     )
     cur = wf.select(
         F.split(F.col("w"), "").alias("syms"), F.col("wcnt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges = _bpe_merge_loop(cur, n_merges)
     return spark.createDataFrame(
         merges,
@@ -926,7 +943,7 @@ def byte_bpe_train(
 
     cur = pf.mapInPandas(
         to_syms, "syms array<string>, wcnt long"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges = _bpe_merge_loop(cur, n_merges)
     return spark.createDataFrame(
         merges,
@@ -1320,9 +1337,11 @@ def wordpiece_train(
     Scale shape (the ``bpe_train`` skeleton): training state is the
     UNIQUE-WORD table; each round is one uniform-key pair-count
     shuffle, one symbol-count shuffle joined back on the pair's two
-    sides, a one-row double argmax plus the bounded near-tie collect,
-    and one narrow Arrow rewrite; ``localCheckpoint`` truncates
-    per-round lineage so round N never re-executes rounds 1..N-1.
+    sides (scored once into an eager checkpoint), a one-row double
+    argmax plus the bounded near-tie collect (block-read probes), and
+    one narrow Arrow rewrite riding a LAZY ``localCheckpoint`` that
+    materializes inside the NEXT round's scoring job; checkpoint
+    truncation keeps round N from re-executing rounds 1..N-1.
     """
     from fractions import Fraction
 
@@ -1345,7 +1364,7 @@ def wordpiece_train(
     cur = (
         wf.select(F.split("w", "").alias("chars"), "wcnt")
         .select(F.concat(first, rest).alias("syms"), "wcnt")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     sym_schema = T.StructType(
@@ -1355,6 +1374,17 @@ def wordpiece_train(
         ]
     )
     merges: list[tuple[int, str, str, str, int, int, int]] = []
+    # Round discipline (measured A/B, guide §1.1): `scored` keeps its
+    # EAGER checkpoint — the argmax and near-tie band are two trivial
+    # block-read probes against it, and an in-plan
+    # max-broadcast-filter variant that fused them into one job
+    # re-computed the whole scoring subtree twice and measured ~50%
+    # SLOWER per round — but the per-round Arrow REWRITE is now a
+    # LAZY checkpoint that materializes inside round N+1's scoring
+    # job (one fewer job per round, and the final round's rewrite,
+    # which nothing consumes, never executes).  The superseded
+    # table's blocks release only after its child materializes.
+    prev = None
     try:
         for rank in range(1, n_merges + 1):
             sym_counts = (
@@ -1396,6 +1426,11 @@ def wordpiece_train(
                 )
                 .localCheckpoint(eager=True)  # scored once, probed twice
             )
+            # the scoring job materialized cur's lazy rewrite blocks,
+            # so the superseded round is now safe to release
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             try:
                 top = (
                     scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r"))
@@ -1441,11 +1476,13 @@ def wordpiece_train(
                     )
 
             nxt = cur.mapInPandas(rewrite, sym_schema).localCheckpoint(
-                eager=True
+                eager=False
             )
-            cur.unpersist()
+            prev = cur
             cur = nxt
     finally:
+        if prev is not None:
+            prev.unpersist()
         cur.unpersist()
     return spark.createDataFrame(
         merges,

@@ -40,6 +40,22 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", _DEFAULT_SHUFFLE_PARTITIONS)
+        # Whole-stage-codegen class cache (StaticSQLConf, default 100
+        # entries).  A session that runs hundreds of distinct plans —
+        # the bench suite, the oracle gate, any multi-query ETL driver
+        # — cycles the default LRU completely, so every re-execution
+        # re-generates and re-JIT-compiles its codegen units; measured
+        # here as 2-5x inflation of short multi-stage queries late in
+        # a 170-query batch (funnel 5.3 s in-batch vs 2.5 s in a fresh
+        # JVM) while a every-25-queries canary stays flat (its entries
+        # stay hot).  Recompiling also churns JVM metaspace/code cache
+        # (each recompile is a NEW class), which is the slow-creep
+        # mechanism.  Scale-neutral: any long-lived driver/executor
+        # benefits; entries are source+bytecode (~10-100 KB).
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "8192"),
+        )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
