@@ -22,7 +22,7 @@ from tiki_e_commerce_analytics_etl_spark.functions import (
     parse_discount_rate,
     parse_sales_volume,
 )
-from tiki_e_commerce_analytics_etl_spark.io import read_table
+from tiki_e_commerce_analytics_etl_spark.io import read_table, spread_small_scan
 from tiki_e_commerce_analytics_etl_spark.operators import bloom as bloom_ops
 from tiki_e_commerce_analytics_etl_spark.operators import dedup as dedup_ops
 from tiki_e_commerce_analytics_etl_spark.operators import merge as merge_ops
@@ -3013,13 +3013,12 @@ def q_mjpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").filter(
         (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
     )
-    # The testdata table is a single row group -> one scan partition,
-    # which would serialize the (CPU-bound, per-row) entropy
-    # encode+decode onto one core.  This is the one stage class where
-    # an explicit repartition pays (read_table's docstring rejects a
-    # blanket floor for the VECTORIZED Arrow stages); on a real
-    # multi-file layout the splits already provide this.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # Single row group -> one scan partition would serialize the
+    # (CPU-bound, per-row) entropy encode+decode onto one core; the
+    # guarded spread is a no-op on a real multi-split layout (and
+    # never SHRINKS a wide scan like the previous unconditional
+    # repartition could).
+    docs = spread_small_scan(docs)
     to_avi = mm.text_to_mjpeg_avi_udf(max_bytes=16)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -3044,6 +3043,7 @@ def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     to_jpeg = mm.text_to_jpeg_udf(max_bytes=16)
     probe = mm.jpeg_meta_udf()
+    docs = spread_small_scan(docs)
     return docs.select(
         F.col("doc_id").alias("media_id"), to_jpeg(F.col("text")).alias("payload")
     ).select(
@@ -3072,7 +3072,7 @@ def q_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
     )
     to_avi = mm.text_to_avi_udf(n_frames=16, usec_per_frame=40000)
-    media = docs.select(
+    media = spread_small_scan(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
         to_avi(F.col("text")).alias("payload"),
@@ -3129,7 +3129,9 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
     )
     to_png = mm.text_to_png_udf(max_bytes=64)
-    media = docs.select(
+    # guarded spread (guide §2.5): PNG encode+decode+dhash is per-row
+    # Python — one scan split would run it all on one core
+    media = spread_small_scan(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         to_png(F.col("text")).alias("payload"),
@@ -3184,7 +3186,9 @@ def q_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
     )
     to_mp4 = isobmff.text_to_gray_mp4_udf(n_frames=8)
-    media = docs.select(
+    # guarded spread (guide §2.5): the synth→demux→dhash Python chain
+    # otherwise runs on ONE task when the corpus scans as one split
+    media = spread_small_scan(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
         to_mp4(F.col("text")).alias("payload"),
@@ -3272,6 +3276,10 @@ def q_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
     )
     to_wav = mm.text_to_wav_udf(framerate=8000)
+    # NOTE: a guarded spread was A/B-measured here and REJECTED (2.1 s
+    # -> 3.8-4.3 s): frame_signature_pairs re-executes the sig lineage
+    # per pass, so the added exchange + per-task Arrow setup out-cost
+    # the parallelism of the cheap wav synth/energy map work.
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("media_type"),

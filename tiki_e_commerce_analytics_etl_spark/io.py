@@ -34,6 +34,26 @@ def conform_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin-spread ``df`` to the session default parallelism
+    IFF its plan currently yields fewer partitions — the guarded form
+    of "repartition immediately after the read" (optimization guide
+    §2.5, input skew).  A small corpus arrives as ONE
+    single-row-group parquet split, so any expensive interpreted
+    map-side work (higher-order-function lambdas, n-gram explodes)
+    downstream runs on a single task with every other core idle;
+    spreading the raw rows first is one trivial shuffle amortized
+    over that work.  At scale the scan already has >= parallelism
+    splits and this is a no-op — never a forced repartition of a big
+    corpus.  Only worth applying in front of work heavy enough to
+    amortize the shuffle: a blanket floor in ``read_table`` was
+    measured end-to-end and rejected (see ``read_table``'s note)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    return df
+
+
 def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md layout).
 

@@ -137,9 +137,9 @@ def kmeans_lloyd(
     # final assignment pass (measured: kmeans_assign 6.6 -> ~1.8 s).
     # At scale the scan already has >= parallelism splits and this is
     # a no-op — never a forced repartition of a big corpus.
-    sc = df.sparkSession.sparkContext
-    if q.rdd.getNumPartitions() < sc.defaultParallelism:
-        q = q.repartition(sc.defaultParallelism)
+    from tiki_e_commerce_analytics_etl_spark.io import spread_small_scan
+
+    q = spread_small_scan(q)
     q = q.localCheckpoint(eager=False)
     init_rows = q.orderBy("id").limit(n_clusters).collect()
     if len(init_rows) < n_clusters:

@@ -1225,18 +1225,15 @@ def window_anchors(
     the dedup-family ``_normalized`` (lowercase, collapse
     whitespace)."""
     words = F.split(_normalized(F.col(text_col)), " ")
-    # Scale-adaptive spread (guide §2.5 input skew): a small corpus
-    # arrives as ONE single-row-group parquet split, so the whole
+    # Scale-adaptive spread (guide §2.5 input skew): the whole
     # tokenize → per-window slice/concat/xxhash64 transform (an
     # interpreted higher-order expression, ~k array ops per corpus
-    # word) runs on a single task until the __h exchange (measured:
-    # the anchor stream alone cost ~4 s at sf0.1 with 31 cores
-    # idle).  Spreading the text rows first is a trivial shuffle of
-    # the raw documents; at scale the scan already has >=
-    # parallelism splits and this is a no-op.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # word) otherwise runs on a single task until the __h exchange
+    # when the corpus scans as one split (measured: the anchor
+    # stream alone cost ~4 s at sf0.1 with 31 cores idle).
+    from tiki_e_commerce_analytics_etl_spark.io import spread_small_scan
+
+    df = spread_small_scan(df)
     tok = (
         df.select(F.col(id_col).alias("__id"), words.alias("__w"))
         .where((F.size("__w") >= k) & (F.element_at("__w", 1) != ""))

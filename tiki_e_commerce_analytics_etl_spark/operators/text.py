@@ -1941,6 +1941,12 @@ def gopher_repetition(
     far below the float-determinism bar everything else clears.
     """
     ns = sorted(set(tuple(top_ns) + tuple(dup_ns)))
+    # guarded spread (guide §2.5): the len(ns)-way gram explode does
+    # ~9 slice/concat_ws evaluations per corpus word — on a
+    # single-split scan that interpreted map work runs on one task
+    from tiki_e_commerce_analytics_etl_spark.io import spread_small_scan
+
+    df = spread_small_scan(df)
     base = df.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("__ws")
     ).filter((F.size("__ws") >= 1) & (F.element_at("__ws", 1) != ""))
