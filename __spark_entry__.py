@@ -4130,17 +4130,34 @@ def q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; this verifies the JOINED view end-to-end (the oracle
     nests each signal's full SQL as a derived table and joins the same
     way)."""
-    gq = q_gopher_quality(spark, sf_dir).select(
-        F.col("id").alias("doc_id"), "stop_hits", "pass_gopher"
-    )
-    ppl = q_perplexity_buckets(spark, sf_dir).select(
-        F.col("id").alias("doc_id"), F.col("bucket").alias("ppl_bucket")
-    )
-    lr = q_logreg_scores(spark, sf_dir).select("doc_id", "margin_u", "pred")
-    km = q_kmeans_assign(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), "cluster"
-    )
-    sp = q_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    # The five signals are independent lineages, but three of them run
+    # driver-side training loops DURING PLAN CONSTRUCTION (logreg
+    # gradient jobs, Lloyd iterations, CC pointer-jumping), so built
+    # sequentially the wall is their SUM with most cores idle
+    # (measured: ~14 s construction + ~2 s action at sf0.1).
+    # Building them from a small thread pool overlaps those jobs
+    # (optimization guide §2.6 — actions are only sequential because
+    # the driver calls them sequentially); each component's result is
+    # computed exactly as before, so the joined output is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_gq = pool.submit(q_gopher_quality, spark, sf_dir)
+        f_ppl = pool.submit(q_perplexity_buckets, spark, sf_dir)
+        f_lr = pool.submit(q_logreg_scores, spark, sf_dir)
+        f_km = pool.submit(q_kmeans_assign, spark, sf_dir)
+        f_sp = pool.submit(q_leakage_safe_split, spark, sf_dir)
+        gq = f_gq.result().select(
+            F.col("id").alias("doc_id"), "stop_hits", "pass_gopher"
+        )
+        ppl = f_ppl.result().select(
+            F.col("id").alias("doc_id"), F.col("bucket").alias("ppl_bucket")
+        )
+        lr = f_lr.result().select("doc_id", "margin_u", "pred")
+        km = f_km.result().select(
+            F.col("vec_id").alias("doc_id"), "cluster"
+        )
+        sp = f_sp.result().select("doc_id", "split")
     return (
         gq.join(ppl, "doc_id", "left")
         .join(lr, "doc_id")
