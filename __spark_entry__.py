@@ -3129,9 +3129,12 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") == F.octet_length("text")) & (F.length("text") > 0)
     )
     to_png = mm.text_to_png_udf(max_bytes=64)
-    # guarded spread (guide §2.5): PNG encode+decode+dhash is per-row
-    # Python — one scan split would run it all on one core
-    media = spread_small_scan(docs).select(
+    # NOTE: a guarded spread was A/B-measured here and REJECTED: it
+    # won ~30% on this query alone but its consumers
+    # (image_neardup_pairs' agree-auto probe, curation_report)
+    # re-execute the dhash lineage per pass and regressed — the
+    # in-batch curation_report median doubled with the spread in.
+    media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         to_png(F.col("text")).alias("payload"),
