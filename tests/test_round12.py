@@ -614,3 +614,37 @@ def test_pq_sidecar_staleness_and_auto_route(spark, tmp_path):
     assert acid_mod.latest_version(store.pq_books) is None
     with pytest.raises(ValueError, match="missing or stale"):
         ingest_mod.vector_index_topk(spark, store, qs, k=3, route="pq")
+
+
+def test_merge_fold_expr_matches_merge_scan(spark):
+    """Round-12 optimization guard: the JVM fold rewrite used inside
+    the trainer loops must reproduce ``_merge_scan``'s
+    resume-after-merge semantics bit-for-bit, including the l == r
+    overlap regime (``a a a`` + (a,a) -> ``aa a``) and the
+    cannot-merge-at-last-position edge."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tiki_e_commerce_analytics_etl_spark.operators.text import (
+        _merge_fold_expr,
+        _merge_scan,
+    )
+
+    rng = random.Random(1207)
+    alphabet = ["a", "b", "c", "##a", "##b", "ab"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        for _ in range(600)
+    ]
+    cases += [[], ["a"], ["a", "b"], ["a", "a", "a"], ["b", "a", "b", "a"]]
+    df = spark.createDataFrame([(c,) for c in cases], "syms: array<string>")
+    for l, r, m in [("a", "b", "ab"), ("a", "a", "aa"), ("ab", "##a", "aba")]:
+        got = [
+            list(row["o"])
+            for row in df.select(
+                _merge_fold_expr(F.col("syms"), l, r, m).alias("o")
+            ).collect()
+        ]
+        want = [_merge_scan(list(c), l, r, m) for c in cases]
+        assert got == want
