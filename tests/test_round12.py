@@ -648,3 +648,56 @@ def test_merge_fold_expr_matches_merge_scan(spark):
         ]
         want = [_merge_scan(list(c), l, r, m) for c in cases]
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 12 optimization: driver-local trainer route (guide §1.2) —
+# below _trainer_local_rows the BPE / byte-BPE / WordPiece merge loops
+# collect the unique word/piece table and train driver-side; the
+# results must be BIT-IDENTICAL to the distributed loop.
+# ---------------------------------------------------------------------------
+
+
+def _random_trainer_corpus(spark):
+    import random
+
+    rng = random.Random(1207)
+    vocab = [
+        "low", "lower", "lowest", "newer", "wider", "wide", "new",
+        "a", "ab", "abc", "aaa", "aaaa",      # l == r overlap regime
+        "café", "naïve",                       # multi-byte UTF-8
+        "x1", "42", "it's",                    # GPT-2 regex splits
+    ]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 12))))
+        for i in range(80)
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+@pytest.mark.parametrize("trainer", ["bpe_train", "byte_bpe_train", "wordpiece_train"])
+def test_trainer_local_route_lockstep(spark, trainer):
+    """local_rows=huge (forced driver-local) ≡ local_rows=0 (forced
+    distributed) for every trainer, merge by merge, on a corpus
+    covering the l == r overlap regime, multi-byte UTF-8, and
+    GPT-2-regex punctuation splits."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = _random_trainer_corpus(spark)
+    fn = getattr(text_ops, trainer)
+    local = fn(docs, n_merges=8, local_rows=1_000_000_000).collect()
+    dist = fn(docs, n_merges=8, local_rows=0).collect()
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    assert len(local) == 8
+
+
+def test_trainer_local_route_empty_corpus(spark):
+    """Both routes return an empty merge table (same schema) when the
+    corpus has no adjacent pairs at all."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    local = text_ops.bpe_train(docs, n_merges=3, local_rows=1_000_000_000)
+    dist = text_ops.bpe_train(docs, n_merges=3, local_rows=0)
+    assert local.schema == dist.schema
+    assert local.count() == dist.count() == 0

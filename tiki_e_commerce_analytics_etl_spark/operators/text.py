@@ -5,6 +5,8 @@ pure Column expressions (JVM-side; no Python in the hot path).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -685,7 +687,67 @@ def _merge_fold_expr(syms_col, l: str, r: str, m: str):
     return F.aggregate(zipped, init, step, lambda st: st["acc"])
 
 
-def _bpe_merge_loop(cur, n_merges: int) -> list[tuple[int, str, str, str, int]]:
+def _trainer_local_rows(override: int | None = None) -> int:
+    """Row bound under which a tokenizer trainer collects its unique
+    word/piece table and runs the merge loop driver-side (guide §1.2:
+    the distributed algorithm first — and for a table this small the
+    right distributed algorithm is "don't distribute the iteration").
+    Each merge round of the cluster loop is 1-2 boundary jobs whose
+    scheduling round-trips dominate for any vocabulary-sized table
+    (measured ~0.4-1 s/round at bench scale for MILLISECONDS of
+    arithmetic); below the bound, one count + one collect replace
+    ~2·n_merges jobs.  65536 rows × ~200 B is ~13 MB of driver memory
+    (vs the 16 GB driver heap); a 100 TB web corpus's unique-piece
+    table exceeds the bound and keeps the distributed loop.  Override
+    with SPARK_GRAFT_TRAINER_LOCAL_ROWS (0 forces distributed)."""
+    if override is not None:
+        return int(override)
+    return int(os.environ.get("SPARK_GRAFT_TRAINER_LOCAL_ROWS", "65536"))
+
+
+def _pair_present(s: list, l: str, r: str) -> bool:
+    """True iff the adjacent pair (l, r) occurs in symbol list ``s`` —
+    the cheap pre-check that lets the local rewrite skip reallocating
+    untouched words (``_merge_scan`` is the identity on them)."""
+    for i in range(len(s) - 1):
+        if s[i] == l and s[i + 1] == r:
+            return True
+    return False
+
+
+def _bpe_merge_loop_local(
+    items: list[tuple[list, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side BPE merge loop over a collected (syms, wcnt) table —
+    bit-identical to the distributed loop by construction: the pair
+    count is the same wcnt-weighted adjacent-pair sum, the argmax
+    tiebreak is the same (count DESC, left ASC, right ASC) — Python's
+    code-point string order equals Spark's UTF8 binary order, since
+    UTF-8 byte order preserves code-point order — and the rewrite is
+    the shared ``_merge_scan``.  Lockstep vs the distributed route is
+    pytest-pinned on random corpora."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        cnt: dict[tuple[str, str], int] = {}
+        for syms, w in items:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + w
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        m = l + r
+        merges.append((rank, l, r, m, int(c)))
+        items = [
+            (_merge_scan(s, l, r, m), w) if _pair_present(s, l, r) else (s, w)
+            for s, w in items
+        ]
+    return merges
+
+
+def _bpe_merge_loop(
+    cur, n_merges: int, local_rows: int | None = None
+) -> list[tuple[int, str, str, str, int]]:
     """The shared BPE training loop over a checkpointed
     (syms array<string>, wcnt long) unique-word/piece table: per round
     one uniform-key pair-count shuffle + a TakeOrdered(1) argmax (a
@@ -694,7 +756,22 @@ def _bpe_merge_loop(cur, n_merges: int) -> list[tuple[int, str, str, str, int]]:
     Python stage), ``localCheckpoint``-truncated lineage.  Used by
     both the character-level trainer (``bpe_train``) and the
     byte-level one (``byte_bpe_train``) — the loop is symbol-agnostic;
-    only the initial symbolization differs."""
+    only the initial symbolization differs.
+
+    Scale-adaptive route (round 12, guide §1.2): when the unique table
+    is under ``_trainer_local_rows`` the loop collects it once and
+    trains driver-side (``_bpe_merge_loop_local`` — same counts, same
+    tiebreak, same ``_merge_scan``), replacing ~2·n_merges boundary
+    jobs with two; above the bound the distributed loop below runs
+    unchanged.  The count probe materializes the symbolization
+    checkpoint either way, so the large-corpus path pays only one
+    extra block-read job."""
+    if cur.count() <= _trainer_local_rows(local_rows):
+        rows = cur.collect()
+        cur.unpersist()
+        return _bpe_merge_loop_local(
+            [(list(r["syms"]), int(r["wcnt"])) for r in rows], n_merges
+        )
     merges: list[tuple[int, str, str, str, int]] = []
     # Lazy-checkpoint round discipline (guide §1.2 — fewer passes):
     # each round's rewrite is a LAZY localCheckpoint, so the Arrow
@@ -756,6 +833,7 @@ def bpe_train(
     df,
     text_col: str = "text",
     n_merges: int = 10,
+    local_rows: int | None = None,
 ):
     """Byte-pair-encoding merge training (Sennrich et al. 2016) over a
     corpus column: ``n_merges`` rounds of "count adjacent symbol pairs
@@ -791,7 +869,7 @@ def bpe_train(
     cur = wf.select(
         F.split(F.col("w"), "").alias("syms"), F.col("wcnt")
     ).localCheckpoint(eager=False)
-    merges = _bpe_merge_loop(cur, n_merges)
+    merges = _bpe_merge_loop(cur, n_merges, local_rows)
     return spark.createDataFrame(
         merges,
         "merge_rank: int, left: string, right: string, "
@@ -932,6 +1010,7 @@ def byte_bpe_train(
     df,
     text_col: str = "text",
     n_merges: int = 10,
+    local_rows: int | None = None,
 ):
     """Byte-level BPE merge training — the GPT-2/Llama construction
     (Radford et al. 2019 §2.2; Sennrich et al. 2016 merges over byte
@@ -979,7 +1058,7 @@ def byte_bpe_train(
     cur = pf.mapInPandas(
         to_syms, "syms array<string>, wcnt long"
     ).localCheckpoint(eager=False)
-    merges = _bpe_merge_loop(cur, n_merges)
+    merges = _bpe_merge_loop(cur, n_merges, local_rows)
     return spark.createDataFrame(
         merges,
         "merge_rank: int, left: string, right: string, "
@@ -1332,10 +1411,56 @@ def _wp_syms(word: str) -> list:
     return [word[0]] + ["##" + c for c in word[1:]]
 
 
+def _wp_merge_loop_local(
+    items: list[tuple[list, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int, int, int]]:
+    """Driver-side WordPiece merge loop over a collected (syms, wcnt)
+    table — bit-identical to the distributed loop: the same
+    wcnt-weighted symbol/pair counts, scores compared as EXACT
+    rationals (``fractions.Fraction`` — the distributed route's
+    near-tie band resolves to the same argmax by construction), the
+    same (left ASC, right ASC) tiebreak on exact equality, and the
+    shared ``_merge_scan`` rewrite.  Lockstep vs the distributed route
+    is pytest-pinned on random corpora."""
+    from fractions import Fraction
+
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    for rank in range(1, n_merges + 1):
+        scnt: dict[str, int] = {}
+        pcnt: dict[tuple[str, str], int] = {}
+        for syms, w in items:
+            for s in syms:
+                scnt[s] = scnt.get(s, 0) + w
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pcnt[p] = pcnt.get(p, 0) + w
+        if not pcnt:
+            break
+        best = None
+        best_fr = None
+        for (l, r), c in pcnt.items():
+            fr = Fraction(c, scnt[l] * scnt[r])
+            if (
+                best is None
+                or fr > best_fr
+                or (fr == best_fr and (l, r) < (best[0], best[1]))
+            ):
+                best, best_fr = (l, r, c), fr
+        l, r, c = best
+        m = l + r[2:]  # the right side is always a ##-continuation
+        merges.append((rank, l, r, m, int(c), int(scnt[l]), int(scnt[r])))
+        items = [
+            (_merge_scan(s, l, r, m), w) if _pair_present(s, l, r) else (s, w)
+            for s, w in items
+        ]
+    return merges
+
+
 def wordpiece_train(
     df,
     text_col: str = "text",
     n_merges: int = 10,
+    local_rows: int | None = None,
 ):
     """WordPiece merge training (Schuster & Nakajima 2012; the BERT
     tokenizer's trainer) — completes the tokenizer-trainer family
@@ -1399,6 +1524,22 @@ def wordpiece_train(
         .select(F.concat(first, rest).alias("syms"), "wcnt")
         .localCheckpoint(eager=False)
     )
+
+    # Scale-adaptive route (round 12, guide §1.2 — same gate as
+    # _bpe_merge_loop): a vocabulary-sized unique-word table trains
+    # driver-side in one count + one collect instead of ~3 boundary
+    # jobs per round; above the bound the distributed loop runs
+    # unchanged.
+    if cur.count() <= _trainer_local_rows(local_rows):
+        rows = cur.collect()
+        cur.unpersist()
+        return spark.createDataFrame(
+            _wp_merge_loop_local(
+                [(list(r["syms"]), int(r["wcnt"])) for r in rows], n_merges
+            ),
+            "merge_rank: int, left: string, right: string, merged: string, "
+            "pair_count: long, left_count: long, right_count: long",
+        )
 
     merges: list[tuple[int, str, str, str, int, int, int]] = []
     # Round discipline (measured A/B, guide §1.1): `scored` keeps its

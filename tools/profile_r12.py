@@ -43,7 +43,9 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     def job_id() -> int:
-        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+        nid = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        # Spark builds differ: AtomicInteger (has .get()) vs plain int
+        return nid.get() if hasattr(nid, "get") else int(nid)
 
     for name in sys.argv[1:]:
         fn = qs[name]
