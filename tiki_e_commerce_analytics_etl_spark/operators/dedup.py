@@ -1250,7 +1250,14 @@ def window_anchors(
     # one canonical exchange on the join key: both candidate-join
     # sides reference the SAME repartitioned plan, so Spark's
     # ReuseExchange computes the tokenize→hash→explode front-end once
-    # (without it the subtree re-executes per join branch)
+    # (without it the subtree re-executes per join branch).
+    # NOTE (round 12, measured and REJECTED): an eager localCheckpoint
+    # here read 20-90% SLOWER across the whole family
+    # (substring_decontam 7.5 → 14.5 s, strip_dup_spans 7.0 → 10.9 s,
+    # interleaved A/B) — AQE's runtime stage reuse already
+    # deduplicates the identically-pruned branches, and the
+    # materialization barrier + block I/O only added cost.  The
+    # static plan's 8-16 apparent copies are pre-AQE.
     wins = (
         tok.select("__id", hashes.alias("__hs"))
         .select("__id", F.posexplode("__hs").alias("__p", "__h"))
@@ -1597,16 +1604,26 @@ def frame_signature_pairs(
     and one bounded window over matched frames.  No all-pairs scan of
     the video table.
     """
-    # one canonical exchange on the frame-hash key: the per-video
-    # counts and BOTH pair-join sides reference the same repartitioned
-    # plan, so ReuseExchange runs the (expensive — demux + dHash
-    # upstream) frame stage ONCE instead of once per branch (the first
-    # formulation's plan carried 5-6 copies of the Arrow stage)
-    f = frames.select(
-        F.col(id_col).alias("__id"),
-        F.col(idx_col).cast("int").alias("__idx"),
-        F.col(hash_col).alias("__h"),
-    ).repartition("__h")
+    # Materialize the narrow signature table ONCE (guide §8: every
+    # shuffle but the last operates on a lightweight proxy — and the
+    # proxy is computed once).  The per-video counts and both
+    # pair-join sides need DIFFERENT column subsets, so column pruning
+    # gives each branch a structurally different subtree and
+    # ReuseExchange can never unify them — measured: the
+    # video_neardup plan carried ~20 copies of the synth→demux→dhash
+    # Python chain (60 Python stages).  The checkpoint is
+    # (id, idx, hash) rows — ~24 B/row, frames-per-media × corpus —
+    # which spills to local disk at scale; recomputing a media decode
+    # per branch is strictly worse.
+    f = (
+        frames.select(
+            F.col(id_col).alias("__id"),
+            F.col(idx_col).cast("int").alias("__idx"),
+            F.col(hash_col).alias("__h"),
+        )
+        .repartition("__h")
+        .localCheckpoint(eager=True)
+    )
     per_video = f.groupBy("__id").agg(
         F.countDistinct("__h").alias("__n")
     )
