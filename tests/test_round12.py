@@ -701,3 +701,16 @@ def test_trainer_local_route_empty_corpus(spark):
     dist = text_ops.bpe_train(docs, n_merges=3, local_rows=0)
     assert local.schema == dist.schema
     assert local.count() == dist.count() == 0
+
+
+def test_unigram_trainer_local_route_lockstep(spark):
+    """unigram_train's driver-local route (seed count + every EM/prune
+    round in the driver) ≡ the distributed route, rank by rank — the
+    EM segmentation is the same _unigram_viterbi either way."""
+    from tiki_e_commerce_analytics_etl_spark.operators import text as text_ops
+
+    docs = _random_trainer_corpus(spark)
+    local = text_ops.unigram_train(docs, vocab_size=25, local_rows=1_000_000_000).collect()
+    dist = text_ops.unigram_train(docs, vocab_size=25, local_rows=0).collect()
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    assert len(local) == 25

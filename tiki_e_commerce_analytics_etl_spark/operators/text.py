@@ -1177,6 +1177,7 @@ def unigram_train(
     seed_max_len: int = 4,
     seed_multi: int = 1000,
     shrink: float = 0.75,
+    local_rows: int | None = None,
 ):
     """Unigram-LM (SentencePiece-style) tokenizer training (Kudo
     2018) — the third industry-standard trainer next to ``bpe_train``
@@ -1232,35 +1233,66 @@ def unigram_train(
         .localCheckpoint(eager=True)
     )
     try:
-        subs = F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w")),
-                lambda s: F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.least(F.lit(seed_max_len), F.length("w") - s + 1),
-                    ),
-                    lambda ln: F.col("w").substr(s, ln),
-                ),
+        # Scale-adaptive route (round 12, guide §1.2 — the
+        # _bpe_merge_loop gate): a vocabulary-sized unique-word table
+        # collects once and the seed count + every EM/prune round run
+        # driver-side — the EM segmentation is ``_unigram_viterbi``
+        # (the SAME function the distributed Arrow stage calls) and
+        # the accumulation is the same integer-weighted sum, so the
+        # routes are bit-identical (lockstep-pinned in pytest).
+        # Replaces ~2 + n_rounds boundary jobs (each EM round is a
+        # broadcast + Arrow stage + collect) with the one checkpoint
+        # job + one collect.  Above the bound the distributed loop
+        # runs unchanged.
+        local_items: list[tuple[str, int]] | None = None
+        if wf.count() <= _trainer_local_rows(local_rows):
+            local_items = [(r["w"], int(r["wcnt"])) for r in wf.collect()]
+
+        if local_items is not None:
+            seed_counts: dict[str, int] = {}
+            for w, c in local_items:
+                n = len(w)
+                for s in range(n):
+                    for ln in range(1, min(seed_max_len, n - s) + 1):
+                        p = w[s : s + ln]
+                        seed_counts[p] = seed_counts.get(p, 0) + c
+            chars = {p: c for p, c in seed_counts.items() if len(p) == 1}
+            multi = dict(
+                sorted(
+                    ((p, c) for p, c in seed_counts.items() if len(p) > 1),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )[:seed_multi]
             )
-        )
-        seed = (
-            wf.select(F.explode(subs).alias("piece"), "wcnt")
-            .groupBy("piece")
-            .agg(F.sum("wcnt").alias("cnt"))
-        )
-        # bounded collects: the charset and the capped multi-char seed
-        chars = {
-            r["piece"]: int(r["cnt"])
-            for r in seed.where(F.length("piece") == 1).collect()
-        }
-        multi = {
-            r["piece"]: int(r["cnt"])
-            for r in seed.where(F.length("piece") > 1)
-            .orderBy(F.desc("cnt"), F.asc("piece"))
-            .limit(seed_multi)
-            .collect()
-        }
+        else:
+            subs = F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda s: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(F.lit(seed_max_len), F.length("w") - s + 1),
+                        ),
+                        lambda ln: F.col("w").substr(s, ln),
+                    ),
+                )
+            )
+            seed = (
+                wf.select(F.explode(subs).alias("piece"), "wcnt")
+                .groupBy("piece")
+                .agg(F.sum("wcnt").alias("cnt"))
+            )
+            # bounded collects: the charset and the capped multi-char seed
+            chars = {
+                r["piece"]: int(r["cnt"])
+                for r in seed.where(F.length("piece") == 1).collect()
+            }
+            multi = {
+                r["piece"]: int(r["cnt"])
+                for r in seed.where(F.length("piece") > 1)
+                .orderBy(F.desc("cnt"), F.asc("piece"))
+                .limit(seed_multi)
+                .collect()
+            }
         target_multi = max(vocab_size - len(chars), 0)
         counts = {**chars, **multi}
         if not counts:
@@ -1270,6 +1302,12 @@ def unigram_train(
                 [], "rank: int, piece: string, piece_len: int, count: long"
             )
 
+        def _merge_used(used: dict) -> dict:
+            # chars always survive (0-count allowed); multis must be used
+            out = {c: used.get(c, 0) for c in chars}
+            out.update({p: n for p, n in used.items() if len(p) > 1})
+            return out
+
         def estep(vocab_counts: dict) -> dict:
             total = sum(vocab_counts.values())
             logp = {
@@ -1277,6 +1315,12 @@ def unigram_train(
                 for p, c in vocab_counts.items()
             }
             max_len = max(len(p) for p in logp)
+            if local_items is not None:
+                agg: dict = {}
+                for w, c in local_items:
+                    for piece in _unigram_viterbi(w, logp, max_len):
+                        agg[piece] = agg.get(piece, 0) + c
+                return _merge_used(agg)
             bc = spark.sparkContext.broadcast((logp, max_len))
 
             def seg_batches(batches):
@@ -1301,11 +1345,7 @@ def unigram_train(
                 # one broadcast per EM/prune round: release it once the
                 # round's collect is done, or long sessions leak them
                 bc.destroy()
-            used = {r["piece"]: int(r["cnt"]) for r in rows}
-            # chars always survive (0-count allowed); multis must be used
-            out = {c: used.get(c, 0) for c in chars}
-            out.update({p: n for p, n in used.items() if len(p) > 1})
-            return out
+            return _merge_used({r["piece"]: int(r["cnt"]) for r in rows})
 
         while True:
             counts = estep(counts)
