@@ -909,6 +909,16 @@ def bpe_token_counts(
         .collect()
     ]
 
+    def replay(syms: list) -> int:
+        """Token count of one symbol sequence after the full merge
+        replay — shared verbatim by the distributed Arrow stage and
+        the driver-local route so they cannot drift."""
+        for l, r, m in merges:
+            if len(syms) < 2:
+                break
+            syms = _merge_scan(syms, l, r, m)
+        return len(syms)
+
     tf = (
         df.select(
             F.col(id_col).alias("id"), F.explode(words(F.col(text_col))).alias("w")
@@ -919,26 +929,36 @@ def bpe_token_counts(
     )
     uw = tf.select("w").distinct()
 
-    def tok_batches(batches):
-        import pandas as pd
+    # Scale-adaptive route (round 12 — the trainer gate applied to the
+    # APPLY pass): a vocabulary-sized unique-word table replays the
+    # merge table driver-side and ships the bounded result back as a
+    # broadcast relation, removing the Python stage and its exchange;
+    # above the gate the Arrow pass runs unchanged.
+    spark = df.sparkSession
+    if uw.count() <= _trainer_local_rows():
+        rows = [
+            (w, len(w), replay(list(w)))
+            for (w,) in uw.collect()
+        ]
+        toks = F.broadcast(
+            spark.createDataFrame(rows, "w string, n_sym long, n_tok long")
+        ) if rows else spark.createDataFrame(
+            [], "w string, n_sym long, n_tok long"
+        )
+    else:
+        def tok_batches(batches):
+            import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            n_sym, n_tok = [], []
-            for w in pdf["w"]:
-                syms = list(w)
-                n_sym.append(len(syms))
-                for l, r, m in merges:
-                    if len(syms) < 2:
-                        break
-                    syms = _merge_scan(syms, l, r, m)
-                n_tok.append(len(syms))
-            yield pd.DataFrame(
-                {"w": pdf["w"], "n_sym": n_sym, "n_tok": n_tok}
-            )
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                n_sym = [len(w) for w in pdf["w"]]
+                n_tok = [replay(list(w)) for w in pdf["w"]]
+                yield pd.DataFrame(
+                    {"w": pdf["w"], "n_sym": n_sym, "n_tok": n_tok}
+                )
 
-    toks = uw.mapInPandas(tok_batches, "w string, n_sym long, n_tok long")
+        toks = uw.mapInPandas(tok_batches, "w string, n_sym long, n_tok long")
     return (
         tf.join(toks, "w")
         .groupBy("id")
