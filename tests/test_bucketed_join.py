@@ -32,6 +32,29 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_write_bucketed_table_recovers_orphaned_location(spark):
+    """An interrupted run can leave the table's warehouse directory on
+    disk with no catalog entry; a fresh metastore's DROP TABLE IF EXISTS
+    is then a no-op and saveAsTable dies with LOCATION_ALREADY_EXISTS.
+    mode='overwrite' must recover by clearing the orphaned location."""
+    import os
+    from urllib.parse import urlparse
+
+    table = "orphan_bkt_tbl"
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(warehouse, table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    os.makedirs(loc, exist_ok=True)  # simulate the orphan
+    with open(os.path.join(loc, "part-stale.parquet"), "wb") as f:
+        f.write(b"stale")
+    try:
+        df = spark.range(0, 100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        write_bucketed_table(df, table, ["k"], n_buckets=4)
+        assert spark.table(table).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_golden_join_bucketed_fact_fact_no_shuffle(spark):
     """J4 fact-fact regime: the bucketed snapshot↔trends join runs with
     ZERO shuffle exchanges — only the keyword-mapping/product broadcasts

@@ -34,11 +34,11 @@ def conform_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin-spread ``df`` to the session default parallelism
-    IFF its plan currently yields fewer partitions — the guarded form
-    of "repartition immediately after the read" (optimization guide
-    §2.5, input skew).  A small corpus arrives as ONE
+def spread_small_scan(df: DataFrame, bytes_per_task: int | None = None) -> DataFrame:
+    """Round-robin-spread ``df`` ahead of expensive per-row map work
+    IFF its scan is too small to split wide on its own — the guarded
+    form of "repartition immediately after the read" (optimization
+    guide §2.5, input skew).  A small corpus arrives as ONE
     single-row-group parquet split, so any expensive interpreted
     map-side work (higher-order-function lambdas, n-gram explodes)
     downstream runs on a single task with every other core idle;
@@ -47,11 +47,52 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     splits and this is a no-op — never a forced repartition of a big
     corpus.  Only worth applying in front of work heavy enough to
     amortize the shuffle: a blanket floor in ``read_table`` was
-    measured end-to-end and rejected (see ``read_table``'s note)."""
+    measured end-to-end and rejected (see ``read_table``'s note).
+
+    Round 13 (VERDICT r12 items 3-4):
+
+    - The size probe is the OPTIMIZED LOGICAL plan's estimated bytes
+      (parquet footer sizes for scans), not ``df.rdd.getNumPartitions()``
+      — the RDD conversion compiled a full physical plan per call on
+      the driver and bypassed AQE's view of the plan.
+    - The spread width is floored at one task per ``bytes_per_task``
+      estimated input bytes (default 64 KiB ≈ hundreds of documents,
+      i.e. ~0.5 s of interpreted-HOF work) instead of always fanning
+      to ``defaultParallelism``: the driver's round-12 local[32] bench
+      measured every consumer of the unconditional 32-way fan-out
+      SLOWER at 32 cores than at 8 (PERF_r12 scaling 0.31-0.8) — a
+      tiny corpus split 32 ways pays 32 task launches + 32 concurrent
+      Python/HOF evaluations for milliseconds of work each.
+    - ``SPARK_GRAFT_SPREAD=0`` disables the spread outright (the
+      bisect kill the round-12 verdict asked for);
+      ``SPARK_GRAFT_SPREAD_BYTES_PER_TASK`` overrides the floor.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SPREAD", "1") == "0":
+        return df
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    return df
+    par = sc.defaultParallelism
+    if par <= 1:
+        return df
+    if bytes_per_task is None:
+        try:
+            bytes_per_task = int(
+                os.environ.get("SPARK_GRAFT_SPREAD_BYTES_PER_TASK", "65536")
+            )
+        except ValueError:
+            bytes_per_task = 65536
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        max_pb = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:  # noqa: BLE001 — conf may carry a "128m" suffix form
+        max_pb = 134217728
+    if est >= par * max_pb:
+        return df  # the scan already yields >= parallelism splits
+    width = min(par, max(2, -(-est // max(bytes_per_task, 1))))
+    return df.repartition(width)
 
 
 def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
@@ -216,7 +257,31 @@ def write_bucketed_table(
     big fact↔fact joins that AQE can't broadcast (e.g. snapshot ↔
     trends at full history scale); ``sort_cols`` additionally enables
     sort-merge without a sort step and row-group min/max skipping.
+
+    Robustness: an interrupted run can leave the table's warehouse
+    directory on disk with NO catalog entry (a fresh metastore never
+    heard of it), in which case ``saveAsTable`` fails with
+    LOCATION_ALREADY_EXISTS and ``DROP TABLE IF EXISTS`` can't help.
+    For mode='overwrite' on an uncataloged table we remove the
+    orphaned location first — same end state an overwrite of a
+    cataloged table would produce.
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        import os as _os
+        import shutil as _shutil
+        from urllib.parse import urlparse as _urlparse
+
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if warehouse.scheme in ("", "file"):  # local warehouse only; remote FS never orphans here
+            if "." in table:
+                db, _, name = table.rpartition(".")
+                rel = _os.path.join(f"{db.lower()}.db", name.lower())
+            else:
+                rel = table.lower()
+            path = _os.path.join(warehouse.path, rel)
+            if _os.path.isdir(path):
+                _shutil.rmtree(path, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
